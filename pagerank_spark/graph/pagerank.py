@@ -1,0 +1,315 @@
+"""PageRank as a DataFrame power-iteration loop (SURVEY.md §2.9, G1-G5).
+
+Semantics are pinned to the reference implementation
+(``pageRank.py:116-145``), NOT to GraphX/GraphFrames' built-in PageRank
+(whose ranks do not sum to 1 — it skips the dangling-mass
+renormalization the reference applies every iteration):
+
+    r'[v] = (1-β)/N + β · Σ_{u→v} r[u] / deg(u)        (power step, :125-130)
+    s = Σ_v r'[v];  r'[v] += (1-s)/N                    (renormalize, :133-135)
+    stop when Σ_v |r'[v] - r[v]| <= δ                   (L1 check,    :138-139,123)
+
+The renormalization constant is computed analytically instead of with a
+second aggregation pass: every source vertex's rank is fully distributed
+across its out-edges, so
+
+    s = Σ r' = (1-β) + β · m,   m = Σ_{deg(u)>0} r[u]
+
+and the correction is ``(1-s)/N = β·(1-m)/N`` — the classic uniform
+redistribution of dangling mass. ``m`` is folded into the single
+per-iteration aggregation, so each iteration runs exactly ONE Spark job.
+(The float value of ``s`` differs from the reference's literal
+``sum(dict.values())`` only by summation rounding, orders of magnitude
+below the 1e-9 golden-score tolerance; verified against the golden
+top-100 and the 13-iteration trajectory.)
+
+Scale design (the part that matters at 100 TB):
+
+- The loop state is ONE DataFrame ``(node, deg, rank)`` — carrying the
+  out-degree in the state means the L1 convergence check and the
+  next-iteration dangling mass come from the same single aggregation,
+  with no extra join against a separate degree or old-rank table.
+- The loop-invariant ``edges ⋈ degrees`` relation is computed once and
+  cached — the analogue of the reference's block-stripe structure
+  (``pageRank.py:96-113``), which Spark replaces with a hash-partitioned
+  shuffle exchange; no custom block structure is needed (SURVEY §4 X1/X2).
+- The per-iteration rank vector joins the edge table either by
+  **broadcast** (rank vector fits in executor memory) or by
+  **co-partitioned shuffle join** (``strategy="shuffle"``): edges are
+  pre-partitioned by ``src`` once outside the loop, so each iteration
+  shuffles only the (much smaller) rank vector, never the edge table.
+- Contributions aggregate map-side first (partial hash agg) before the
+  exchange on ``dst``; AQE skew-join splitting covers hub-vertex skew.
+- One tiny driver-side scalar row per iteration (L1 norm + dangling
+  mass) drives the loop — the only driver materialization; the rank
+  table itself never collects.
+- Lineage is truncated with ``localCheckpoint`` every ``checkpoint_every``
+  iterations so the logical plan doesn't grow per iteration (SURVEY §7.5.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class PageRankResult:
+    """Converged ranks plus the convergence trajectory."""
+
+    ranks: DataFrame  # (node BIGINT, rank DOUBLE), sums to 1
+    iterations: int
+    l1_trajectory: list[float]
+
+    def top(self, k: int = 100) -> DataFrame:
+        return top_k(self.ranks, k)
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """A1/U1: distinct vertex set = union of both endpoint columns.
+
+    Reference: ``pageRank.py:47-53`` (list extend + set + sort; the sort is
+    an ordering artifact we don't need — hash aggregation doesn't care).
+    """
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """A2: out-degree per source. Reference: ``pageRank.py:90-92``."""
+    return edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+
+def top_k(ranks: DataFrame, k: int = 100) -> DataFrame:
+    """O2/O3: top-k by rank desc (ties by node asc), as (page, score).
+
+    Physical plan is TakeOrderedAndProject — per-partition top-k then a
+    driver merge of k·P rows; no global sort of the full rank table.
+    """
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(k)
+        .select(F.col("node").alias("page"), F.col("rank").alias("score"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    beta: float = 0.85,
+    delta: float = 1e-5,
+    max_iterations: int = 200,
+    checkpoint_every: int = 5,
+    strategy: str = "auto",
+    broadcast_vertex_limit: int = 50_000_000,
+) -> PageRankResult:
+    """Power iteration with dangling-mass renormalization (G1-G4).
+
+    ``strategy``: "broadcast" joins the rank vector to edges as a broadcast
+    hash join; "shuffle" co-partitions both sides on ``src``; "auto" picks
+    broadcast when the vertex count is below ``broadcast_vertex_limit``.
+    Returns ranks over the full vertex set, summing to 1.
+    """
+    spark = edges.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # Loop-invariant: edges decorated with the source's out-degree
+    # (reference builds this once too — M_block_list at pageRank.py:159).
+    edge_deg = edges.join(degrees(edges), on="src", how="inner")
+    if strategy == "shuffle":
+        # Pre-partition by src so each iteration's rank join shuffles only
+        # the rank vector, reusing this cached exchange for the edge side.
+        edge_deg = edge_deg.repartition(shuffle_parts, "src")
+    edge_deg = edge_deg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # G1: uniform init over the full vertex set, with out-degree attached
+    # (deg NULL ⇔ dangling vertex). One cached state relation per iterate.
+    state = (
+        vertices(edges)
+        .join(degrees(edges), on=[F.col("node") == F.col("src")], how="left")
+        .select("node", "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = state.agg(
+        F.count("*").alias("n"), F.count("deg").alias("n_src")
+    ).collect()[0]
+    n, n_src = counts["n"], counts["n_src"]
+    if n == 0:
+        empty = state.withColumn("rank", F.lit(0.0)).select("node", "rank")
+        return PageRankResult(empty, 0, [])
+
+    if strategy == "auto":
+        strategy = "broadcast" if n <= broadcast_vertex_limit else "shuffle"
+
+    # AQE re-plans every stage at runtime; on a small graph (broadcast
+    # strategy) each iteration is a sub-second job and replanning overhead
+    # more than doubles wall time (measured 21.8s → 9.7s on WikiData).
+    # At scale (shuffle strategy) AQE's skew-join splitting is worth it.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key)
+    if strategy == "broadcast":
+        spark.conf.set(aqe_key, "false")
+
+    teleport = (1.0 - beta) / n
+    state = state.withColumn("rank", F.lit(1.0 / n))
+    m = n_src / n  # non-dangling mass of the uniform init
+
+    trajectory: list[float] = []
+    cached: list[DataFrame] = []
+
+    try:
+        return _iterate(
+            spark,
+            edge_deg,
+            state,
+            n,
+            m,
+            beta=beta,
+            delta=delta,
+            teleport=teleport,
+            max_iterations=max_iterations,
+            checkpoint_every=checkpoint_every,
+            strategy=strategy,
+            shuffle_parts=shuffle_parts,
+            trajectory=trajectory,
+            cached=cached,
+        )
+    finally:
+        spark.conf.set(aqe_key, aqe_before)
+
+
+def _iterate(
+    spark,
+    edge_deg: DataFrame,
+    state: DataFrame,
+    n: int,
+    m: float,
+    *,
+    beta: float,
+    delta: float,
+    teleport: float,
+    max_iterations: int,
+    checkpoint_every: int,
+    strategy: str,
+    shuffle_parts: int,
+    trajectory: list[float],
+    cached: list[DataFrame],
+) -> PageRankResult:
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        rank_side = state.where(F.col("deg").isNotNull()).select(
+            F.col("node").alias("src"), "rank"
+        )
+        if strategy == "broadcast":
+            rank_side = F.broadcast(rank_side)
+        else:
+            rank_side = rank_side.repartition(shuffle_parts, "src")
+
+        # G2 power step: J1 join + A4 group-sum, then left-join back to the
+        # full vertex set so in-edge-less vertices keep the teleport term
+        # (the reference gets that via dict re-init at pageRank.py:125).
+        contribs = (
+            edge_deg.join(rank_side, on="src", how="inner")
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(beta) * F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        # G3: renormalization constant from the previous iterate's
+        # non-dangling mass (see module docstring for the algebra).
+        correction = beta * (1.0 - m) / n
+        pre = (
+            state.select("node", "deg", F.col("rank").alias("old_rank"))
+            .join(contribs, on="node", how="left")
+            .select(
+                "node",
+                "deg",
+                "old_rank",
+                (
+                    F.lit(teleport + correction)
+                    + F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        # G4: ONE aggregation job per iteration — L1 convergence metric and
+        # next iteration's non-dangling mass; also materializes the cache.
+        row = pre.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+            F.sum(
+                F.when(F.col("deg").isNotNull(), F.col("rank")).otherwise(0.0)
+            ).alias("m"),
+        ).collect()[0]
+        l1, m = row["l1"], row["m"]
+        trajectory.append(l1)
+
+        new_state = pre.select("node", "deg", "rank")
+        if iteration % checkpoint_every == 0:
+            # Truncate lineage so the analyzed plan doesn't grow per
+            # iteration (SURVEY §7.5.1); materializes via one local job.
+            new_state = new_state.localCheckpoint(eager=True)
+            for df in cached:
+                df.unpersist()
+            cached = []
+        else:
+            cached.append(pre)
+
+        state = new_state
+        if l1 <= delta:
+            break
+
+    final = state.select("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
+    final.count()
+    for df in cached:
+        df.unpersist()
+    edge_deg.unpersist()
+    return PageRankResult(final, iteration, trajectory)
+
+
+def compare_teleports(
+    edges: DataFrame,
+    betas: tuple[float, ...] = (0.80, 0.85, 0.90),
+    delta: float = 1e-5,
+    k: int = 100,
+) -> DataFrame:
+    """G5 parameter sweep (reference README-only ``compare_teleports``).
+
+    Runs the pipeline per β, attaches 1-based positions (W1 row_number),
+    and joins on position (J4) so each row compares the page ranked at
+    position *i* across all runs, plus an ``all_match`` flag.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("page"))
+    tagged = []
+    for beta in betas:
+        res = pagerank(edges, beta=beta, delta=delta)
+        t = (
+            res.top(k)
+            .withColumn("position", F.row_number().over(w))
+            .select("position", F.col("page").alias(f"page_{_beta_tag(beta)}"))
+        )
+        tagged.append(t)
+        res.ranks.unpersist()
+
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.join(t, on="position", how="inner")
+    page_cols = [c for c in out.columns if c.startswith("page_")]
+    all_match = F.lit(True)
+    for c in page_cols[1:]:
+        all_match = all_match & (F.col(page_cols[0]) == F.col(c))
+    return out.withColumn("all_match", all_match).orderBy("position")
+
+
+def _beta_tag(beta: float) -> str:
+    return str(beta).replace(".", "_")

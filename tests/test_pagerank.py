@@ -1,0 +1,139 @@
+"""Golden + property tests for the PageRank loop (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.graph import compare_teleports, pagerank, top_k
+from pagerank_spark.io import read_edge_list
+
+from tests.conftest import RESOURCES, WIKIDATA
+from tests.pandas_oracle import pagerank_oracle
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src LONG, dst LONG")
+
+
+def _ranks_dict(res):
+    return {r["node"]: r["rank"] for r in res.ranks.collect()}
+
+
+def _assert_matches_oracle(spark, edges, beta=0.85):
+    got = pagerank(_edges_df(spark, edges), beta=beta)
+    want, want_iters = pagerank_oracle(edges, beta=beta)
+    got_d = _ranks_dict(got)
+    assert set(got_d) == set(want)
+    for node, score in want.items():
+        assert got_d[node] == pytest.approx(score, abs=1e-9), node
+    assert got.iterations == want_iters
+    assert sum(got_d.values()) == pytest.approx(1.0, abs=1e-9)
+    got.ranks.unpersist()
+
+
+class TestGolden:
+    """End-to-end vs the reference's published top-100 (README.md:320-421)."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        path = os.path.join(RESOURCES, "golden_top100.txt")
+        rows = [line.split("\t") for line in open(path)]
+        return [(int(p), float(s)) for p, s in rows]
+
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        edges = read_edge_list(spark, WIKIDATA)
+        res = pagerank(edges, beta=0.85, delta=1e-5)
+        yield res
+        res.ranks.unpersist()
+
+    def test_top100_order_and_scores(self, result, golden):
+        top = top_k(result.ranks, 100).collect()
+        assert [r["page"] for r in top] == [p for p, _ in golden]
+        for row, (_, score) in zip(top, golden):
+            assert row["score"] == pytest.approx(score, abs=1e-9)
+
+    def test_iteration_count(self, result):
+        assert result.iterations == 13  # README.md:437
+
+    def test_ranks_sum_to_one(self, result):
+        total = result.ranks.agg(F.sum("rank")).collect()[0][0]
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_trajectory_monotone_tail(self, result):
+        # L1 decreases after the first few iterations (power method contraction)
+        tail = result.l1_trajectory[2:]
+        assert all(a > b for a, b in zip(tail, tail[1:]))
+
+
+class TestProperties:
+    def test_cycle_uniform(self, spark):
+        n = 10
+        edges = [(i, (i + 1) % n) for i in range(n)]
+        res = pagerank(_edges_df(spark, edges))
+        for node, rank in _ranks_dict(res).items():
+            assert rank == pytest.approx(1.0 / n, abs=1e-9)
+        res.ranks.unpersist()
+
+    def test_star_in_center_max(self, spark):
+        edges = [(i, 0) for i in range(1, 8)]
+        res = pagerank(_edges_df(spark, edges))
+        d = _ranks_dict(res)
+        assert d[0] == max(d.values())
+        assert sum(d.values()) == pytest.approx(1.0, abs=1e-9)
+        res.ranks.unpersist()
+
+    def test_star_in_matches_oracle(self, spark):
+        _assert_matches_oracle(spark, [(i, 0) for i in range(1, 8)])
+
+    def test_two_components(self, spark):
+        edges = [(1, 2), (2, 1), (10, 11), (11, 12), (12, 10)]
+        _assert_matches_oracle(spark, edges)
+
+    def test_dangling_heavy(self, spark):
+        # every dst is dangling: exercises renormalization hard
+        edges = [(1, 100), (1, 101), (2, 102), (3, 103), (3, 100)]
+        _assert_matches_oracle(spark, edges)
+
+    def test_random_graphs_match_oracle(self, spark):
+        rng = random.Random(42)
+        for trial in range(3):
+            n = rng.randint(10, 60)
+            edges = sorted(
+                {
+                    (rng.randint(0, n), rng.randint(0, n))
+                    for _ in range(rng.randint(n, 4 * n))
+                }
+            )
+            edges = [(s, d) for s, d in edges if s != d]
+            _assert_matches_oracle(spark, edges)
+
+    def test_relabeling_invariance(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+        shift = [(s + 1000, d + 1000) for s, d in edges]
+        a = _ranks_dict(pagerank(_edges_df(spark, edges)))
+        b = _ranks_dict(pagerank(_edges_df(spark, shift)))
+        for node, rank in a.items():
+            assert b[node + 1000] == pytest.approx(rank, abs=1e-12)
+
+    def test_shuffle_strategy_same_result(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 1)]
+        a = _ranks_dict(pagerank(_edges_df(spark, edges), strategy="broadcast"))
+        b = _ranks_dict(pagerank(_edges_df(spark, edges), strategy="shuffle"))
+        for node, rank in a.items():
+            assert b[node] == pytest.approx(rank, abs=1e-12)
+
+
+class TestCompareTeleports:
+    def test_sweep_shape(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 4)]
+        out = compare_teleports(
+            _edges_df(spark, edges), betas=(0.80, 0.85), k=5
+        ).collect()
+        assert len(out) == 5
+        assert out[0]["position"] == 1
+        assert {"page_0_8", "page_0_85", "all_match"} <= set(out[0].asDict())
