@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_topk_bruteforce``: exact cosine top-k per query via a join +
+  window — the correctness baseline. The query set is broadcast (it's
+  the small side); the corpus streams through one pass; ranking is
+  per-query TakeOrdered, never a global sort.
+- ``ann_lsh``: scale path — random-hyperplane LSH buckets both sides,
+  compares only within buckets (multi-probe over B bit-sampled bands).
+  Recall is tunable with bands/bits; exactness is traded for a
+  shuffle-on-bucket plan that survives a 100×-larger corpus.
+
+All cosine math is native Catalyst array expressions (zip_with +
+aggregate), JVM-side; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions import cosine, dot, l2_norm
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).cast("array<double>").alias(f"{prefix}_vec"),
+    )
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank ≤ k).
+
+    Ties are broken by neighbor id AFTER rounding so the result is
+    deterministic across engines and summation orders.
+    """
+    q = _as_double(queries, id_col, vec_col, "query")
+    c = _as_double(corpus, id_col, vec_col, "nb")
+    cos = cosine(F.col("query_vec"), F.col("nb_vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("nb_id"))
+        .select("query_id", "nb_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("nb_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nb_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no RNG dependency)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1_103_515_245 * state + 12_345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane signature split into bands: (id, vec, band, bucket).
+
+    sign(v·h) per plane → n_planes bits → n_bands bucket keys. A vector
+    lands in n_bands buckets; candidates must collide in ≥1.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    per_band = n_planes // n_bands
+    rows = []
+    for band in range(n_bands):
+        bucket = F.concat_ws(
+            "",
+            *[
+                b.cast("string")
+                for b in bits[band * per_band : (band + 1) * per_band]
+            ],
+        )
+        rows.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                v.alias("vec"),
+                F.lit(band).alias("band"),
+                bucket.alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_bands: int = 3,
+) -> DataFrame:
+    """Approximate top-k: compare only within shared LSH buckets.
+
+    The join shuffles on (band, bucket) — corpus-size-proportional work
+    per bucket instead of |queries|×|corpus|. Returns the same schema
+    as the brute-force baseline so recall can be measured directly.
+    """
+    cb = lsh_bucket(corpus, id_col, vec_col, dim, n_planes, n_bands)
+    qb = lsh_bucket(queries, id_col, vec_col, dim, n_planes, n_bands)
+    pairs = (
+        qb.select(
+            F.col("id").alias("query_id"),
+            F.col("vec").alias("query_vec"),
+            "band",
+            "bucket",
+        )
+        .join(
+            cb.select(
+                F.col("id").alias("nb_id"), F.col("vec").alias("nb_vec"), "band", "bucket"
+            ),
+            on=["band", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("nb_id"))
+        .select("query_id", "nb_id", "query_vec", "nb_vec")
+        .distinct()
+    )
+    scored = pairs.select(
+        "query_id",
+        "nb_id",
+        F.round(cosine(F.col("query_vec"), F.col("nb_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nb_id", "cos", "rank")
+    )
