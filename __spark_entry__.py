@@ -1,38 +1,1032 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Graph queries derive a deterministic edge table from ``lineitem``
+(``l_orderkey % 4096 → l_partkey % 4096``) so the Spark plan and the
+DuckDB oracle compute over identical inputs — the fixture set has no
+edge parquet, and this derivation is expressible verbatim in both
+engines. The derived graph is a multigraph with duplicate edges (which
+Q4's duplicate report and the bag-semantics PageRank twin exercise).
+
+Floats are explicitly ROUND()ed on BOTH sides before hashing; counts are
+cast to BIGINT on both sides (DuckDB's SUM(int) is HUGEINT, Spark's
+size() is INT — casts align the schemas).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.graph.pagerank import degrees, pagerank, top_k, vertices
+from pagerank_spark.io import load_table
+from pagerank_spark.operators import dedup, relational, similarity, text
+
+# ---------------------------------------------------------------------------
+# Shared derivations (identical in Spark and the DuckDB oracle SQL)
+
+EDGE_MOD = 4096
+
+# DuckDB CTE prefix shared by every graph oracle query.
+SQL_EDGES = f"""
+WITH edges AS (
+  SELECT CAST(l_orderkey % {EDGE_MOD} AS BIGINT) AS src,
+         CAST(l_partkey % {EDGE_MOD} AS BIGINT) AS dst
+  FROM lineitem
+),
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % EDGE_MOD).cast("long").alias("src"),
+        (F.col("l_partkey") % EDGE_MOD).cast("long").alias("dst"),
+    )
+
+
+def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(_edges(spark, sf_dir))
+
+
+def _top20_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 sources by out-degree (deg desc, src asc) — the membership
+    set for the induced-subgraph query, mirroring the reference's top-20
+    graph viz (streamlit-pagerank.py:321-346)."""
+    return (
+        _degrees(spark, sf_dir)
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(20)
+        .select(F.col("src").alias("node"))
+    )
+
+
+SQL_TOP20 = """
+top20 AS (
+  SELECT src AS node FROM deg ORDER BY deg DESC, src ASC LIMIT 20
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph relational queries (Q1-Q17 of FIXTURES.md §4)
+
+
+def q01_edge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P2/A5: scan + cast + global aggregates."""
+    e = _edges(spark, sf_dir)
+    return e.agg(
+        F.count("*").alias("n_edges"),
+        F.min("src").alias("min_src"),
+        F.max("src").alias("max_src"),
+        F.min("dst").alias("min_dst"),
+        F.max("dst").alias("max_dst"),
+    )
+
+
+def q02_distinct_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/A1: distinct vertex set from the union of both endpoints."""
+    v = vertices(_edges(spark, sf_dir))
+    return v.agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def q03_out_degree_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O2/O3: out-degree per source, top-20 (TakeOrderedAndProject)."""
+    return _degrees(spark, sf_dir).orderBy(F.desc("deg"), F.asc("src")).limit(20)
+
+
+def q04_duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/P3: duplicate-row report (reference pageRank.py:59-63)."""
+    return relational.duplicate_rows_report(_edges(spark, sf_dir), ["src", "dst"])
+
+
+def q05_subset_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4-surrogate/O1: deterministic subset (no RNG sampling in oracle
+    paths — SURVEY §5.3)."""
+    return _edges(spark, sf_dir).where(F.col("src") % 20 == 0)
+
+
+def q06_contribution_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A4/F2: one PageRank power-step kernel — edges ⋈ degrees ⋈
+    uniform ranks, contribution-summed per destination."""
+    e = _edges(spark, sf_dir)
+    n = vertices(e).count()
+    d = degrees(e)
+    return (
+        e.join(d, on="src")
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(0.85) * (F.lit(1.0) / F.lit(n)) / F.col("deg")).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.round(F.sum("c"), 12).alias("contrib"))
+    )
+
+
+def q07_rank_diff_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A6/F1: L1 distance between two rank assignments (uniform vs
+    in-degree-proportional) joined on node."""
+    e = _edges(spark, sf_dir)
+    v = vertices(e)
+    n = v.count()
+    n_edges = e.count()
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    joined = v.join(in_deg, on="node", how="left").select(
+        "node",
+        (F.lit(1.0) / F.lit(n)).alias("r1"),
+        (F.coalesce(F.col("in_deg"), F.lit(0)) / F.lit(n_edges)).alias("r2"),
+    )
+    return joined.agg(
+        F.round(F.sum(F.abs(F.col("r1") - F.col("r2"))), 9).alias("l1")
+    )
+
+
+def q08_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U3: edges with BOTH endpoints in the top-20 degree set."""
+    e = _edges(spark, sf_dir)
+    return relational.induced_subgraph(e, _top20_nodes(spark, sf_dir))
+
+
+def q09_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P5: global row_number positions over the degree table, top-50."""
+    pos = relational.with_position(
+        _degrees(spark, sf_dir), order_col="deg", tiebreak_col="src"
+    )
+    return pos.where(F.col("position") <= 50).select(
+        "src", "deg", F.col("position").cast("long").alias("position")
+    )
+
+
+def q10_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: positional comparison of the out-degree vs in-degree orderings."""
+    e = _edges(spark, sf_dir)
+    out_rank = relational.with_position(
+        degrees(e).select(F.col("src").alias("node"), F.col("deg")),
+        order_col="deg",
+        tiebreak_col="node",
+    )
+    in_rank = relational.with_position(
+        e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("deg")),
+        order_col="deg",
+        tiebreak_col="node",
+    )
+    cmp = relational.positional_compare([out_rank, in_rank], value_col="node")
+    return cmp.where(F.col("position") <= 30).select(
+        F.col("position").cast("long").alias("position"),
+        "node_0",
+        "node_1",
+        "all_match",
+    )
+
+
+def q13_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: exact interpolated quantiles of the out-degree distribution."""
+    q = relational.score_quantiles(_degrees(spark, sf_dir), "deg")
+    return q.select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
+def q14_formatted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/F3/O2/O3: '[page] [score]' formatted lines of the top-100."""
+    top = _degrees(spark, sf_dir).orderBy(F.desc("deg"), F.asc("src")).limit(100)
+    return top.select(
+        F.format_string("[%d] [%d]", F.col("src"), F.col("deg")).alias("line")
+    )
+
+
+def q15_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G3: two full power-step+renormalization iterations of the real
+    engine loop, hash-checked against a pure-SQL twin of the same algebra
+    (analytic dangling-mass correction included)."""
+    res = pagerank(
+        _edges(spark, sf_dir),
+        beta=0.85,
+        delta=0.0,
+        max_iterations=2,
+        tune_aqe=False,
+    )
+    out = res.ranks.select("node", F.round("rank", 9).alias("rank"))
+    return out
+
+
+def q16_adjacency_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-source sorted destination list (as a string so the hash is
+    representation-stable across engines)."""
+    adj = relational.adjacency_lists(_edges(spark, sf_dir))
+    return adj.select(
+        "src",
+        F.concat_ws(
+            ",", F.transform(F.col("dsts"), lambda x: x.cast("string"))
+        ).alias("dsts"),
+        "deg",
+    )
+
+
+def q17_node_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: sources ∩ destinations (relational INTERSECT, set semantics)."""
+    e = _edges(spark, sf_dir)
+    return relational.node_intersection(
+        e.select(F.col("src").alias("node")), e.select(F.col("dst").alias("node"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema relational queries (Q11, Q12, Q18, Q19, Q30)
+
+
+def q11_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q12_customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join with small-dimension broadcasts: customers per nation in
+    one region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(
+            F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+        )
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim revenue top-10 (broadcast dim, TakeOrdered top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access over events.props (extension tier, SURVEY §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-hour window counts (batch twin of the
+    streaming aggregation in pagerank_spark.streaming)."""
+    from pagerank_spark.streaming import tumbling_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(ev)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline tier: documents / embeddings
+
+
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.token_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+    )
+
+
+def q21_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id")
+
+
+def q22_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "pred_lang")
+
+
+def q23_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs)
+    return q.select(
+        "doc_id",
+        F.col("len_chars").cast("long").alias("len_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q24_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs, "text")
+
+
+def q25_exact_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+
+
+def q26_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs (inverted-index self-join) on a
+    deterministic document subset."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    shingled = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(shingled, "doc_id", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline end-to-end (md5-based portable hash
+    family — the DuckDB twin reproduces signatures, banding, and the
+    Jaccard verification exactly)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    pairs = dedup.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q28_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a deterministic query subset."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.ann_topk_bruteforce(emb, queries_df, k=5)
+    return out.select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs above threshold on a subset."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    pairs = dedup.embedding_neardup_pairs(
+        emb, threshold=0.5, bruteforce_limit=None
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check: the 60-bit vote-sum
+    fingerprint is portable but its SQL twin is impractically large)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
+    edge graph, top-100 (page, score)."""
+    res = pagerank(_edges(spark, "/root/testdata/sf0.001"), tune_aqe=False)
+    return top_k(res.ranks, 100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_edge_scan": q01_edge_scan,
+        "q02_distinct_nodes": q02_distinct_nodes,
+        "q03_out_degree_top20": q03_out_degree_top20,
+        "q04_duplicate_edges": q04_duplicate_edges,
+        "q05_subset_sorted": q05_subset_sorted,
+        "q06_contribution_sum": q06_contribution_sum,
+        "q07_rank_diff_l1": q07_rank_diff_l1,
+        "q08_induced_subgraph": q08_induced_subgraph,
+        "q09_positions": q09_positions,
+        "q10_positional_join": q10_positional_join,
+        "q11_lineitem_agg": q11_lineitem_agg,
+        "q12_customer_nation_region": q12_customer_nation_region,
+        "q13_degree_quantiles": q13_degree_quantiles,
+        "q14_formatted_top100": q14_formatted_top100,
+        "q15_pagerank_2iter": q15_pagerank_2iter,
+        "q16_adjacency_lists": q16_adjacency_lists,
+        "q17_node_intersection": q17_node_intersection,
+        "q18_top_customers": q18_top_customers,
+        "q19_json_extract": q19_json_extract,
+        "q20_token_stats": q20_token_stats,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_language_id": q22_language_id,
+        "q23_quality_score": q23_quality_score,
+        "q24_exact_dedup_stats": q24_exact_dedup_stats,
+        "q25_exact_dedup_keepfirst": q25_exact_dedup_keepfirst,
+        "q26_token_jaccard": q26_token_jaccard,
+        "q27_minhash_lsh": q27_minhash_lsh,
+        "q28_ann_bruteforce": q28_ann_bruteforce,
+        "q29_embedding_neardup": q29_embedding_neardup,
+        "q30_tumbling_window": q30_tumbling_window,
+        "q31_simhash_pairs": q31_simhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return _ORACLES
+
+
+_ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str) -> None:
+    _ORACLES[name] = sql
+
+
+_oracle(
+    "q01_edge_scan",
+    SQL_EDGES
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       MIN(src) AS min_src, MAX(src) AS max_src,
+       MIN(dst) AS min_dst, MAX(dst) AS max_dst
+FROM edges
+""",
+)
+
+_oracle(
+    "q02_distinct_nodes",
+    SQL_EDGES
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM nodes
+""",
+)
+
+_oracle(
+    "q03_out_degree_top20",
+    SQL_EDGES + "SELECT src, deg FROM deg ORDER BY deg DESC, src ASC LIMIT 20",
+)
+
+_oracle(
+    "q04_duplicate_edges",
+    SQL_EDGES
+    + """
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM edges GROUP BY src, dst HAVING COUNT(*) > 1
+""",
+)
+
+_oracle(
+    "q05_subset_sorted",
+    SQL_EDGES + "SELECT src, dst FROM edges WHERE src % 20 = 0",
+)
+
+_oracle(
+    "q06_contribution_sum",
+    SQL_EDGES
+    + """
+SELECT e.dst AS node,
+       ROUND(SUM(0.85 * (1.0 / (SELECT COUNT(*) FROM nodes)) / d.deg), 12)
+         AS contrib
+FROM edges e JOIN deg d ON e.src = d.src
+GROUP BY e.dst
+""",
+)
+
+_oracle(
+    "q07_rank_diff_l1",
+    SQL_EDGES
+    + """
+, in_deg AS (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+  FROM edges GROUP BY dst
+)
+SELECT ROUND(SUM(ABS(
+         1.0 / (SELECT COUNT(*) FROM nodes)
+         - COALESCE(i.in_deg, 0) / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+       )), 9) AS l1
+FROM nodes n LEFT JOIN in_deg i ON n.node = i.node
+""",
+)
+
+_oracle(
+    "q08_induced_subgraph",
+    SQL_EDGES
+    + ","
+    + SQL_TOP20
+    + """
+SELECT e.src, e.dst
+FROM edges e
+WHERE e.src IN (SELECT node FROM top20)
+  AND e.dst IN (SELECT node FROM top20)
+""",
+)
+
+_oracle(
+    "q09_positions",
+    SQL_EDGES
+    + """
+SELECT src, deg, position FROM (
+  SELECT src, deg,
+         CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, src ASC) AS BIGINT)
+           AS position
+  FROM deg
+) WHERE position <= 50
+""",
+)
+
+_oracle(
+    "q10_positional_join",
+    SQL_EDGES
+    + """
+, out_rank AS (
+  SELECT src AS node,
+         CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, src ASC) AS BIGINT)
+           AS position
+  FROM deg
+),
+in_d AS (
+  SELECT dst AS node, COUNT(*) AS deg FROM edges GROUP BY dst
+),
+in_rank AS (
+  SELECT node,
+         CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, node ASC) AS BIGINT)
+           AS position
+  FROM in_d
+)
+SELECT o.position, o.node AS node_0, i.node AS node_1,
+       (o.node = i.node) AS all_match
+FROM out_rank o JOIN in_rank i ON o.position = i.position
+WHERE o.position <= 30
+""",
+)
+
+_oracle(
+    "q11_lineitem_agg",
     """
-    return {}
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+_oracle(
+    "q12_customer_nation_region",
+    """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+
+_oracle(
+    "q13_degree_quantiles",
+    SQL_EDGES
+    + """
+SELECT ROUND(quantile_cont(deg, 0.25), 6) AS p25,
+       ROUND(quantile_cont(deg, 0.50), 6) AS p50,
+       ROUND(quantile_cont(deg, 0.75), 6) AS p75
+FROM deg
+""",
+)
+
+_oracle(
+    "q14_formatted_top100",
+    SQL_EDGES
+    + """
+SELECT '[' || CAST(src AS VARCHAR) || '] [' || CAST(deg AS VARCHAR) || ']'
+         AS line
+FROM (SELECT src, deg FROM deg ORDER BY deg DESC, src ASC LIMIT 100)
+""",
+)
+
+# Two power-step iterations with the analytic dangling-mass correction —
+# the same algebra as pagerank_spark.graph.pagerank (module docstring).
+_oracle(
+    "q15_pagerank_2iter",
+    SQL_EDGES
+    + """
+, consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_src
+),
+r0 AS (
+  SELECT n.node, d.deg, 1.0 / c.n AS rank
+  FROM nodes n LEFT JOIN deg d ON n.node = d.src CROSS JOIN consts c
+),
+contrib1 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r0 r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+m0 AS (
+  SELECT CAST(c.n_src AS DOUBLE) / c.n AS m FROM consts c
+),
+r1 AS (
+  SELECT r.node, r.deg,
+         ((1.0 - 0.85) / c.n + (0.85 * (1.0 - (SELECT m FROM m0))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r0 r LEFT JOIN contrib1 k ON r.node = k.node CROSS JOIN consts c
+),
+m1 AS (
+  SELECT SUM(CASE WHEN deg IS NOT NULL THEN rank ELSE 0.0 END) AS m FROM r1
+),
+contrib2 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r1 r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT r.node,
+         ((1.0 - 0.85) / c.n + (0.85 * (1.0 - (SELECT m FROM m1))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r1 r LEFT JOIN contrib2 k ON r.node = k.node CROSS JOIN consts c
+)
+SELECT node, ROUND(rank, 9) AS rank FROM r2
+""",
+)
+
+_oracle(
+    "q16_adjacency_lists",
+    SQL_EDGES
+    + """
+SELECT src,
+       array_to_string(list_sort(list(dst)), ',') AS dsts,
+       CAST(COUNT(*) AS BIGINT) AS deg
+FROM edges GROUP BY src
+""",
+)
+
+_oracle(
+    "q17_node_intersection",
+    SQL_EDGES
+    + "SELECT src AS node FROM edges INTERSECT SELECT dst AS node FROM edges",
+)
+
+_oracle(
+    "q18_top_customers",
+    """
+SELECT c_custkey, c_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+
+_oracle(
+    "q19_json_extract",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+
+_oracle(
+    "q20_token_stats",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+            AS BIGINT) AS n_subwords
+FROM documents
+""",
+)
+
+_oracle(
+    "q21_fingerprint",
+    r"""
+SELECT doc_id,
+       bit_xor(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT))
+         AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+)
+WHERE tok <> ''
+GROUP BY doc_id
+""",
+)
+
+_oracle(
+    "q22_language_id",
+    r"""
+WITH hits AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b')) AS h_en,
+    len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y)\b')) AS h_es,
+    len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des)\b')) AS h_fr,
+    len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ein)\b')) AS h_de,
+    len(regexp_extract_all(lower(text), '(?:的|是|了|在|我)')) AS h_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'unknown'
+    WHEN h_de = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'de'
+    WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+    WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+    WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang
+FROM hits
+""",
+)
+
+_oracle(
+    "q23_quality_score",
+    r"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS len_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+           AS stop_hits
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, len_chars, n_tokens,
+         n_punct / greatest(len_chars, 1) AS punct_ratio,
+         stop_hits / greatest(n_tokens, 1) AS stop_ratio
+  FROM feats
+)
+SELECT doc_id,
+       CAST(len_chars AS BIGINT) AS len_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(punct_ratio, 9) AS punct_ratio,
+       ROUND(stop_ratio, 9) AS stopword_ratio,
+       ROUND(0.4 * least(len_chars / 500.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(stop_ratio, 1.0), 9) AS quality
+FROM ratios
+""",
+)
+
+_oracle(
+    "q24_exact_dedup_stats",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dupes
+FROM documents
+""",
+)
+
+_oracle(
+    "q25_exact_dedup_keepfirst",
+    """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+
+_SQL_TOKENS_SUBSET = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents WHERE doc_id % 5 = 0
+  ) WHERE tok <> ''
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM toks GROUP BY doc_id
+)
+"""
+
+_oracle(
+    "q26_token_jaccard",
+    _SQL_TOKENS_SUBSET
+    + """
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+""",
+)
+
+_oracle(
+    "q28_ann_bruteforce",
+    """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0
+),
+ranked AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, nb_id, cos, rank FROM ranked WHERE rank <= 5
+""",
+)
+
+_oracle(
+    "q29_embedding_neardup",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+""",
+)
+
+_oracle(
+    "q30_tumbling_window",
+    """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+
+# q27_minhash_lsh twin: signatures + banding + verification, all from the
+# portable md5 hash family (pagerank_spark/functions: portable_hash60).
+_MINHASH_COEFFS = [
+    (1_103_515_245, 12_345),
+    (22_695_477, 1),
+    (134_775_813, 1_013_904_223),
+    (214_013, 2_531_011),
+    (16_807, 0),
+    (48_271, 11),
+    (69_621, 23),
+    (40_692, 37),
+    (1_664_525, 1_013_904_223),
+    (22_801_763, 49_297),
+    (65_793, 4_282_663),
+    (8_405_197, 285_421),
+    (197_331, 7_491_711),
+    (32_452_843, 15_485_863),
+    (49_979_687, 86_028_121),
+    (67_867_967, 98_765_431),
+]
+_P = 2_147_483_647
+_MH_COLS = ",\n    ".join(
+    f"min(({a} * h + {b}) % {_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_MINHASH_COEFFS)
+)
+_BAND_SIGS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {band} AS band, "
+    "CAST(mh{a} AS VARCHAR) || '_' || CAST(mh{b} AS VARCHAR) || '_' || "
+    "CAST(mh{c} AS VARCHAR) || '_' || CAST(mh{d} AS VARCHAR) AS sig "
+    "FROM sigs".format(band=band, a=band * 4, b=band * 4 + 1, c=band * 4 + 2, d=band * 4 + 3)
+    for band in range(4)
+)
+
+_oracle(
+    "q27_minhash_lsh",
+    r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (
+  SELECT doc_id, tok, idx FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+             AS idx
+    FROM docs
+  )
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+  WHERE a.tok || ' ' || b.tok || ' ' || c.tok <> ''
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % """
+    + str(_P)
+    + r""" AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+    """
+    + _MH_COLS
+    + r"""
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+"""
+    + _BAND_SIGS
+    + r"""
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN shingles a ON a.doc_id = c.id_a
+  JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+""",
+)
+
+# q31_simhash_pairs intentionally has no oracle entry → rows-only check.

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Query selection covers each engine tier:
+- pagerank_full  — the end-to-end iterative loop on the derived graph
+  (plus WikiData when the reference dataset is readable): the
+  reference's own benchmark shape (BASELINE.md).
+- q11/q12/q18    — relational star-schema aggregation + multi-join.
+- q03/q08/q16    — graph relational ops (top-k, induced subgraph,
+  adjacency collect).
+- q21/q22        — text tier at full table scale.
+- q27/q28        — dedup + ANN tiers.
+
+Each timing is wall-clock around a full action (collect of a bounded
+result); Spark/JVM startup is excluded (session built first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WIKIDATA = "/root/reference/WikiData.txt"
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from pagerank_spark.graph.pagerank import pagerank, top_k
+    from pagerank_spark.io import read_edge_list
+    from pagerank_spark.session import get_spark
+
+    spark = get_spark(app_name="pagerank_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    bench_queries = [
+        "q03_out_degree_top20",
+        "q08_induced_subgraph",
+        "q11_lineitem_agg",
+        "q12_customer_nation_region",
+        "q16_adjacency_lists",
+        "q18_top_customers",
+        "q21_fingerprint",
+        "q22_language_id",
+        "q27_minhash_lsh",
+        "q28_ann_bruteforce",
+    ]
+
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers with one cheap action so the first
+    # timed query doesn't absorb one-time codegen/scan setup.
+    queries["q01_edge_scan"](spark, SF_DIR).collect()
+
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        # noop sink: materializes EVERY output column (count() would let
+        # Catalyst prune computed projections) without driver transfer.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Flagship: full PageRank loop on the derived sf graph.
+    t0 = time.perf_counter()
+    res = pagerank(entry_mod._edges(spark, SF_DIR), tune_aqe=True)
+    top = top_k(res.ranks, 100).collect()
+    timings["pagerank_full"] = round(time.perf_counter() - t0, 3)
+    res.ranks.unpersist()
+    assert len(top) > 0
+
+    # Reference dataset end-to-end (BASELINE.md: 6.349s single-node).
+    if os.path.exists(WIKIDATA):
+        t0 = time.perf_counter()
+        res = pagerank(read_edge_list(spark, WIKIDATA))
+        top = top_k(res.ranks, 100).collect()
+        timings["pagerank_wikidata"] = round(time.perf_counter() - t0, 3)
+        res.ranks.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

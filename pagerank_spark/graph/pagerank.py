@@ -106,21 +106,46 @@ def pagerank(
     max_iterations: int = 200,
     checkpoint_every: int = 5,
     strategy: str = "auto",
-    broadcast_vertex_limit: int = 50_000_000,
+    broadcast_vertex_limit: int = 5_000_000,
+    edge_semantics: str = "bag",
+    reliable_checkpoint: bool = False,
+    tune_aqe: bool = True,
 ) -> PageRankResult:
     """Power iteration with dangling-mass renormalization (G1-G4).
 
     ``strategy``: "broadcast" joins the rank vector to edges as a broadcast
     hash join; "shuffle" co-partitions both sides on ``src``; "auto" picks
-    broadcast when the vertex count is below ``broadcast_vertex_limit``.
+    broadcast when the vertex count is below ``broadcast_vertex_limit``
+    (default 5M ≈ 80 MB hashed relation — safely under executor memory;
+    beyond that a broadcast would rebuild a multi-GB hash table on every
+    executor each iteration).
+
+    ``edge_semantics``: "bag" (default) lets every duplicate edge
+    occurrence contribute; "reference" pins the reference's multigraph
+    behavior (``pageRank.py:102-110``: dst sets are deduped per src while
+    out-degree counts duplicate edges). Identical on simple graphs like
+    WikiData; a test pins both on a multigraph.
+
+    ``reliable_checkpoint``: use fault-tolerant ``checkpoint()`` (requires
+    ``spark.sparkContext.setCheckpointDir``) instead of ``localCheckpoint``
+    — the cluster-mode choice: localCheckpoint blocks die with their
+    executor, killing a long iteration chain on any node loss.
+
     Returns ranks over the full vertex set, summing to 1.
     """
+    if edge_semantics not in ("bag", "reference"):
+        raise ValueError(f"unknown edge_semantics: {edge_semantics!r}")
     spark = edges.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # Out-degrees are computed ONCE and reused for both the decorated edge
+    # relation and the state init (was: two scans+aggs of the edge table).
+    deg = degrees(edges)
+
     # Loop-invariant: edges decorated with the source's out-degree
     # (reference builds this once too — M_block_list at pageRank.py:159).
-    edge_deg = edges.join(degrees(edges), on="src", how="inner")
+    contributing = edges.distinct() if edge_semantics == "reference" else edges
+    edge_deg = contributing.join(deg, on="src", how="inner")
     if strategy == "shuffle":
         # Pre-partition by src so each iteration's rank join shuffles only
         # the rank vector, reusing this cached exchange for the edge side.
@@ -129,12 +154,13 @@ def pagerank(
 
     # G1: uniform init over the full vertex set, with out-degree attached
     # (deg NULL ⇔ dangling vertex). One cached state relation per iterate.
-    state = (
+    init_state = (
         vertices(edges)
-        .join(degrees(edges), on=[F.col("node") == F.col("src")], how="left")
+        .join(deg, on=[F.col("node") == F.col("src")], how="left")
         .select("node", "deg")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    state = init_state
     counts = state.agg(
         F.count("*").alias("n"), F.count("deg").alias("n_src")
     ).collect()[0]
@@ -150,9 +176,12 @@ def pagerank(
     # strategy) each iteration is a sub-second job and replanning overhead
     # more than doubles wall time (measured 21.8s → 9.7s on WikiData).
     # At scale (shuffle strategy) AQE's skew-join splitting is worth it.
+    # NOTE: this is a session-global conf flip (restored in ``finally``) —
+    # safe for a dedicated job session, not for a session shared with
+    # concurrent queries; pass ``tune_aqe=False`` there.
     aqe_key = "spark.sql.adaptive.enabled"
     aqe_before = spark.conf.get(aqe_key)
-    if strategy == "broadcast":
+    if strategy == "broadcast" and tune_aqe:
         spark.conf.set(aqe_key, "false")
 
     teleport = (1.0 - beta) / n
@@ -178,9 +207,12 @@ def pagerank(
             shuffle_parts=shuffle_parts,
             trajectory=trajectory,
             cached=cached,
+            init_state=init_state,
+            reliable_checkpoint=reliable_checkpoint,
         )
     finally:
-        spark.conf.set(aqe_key, aqe_before)
+        if tune_aqe:
+            spark.conf.set(aqe_key, aqe_before)
 
 
 def _iterate(
@@ -199,6 +231,8 @@ def _iterate(
     shuffle_parts: int,
     trajectory: list[float],
     cached: list[DataFrame],
+    init_state: DataFrame,
+    reliable_checkpoint: bool,
 ) -> PageRankResult:
     iteration = 0
     while iteration < max_iterations:
@@ -255,8 +289,17 @@ def _iterate(
         new_state = pre.select("node", "deg", "rank")
         if iteration % checkpoint_every == 0:
             # Truncate lineage so the analyzed plan doesn't grow per
-            # iteration (SURVEY §7.5.1); materializes via one local job.
-            new_state = new_state.localCheckpoint(eager=True)
+            # iteration (SURVEY §7.5.1). checkpoint() (reliable mode) is
+            # fault-tolerant across executor loss; localCheckpoint is
+            # faster but dies with its executor.
+            if reliable_checkpoint:
+                new_state = new_state.checkpoint(eager=True)
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
+            # The checkpoint materialized new_state, so pre's cache (and
+            # every earlier iterate's) is dead weight — unpersist now or
+            # one MEMORY_AND_DISK vertex table leaks per checkpoint.
+            pre.unpersist()
             for df in cached:
                 df.unpersist()
             cached = []
@@ -272,6 +315,7 @@ def _iterate(
     for df in cached:
         df.unpersist()
     edge_deg.unpersist()
+    init_state.unpersist()
     return PageRankResult(final, iteration, trajectory)
 
 

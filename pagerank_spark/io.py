@@ -74,7 +74,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Fixture-table loader: ``{sf_dir}/{name}.parquet``."""
+    """Fixture-table loader: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]); read it
+    as nano-precision longs (``nanosAsLong``) and convert to a proper
+    TimestampType via exact integer division (``DIV 1000`` — a double
+    division would lose precision at 2^63-scale nanos).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

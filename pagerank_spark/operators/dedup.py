@@ -61,13 +61,21 @@ def exact_dedup_stats(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """Keep-first exact dedup: min(order_col) survives per key group.
+    """Keep-first exact dedup: exactly ONE row survives per key group.
 
-    One shuffle on the key; at scale prefer hashing long content first
-    (``portable_hash60``) so the shuffle key is 8 bytes, not the document.
+    row_number over (key, order_col) — not a min-join, which would keep
+    every row tying on min(order_col). One shuffle on the key; at scale
+    prefer hashing long content first (``portable_hash60``) so the
+    shuffle key is 8 bytes, not the document.
     """
-    keep = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
-    return df.join(keep, on=key_cols + [order_col], how="left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -145,14 +153,47 @@ def jaccard_pairs(
     id_col: str,
     threshold: float,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact word-shingle Jaccard per pair via inverted-index self-join.
+    """Exact word-shingle Jaccard per pair.
 
-    Pairs sharing ≥1 shingle are generated by the shingle join (shuffle
-    on the shingle key — the inverted index); sizes come from a tiny
-    per-doc count joined back. If ``candidates`` (id_a, id_b) is given,
-    only those pairs are scored (the MinHash verification path).
+    Two plans, both shuffle-bounded:
+
+    - ``candidates`` given (the MinHash verification path): intersections
+      come from ``candidates ⋈ shingles(a) ⋈ shingles(b)`` — work is
+      proportional to |candidates|·|shingles per doc|, never the full
+      inverted-index blow-up. This is the 100 TB path.
+    - no candidates: classic inverted-index self-join (shuffle on the
+      shingle key). ``max_doc_freq`` caps a shingle's document frequency
+      before the self-join — a stopword-shingle shared by millions of
+      docs would otherwise produce a quadratic bucket. Capping drops
+      those shingles from the intersection AND the union (sizes are
+      computed after the cap), so jaccard stays a true Jaccard over the
+      retained shingle set.
     """
+    if candidates is not None:
+        sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(a, on="id_a")
+            .join(b, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+    if max_doc_freq is not None:
+        df_per_shingle = shingled.groupBy("shingle").agg(
+            F.count("*").alias("__df")
+        )
+        shingled = (
+            shingled.join(
+                df_per_shingle.where(F.col("__df") <= max_doc_freq),
+                on="shingle",
+                how="left_semi",
+            )
+        )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
@@ -162,8 +203,12 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
     return (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
@@ -228,8 +273,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(
             F.col(id_col),
             "bit",
+            # shiftright's Python wrapper only takes a literal shift; the
+            # SQL expression form accepts the per-row bit column.
             F.when(
-                F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1,
+                F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
             )
             .otherwise(F.lit(-1))
@@ -241,7 +288,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.groupBy(id_col).agg(
         F.sum(
             F.when(
-                F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
@@ -259,6 +306,12 @@ def simhash_neardup_pairs(
     so the candidate join is an equi-join on (band, band_bits), never a
     cross join. Verification is bit_count(xor) — pure JVM bit ops.
     """
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"guarantee of the {SIMHASH_BANDS}-band bucketing "
+            f"(max supported: {SIMHASH_BANDS - 1})"
+        )
     spark = df.sparkSession
     fp = simhash(df, id_col, text_col)
     bands = spark.range(SIMHASH_BANDS).select(
@@ -268,9 +321,9 @@ def simhash_neardup_pairs(
         F.col(id_col),
         F.col("simhash"),
         "band",
-        F.shiftright(
-            F.col("simhash"), F.col("band") * SIMHASH_BAND_BITS
-        ).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias("band_bits"),
+        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})")
+        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+        .alias("band_bits"),
     )
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_bits"
@@ -296,13 +349,42 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    bruteforce_limit: int = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup (brute-force pairwise).
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cos ≥ threshold).
 
-    O(n²) — correct baseline for modest n; at corpus scale use the LSH
-    route in ``similarity.ann_lsh`` to bucket before comparing.
+    Below ``bruteforce_limit`` rows: exact O(n²) pairwise (fine for a
+    re-ranking shard). Above it: random-hyperplane LSH bucketing
+    (``similarity.lsh_bucket``) — candidate pairs come from an equi-join
+    on (band, bucket), so the plan shuffles on bucket keys instead of
+    materializing n² pairs. Approximate (recall < 1 for borderline
+    pairs); pass ``bruteforce_limit=None`` to force the exact plan.
     """
     from pagerank_spark.functions import cosine
+
+    n = df.count() if bruteforce_limit is not None else 0
+    if bruteforce_limit is not None and n > bruteforce_limit:
+        from pagerank_spark.operators.similarity import lsh_bucket
+
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        bucketed = lsh_bucket(df, id_col, vec_col, dim)
+        pairs = (
+            bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                            "band", "bucket")
+            .join(
+                bucketed.select(F.col("id").alias("id_b"),
+                                F.col("vec").alias("vb"), "band", "bucket"),
+                on=["band", "bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct()
+        )
+        return pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        ).where(F.col("cos") >= threshold)
 
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")

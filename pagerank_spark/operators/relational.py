@@ -1,0 +1,149 @@
+"""Relational operator surface (SURVEY.md §2: A3, A7, A8, J3, J4, U2, U3, W1).
+
+Thin, declarative DataFrame builders — each maps one reference behavior
+to the Catalyst plan you'd want at scale (partial-agg-friendly groupBys,
+semi joins instead of collected membership sets, TakeOrderedAndProject
+for top-k). Every operator here is exercised by a declared oracle query
+in ``__spark_entry__.py`` with a DuckDB SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def adjacency_lists(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """A3: per-source sorted destination list (reference ``pageRank.py:102-107``).
+
+    ``collect_list`` then ``sort_array`` so the result is deterministic
+    regardless of shuffle arrival order. One shuffle on ``src``; the list
+    is bounded by out-degree (use the flat edge table when a hub's fanout
+    would exceed a single row's size budget).
+    """
+    return edges.groupBy(F.col(src).alias("src")).agg(
+        F.sort_array(F.collect_list(F.col(dst))).alias("dsts"),
+        F.count("*").alias("deg"),
+    )
+
+
+def duplicate_rows_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """A7: rows appearing more than once (reference ``pageRank.py:59-63``).
+
+    Group-by on the full key with HAVING count>1 — a partial-aggregated
+    hash agg, NOT ``df.duplicated()``-style windowing, so map-side combine
+    collapses duplicates before the shuffle.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+def score_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+) -> DataFrame:
+    """A8: quantiles of a measure column (reference boxplot stats,
+    ``streamlit-pagerank.py:371-373``).
+
+    ``exact=True`` uses SQL ``percentile`` (exact interpolated — matches
+    DuckDB's ``quantile_cont``); ``exact=False`` uses
+    ``percentile_approx`` (single-pass sketch, the 100 TB path where an
+    exact global sort of the measure column is not worth it).
+    Returns one row with columns p25/p50/p75-style names.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.expr(f"{fn}({col}, {p})").alias(f"p{int(p * 100)}") for p in probs
+    ]
+    return df.agg(*aggs)
+
+
+def induced_subgraph(
+    edges: DataFrame, nodes: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """J3/U3: edges whose BOTH endpoints are in ``nodes`` (one column: node).
+
+    Reference: the top-20 graph filter (``streamlit-pagerank.py:321-346``,
+    row-wise ``set.issubset``). Two left-semi joins — each a broadcastable
+    hash join when the node set is small (top-k always is); no collected
+    membership set on the driver.
+    """
+    n = nodes.select(F.col(nodes.columns[0]).alias("__n"))
+    return (
+        edges.join(n, on=[F.col(src) == F.col("__n")], how="left_semi")
+        .join(n, on=[F.col(dst) == F.col("__n")], how="left_semi")
+    )
+
+
+def node_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U2: relational intersection of two single-column node sets
+    (reference ``pageRank.py:108-109``, ``set.intersection``)."""
+    return a.intersect(b)
+
+
+def subset_flag(
+    edges: DataFrame, nodes: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """U3: per-edge boolean — are both endpoints members of ``nodes``?
+
+    The membership test as a *flag* (reference ``streamlit-pagerank.py:
+    322-325``) rather than a filter: two left joins against the node set
+    with a null-check, so the full edge bag is preserved.
+    """
+    n_src = nodes.select(F.col(nodes.columns[0]).alias(src), F.lit(1).alias("__in_s"))
+    n_dst = nodes.select(F.col(nodes.columns[0]).alias(dst), F.lit(1).alias("__in_d"))
+    return (
+        edges.join(F.broadcast(n_src), on=src, how="left")
+        .join(F.broadcast(n_dst), on=dst, how="left")
+        .select(
+            src,
+            dst,
+            (F.col("__in_s").isNotNull() & F.col("__in_d").isNotNull()).alias(
+                "in_subset"
+            ),
+        )
+    )
+
+
+def with_position(
+    df: DataFrame, order_col: str, tiebreak_col: str, out_col: str = "position"
+) -> DataFrame:
+    """W1: 1-based global rank position (reference ``streamlit-pagerank.py:
+    278-281``).
+
+    A global (unpartitioned) window — single-partition sort. Correct and
+    cheap for bounded top-k inputs; for an unbounded table prefer
+    ``orderBy().limit(k)`` first (TakeOrderedAndProject), then this.
+    """
+    w = Window.orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def positional_compare(
+    runs: list[DataFrame], value_col: str, position_col: str = "position"
+) -> DataFrame:
+    """J4: join N orderings on position; flag positions where all agree
+    (reference ``README.md:289-293`` rank-list comparison).
+
+    Each input must carry (position, value_col); run *i* contributes
+    column ``{value_col}_{i}``.
+    """
+    tagged = [
+        r.select(position_col, F.col(value_col).alias(f"{value_col}_{i}"))
+        for i, r in enumerate(runs)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.join(t, on=position_col, how="inner")
+    cols = [f"{value_col}_{i}" for i in range(len(runs))]
+    all_match = F.lit(True)
+    for c in cols[1:]:
+        all_match = all_match & (F.col(cols[0]) == F.col(c))
+    return out.withColumn("all_match", all_match)

@@ -36,9 +36,24 @@ LANG_MARKERS: dict[str, list[str]] = {
 SUBWORD_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
+def marker_pattern(words: list[str]) -> str:
+    """Regex counting whole-word marker hits (shared with the DuckDB twin).
+
+    \\b word boundaries so "a" matches only the word "a", never every word
+    containing the letter. CJK markers skip the boundaries: they are
+    non-word chars to \\b (which would then never match inside CJK runs),
+    and substring matching is the correct n-gram semantics for unsegmented
+    scripts anyway.
+    """
+    if all(w.isascii() for w in words):
+        return "\\b(?:" + "|".join(words) + ")\\b"
+    return "(?:" + "|".join(words) + ")"
+
+
 def _marker_hits(text: Column, words: list[str]) -> Column:
-    pattern = "(" + "|".join(words) + ")"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(marker_pattern(words)), F.lit(0))
+    )
 
 
 def language_scores(text: Column) -> list[Column]:

@@ -1,0 +1,139 @@
+"""Structured Streaming windowed aggregations over the ``events`` surface.
+
+The reference has no streaming tier (SURVEY §2.10) — this is the
+extension tier the fixture ``events`` table (event_id, ts, user_id,
+event_type, value, props) is designated for:
+
+- ``tumbling_window_agg`` / ``sliding_window_agg`` — the transformation,
+  written once against a plain DataFrame so the SAME code path serves
+  batch (oracle-checkable against DuckDB) and streaming (correctness by
+  Spark's unified Dataset semantics: a streaming query is the batch
+  query executed incrementally).
+- ``read_event_stream`` — file-source ``readStream`` with the explicit
+  fixture schema (no inference on a stream).
+- ``run_stream_to_memory`` — test/demo harness: watermark + window agg
+  into a named in-memory sink, processing all available input.
+
+Scale notes: windowed aggregation state is partitioned by (window, keys)
+in the state store; the watermark bounds state size — without it an
+event-time agg's state grows forever. Output mode "update" emits only
+changed windows per micro-batch; "append" waits for watermark closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time window: counts + value sum per (window, type).
+
+    Works on batch AND streaming inputs (same plan, incrementalized for
+    streams). ``window_id`` is the window start as an epoch-hour ordinal
+    — an integer both Spark and DuckDB render identically, so the batch
+    run is oracle-checkable.
+    """
+    win = F.window(F.col(ts_col), window)
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600).alias("window_id"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding event-time window counts per (window, type).
+
+    Each event lands in window/slide overlapping windows; Spark expands
+    them JVM-side. Emits explicit start/end epochs.
+    """
+    win = F.window(F.col(ts_col), window, slide)
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            F.unix_timestamp(F.col("w.end")).alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    Explicit schema (streams can't infer); ``maxFilesPerTrigger`` bounds
+    per-micro-batch input so one huge backlog file can't blow a trigger.
+    """
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_stream_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    ts_col: str = "ts",
+):
+    """Watermarked tumbling-window agg → in-memory sink (tests/demos).
+
+    The watermark bounds aggregation state: windows older than
+    max(event time) - watermark are finalized and their state dropped —
+    late rows beyond it are ignored (the late-data policy).
+    Returns the StreamingQuery; caller awaits/stops it.
+    """
+    agg = tumbling_window_agg(
+        stream.withWatermark(ts_col, watermark), window=window, ts_col=ts_col
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )

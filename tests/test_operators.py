@@ -1,0 +1,130 @@
+"""Unit tests for the relational / dedup / text operator surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators import dedup, relational, text
+
+
+def _edges(spark):
+    return spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 2), (2, 3), (3, 1), (4, 1)], ["src", "dst"]
+    )
+
+
+def test_exact_dedup_is_tie_safe(spark):
+    # Two duplicate rows tie on order_col: exactly ONE must survive
+    # (the round-1 min-join implementation kept both).
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 5, "w")],
+        ["key", "ord", "payload"],
+    )
+    out = dedup.exact_dedup(df, ["key"], "ord")
+    assert out.count() == 2
+    kept = {r["key"]: r["ord"] for r in out.collect()}
+    assert kept == {"a": 1, "b": 5}
+
+
+def test_simhash_max_hamming_validated(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_neardup_pairs(df, max_hamming=7)
+
+
+def test_language_markers_are_word_bounded(spark):
+    # "la" must not match inside "plan"; "a" must not match inside "cat".
+    df = spark.createDataFrame(
+        [(1, "plan plan plan plan"), (2, "the cat and the hat")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df).collect()}
+    assert out[1] == "unknown"
+    assert out[2] == "en"
+
+
+def test_adjacency_lists_sorted(spark):
+    rows = relational.adjacency_lists(_edges(spark)).collect()
+    by_src = {r["src"]: (r["dsts"], r["deg"]) for r in rows}
+    assert by_src[1] == ([2, 2, 3], 3)
+    assert by_src[2] == ([3], 1)
+
+
+def test_duplicate_rows_report(spark):
+    rows = relational.duplicate_rows_report(_edges(spark), ["src", "dst"]).collect()
+    assert [(r["src"], r["dst"], r["n_occurrences"]) for r in rows] == [(1, 2, 2)]
+
+
+def test_score_quantiles_exact_matches_known(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], ["score"])
+    row = relational.score_quantiles(df, "score").collect()[0]
+    assert row["p25"] == pytest.approx(1.75)
+    assert row["p50"] == pytest.approx(2.5)
+    assert row["p75"] == pytest.approx(3.25)
+
+
+def test_induced_subgraph_requires_both_endpoints(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    rows = relational.induced_subgraph(_edges(spark), nodes).collect()
+    assert sorted((r["src"], r["dst"]) for r in rows) == [(1, 2), (1, 2)]
+
+
+def test_node_intersection(spark):
+    e = _edges(spark)
+    both = relational.node_intersection(
+        e.select(F.col("src").alias("node")), e.select(F.col("dst").alias("node"))
+    )
+    assert sorted(r["node"] for r in both.collect()) == [1, 2, 3]
+
+
+def test_subset_flag_preserves_bag(spark):
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["node"])
+    rows = relational.subset_flag(_edges(spark), nodes).collect()
+    assert len(rows) == 6  # full edge bag preserved
+    flags = {}
+    for r in rows:
+        flags.setdefault((r["src"], r["dst"]), r["in_subset"])
+    assert flags[(1, 2)] is True
+    assert flags[(4, 1)] is False
+
+
+def test_with_position_and_positional_compare(spark):
+    d = spark.createDataFrame([(1, 10), (2, 30), (3, 20)], ["node", "deg"])
+    pos = relational.with_position(d, "deg", "node")
+    by_node = {r["node"]: r["position"] for r in pos.collect()}
+    assert by_node == {2: 1, 3: 2, 1: 3}
+    cmp = relational.positional_compare([pos, pos], value_col="node").collect()
+    assert all(r["all_match"] for r in cmp)
+
+
+def test_jaccard_candidates_path_matches_full_join(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.1).collect()
+    }
+    cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    via_cands = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.1, candidates=cands).collect()
+    }
+    assert via_cands == {(1, 2): full[(1, 2)]}
+    assert full[(1, 2)] == pytest.approx(3 / 5)
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    # 'a' appears in all three docs; with max_doc_freq=2 it is dropped
+    # from intersections AND sizes.
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a z")], ["doc_id", "text"]
+    )
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=1)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.1, max_doc_freq=2).collect()
+    }
+    assert capped == {(1, 2): pytest.approx(1.0)}

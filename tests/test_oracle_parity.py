@@ -1,0 +1,83 @@
+"""Driver-style oracle parity: every queries() entry vs its DuckDB twin.
+
+Mirrors the external correctness gate: run the Spark query and the
+oracle SQL on the same parquet fixtures, sort columns by name and rows
+by value, and require exact equality (floats are pre-rounded on both
+sides by the queries themselves, so exact comparison is the contract).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRY = _load_entry()
+QUERIES = ENTRY.queries()
+ORACLES = ENTRY.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, ddb, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        assert spark_pdf is not None  # rows-only check (driver's weak gate)
+        return
+    oracle_pdf = ddb.execute(ORACLES[name]).fetchdf()
+
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs "
+        f"{sorted(oracle_pdf.columns)}"
+    )
+    s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    df = ENTRY.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"page", "score"}

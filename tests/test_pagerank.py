@@ -120,6 +120,33 @@ class TestProperties:
         for node, rank in a.items():
             assert b[node + 1000] == pytest.approx(rank, abs=1e-12)
 
+    def test_multigraph_semantics_pinned(self, spark):
+        # Duplicate edge (1,2)x2 + (1,3). Bag semantics: node 2 receives
+        # twice node 3's contribution. Reference semantics (pageRank.py:
+        # 102-110): dst sets dedup per src but out-degree counts dups,
+        # so 2 and 3 receive equal contributions → equal ranks.
+        edges = [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)]
+        bag = _ranks_dict(pagerank(_edges_df(spark, edges)))
+        assert bag[2] > bag[3]
+        ref = _ranks_dict(
+            pagerank(_edges_df(spark, edges), edge_semantics="reference")
+        )
+        assert ref[2] == pytest.approx(ref[3], abs=1e-12)
+
+    def test_reliable_checkpoint_mode(self, spark, tmp_path):
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+        a = _ranks_dict(pagerank(_edges_df(spark, edges)))
+        b = _ranks_dict(
+            pagerank(
+                _edges_df(spark, edges),
+                reliable_checkpoint=True,
+                checkpoint_every=2,
+            )
+        )
+        for node, rank in a.items():
+            assert b[node] == pytest.approx(rank, abs=1e-12)
+
     def test_shuffle_strategy_same_result(self, spark):
         edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 1)]
         a = _ranks_dict(pagerank(_edges_df(spark, edges), strategy="broadcast"))
