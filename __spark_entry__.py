@@ -420,6 +420,30 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q33_compare_teleports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 parameter sweep (reference README-only compare_teleports):
+    full convergence per β then positional rank comparison. Iterative →
+    rows-only check; the algebra is pinned by q15 and the golden pytest."""
+    from pagerank_spark.graph.pagerank import compare_teleports
+
+    return compare_teleports(
+        _edges(spark, sf_dir), betas=(0.80, 0.85), k=20, tune_aqe=False
+    )
+
+
+def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode via Arrow-batched mapInPandas (documents text
+    bytes standing in for encoded media payloads): the Python batch path
+    itself is what the oracle verifies (size + md5 digest per payload)."""
+    from pagerank_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.decode_media(media).select(
+        "media_id", "kind", "n_bytes", "digest"
+    )
+
+
 def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check: the 60-bit vote-sum
     fingerprint is portable but its SQL twin is impractically large)."""
@@ -471,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_embedding_neardup": q29_embedding_neardup,
         "q30_tumbling_window": q30_tumbling_window,
         "q31_simhash_pairs": q31_simhash_pairs,
+        "q32_multimodal_decode": q32_multimodal_decode,
+        "q33_compare_teleports": q33_compare_teleports,
     }
 
 
@@ -1030,3 +1056,14 @@ WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
 )
 
 # q31_simhash_pairs intentionally has no oracle entry → rows-only check.
+
+_oracle(
+    "q32_multimodal_decode",
+    """
+SELECT doc_id AS media_id,
+       'text/utf-8' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+)

@@ -9,9 +9,12 @@ PageRank pipeline) as an idiomatic Spark engine:
 - ``pagerank_spark.graph``     — PageRank power iteration (DataFrame loop),
   parameter sweeps, property-test helpers
 - ``pagerank_spark.operators`` — relational operator surface (joins, aggs,
-  windows, top-k, set ops), dedup, similarity search, text analysis
+  windows, quantiles, top-k, set ops), dedup (exact/MinHash/SimHash/
+  embedding), similarity search (brute-force + LSH), text analysis,
+  multimodal binary-column plumbing
 - ``pagerank_spark.functions`` — reusable column expressions
 - ``pagerank_spark.streaming`` — Structured Streaming windowed aggregations
+  (tumbling/sliding + watermark) with oracle-checkable batch twins
 
 Everything is DataFrame/Catalyst-first: logical plans are declared with
 the DataFrame API and physical strategy (broadcast vs shuffle joins,

@@ -142,16 +142,6 @@ def pagerank(
     # relation and the state init (was: two scans+aggs of the edge table).
     deg = degrees(edges)
 
-    # Loop-invariant: edges decorated with the source's out-degree
-    # (reference builds this once too — M_block_list at pageRank.py:159).
-    contributing = edges.distinct() if edge_semantics == "reference" else edges
-    edge_deg = contributing.join(deg, on="src", how="inner")
-    if strategy == "shuffle":
-        # Pre-partition by src so each iteration's rank join shuffles only
-        # the rank vector, reusing this cached exchange for the edge side.
-        edge_deg = edge_deg.repartition(shuffle_parts, "src")
-    edge_deg = edge_deg.persist(StorageLevel.MEMORY_AND_DISK)
-
     # G1: uniform init over the full vertex set, with out-degree attached
     # (deg NULL ⇔ dangling vertex). One cached state relation per iterate.
     init_state = (
@@ -174,15 +164,37 @@ def pagerank(
 
     # AQE re-plans every stage at runtime; on a small graph (broadcast
     # strategy) each iteration is a sub-second job and replanning overhead
-    # more than doubles wall time (measured 21.8s → 9.7s on WikiData).
-    # At scale (shuffle strategy) AQE's skew-join splitting is worth it.
-    # NOTE: this is a session-global conf flip (restored in ``finally``) —
-    # safe for a dedicated job session, not for a session shared with
+    # more than doubles wall time (measured 21.8s → 9.7s on WikiData) —
+    # so it's disabled there, which also loses AQE's partition
+    # coalescing; we size the loop's reduce-side partitions to the
+    # vertex count ourselves (~2M vertices/partition, floor 4, never
+    # above the session setting; measured 13.2s → ~7s on WikiData at
+    # 32 → 4 partitions). At scale (shuffle strategy) AQE's skew-join
+    # splitting is worth the replanning and stays on.
+    # NOTE: these are session-global conf flips (restored in ``finally``)
+    # — safe for a dedicated job session, not for a session shared with
     # concurrent queries; pass ``tune_aqe=False`` there.
     aqe_key = "spark.sql.adaptive.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
     aqe_before = spark.conf.get(aqe_key)
+    parts_before = spark.conf.get(parts_key)
     if strategy == "broadcast" and tune_aqe:
         spark.conf.set(aqe_key, "false")
+        loop_parts = max(4, min(shuffle_parts, -(-n // 2_000_000)))
+        spark.conf.set(parts_key, str(loop_parts))
+
+    # Loop-invariant: edges decorated with the source's out-degree
+    # (reference builds this once too — M_block_list at pageRank.py:159).
+    # Built AFTER the conf flip: it materializes inside the first
+    # iteration, so its cached partitioning must match the loop's sizing
+    # (a 32-partition cache would put 32 map tasks in every iteration).
+    contributing = edges.distinct() if edge_semantics == "reference" else edges
+    edge_deg = contributing.join(deg, on="src", how="inner")
+    if strategy == "shuffle":
+        # Pre-partition by src so each iteration's rank join shuffles only
+        # the rank vector, reusing this cached exchange for the edge side.
+        edge_deg = edge_deg.repartition(shuffle_parts, "src")
+    edge_deg = edge_deg.persist(StorageLevel.MEMORY_AND_DISK)
 
     teleport = (1.0 - beta) / n
     state = state.withColumn("rank", F.lit(1.0 / n))
@@ -213,6 +225,7 @@ def pagerank(
     finally:
         if tune_aqe:
             spark.conf.set(aqe_key, aqe_before)
+            spark.conf.set(parts_key, parts_before)
 
 
 def _iterate(
@@ -324,6 +337,7 @@ def compare_teleports(
     betas: tuple[float, ...] = (0.80, 0.85, 0.90),
     delta: float = 1e-5,
     k: int = 100,
+    tune_aqe: bool = True,
 ) -> DataFrame:
     """G5 parameter sweep (reference README-only ``compare_teleports``).
 
@@ -336,7 +350,7 @@ def compare_teleports(
     w = Window.orderBy(F.desc("score"), F.asc("page"))
     tagged = []
     for beta in betas:
-        res = pagerank(edges, beta=beta, delta=delta)
+        res = pagerank(edges, beta=beta, delta=delta, tune_aqe=tune_aqe)
         t = (
             res.top(k)
             .withColumn("position", F.row_number().over(w))

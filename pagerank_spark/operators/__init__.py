@@ -1,1 +1,7 @@
-from pagerank_spark.operators import dedup, similarity, text  # noqa: F401
+from pagerank_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)

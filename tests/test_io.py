@@ -1,0 +1,64 @@
+"""Sources and sinks (S1-S3, K1-K4): parse paths, sink formats."""
+
+from __future__ import annotations
+
+import base64
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from pagerank_spark import io as pio
+
+
+def test_read_edge_list_tab(spark, tmp_path):
+    p = tmp_path / "edges.txt"
+    p.write_text("1\t2\n3\t4\n# comment\n5\t6\n")
+    df = pio.read_edge_list(spark, str(p))
+    assert df.dtypes == [("src", "bigint"), ("dst", "bigint")]
+    assert sorted((r.src, r.dst) for r in df.collect()) == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_read_edge_list_ragged_whitespace(spark, tmp_path):
+    p = tmp_path / "edges_ws.txt"
+    p.write_text("1   2\n  3\t\t4  \n\n# c\n5 6\n")
+    df = pio.read_edge_list(spark, str(p), sep=None)
+    assert sorted((r.src, r.dst) for r in df.collect()) == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+    out = str(tmp_path / "csv_out")
+    pio.write_csv(df, out, single_file=True)
+    files = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(files) == 1
+    back = spark.read.option("header", True).csv(out)
+    assert sorted((int(r.src), int(r.dst)) for r in back.collect()) == [
+        (1, 2), (3, 4),
+    ]
+
+
+def test_write_result_text_decimal_format(spark, tmp_path):
+    # Sub-1e-3 scores must render decimal (reference str(float)), never
+    # scientific — the reason this sink formats driver-side.
+    df = spark.createDataFrame(
+        [(7, 0.000978), (3, 0.5)], ["page", "score"]
+    )
+    out = str(tmp_path / "result.txt")
+    pio.write_result_text(df, out)
+    lines = open(out).read().splitlines()
+    assert lines == ["[3] [0.5]", "[7] [0.000978]"]
+    assert "E" not in lines[1] and "e" not in lines[1]
+
+
+def test_format_result_lines_distributed(spark):
+    df = spark.createDataFrame([(7, 0.25)], ["page", "score"])
+    rows = pio.format_result_lines(df).collect()
+    assert rows[0]["line"] == "[7] [0.25]"
+
+
+def test_csv_download_payload(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "val"])
+    payload = pio.csv_download_payload(df)
+    decoded = base64.b64decode(payload).decode()
+    assert decoded.splitlines() == ["id,val", "1,x"]

@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the optimizations must actually be in the plan.
+
+Guards the scale story: broadcasts chosen for small dimensions, column
+pruning reaching the parquet scan, top-k compiling to
+TakeOrderedAndProject (no global sort), partial aggregation before
+shuffles, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from tests.test_oracle_parity import ENTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q12_broadcasts_dimensions(spark):
+    p = plan(ENTRY.queries()["q12_customer_nation_region"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q03_topk_is_take_ordered(spark):
+    p = plan(ENTRY.queries()["q03_out_degree_top20"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_edge_scan_prunes_columns(spark):
+    # The derived edge table must read ONLY the two key columns of
+    # lineitem — an 11-column scan for a 2-column projection is wrong.
+    p = plan(ENTRY.queries()["q01_edge_scan"](spark, SF_DIR))
+    assert "l_orderkey" in p and "l_partkey" in p
+    assert "l_extendedprice" not in p and "l_shipdate" not in p
+
+
+def test_q11_partial_aggregation(spark):
+    # Hash aggregate must run map-side (partial) before the exchange.
+    p = plan(ENTRY.queries()["q11_lineitem_agg"](spark, SF_DIR))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_q11_pushes_column_pruning(spark):
+    p = plan(ENTRY.queries()["q11_lineitem_agg"](spark, SF_DIR))
+    assert "l_orderkey" not in p.split("ReadSchema")[-1]
+
+
+def test_q28_broadcasts_query_side(spark):
+    # ANN brute force: the (small) query set is broadcast, the corpus
+    # streams — a BroadcastNestedLoopJoin, never a shuffled cartesian.
+    p = plan(ENTRY.queries()["q28_ann_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q27_no_cartesian_anywhere(spark):
+    # MinHash LSH candidate generation must join on (band, sig) buckets.
+    p = plan(ENTRY.queries()["q27_minhash_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+
+
+def test_q08_semi_joins(spark):
+    p = plan(ENTRY.queries()["q08_induced_subgraph"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE finalizes the plan at execution — run the query, then check the
+    # executed plan runs inside whole-stage-codegen spans (no Python).
+    df = ENTRY.queries()["q21_fingerprint"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # '*(n)' = whole-stage-codegen span markers
+    assert "partial_bit_xor" in executed  # map-side combine before shuffle
+    assert "BatchEvalPython" not in executed  # no row-at-a-time Python
