@@ -361,7 +361,7 @@ def embedding_neardup_pairs(
     materializing n² pairs. Approximate (recall < 1 for borderline
     pairs); pass ``bruteforce_limit=None`` to force the exact plan.
     """
-    from pagerank_spark.functions import cosine
+    from pagerank_spark.functions import dot, l2_norm
 
     n = df.count() if bruteforce_limit is not None else 0
     if bruteforce_limit is not None and n > bruteforce_limit:
@@ -372,28 +372,42 @@ def embedding_neardup_pairs(
         bucketed = lsh_bucket(df, id_col, vec_col, dim)
         pairs = (
             bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                            "band", "bucket")
+                            F.col("norm").alias("na"), "band", "bucket")
             .join(
                 bucketed.select(F.col("id").alias("id_b"),
-                                F.col("vec").alias("vb"), "band", "bucket"),
+                                F.col("vec").alias("vb"),
+                                F.col("norm").alias("nb"), "band", "bucket"),
                 on=["band", "bucket"],
             )
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b", "va", "na", "vb", "nb")
             .distinct()
         )
         return pairs.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
         ).where(F.col("cos") >= threshold)
 
+    # Norms are computed once per row BELOW the join — never per pair.
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
         .where(F.col("cos") >= threshold)
     )

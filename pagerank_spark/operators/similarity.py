@@ -22,9 +22,14 @@ from pagerank_spark.functions import cosine, dot, l2_norm
 
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Project (id, vec, norm) — the L2 norm is computed ONCE per row
+    below the join, not per candidate pair (a |Q|× saving on the corpus
+    side of a top-k join)."""
+    v = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        F.col(vec_col).cast("array<double>").alias(f"{prefix}_vec"),
+        v.alias(f"{prefix}_vec"),
+        l2_norm(v).alias(f"{prefix}_norm"),
     )
 
 
@@ -43,7 +48,9 @@ def ann_topk_bruteforce(
     """
     q = _as_double(queries, id_col, vec_col, "query")
     c = _as_double(corpus, id_col, vec_col, "nb")
-    cos = cosine(F.col("query_vec"), F.col("nb_vec"))
+    cos = dot(F.col("query_vec"), F.col("nb_vec")) / (
+        F.col("query_norm") * F.col("nb_norm")
+    )
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = (
@@ -109,6 +116,7 @@ def lsh_bucket(
             df.select(
                 F.col(id_col).alias("id"),
                 v.alias("vec"),
+                l2_norm(v).alias("norm"),
                 F.lit(band).alias("band"),
                 bucket.alias("bucket"),
             )
@@ -141,23 +149,32 @@ def ann_lsh(
         qb.select(
             F.col("id").alias("query_id"),
             F.col("vec").alias("query_vec"),
+            F.col("norm").alias("query_norm"),
             "band",
             "bucket",
         )
         .join(
             cb.select(
-                F.col("id").alias("nb_id"), F.col("vec").alias("nb_vec"), "band", "bucket"
+                F.col("id").alias("nb_id"),
+                F.col("vec").alias("nb_vec"),
+                F.col("norm").alias("nb_norm"),
+                "band",
+                "bucket",
             ),
             on=["band", "bucket"],
         )
         .where(F.col("query_id") != F.col("nb_id"))
-        .select("query_id", "nb_id", "query_vec", "nb_vec")
+        .select("query_id", "nb_id", "query_vec", "query_norm", "nb_vec", "nb_norm")
         .distinct()
     )
     scored = pairs.select(
         "query_id",
         "nb_id",
-        F.round(cosine(F.col("query_vec"), F.col("nb_vec")), 6).alias("cos"),
+        F.round(
+            dot(F.col("query_vec"), F.col("nb_vec"))
+            / (F.col("query_norm") * F.col("nb_norm")),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
     return (

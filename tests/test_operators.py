@@ -116,6 +116,23 @@ def test_jaccard_candidates_path_matches_full_join(spark):
     assert full[(1, 2)] == pytest.approx(3 / 5)
 
 
+def test_ann_lsh_schema_and_recall(spark):
+    from pagerank_spark.io import load_table
+    from pagerank_spark.operators.similarity import ann_lsh, ann_topk_bruteforce
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = ann_topk_bruteforce(emb, queries, k=3)
+    approx = ann_lsh(emb, queries, dim=dim, k=3)
+    assert exact.columns == approx.columns
+    truth = {(r["query_id"], r["nb_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["nb_id"]) for r in approx.collect()}
+    # LSH is approximate: require non-trivial overlap with exact top-k.
+    assert len(truth & got) / len(truth) > 0.2
+
+
 def test_jaccard_hot_shingle_cap(spark):
     # 'a' appears in all three docs; with max_doc_freq=2 it is dropped
     # from intersections AND sizes.
