@@ -45,6 +45,9 @@ Scale design (the part that matters at 100 TB):
   table itself never collects.
 - Lineage is truncated with ``localCheckpoint`` every ``checkpoint_every``
   iterations so the logical plan doesn't grow per iteration (SURVEY §7.5.1).
+  Measured on WikiData (warm): cadence 3 → 6.45s, 5 → 6.96s, 7 → 8.73s,
+  never → crash; Catalyst re-analysis of the growing plan dominates, so
+  the default is 3.
 """
 
 from __future__ import annotations
@@ -104,7 +107,7 @@ def pagerank(
     beta: float = 0.85,
     delta: float = 1e-5,
     max_iterations: int = 200,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
     strategy: str = "auto",
     broadcast_vertex_limit: int = 5_000_000,
     edge_semantics: str = "bag",

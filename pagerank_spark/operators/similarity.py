@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pagerank_spark.functions import cosine, dot, l2_norm
+from pagerank_spark.functions import dot, l2_norm
 
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:

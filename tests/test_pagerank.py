@@ -120,6 +120,16 @@ class TestProperties:
         for node, rank in a.items():
             assert b[node + 1000] == pytest.approx(rank, abs=1e-12)
 
+    def test_empty_graph(self, spark):
+        res = pagerank(
+            spark.createDataFrame([], "src LONG, dst LONG")
+        )
+        assert res.iterations == 0
+        assert res.ranks.count() == 0
+
+    def test_self_loop_only(self, spark):
+        _assert_matches_oracle(spark, [(1, 1), (1, 2)])
+
     def test_multigraph_semantics_pinned(self, spark):
         # Duplicate edge (1,2)x2 + (1,3). Bag semantics: node 2 receives
         # twice node 3's contribution. Reference semantics (pageRank.py:
