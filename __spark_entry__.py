@@ -19,9 +19,17 @@ size() is INT — casts align the schemas).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+# The driver may load this module from an arbitrary cwd — make the
+# package importable regardless.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pagerank_spark.graph.pagerank import degrees, pagerank, top_k, vertices
@@ -420,6 +428,16 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q34_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m event-time windows (each event lands in exactly 2
+    windows); the DuckDB twin expands the two aligned window starts per
+    event explicitly."""
+    from pagerank_spark.streaming import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(ev, window="1 hour", slide="30 minutes")
+
+
 def q33_compare_teleports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 parameter sweep (reference README-only compare_teleports):
     full convergence per β then positional rank comparison. Iterative →
@@ -497,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_simhash_pairs": q31_simhash_pairs,
         "q32_multimodal_decode": q32_multimodal_decode,
         "q33_compare_teleports": q33_compare_teleports,
+        "q34_sliding_window": q34_sliding_window,
     }
 
 
@@ -1056,6 +1075,29 @@ WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
 )
 
 # q31_simhash_pairs intentionally has no oracle entry → rows-only check.
+
+_oracle(
+    "q34_sliding_window",
+    """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS s1,
+         event_type, value
+  FROM events
+),
+expanded AS (
+  SELECT s1 AS window_start, event_type, value FROM ev
+  UNION ALL
+  SELECT s1 - 1800 AS window_start, event_type, value FROM ev
+)
+SELECT window_start,
+       window_start + 3600 AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM expanded
+GROUP BY window_start, event_type
+""",
+)
 
 _oracle(
     "q32_multimodal_decode",
