@@ -428,6 +428,15 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running-sum window plan) — the
+    batch twin of the streaming session_window aggregation."""
+    from pagerank_spark.streaming import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
 def q34_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/30m event-time windows (each event lands in exactly 2
     windows); the DuckDB twin expands the two aligned window starts per
@@ -516,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_multimodal_decode": q32_multimodal_decode,
         "q33_compare_teleports": q33_compare_teleports,
         "q34_sliding_window": q34_sliding_window,
+        "q35_sessionize": q35_sessionize,
     }
 
 
@@ -1096,6 +1106,38 @@ SELECT window_start,
        ROUND(SUM(value), 2) AS sum_value
 FROM expanded
 GROUP BY window_start, event_type
+""",
+)
+
+_oracle(
+    "q35_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events
+),
+marked AS (
+  SELECT user_id, ep, value,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep)
+                   > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM e
+),
+numbered AS (
+  SELECT user_id, ep, value,
+         SUM(boundary) OVER (
+           PARTITION BY user_id ORDER BY ep
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ep) AS session_start,
+       MAX(ep) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx
 """,
 )
 

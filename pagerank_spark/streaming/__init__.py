@@ -99,6 +99,90 @@ def sliding_window_agg(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch): one row per (user, session).
+
+    Two shuffle-free-after-partition window passes over (user, ts): a lag
+    marks gap-exceeding boundaries, a running sum numbers sessions — the
+    classic sessionization plan, expressible identically in ANSI SQL (the
+    oracle twin). Output: user, session ordinal, start/end epochs,
+    event count, value sum.
+    """
+    from pyspark.sql import Window
+
+    gap_s = _duration_seconds(gap)
+    # Work on whole-second epochs throughout (ordering included) so the
+    # plan is reproducible in engines without sub-second timestamps.
+    pre = events.select(
+        F.col(user_col),
+        F.unix_timestamp(F.col(ts_col)).alias("ep"),
+        F.col("value"),
+    )
+    w = Window.partitionBy(user_col).orderBy("ep")
+    boundary = F.when(
+        F.col("ep") - F.lag("ep").over(w) > gap_s, F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = pre.select(
+        F.col(user_col),
+        "ep",
+        F.col("value"),
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    return (
+        numbered.groupBy(user_col, "session_idx")
+        .agg(
+            F.min("ep").alias("session_start"),
+            F.max("ep").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation via the native ``session_window``
+    (merging event-time windows — the streaming-capable form; state per
+    open session, closed by the watermark). Works on batch inputs too,
+    where it must agree with the lag-based ``sessionize`` plan (pinned
+    by a test)."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(win.alias("w"), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _duration_seconds(duration: str) -> int:
+    qty, unit = duration.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[unit]
+    return int(qty) * mult
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -18,6 +18,8 @@ from pagerank_spark.io import load_table
 from pagerank_spark.streaming import (
     read_event_stream,
     run_stream_to_memory,
+    sessionize,
+    sessionize_stream_agg,
     sliding_window_agg,
     tumbling_window_agg,
 )
@@ -64,6 +66,22 @@ def test_sliding_windows_overlap(spark):
     n_slid = slid.agg(F.sum("n_events")).collect()[0][0]
     n_tumb = tumb.agg(F.sum("n_events")).collect()[0][0]
     assert n_slid == 2 * n_tumb
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    # The lag+running-sum plan (oracle-checkable) and Spark's native
+    # merging session_window must produce identical sessions.
+    events = load_table(spark, SF_DIR, "events")
+    lag_based = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(events).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_stream_agg(events).collect()
+    }
+    assert lag_based == native
+    assert len(lag_based) > 0
 
 
 def test_watermark_bounds_state(spark, event_dir):
