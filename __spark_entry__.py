@@ -428,6 +428,15 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: the Lloyd-refined codebook's
+    distributed float averaging isn't bit-reproducible in SQL; recall vs
+    the exact baseline is pinned by pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ann_ivf(emb, queries_df, k=5)
+
+
 def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + running-sum window plan) — the
     batch twin of the streaming session_window aggregation."""
@@ -526,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_compare_teleports": q33_compare_teleports,
         "q34_sliding_window": q34_sliding_window,
         "q35_sessionize": q35_sessionize,
+        "q36_ann_ivf": q36_ann_ivf,
     }
 
 

@@ -127,6 +127,127 @@ def lsh_bucket(
     return out
 
 
+def _centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF codebook: seed with the first ``n_centroids``
+    vectors by id order, then one Lloyd refinement (assign-all + per-
+    dimension mean via posexplode/groupBy — fully distributed; only the
+    n_centroids × dim codebook ever reaches the driver)."""
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col), v.alias("cvec"))
+        .collect()
+    )
+    seed_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)],
+        "cid INT, cvec ARRAY<DOUBLE>",
+    )
+    assigned = _assign_nearest(
+        corpus.select(F.col(id_col).alias("id"), v.alias("vec")), seed_df, 1
+    )
+    means = (
+        assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        .collect()
+    )
+    return [(r["cid"], list(r["cvec"])) for r in means]
+
+
+def _assign_nearest(
+    points: DataFrame, centroids: DataFrame, n_probe: int
+) -> DataFrame:
+    """(id, vec) × broadcast codebook → top-``n_probe`` centroids per
+    point by cosine-free dot ranking (centroids are near-unit after
+    averaging normalized-ish data; ranking by dot/|c| is equivalent for
+    a fixed point)."""
+    scored = points.join(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "cid",
+        (dot(F.col("vec"), F.col("cvec")) / l2_norm(F.col("cvec"))).alias(
+            "affinity"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("affinity"), F.asc("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_probe)
+        .select("id", "vec", "cid")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus by nearest centroid,
+    probe only the query's ``n_probe`` closest lists.
+
+    The scale story: corpus assignment is one broadcast join + window
+    (each vector lands in exactly ONE inverted list, unlike LSH's
+    multi-band copies), and the candidate join shuffles on ``cid`` —
+    per-query work is |corpus| · n_probe / n_centroids. Same output
+    schema as the exact baseline so recall is directly measurable.
+    """
+    spark = corpus.sparkSession
+    codebook = spark.createDataFrame(
+        _centroids(corpus, id_col, vec_col, n_centroids),
+        "cid INT, cvec ARRAY<DOUBLE>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    c_assigned = _assign_nearest(
+        corpus.select(F.col(id_col).alias("id"), v.alias("vec")), codebook, 1
+    ).select(
+        F.col("id").alias("nb_id"),
+        F.col("vec").alias("nb_vec"),
+        l2_norm(F.col("vec")).alias("nb_norm"),
+        "cid",
+    )
+    q_assigned = _assign_nearest(
+        queries.select(F.col(id_col).alias("id"), v.alias("vec")),
+        codebook,
+        n_probe,
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("query_vec"),
+        l2_norm(F.col("vec")).alias("query_norm"),
+        "cid",
+    )
+    scored = (
+        q_assigned.join(c_assigned, on="cid")
+        .where(F.col("query_id") != F.col("nb_id"))
+        .select(
+            "query_id",
+            "nb_id",
+            F.round(
+                dot(F.col("query_vec"), F.col("nb_vec"))
+                / (F.col("query_norm") * F.col("nb_norm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    # No distinct needed: each corpus vector lives in exactly one list,
+    # so a (query, neighbor) pair meets at most once.
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nb_id", "cos", "rank")
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -133,6 +133,22 @@ def test_ann_lsh_schema_and_recall(spark):
     assert len(truth & got) / len(truth) > 0.2
 
 
+def test_ann_ivf_schema_and_recall(spark):
+    from pagerank_spark.io import load_table
+    from pagerank_spark.operators.similarity import ann_ivf, ann_topk_bruteforce
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = ann_topk_bruteforce(emb, queries, k=3)
+    approx = ann_ivf(emb, queries, k=3, n_centroids=8, n_probe=3)
+    assert exact.columns == approx.columns
+    truth = {(r["query_id"], r["nb_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["nb_id"]) for r in approx.collect()}
+    # Probing 3/8 lists: expect a substantial fraction of exact top-k.
+    assert len(truth & got) / len(truth) > 0.3
+
+
 def test_jaccard_hot_shingle_cap(spark):
     # 'a' appears in all three docs; with max_doc_freq=2 it is dropped
     # from intersections AND sizes.
