@@ -91,6 +91,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Persist a table bucketed (and sorted) on its join/aggregation key.
+
+    Bucketing is THE repeated-join optimization at warehouse scale: two
+    tables bucketed on the same key with the same bucket count join with
+    NO shuffle exchange on either side (verified by plan test) — the
+    shuffle is paid once at write time instead of per query. Files land
+    at ``path``; bucket metadata lives in the session catalog under
+    ``table``.
+    """
+    (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """K1: CSV sink (reference: ``nodes.to_csv`` at pageRank.py:40-41)."""
     out = df.coalesce(1) if single_file else df

@@ -112,6 +112,32 @@ def subset_flag(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the other.
+
+    A hot key (one key holding a large share of rows) funnels an entire
+    shuffle partition to one reducer; salting splits it across
+    ``n_salts`` reducers at the cost of replicating the other side
+    ``n_salts``× (use only when ``other`` is small-ish but above the
+    broadcast threshold — below it, ``F.broadcast`` is strictly better;
+    and try AQE's skew-join splitting first, which needs no replication).
+    Salt values don't affect results — every salted left row still meets
+    every matching right row exactly once.
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    left = skewed.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    right = other.withColumn("__salt", F.explode(salts))
+    return left.join(right, on=on + ["__salt"], how=how).drop("__salt")
+
+
 def with_position(
     df: DataFrame, order_col: str, tiebreak_col: str, out_col: str = "position"
 ) -> DataFrame:

@@ -89,6 +89,28 @@ def test_subset_flag_preserves_bag(spark):
     assert flags[(4, 1)] is False
 
 
+def test_salted_join_matches_plain_join(spark):
+    # 90% of left rows share one hot key; salted results must equal the
+    # plain join exactly (salts only redistribute work).
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 900 + k) for k in range(2, 12)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 12)], ["k", "rv"]
+    )
+    plain = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in left.join(right, on=["k"]).collect()
+    )
+    salted = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in relational.salted_join(left, right, on=["k"], n_salts=4).collect()
+    )
+    assert salted == plain
+    assert len(plain) == 100
+
+
 def test_with_position_and_positional_compare(spark):
     d = spark.createDataFrame([(1, 10), (2, 30), (3, 20)], ["node", "deg"])
     pos = relational.with_position(d, "deg", "node")

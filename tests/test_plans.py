@@ -75,6 +75,29 @@ def test_q08_semi_joins(spark):
     assert "CartesianProduct" not in p
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    # Two tables bucketed on the join key: the join plan must contain NO
+    # shuffle exchange — bucketing pre-paid it at write time.
+    from pagerank_spark.io import write_bucketed
+
+    e = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    d = spark.range(0, 100).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(e, "bkt_left", str(tmp_path / "l"), ["k"], n_buckets=8)
+    write_bucketed(d, "bkt_right", str(tmp_path / "r"), ["k"], n_buckets=8)
+    try:
+        joined = (
+            spark.table("bkt_left")
+            .hint("merge")  # force SMJ so broadcast doesn't mask the test
+            .join(spark.table("bkt_right"), on="k")
+        )
+        p = plan(joined)
+        assert "Exchange hashpartitioning" not in p
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE finalizes the plan at execution — run the query, then check the
     # executed plan runs inside whole-stage-codegen spans (no Python).
