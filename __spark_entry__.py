@@ -428,6 +428,15 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q37_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-stats operator —
+    verifies the Arrow-batched Python fold against plain SQL aggregation."""
+    from pagerank_spark.streaming.stateful import running_user_stats_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return running_user_stats_batch(ev)
+
+
 def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: the Lloyd-refined codebook's
     distributed float averaging isn't bit-reproducible in SQL; recall vs
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_sliding_window": q34_sliding_window,
         "q35_sessionize": q35_sessionize,
         "q36_ann_ivf": q36_ann_ivf,
+        "q37_user_running_stats": q37_user_running_stats,
     }
 
 
@@ -1116,6 +1126,19 @@ SELECT window_start,
        ROUND(SUM(value), 2) AS sum_value
 FROM expanded
 GROUP BY window_start, event_type
+""",
+)
+
+_oracle(
+    "q37_user_running_stats",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(MIN(floor(epoch(ts))) AS BIGINT) AS first_ep,
+       CAST(MAX(floor(epoch(ts))) AS BIGINT) AS last_ep
+FROM events
+GROUP BY user_id
 """,
 )
 
