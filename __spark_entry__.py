@@ -333,6 +333,20 @@ def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (grouping-sets family — beyond the reference's
+    surface, native to both engines): order totals by (priority, status),
+    per-priority subtotals, and a grand total."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling 1-hour window counts (batch twin of the
     streaming aggregation in pagerank_spark.streaming)."""
@@ -546,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_sessionize": q35_sessionize,
         "q36_ann_ivf": q36_ann_ivf,
         "q37_user_running_stats": q37_user_running_stats,
+        "q38_rollup_revenue": q38_rollup_revenue,
     }
 
 
@@ -1126,6 +1141,17 @@ SELECT window_start,
        ROUND(SUM(value), 2) AS sum_value
 FROM expanded
 GROUP BY window_start, event_type
+""",
+)
+
+_oracle(
+    "q38_rollup_revenue",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
 )
 
