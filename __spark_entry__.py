@@ -333,6 +333,55 @@ def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-table join (fact ⋈ fact ⋈ three broadcast
+    dims) with region filter pushed to the smallest dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q40_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (rowsBetween): 7-day trailing average of daily
+    order revenue — the lag/lead/frame family SURVEY §2.5 noted as
+    native-when-needed."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("day"),
+            "o_totalprice",
+        )
+        .groupBy("day")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.avg("rev").over(w), 4).alias("trailing_avg_7d"),
+    )
+
+
 def q38_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals (grouping-sets family — beyond the reference's
     surface, native to both engines): order totals by (priority, status),
@@ -561,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ann_ivf": q36_ann_ivf,
         "q37_user_running_stats": q37_user_running_stats,
         "q38_rollup_revenue": q38_rollup_revenue,
+        "q39_revenue_per_nation": q39_revenue_per_nation,
+        "q40_moving_avg": q40_moving_avg,
     }
 
 
@@ -1141,6 +1192,41 @@ SELECT window_start,
        ROUND(SUM(value), 2) AS sum_value
 FROM expanded
 GROUP BY window_start, event_type
+""",
+)
+
+_oracle(
+    "q39_revenue_per_nation",
+    """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+
+_oracle(
+    "q40_moving_avg",
+    """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders
+  GROUP BY 1
+)
+SELECT day,
+       ROUND(rev, 2) AS revenue,
+       ROUND(AVG(rev) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS trailing_avg_7d
+FROM daily
 """,
 )
 

@@ -53,6 +53,9 @@ def main() -> None:
         "q22_language_id",
         "q27_minhash_lsh",
         "q28_ann_bruteforce",
+        "q30_tumbling_window",
+        "q35_sessionize",
+        "q39_revenue_per_nation",
     ]
 
     timings: dict[str, float] = {}
