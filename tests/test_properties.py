@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+Each property runs a handful of examples (Spark jobs are not cheap) with
+derandomized generation so CI is stable.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pagerank_spark.operators import dedup, text
+from pagerank_spark.streaming import sessionize
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_keeps_min_order_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "key INT, ord INT")
+    out = dedup.exact_dedup(df, ["key"], "ord").collect()
+    want_keys = {k for k, _ in rows}
+    assert {r["key"] for r in out} == want_keys
+    assert len(out) == len(want_keys)  # exactly one survivor per key
+    mins = {}
+    for k, o in rows:
+        mins[k] = min(mins.get(k, o), o)
+    for r in out:
+        assert r["ord"] == mins[r["key"]]
+
+
+@settings(**SETTINGS)
+@given(
+    gaps=st.lists(st.integers(1, 4000), min_size=1, max_size=25),
+)
+def test_sessionize_counts_gap_boundaries(spark, gaps):
+    # One user; consecutive inter-event gaps in seconds. Expected session
+    # count = 1 + number of gaps strictly above the 1800s threshold.
+    ts = [1_700_000_000]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    rows = [(1, t, 1.0) for t in ts]
+    df = spark.createDataFrame(rows, "user_id LONG, ep LONG, value DOUBLE")
+    events = df.selectExpr(
+        "user_id", "CAST(ep AS TIMESTAMP) AS ts", "value"
+    )
+    out = sessionize(events, gap="30 minutes").collect()
+    want_sessions = 1 + sum(1 for g in gaps if g > 1800)
+    assert len(out) == want_sessions
+    assert sum(r["n_events"] for r in out) == len(ts)
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+    seed=st.integers(0, 1000),
+)
+def test_fingerprint_is_order_insensitive(spark, words, seed):
+    import random
+
+    shuffled = words[:]
+    random.Random(seed).shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(shuffled))], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["fingerprint"], r["n_tokens"])
+           for r in text.fingerprint(df, "doc_id").collect()}
+    assert out[1] == out[2]
