@@ -333,6 +333,14 @@ def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the derived graph (two equi-joins over
+    canonical undirected edges)."""
+    from pagerank_spark.graph.components import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir))
+
+
 def q41_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative min-label propagation connected components on a sparse
     order⋈part bipartite graph, hash-checked against a DuckDB recursive
@@ -630,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_revenue_per_nation": q39_revenue_per_nation,
         "q40_moving_avg": q40_moving_avg,
         "q41_connected_components": q41_connected_components,
+        "q42_triangle_count": q42_triangle_count,
     }
 
 
@@ -1210,6 +1219,21 @@ SELECT window_start,
        ROUND(SUM(value), 2) AS sum_value
 FROM expanded
 GROUP BY window_start, event_type
+""",
+)
+
+_oracle(
+    "q42_triangle_count",
+    SQL_EDGES
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e1.dst = e2.src
+JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """,
 )
 

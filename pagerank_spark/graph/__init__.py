@@ -1,3 +1,7 @@
+from pagerank_spark.graph.components import (
+    aggregate_messages,
+    connected_components,
+)
 from pagerank_spark.graph.pagerank import (
     PageRankResult,
     compare_teleports,
@@ -9,6 +13,8 @@ from pagerank_spark.graph.pagerank import (
 
 __all__ = [
     "PageRankResult",
+    "aggregate_messages",
+    "connected_components",
     "compare_teleports",
     "degrees",
     "pagerank",

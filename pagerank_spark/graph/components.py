@@ -45,6 +45,33 @@ def aggregate_messages(
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via the canonical two-join plan.
+
+    Canonicalize to distinct undirected (src < dst) edges, then count
+    paths src→mid→dst closed by a (src, dst) edge — each triangle
+    (a<b<c) is counted exactly once. Both joins are equi-joins on node
+    keys (shuffle or broadcast per Catalyst); no enumeration of
+    wedges beyond the join itself. Returns one row: (n_triangles).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        e1.join(e2, on="b")
+        .join(e3, on=["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,

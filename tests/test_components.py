@@ -60,6 +60,17 @@ def test_empty_graph_terminates(spark):
     assert out.count() == 0
 
 
+def test_triangle_count_known_graph(spark):
+    from pagerank_spark.graph.components import triangle_count
+
+    # K4 minus one edge: triangles {1,2,3} and {1,2,4} only.
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (2, 1), (3, 3)]
+    out = triangle_count(
+        spark.createDataFrame(edges, "src LONG, dst LONG")
+    ).collect()
+    assert out[0]["n_triangles"] == 2
+
+
 def test_aggregate_messages_primitive(spark):
     edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src LONG, dst LONG")
     state = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 0.0)], "node LONG, w DOUBLE")
