@@ -91,6 +91,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink, optionally hive-partitioned.
+
+    Partitioning by a low-cardinality filter column (date, category,
+    source) is the 100 TB layout primitive: a filtered read then prunes
+    whole directories at planning time (``PartitionFilters`` in the scan,
+    plan-tested) instead of scanning and discarding.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

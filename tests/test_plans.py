@@ -98,6 +98,21 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    # A filter on the partition column must prune directories at planning
+    # time (PartitionFilters), not scan-and-discard.
+    from pagerank_spark.io import load_table, write_parquet
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_parted")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).where("event_type = 'purchase'")
+    p = plan(back)
+    seg = p.split("PartitionFilters")[-1]
+    assert "event_type" in seg.split("PushedFilters")[0]
+    assert back.count() > 0
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE finalizes the plan at execution — run the query, then check the
     # executed plan runs inside whole-stage-codegen spans (no Python).
