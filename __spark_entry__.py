@@ -29,7 +29,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pagerank_spark.graph.pagerank import degrees, pagerank, top_k, vertices
@@ -588,6 +588,174 @@ def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 
 
+def q43_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: backward as-of join — each purchase event paired with
+    the user's latest preceding (or simultaneous) click. Spark side is
+    the union-marker single-shuffle plan (operators.relational.asof_join);
+    the DuckDB twin uses its native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = relational.asof_join(
+        purchases, clicks, on="user_id", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ep"),
+        F.unix_timestamp("ts_asof").cast("long").alias("click_ep"),
+        F.round("value_asof", 2).alias("click_value"),
+    )
+
+
+def q44_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (left_anti — SURVEY §2.3 noted as native-when-needed):
+    customers that never placed an order. One shuffle pair on the key;
+    Catalyst rewrites NOT EXISTS to the same plan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q45_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — the grouping-sets family beyond
+    the reference's surface (rollup is q38). Null group keys are
+    COALESCEd to a sentinel on both sides so the hash is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def q46_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event-time order (SURVEY §2.5 noted as
+    native-when-needed): value delta vs the previous event and the next
+    event's type. Deterministic subset via user_id % 10 (no RNG)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 10 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q47_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartiles of customer balance, then per-quartile stats.
+    Global (unpartitioned) window — correct for a bounded dimension
+    table; an unbounded table would use percentile cutoffs instead."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+        .groupBy("quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+def q48_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per priority, one column per
+    status. Explicit pivot-value list so the plan is a single pass of
+    conditional aggregates (no extra distinct-values job) — the same
+    shape as the oracle's SUM(CASE WHEN ...)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+    )
+
+
+def q49_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) ⋈ orders ⋈
+    lineitem, shipped-after/ordered-before cutoff, top-10 by revenue.
+    Both filters reach the parquet scans (pushdown); only the two fact
+    tables shuffle, on the join key."""
+    cutoff = "1998-06-30"
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("odate_ep"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct next to the exact count per event type.
+    No DuckDB oracle (HLL implementations differ) — rows-only driver
+    check; tests/test_operators.py asserts the ≤2% relative error."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+
+
+def q51_dangling_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, SURVEY §2.7 noted as built-in-if-needed):
+    nodes that appear as destinations but never as sources — the
+    dangling set that G3's renormalization redistributes."""
+    e = _edges(spark, sf_dir)
+    return e.select(F.col("dst").alias("node")).subtract(
+        e.select(F.col("src").alias("node"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -639,6 +807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_moving_avg": q40_moving_avg,
         "q41_connected_components": q41_connected_components,
         "q42_triangle_count": q42_triangle_count,
+        "q43_asof_join": q43_asof_join,
+        "q44_customers_without_orders": q44_customers_without_orders,
+        "q45_cube_revenue": q45_cube_revenue,
+        "q46_lag_lead": q46_lag_lead,
+        "q47_ntile_quartiles": q47_ntile_quartiles,
+        "q48_pivot_status": q48_pivot_status,
+        "q49_tpch_q3": q49_tpch_q3,
+        "q50_approx_distinct": q50_approx_distinct,
+        "q51_dangling_nodes": q51_dangling_nodes,
     }
 
 
@@ -1355,5 +1532,118 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS digest
 FROM documents
+""",
+)
+
+_oracle(
+    "q43_asof_join",
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ep,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ep,
+       ROUND(c.click_value, 2) AS click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+
+_oracle(
+    "q44_customers_without_orders",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+
+_oracle(
+    "q45_cube_revenue",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+
+_oracle(
+    "q46_lag_lead",
+    """
+SELECT event_id,
+       user_id,
+       ROUND(value - lag(value) OVER w, 2) AS delta_prev,
+       lead(event_type) OVER w AS next_type
+FROM events
+WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+
+_oracle(
+    "q47_ntile_quartiles",
+    """
+SELECT quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(c_acctbal), 2) AS avg_bal
+FROM (
+  SELECT ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+         c_acctbal
+  FROM customer
+)
+GROUP BY quartile
+""",
+)
+
+_oracle(
+    "q48_pivot_status",
+    """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+
+_oracle(
+    "q49_tpch_q3",
+    """
+SELECT l_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_ep,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+
+_oracle(
+    "q51_dangling_nodes",
+    SQL_EDGES
+    + """
+SELECT dst AS node FROM edges
+EXCEPT
+SELECT src AS node FROM edges
 """,
 )

@@ -173,3 +173,82 @@ def positional_compare(
     for c in cols[1:]:
         all_match = all_match & (F.col(cols[0]) == F.col(c))
     return out.withColumn("all_match", all_match)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same ``on`` key (left-outer: left rows
+    with no preceding right row keep nulls).
+
+    The reference has no temporal joins; this is extension tier. The
+    DuckDB oracle twin expresses it natively as ``ASOF LEFT JOIN``.
+
+    Scale design: NOT a range join (Spark would plan the inequality as a
+    broadcast-nested-loop or sort-merge with per-key quadratic tails).
+    Instead the union-marker formulation: union both sides, ONE shuffle
+    on ``on``, one in-partition sort on (ts, side), then
+    ``last(value, ignorenulls)`` over an unbounded-preceding window
+    carries the most recent right-side values forward onto each left
+    row. Cost is one exchange + one sort regardless of how many right
+    rows precede each left row. Right rows are deduplicated per
+    (key, ts) with ``max`` first so the carried value is deterministic;
+    at equal timestamps the right row sorts before the left row, so the
+    join is inclusive (``>=``), matching ASOF semantics.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r_types = dict(right.dtypes)
+    l_types = dict(left.dtypes)
+    payload = [c for c in left.columns if c not in (on, left_ts)]
+    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+
+    r_side = (
+        right.groupBy(F.col(on), F.col(right_ts).alias("__ts"))
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .select(
+            F.col(on),
+            F.col("__ts"),
+            *[F.lit(None).cast(l_types[c]).alias(c) for c in payload],
+            F.col("__ts").alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            F.lit(0).alias("__side"),
+        )
+    )
+    l_side = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        *payload,
+        F.lit(None).cast(r_types[right_ts]).alias(f"{right_ts}{suffix}"),
+        *[
+            F.lit(None).cast(r_types[c]).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.lit(1).alias("__side"),
+    )
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l_side.unionByName(r_side)
+        .select(
+            on,
+            "__ts",
+            *payload,
+            "__side",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        )
+        .where(F.col("__side") == 1)
+        .select(F.col(on), F.col("__ts").alias(left_ts), *payload, *carried)
+    )

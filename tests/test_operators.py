@@ -183,3 +183,54 @@ def test_jaccard_hot_shingle_cap(spark):
         for r in dedup.jaccard_pairs(sh, "doc_id", 0.1, max_doc_freq=2).collect()
     }
     assert capped == {(1, 2): pytest.approx(1.0)}
+
+
+def test_asof_join_semantics(spark):
+    # Inclusive at equal ts, max-dedup on tied right rows, left-outer
+    # nulls when no right row precedes.
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (1, 15, 5.0), (2, 9, 9.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["ts_asof"], r["v_asof"])
+        for r in relational.asof_join(
+            left, right, on="k", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {(1, 10): (10, 1.0), (1, 20): (15, 5.0), (2, 5): (None, None)}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    # The union-marker plan must contain exactly one exchange (on the
+    # key) and no nested-loop/cartesian join.
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, tag string")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k long, ts long, v double")
+    plan = (
+        relational.asof_join(left, right, on="k", value_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one exchange for the right-side dedup groupBy + one for the window
+    # partitioning at most; both hash on k.
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_approx_count_distinct_error_bound(spark):
+    from pagerank_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(2, 0.02 * r["exact"])
