@@ -122,3 +122,30 @@ def test_whole_stage_codegen_active(spark):
     assert "*(" in executed  # '*(n)' = whole-stage-codegen span markers
     assert "partial_bit_xor" in executed  # map-side combine before shuffle
     assert "BatchEvalPython" not in executed  # no row-at-a-time Python
+
+
+def test_q49_broadcasts_customer_and_pushes_filters(spark):
+    # TPC-H Q3 shape: the segment-filtered customer dim must broadcast,
+    # and the shipdate cutoff must reach the lineitem parquet scan.
+    p = plan(ENTRY.queries()["q49_tpch_q3"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q44_anti_join_no_nested_loop(spark):
+    p = plan(ENTRY.queries()["q44_customers_without_orders"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q48_pivot_no_distinct_job_no_join(spark):
+    # Explicit pivot values → a two-stage aggregate (group-by, then
+    # pivotfirst) with no distinct-values job and no join; both
+    # exchanges carry already-reduced rows.
+    p = plan(ENTRY.queries()["q48_pivot_status"](spark, SF_DIR))
+    assert "pivotfirst" in p
+    assert "Join" not in p
+    assert p.count("Arguments: hashpartitioning") == 2
