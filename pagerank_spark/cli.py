@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     t0 = time.perf_counter()
 
     edges = read_edge_list(spark, args.edges, sample_fraction=args.frac)
+    # Loop-invariant input, scanned by the dup report and three times in
+    # PageRank setup — persist the single text scan for the process life.
+    edges = edges.persist()
     if args.csv_dump:
         write_csv(edges, args.csv_dump, single_file=True)
 

@@ -58,6 +58,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# Reduce-side partition floor for the broadcast-strategy iteration loop
+# (the sizing target is ~2M vertices/partition, capped by the session
+# setting). Floor of 4 keeps a few cores busy on tiny graphs without
+# paying per-task scheduling overhead across all 32.
+LOOP_PARTS_FLOOR = 4
+
 
 @dataclass
 class PageRankResult:
@@ -183,7 +189,9 @@ def pagerank(
     parts_before = spark.conf.get(parts_key)
     if strategy == "broadcast" and tune_aqe:
         spark.conf.set(aqe_key, "false")
-        loop_parts = max(4, min(shuffle_parts, -(-n // 2_000_000)))
+        loop_parts = max(
+            LOOP_PARTS_FLOOR, min(shuffle_parts, -(-n // 2_000_000))
+        )
         spark.conf.set(parts_key, str(loop_parts))
 
     # Loop-invariant: edges decorated with the source's out-degree
