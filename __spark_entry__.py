@@ -756,6 +756,18 @@ def q51_dangling_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS hop distances from a deterministic source set
+    (node % 512 == 0) on the derived graph, vs a DuckDB recursive-CTE
+    walk capped at the same 12 hops."""
+    from pagerank_spark.graph.components import shortest_paths
+
+    e = _edges(spark, sf_dir)
+    srcs = vertices(e).where(F.col("node") % 512 == 0)
+    out = shortest_paths(e, srcs, max_iterations=12)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -816,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_tpch_q3": q49_tpch_q3,
         "q50_approx_distinct": q50_approx_distinct,
         "q51_dangling_nodes": q51_dangling_nodes,
+        "q52_shortest_paths": q52_shortest_paths,
     }
 
 
@@ -1645,5 +1658,31 @@ _oracle(
 SELECT dst AS node FROM edges
 EXCEPT
 SELECT src AS node FROM edges
+""",
+)
+
+_oracle(
+    "q52_shortest_paths",
+    f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CAST(l_orderkey % {EDGE_MOD} AS BIGINT) AS src,
+         CAST(l_partkey % {EDGE_MOD} AS BIGINT) AS dst
+  FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+walk(node, dist) AS (
+  SELECT node, 0 FROM nodes WHERE node % 512 = 0
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 12
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk
+GROUP BY node
 """,
 )

@@ -1,6 +1,8 @@
 from pagerank_spark.graph.components import (
     aggregate_messages,
     connected_components,
+    shortest_paths,
+    triangle_count,
 )
 from pagerank_spark.graph.pagerank import (
     PageRankResult,
@@ -15,6 +17,8 @@ __all__ = [
     "PageRankResult",
     "aggregate_messages",
     "connected_components",
+    "shortest_paths",
+    "triangle_count",
     "compare_teleports",
     "degrees",
     "pagerank",

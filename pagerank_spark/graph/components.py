@@ -152,3 +152,69 @@ def connected_components(
         df.unpersist()
     und.unpersist()
     return final
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iterations: int = 30,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Directed BFS hop distances from a source set: (node, dist) for
+    every node reachable within ``max_iterations`` hops.
+
+    Frontier-based message passing over ``aggregate_messages``: each
+    round sends dist+1 along out-edges of the CURRENT frontier only
+    (never the whole reached set), and an anti join keeps just the
+    newly reached nodes — with unit edge weights a node's first
+    discovery round IS its minimum distance, so no relaxation or
+    re-visit is ever needed. Per round: one shuffle join on ``src``
+    sized by the frontier, one partial-combined min-aggregation on
+    ``dst``, one anti join against the reached set. The reached set's
+    union lineage is checkpoint-truncated on the same cadence as the
+    other iterative loops.
+    """
+    e = edges.select("src", "dst").distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+
+    frontier = (
+        sources.select("node").distinct().withColumn("dist", F.lit(0))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reached = frontier
+    cached: list[DataFrame] = [frontier]
+
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        msgs = aggregate_messages(
+            e, frontier, msg=F.col("dist") + 1, agg=F.min("__msg")
+        )
+        new_frontier = (
+            msgs.join(reached, on="node", how="left_anti")
+            .select("node", F.col("msg_agg").alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if new_frontier.count() == 0:
+            new_frontier.unpersist()
+            break
+        merged = reached.unionByName(new_frontier)
+        if iteration % checkpoint_every == 0:
+            # Checkpoint materializes the union — every earlier cache
+            # (prior frontiers and reached unions) is now dead weight.
+            reached = merged.localCheckpoint(eager=True)
+            for df in cached:
+                df.unpersist()
+            cached = [new_frontier]
+        else:
+            reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(new_frontier)
+            cached.append(reached)
+        frontier = new_frontier
+
+    final = reached.persist(StorageLevel.MEMORY_AND_DISK)
+    final.count()
+    for df in cached:
+        if df is not final:
+            df.unpersist()
+    e.unpersist()
+    return final

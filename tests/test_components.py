@@ -81,3 +81,34 @@ def test_aggregate_messages_primitive(spark):
         ).collect()
     }
     assert out == {2: 10.0, 3: 30.0}
+
+
+def test_shortest_paths_bfs_semantics(spark):
+    from pagerank_spark.graph.components import shortest_paths
+
+    # Path 1→2→3→4 with back-edge 4→1 (cycle), separate island 9→10,
+    # and node 20 unreachable from the sources.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (9, 10), (20, 2)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(1,), (9,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, srcs).collect()
+    }
+    assert out == {1: 0, 9: 0, 2: 1, 10: 1, 3: 2, 4: 3}
+
+
+def test_shortest_paths_hop_cap(spark):
+    from pagerank_spark.graph.components import shortest_paths
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(chain, srcs, max_iterations=3).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
