@@ -221,3 +221,26 @@ def run_stream_to_memory(
         .outputMode("complete")
         .start()
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key,
+    with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-safe form — the
+    dedup state for a key is dropped once the watermark passes it, so
+    state size tracks the duplicate-arrival horizon instead of growing
+    with every key ever seen (plain ``dropDuplicates`` on a stream
+    retains keys forever). The batch twin of this operator is
+    ``operators.dedup.exact_dedup``; duplicates that arrive farther
+    apart than the watermark are the documented late-data policy (they
+    survive, exactly like late rows beyond a window watermark).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -96,3 +96,36 @@ def test_watermark_bounds_state(spark, event_dir):
         assert progress["stateOperators"]
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
+    from pagerank_spark.streaming import dedup_stream
+
+    # The same 1000 events written twice → two micro-batches of exact
+    # duplicates well inside the watermark.
+    src = load_table(spark, SF_DIR, "events").limit(1000).cache()
+    out = str(tmp_path / "dup_stream")
+    src.coalesce(1).write.mode("append").parquet(out)
+    src.coalesce(1).write.mode("append").parquet(out)
+
+    from pagerank_spark.streaming import read_event_stream
+
+    stream = read_event_stream(spark, out, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d "
+            "FROM dedup_stream_test"
+        ).collect()[0]
+    finally:
+        q.stop()
+    src.unpersist()
+
+    assert got["n"] == got["d"] == 1000
