@@ -768,6 +768,36 @@ def q52_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 
+def q53_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (absent from the reference): calendar
+    month rollup of order count + revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q54_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + string function family (absent from the reference): first
+    7+-letter word per document, lowercased, plus a 20-char prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.regexp_extract("text", "[A-Za-z]{7,}", 0)).alias(
+            "first_long_word"
+        ),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -829,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_approx_distinct": q50_approx_distinct,
         "q51_dangling_nodes": q51_dangling_nodes,
         "q52_shortest_paths": q52_shortest_paths,
+        "q53_monthly_revenue": q53_monthly_revenue,
+        "q54_regexp_extract": q54_regexp_extract,
     }
 
 
@@ -1684,5 +1716,28 @@ walk(node, dist) AS (
 SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
 FROM walk
 GROUP BY node
+""",
+)
+
+_oracle(
+    "q53_monthly_revenue",
+    """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+
+_oracle(
+    "q54_regexp_extract",
+    """
+SELECT doc_id,
+       lower(COALESCE(regexp_extract(text, '[A-Za-z]{7,}'), '')) AS first_long_word,
+       substr(text, 1, 20) AS prefix20,
+       CAST(length(text) AS BIGINT) AS n_chars_text
+FROM documents
 """,
 )
