@@ -56,6 +56,9 @@ def main() -> None:
         "q30_tumbling_window",
         "q35_sessionize",
         "q39_revenue_per_nation",
+        "q43_asof_join",
+        "q49_tpch_q3",
+        "q52_shortest_paths",
     ]
 
     timings: dict[str, float] = {}
