@@ -798,6 +798,20 @@ def q54_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within market segment (completing the
+    ranking-window family next to row_number/ntile). Partitioned window
+    — scales with segment cardinality, no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -861,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_shortest_paths": q52_shortest_paths,
         "q53_monthly_revenue": q53_monthly_revenue,
         "q54_regexp_extract": q54_regexp_extract,
+        "q55_percent_rank": q55_percent_rank,
     }
 
 
@@ -1739,5 +1754,17 @@ SELECT doc_id,
        substr(text, 1, 20) AS prefix20,
        CAST(length(text) AS BIGINT) AS n_chars_text
 FROM documents
+""",
+)
+
+_oracle(
+    "q55_percent_rank",
+    """
+SELECT c_custkey,
+       c_mktsegment,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """,
 )
