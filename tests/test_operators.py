@@ -234,3 +234,54 @@ def test_approx_count_distinct_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(2, 0.02 * r["exact"])
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200),
+            "lid": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "ts": rng.integers(0, 1000, 300),
+            "v": rng.random(300).round(6),
+        }
+    )
+    # merge_asof needs unique right (k, ts) to be deterministic — apply
+    # the same max-dedup the operator applies.
+    right = right.groupby(["k", "ts"], as_index=False)["v"].max()
+
+    got = {
+        r["lid"]: (r["ts_asof"], r["v_asof"])
+        for r in relational.asof_join(
+            spark.createDataFrame(left.astype({"k": "int64", "ts": "int64"})),
+            spark.createDataFrame(right.astype({"k": "int64", "ts": "int64"})),
+            on="k",
+            value_cols=["v"],
+        ).collect()
+    }
+
+    exp_df = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(
+            columns={"ts": "rts", "v": "rv"}
+        ),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    )
+    for row in exp_df.itertuples():
+        exp_ts = None if pd.isna(row.rts) else int(row.rts)
+        exp_v = None if pd.isna(row.rv) else round(float(row.rv), 6)
+        got_ts, got_v = got[row.lid]
+        got_v = None if got_v is None else round(got_v, 6)
+        assert (got_ts, got_v) == (exp_ts, exp_v), row.lid
