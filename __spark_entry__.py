@@ -176,30 +176,50 @@ def q08_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q09_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/P5: global row_number positions over the degree table, top-50."""
-    pos = relational.with_position(
-        _degrees(spark, sf_dir), order_col="deg", tiebreak_col="src"
+    """W1/P5: top-50 positions — TakeOrdered FIRST, then number.
+
+    ``orderBy().limit(50)`` plans as TakeOrderedAndProject (per-partition
+    top-k + driver merge of 50·P rows); the global row_number window then
+    sorts only the bounded 50-row result. Numbering the FULL degree table
+    and filtering afterwards would funnel every row through one window
+    partition — the single-partition sort that dies at 100× scale.
+    """
+    top50 = (
+        _degrees(spark, sf_dir)
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(50)
     )
-    return pos.where(F.col("position") <= 50).select(
+    pos = relational.with_position(top50, order_col="deg", tiebreak_col="src")
+    return pos.select(
         "src", "deg", F.col("position").cast("long").alias("position")
     )
 
 
 def q10_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: positional comparison of the out-degree vs in-degree orderings."""
+    """J4: positional comparison of the out-degree vs in-degree orderings.
+
+    Each ordering is bounded with TakeOrdered (limit 30) BEFORE the
+    row_number window, so the global sort touches 30 rows per side
+    instead of the full vertex set (same results — row_number over the
+    same order on the top-30 prefix).
+    """
     e = _edges(spark, sf_dir)
-    out_rank = relational.with_position(
-        degrees(e).select(F.col("src").alias("node"), F.col("deg")),
-        order_col="deg",
-        tiebreak_col="node",
+    out30 = (
+        degrees(e)
+        .select(F.col("src").alias("node"), F.col("deg"))
+        .orderBy(F.desc("deg"), F.asc("node"))
+        .limit(30)
     )
-    in_rank = relational.with_position(
-        e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("deg")),
-        order_col="deg",
-        tiebreak_col="node",
+    in30 = (
+        e.groupBy(F.col("dst").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("node"))
+        .limit(30)
     )
+    out_rank = relational.with_position(out30, order_col="deg", tiebreak_col="node")
+    in_rank = relational.with_position(in30, order_col="deg", tiebreak_col="node")
     cmp = relational.positional_compare([out_rank, in_rank], value_col="node")
-    return cmp.where(F.col("position") <= 30).select(
+    return cmp.select(
         F.col("position").cast("long").alias("position"),
         "node_0",
         "node_1",
@@ -508,12 +528,34 @@ def q28_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine near-dup pairs above threshold on a subset."""
+    """Embedding near-dup pairs via the LSH SCALE path (no crossJoin).
+
+    ``bruteforce_limit=0`` forces the hyperplane-LSH bucketed plan —
+    candidates from an equi-join on (band, bucket), then exact cosine
+    verification — the plan a 100 TB run uses. The DuckDB twin
+    reproduces the deterministic LCG hyperplanes as literals, so the
+    bucketing (and therefore the result) matches exactly.
+    """
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     pairs = dedup.embedding_neardup_pairs(
-        emb, threshold=0.5, bruteforce_limit=None
+        emb, threshold=0.5, bruteforce_limit=0, dim=64
     )
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 — the ANN scale path.
+
+    Candidates come only from shared (band, bucket) keys; the oracle
+    twin materializes the same deterministic hyperplanes, so recall
+    differences vs exact search cancel out and the comparison is exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.ann_lsh(emb, queries_df, dim=64, k=5)
+    return out.select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q37_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,10 +620,16 @@ def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check: the 60-bit vote-sum
-    fingerprint is portable but its SQL twin is impractically large)."""
+    """SimHash near-dup pairs, fully oracled: the 60-bit vote-sum
+    fingerprint builds from the portable md5 hash family, so the DuckDB
+    twin reproduces it bit-for-bit (bits from range(60), votes by
+    ``(th >> bit) & 1``, bands by shift/mask, verify by
+    ``bit_count(xor)``)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    return dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    pairs = dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -876,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_monthly_revenue": q53_monthly_revenue,
         "q54_regexp_extract": q54_regexp_extract,
         "q55_percent_rank": q55_percent_rank,
+        "q56_ann_lsh": q56_ann_lsh,
     }
 
 
@@ -1308,17 +1357,91 @@ SELECT query_id, nb_id, cos, rank FROM ranked WHERE rank <= 5
 """,
 )
 
+def _lsh_buckets_sql() -> str:
+    """DuckDB twin of ``similarity.lsh_bucket`` (dim=64, 12 planes, 3
+    bands): the deterministic LCG hyperplanes are materialized as DOUBLE[]
+    literals (repr round-trips exactly), and ``list_dot_product`` makes
+    the same sequential-fold sign decisions as the Catalyst ``aggregate``
+    fold — bucket parity verified exact on the fixture embeddings.
+    Expects a CTE ``emb(id, v DOUBLE[])`` in scope.
+    """
+    from pagerank_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 12)
+    per_band = 4
+    selects = []
+    for band in range(3):
+        bits = "\n      || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ",".join(repr(x) for x in planes[band * per_band + i])
+            + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for i in range(per_band)
+        )
+        selects.append(
+            f"  SELECT id, v, {band} AS band,\n      {bits} AS bucket FROM emb"
+        )
+    return "\n  UNION ALL\n".join(selects)
+
+
 _oracle(
     "q29_embedding_neardup",
     """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+WITH emb AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+buckets AS (
+"""
+    + _lsh_buckets_sql()
+    + """
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+  FROM cands c
+  JOIN emb ea ON c.id_a = ea.id
+  JOIN emb eb ON c.id_b = eb.id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.5
+""",
+)
+
+_oracle(
+    "q56_ann_lsh",
+    """
+WITH emb AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+buckets AS (
+"""
+    + _lsh_buckets_sql()
+    + """
+),
+cands AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS nb_id
+  FROM buckets q JOIN buckets c
+    ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.id % 50 = 0 AND q.id <> c.id
+),
+scored AS (
+  SELECT ca.query_id, ca.nb_id,
+         ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+  FROM cands ca
+  JOIN emb eq ON ca.query_id = eq.id
+  JOIN emb ec ON ca.nb_id = ec.id
+),
+ranked AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, nb_id, cos, rank FROM ranked WHERE rank <= 5
 """,
 )
 
@@ -1695,6 +1818,54 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
+""",
+)
+
+# q31 twin: the SimHash pipeline re-expressed in DuckDB — same portable
+# 60-bit md5 token hash, same ±1 votes per (doc, bit), same 4×15-bit
+# banding and bit_count(xor) verification as operators/dedup.py:263-352.
+_oracle(
+    "q31_simhash_pairs",
+    r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM docs
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks WHERE tok <> ''
+),
+bits AS (SELECT unnest(range(60)) AS bit),
+votes AS (
+  SELECT h.doc_id, b.bit,
+         SUM(CASE WHEN (h.th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed h CROSS JOIN bits b
+  GROUP BY h.doc_id, b.bit
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT f.doc_id, f.simhash, b.band,
+         (f.simhash >> (b.band * 15)) & 32767 AS band_bits
+  FROM fp f CROSS JOIN (SELECT unnest(range(4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """,
 )
 

@@ -31,6 +31,31 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WIKIDATA = "/root/reference/WikiData.txt"
 
+# Round-2 per-query seconds (BENCH_r02.json, sf0.1, local[32]) — the
+# regression baseline. Any query >1.3× its r02 time gets a stderr
+# warning so a slowdown can't land silently. Only meaningful at sf0.1.
+R02_BASELINE = {
+    "q03_out_degree_top20": 1.166,
+    "q08_induced_subgraph": 1.319,
+    "q11_lineitem_agg": 0.921,
+    "q12_customer_nation_region": 0.989,
+    "q16_adjacency_lists": 1.227,
+    "q18_top_customers": 0.815,
+    "q21_fingerprint": 1.572,
+    "q22_language_id": 2.337,
+    "q27_minhash_lsh": 3.565,
+    "q28_ann_bruteforce": 1.771,
+    "q30_tumbling_window": 0.549,
+    "q35_sessionize": 0.83,
+    "q39_revenue_per_nation": 1.589,
+    "q43_asof_join": 0.782,
+    "q49_tpch_q3": 0.937,
+    "q52_shortest_paths": 4.26,
+    "pagerank_full": 4.469,
+    "pagerank_wikidata": 7.888,
+}
+REGRESSION_FACTOR = 1.3
+
 
 def main() -> None:
     import __spark_entry__ as entry_mod
@@ -94,6 +119,16 @@ def main() -> None:
         timings["pagerank_wikidata"] = round(time.perf_counter() - t0, 3)
         res.ranks.unpersist()
         edges.unpersist()
+
+    if SF_DIR.rstrip("/").endswith("sf0.1"):
+        for name, secs in timings.items():
+            base = R02_BASELINE.get(name)
+            if base and secs > REGRESSION_FACTOR * base:
+                print(
+                    f"REGRESSION WARNING: {name} {secs:.3f}s > "
+                    f"{REGRESSION_FACTOR}x r02 baseline {base:.3f}s",
+                    file=sys.stderr,
+                )
 
     total = round(sum(timings.values()), 3)
     print(

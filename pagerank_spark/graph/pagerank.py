@@ -13,11 +13,17 @@ The renormalization constant is computed analytically instead of with a
 second aggregation pass: every source vertex's rank is fully distributed
 across its out-edges, so
 
-    s = Σ r' = (1-β) + β · m,   m = Σ_{deg(u)>0} r[u]
+    s = Σ r' = (1-β) + β · m,   m = Σ_{deg(u)>0} r[u] · dfrac(u)
 
 and the correction is ``(1-s)/N = β·(1-m)/N`` — the classic uniform
-redistribution of dangling mass. ``m`` is folded into the single
-per-iteration aggregation, so each iteration runs exactly ONE Spark job.
+redistribution of undistributed mass. ``dfrac`` (distributed fraction per
+source) is 1 in "bag" mode; in "reference" mode it is
+``distinct_out_degree/out_degree``, because the reference distributes
+along deduplicated dst sets while dividing by the duplicate-counting
+degree (``pageRank.py:102-110``) — its literal ``s = sum(new_rank.
+values())`` picks that up automatically, and so does m_eff here. ``m``
+is folded into the single per-iteration aggregation, so each iteration
+runs exactly ONE Spark job.
 (The float value of ``s`` differs from the reference's literal
 ``sum(dict.values())`` only by summation rounding, orders of magnitude
 below the 1e-9 golden-score tolerance; verified against the golden
@@ -117,7 +123,7 @@ def pagerank(
     strategy: str = "auto",
     broadcast_vertex_limit: int = 5_000_000,
     edge_semantics: str = "bag",
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | str = "auto",
     tune_aqe: bool = True,
 ) -> PageRankResult:
     """Power iteration with dangling-mass renormalization (G1-G4).
@@ -138,7 +144,10 @@ def pagerank(
     ``reliable_checkpoint``: use fault-tolerant ``checkpoint()`` (requires
     ``spark.sparkContext.setCheckpointDir``) instead of ``localCheckpoint``
     — the cluster-mode choice: localCheckpoint blocks die with their
-    executor, killing a long iteration chain on any node loss.
+    executor, killing a long iteration chain on any node loss. Default
+    "auto" picks reliable whenever a checkpoint dir IS configured, so a
+    cluster session that set one up never silently runs the
+    non-fault-tolerant mode.
 
     Returns ranks over the full vertex set, summing to 1.
     """
@@ -146,22 +155,45 @@ def pagerank(
         raise ValueError(f"unknown edge_semantics: {edge_semantics!r}")
     spark = edges.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if reliable_checkpoint == "auto":
+        reliable_checkpoint = (
+            spark.sparkContext.getCheckpointDir() is not None
+        )
 
     # Out-degrees are computed ONCE and reused for both the decorated edge
     # relation and the state init (was: two scans+aggs of the edge table).
     deg = degrees(edges)
+
+    # ``dfrac`` = fraction of a source's rank actually distributed by the
+    # power step. In "bag" mode every edge occurrence contributes, so it's
+    # exactly 1. In "reference" mode contributions flow along DISTINCT
+    # (src, dst) pairs while deg counts duplicates (``pageRank.py:102-110``),
+    # so a multigraph source distributes only rank·(distinct_deg/deg); the
+    # renormalization must then use m_eff = Σ rank·dfrac, not Σ rank —
+    # that is what the reference's literal ``s = sum(new_rank.values())``
+    # computes implicitly. With dfrac carried in the loop state, m_eff
+    # folds into the same single per-iteration aggregation.
+    if edge_semantics == "reference":
+        ddeg = edges.distinct().groupBy("src").agg(F.count("*").alias("ddeg"))
+        deg = deg.join(ddeg, on="src", how="inner").select(
+            "src", "deg", (F.col("ddeg") / F.col("deg")).alias("dfrac")
+        )
+    else:
+        deg = deg.withColumn("dfrac", F.lit(1.0))
 
     # G1: uniform init over the full vertex set, with out-degree attached
     # (deg NULL ⇔ dangling vertex). One cached state relation per iterate.
     init_state = (
         vertices(edges)
         .join(deg, on=[F.col("node") == F.col("src")], how="left")
-        .select("node", "deg")
+        .select("node", "deg", "dfrac")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     state = init_state
     counts = state.agg(
-        F.count("*").alias("n"), F.count("deg").alias("n_src")
+        F.count("*").alias("n"),
+        F.count("deg").alias("n_src"),
+        F.sum("dfrac").alias("sdfrac"),
     ).collect()[0]
     n, n_src = counts["n"], counts["n_src"]
     if n == 0:
@@ -200,7 +232,7 @@ def pagerank(
     # iteration, so its cached partitioning must match the loop's sizing
     # (a 32-partition cache would put 32 map tasks in every iteration).
     contributing = edges.distinct() if edge_semantics == "reference" else edges
-    edge_deg = contributing.join(deg, on="src", how="inner")
+    edge_deg = contributing.join(deg.select("src", "deg"), on="src", how="inner")
     if strategy == "shuffle":
         # Pre-partition by src so each iteration's rank join shuffles only
         # the rank vector, reusing this cached exchange for the edge side.
@@ -209,7 +241,9 @@ def pagerank(
 
     teleport = (1.0 - beta) / n
     state = state.withColumn("rank", F.lit(1.0 / n))
-    m = n_src / n  # non-dangling mass of the uniform init
+    # Distributed mass of the uniform init: Σ_{deg(u)>0} (1/n)·dfrac(u).
+    # In bag mode sdfrac == n_src, giving the classic n_src/n.
+    m = (counts["sdfrac"] or 0.0) / n
 
     trajectory: list[float] = []
     cached: list[DataFrame] = []
@@ -282,14 +316,19 @@ def _iterate(
             .agg(F.sum("contrib").alias("contrib"))
         )
         # G3: renormalization constant from the previous iterate's
-        # non-dangling mass (see module docstring for the algebra).
+        # distributed mass (see module docstring for the algebra; in
+        # reference mode m is Σ rank·dfrac so multigraph sources' partial
+        # distribution is accounted for and ranks still sum to 1).
         correction = beta * (1.0 - m) / n
         pre = (
-            state.select("node", "deg", F.col("rank").alias("old_rank"))
+            state.select(
+                "node", "deg", "dfrac", F.col("rank").alias("old_rank")
+            )
             .join(contribs, on="node", how="left")
             .select(
                 "node",
                 "deg",
+                "dfrac",
                 "old_rank",
                 (
                     F.lit(teleport + correction)
@@ -300,17 +339,19 @@ def _iterate(
         )
 
         # G4: ONE aggregation job per iteration — L1 convergence metric and
-        # next iteration's non-dangling mass; also materializes the cache.
+        # next iteration's distributed mass; also materializes the cache.
         row = pre.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
             F.sum(
-                F.when(F.col("deg").isNotNull(), F.col("rank")).otherwise(0.0)
+                F.when(
+                    F.col("deg").isNotNull(), F.col("rank") * F.col("dfrac")
+                ).otherwise(0.0)
             ).alias("m"),
         ).collect()[0]
         l1, m = row["l1"], row["m"]
         trajectory.append(l1)
 
-        new_state = pre.select("node", "deg", "rank")
+        new_state = pre.select("node", "deg", "dfrac", "rank")
         if iteration % checkpoint_every == 0:
             # Truncate lineage so the analyzed plan doesn't grow per
             # iteration (SURVEY §7.5.1). checkpoint() (reliable mode) is

@@ -83,10 +83,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division would lose precision at 2^63-scale nanos).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # The conf flip is scoped: nanosAsLong is read at ANALYSIS time
+        # (schema resolution), so forcing eager analysis inside the
+        # try/finally lets the session-global flag be restored before
+        # returning — later parquet reads in the same session see
+        # timestamps as timestamps again.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        before = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+        finally:
+            if before is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, before)
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

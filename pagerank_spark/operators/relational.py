@@ -128,8 +128,20 @@ def salted_join(
     broadcast threshold — below it, ``F.broadcast`` is strictly better;
     and try AQE's skew-join splitting first, which needs no replication).
     Salt values don't affect results — every salted left row still meets
-    every matching right row exactly once.
+    every matching right row exactly once. Only left-preserving joins
+    are valid: the replicated side's unmatched rows would be emitted
+    once PER SALT under ``right``/``full``/``right_semi`` semantics, so
+    those are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got how={how!r}: the "
+            f"non-skewed side is replicated n_salts times, so right/full "
+            f"joins would duplicate its unmatched rows"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     left = skewed.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
@@ -196,43 +208,53 @@ def asof_join(
     Instead the union-marker formulation: union both sides, ONE shuffle
     on ``on``, one in-partition sort on (ts, side), then
     ``last(value, ignorenulls)`` over an unbounded-preceding window
-    carries the most recent right-side values forward onto each left
+    carries the most recent right-side row forward onto each left
     row. Cost is one exchange + one sort regardless of how many right
-    rows precede each left row. Right rows are deduplicated per
-    (key, ts) with ``max`` first so the carried value is deterministic;
-    at equal timestamps the right row sorts before the left row, so the
-    join is inclusive (``>=``), matching ASOF semantics.
+    rows precede each left row. At equal timestamps the right row sorts
+    before the left row, so the join is inclusive (``>=``), matching
+    ASOF semantics.
+
+    The carried right-side columns travel as ONE struct — carrying them
+    independently would stitch a composite row whenever the latest
+    preceding right row has a NULL in some value column (``last(...,
+    ignorenulls)`` per column would reach further back for just that
+    column). True ASOF semantics: all carried fields, NULLs included,
+    come from the single latest preceding right row. Right rows are
+    first deduplicated per (key, ts) by ``max(struct(values))`` —
+    lexicographic over the value columns — so the winner at a tied
+    timestamp is one actual input row, never a per-column mix.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    r_types = dict(right.dtypes)
-    l_types = dict(left.dtypes)
     payload = [c for c in left.columns if c not in (on, left_ts)]
     carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
 
+    r_struct = F.struct(
+        F.col("__ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
     r_side = (
         right.groupBy(F.col(on), F.col(right_ts).alias("__ts"))
-        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .agg(
+            F.max(F.struct(*[F.col(c) for c in value_cols])).alias("__vals")
+        )
+        .select(on, "__ts", *[F.col(f"__vals.{c}").alias(c) for c in value_cols])
         .select(
             F.col(on),
             F.col("__ts"),
-            *[F.lit(None).cast(l_types[c]).alias(c) for c in payload],
-            F.col("__ts").alias(f"{right_ts}{suffix}"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            r_struct.alias("__carry"),
             F.lit(0).alias("__side"),
         )
     )
-    l_side = left.select(
+    # F.struct() requires ≥1 field; a keys-and-ts-only left side carries a
+    # dummy payload field that is dropped at the end.
+    payload_fields = payload or ["__side"]
+    l_side = left.withColumn("__side", F.lit(1)).select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
-        *payload,
-        F.lit(None).cast(r_types[right_ts]).alias(f"{right_ts}{suffix}"),
-        *[
-            F.lit(None).cast(r_types[c]).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.lit(1).alias("__side"),
+        F.struct(*payload_fields).alias("__payload"),
+        F.col("__side"),
     )
 
     w = (
@@ -240,15 +262,28 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry_schema = r_side.schema["__carry"].dataType
+    unioned = l_side.withColumn(
+        "__carry", F.lit(None).cast(carry_schema)
+    ).unionByName(
+        r_side.withColumn(
+            "__payload",
+            F.lit(None).cast(l_side.schema["__payload"].dataType),
+        ).select(on, "__ts", "__payload", "__side", "__carry")
+    )
     return (
-        l_side.unionByName(r_side)
-        .select(
+        unioned.select(
             on,
             "__ts",
-            *payload,
+            "__payload",
             "__side",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+            F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
         )
         .where(F.col("__side") == 1)
-        .select(F.col(on), F.col("__ts").alias(left_ts), *payload, *carried)
+        .select(
+            F.col(on),
+            F.col("__ts").alias(left_ts),
+            *[F.col(f"__payload.{c}").alias(c) for c in payload],
+            *[F.col(f"__carry.{c}").alias(c) for c in carried],
+        )
     )

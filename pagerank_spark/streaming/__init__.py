@@ -207,9 +207,21 @@ def run_stream_to_memory(
 ):
     """Watermarked tumbling-window agg → in-memory sink (tests/demos).
 
-    The watermark bounds aggregation state: windows older than
-    max(event time) - watermark are finalized and their state dropped —
-    late rows beyond it are ignored (the late-data policy).
+    Output mode is **update**, so the watermark genuinely bounds the
+    aggregation state: windows older than max(event time) - watermark
+    are evicted from the state store, and late rows beyond it are
+    dropped (the late-data policy). Complete mode would re-emit every
+    window each batch and never evict — state grows with the number of
+    windows forever, which is exactly the failure mode this module's
+    header warns about.
+
+    Update-mode memory-sink contract: each micro-batch APPENDS the
+    changed rows, so a key can appear once per batch that touched it.
+    The final value per (window_id, event_type) is the row with the
+    highest ``n_events`` (counts are strictly increasing per key —
+    every re-emission added at least one event). Read it back with
+    ``max_by(sum_value, n_events)`` / ``max(n_events)`` per key.
+
     Returns the StreamingQuery; caller awaits/stops it.
     """
     agg = tumbling_window_agg(
@@ -218,7 +230,7 @@ def run_stream_to_memory(
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode("update")
         .start()
     )
 

@@ -7,9 +7,19 @@ from __future__ import annotations
 
 
 def pagerank_oracle(
-    edges: list[tuple[int, int]], beta: float = 0.85, delta: float = 1e-5
+    edges: list[tuple[int, int]],
+    beta: float = 0.85,
+    delta: float = 1e-5,
+    dedup_dsts: bool = False,
 ) -> tuple[dict[int, float], int]:
-    """Returns (ranks, iterations). Semantics identical to the reference."""
+    """Returns (ranks, iterations). Semantics identical to the reference.
+
+    ``dedup_dsts=True`` pins the reference's multigraph behavior
+    (``pageRank.py:102-110``): each source's dst set is deduplicated
+    while its out-degree still counts duplicate edges, so part of a
+    duplicated source's rank is undistributed and the actual-sum
+    renormalization (``s = sum(new_rank.values())``) redistributes it.
+    """
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
     if n == 0:
@@ -19,6 +29,8 @@ def pagerank_oracle(
     for s, d in edges:
         deg[s] = deg.get(s, 0) + 1
         out.setdefault(s, []).append(d)
+    if dedup_dsts:
+        out = {s: sorted(set(dsts)) for s, dsts in out.items()}
     old = {v: 1.0 / n for v in nodes}
     base = (1.0 - beta) / n
     it = 0

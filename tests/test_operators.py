@@ -204,6 +204,22 @@ def test_asof_join_semantics(spark):
     assert out == {(1, 10): (10, 1.0), (1, 20): (15, 5.0), (2, 5): (None, None)}
 
 
+def test_asof_join_null_columns_come_from_one_row(spark):
+    # True ASOF semantics: ALL carried fields come from the single
+    # latest preceding right row — a NULL in one of its value columns
+    # must surface as NULL, not be stitched from an older right row
+    # (the per-column last(ignorenulls) bug the struct carry fixes).
+    left = spark.createDataFrame([(1, 20, "a")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "x"), (1, 15, None, "y")],
+        "k long, ts long, v double, w string",
+    )
+    row = relational.asof_join(
+        left, right, on="k", value_cols=["v", "w"]
+    ).collect()[0]
+    assert (row["ts_asof"], row["v_asof"], row["w_asof"]) == (15, None, "y")
+
+
 def test_asof_join_single_shuffle_plan(spark):
     # The union-marker plan must contain exactly one exchange (on the
     # key) and no nested-loop/cartesian join.

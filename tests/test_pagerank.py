@@ -143,10 +143,33 @@ class TestProperties:
         )
         assert ref[2] == pytest.approx(ref[3], abs=1e-12)
 
+    def test_multigraph_reference_mode_matches_oracle(self, spark):
+        # The analytic renormalization must account for the partially
+        # distributed mass of duplicated sources (dfrac = ddeg/deg):
+        # ranks sum to 1 AND the whole trajectory matches a direct
+        # reference-algorithm run with deduped dst sets.
+        edges = [
+            (1, 2), (1, 2), (1, 3), (2, 1), (3, 1),
+            (4, 1), (4, 1), (4, 1), (4, 2), (2, 4),
+        ]
+        got = pagerank(_edges_df(spark, edges), edge_semantics="reference")
+        want, want_iters = pagerank_oracle(edges, dedup_dsts=True)
+        got_d = _ranks_dict(got)
+        assert sum(got_d.values()) == pytest.approx(1.0, abs=1e-9)
+        assert got.iterations == want_iters
+        for node, score in want.items():
+            assert got_d[node] == pytest.approx(score, abs=1e-9), node
+        got.ranks.unpersist()
+
     def test_reliable_checkpoint_mode(self, spark, tmp_path):
-        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        import os
+
+        ckpt = tmp_path / "ckpt"
+        spark.sparkContext.setCheckpointDir(str(ckpt))
         edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
-        a = _ranks_dict(pagerank(_edges_df(spark, edges)))
+        a = _ranks_dict(
+            pagerank(_edges_df(spark, edges), reliable_checkpoint=False)
+        )
         b = _ranks_dict(
             pagerank(
                 _edges_df(spark, edges),
@@ -156,6 +179,17 @@ class TestProperties:
         )
         for node, rank in a.items():
             assert b[node] == pytest.approx(rank, abs=1e-12)
+
+        # "auto" (the default) must pick the fault-tolerant mode when a
+        # checkpoint dir is configured: new RDD checkpoint files appear.
+        def n_ckpt_files():
+            return sum(len(fs) for _, _, fs in os.walk(ckpt))
+
+        before = n_ckpt_files()
+        c = _ranks_dict(pagerank(_edges_df(spark, edges), checkpoint_every=2))
+        assert n_ckpt_files() > before
+        for node, rank in a.items():
+            assert c[node] == pytest.approx(rank, abs=1e-12)
 
     def test_shuffle_strategy_same_result(self, spark):
         edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 1)]

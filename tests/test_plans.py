@@ -141,6 +141,38 @@ def test_q44_anti_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q09_bounds_before_global_window(spark):
+    # TakeOrdered-then-number: the physical plan must bound the input
+    # with TakeOrderedAndProject BEFORE the single-partition row_number
+    # window — never globally sort the full degree table.
+    p = plan(ENTRY.queries()["q09_positions"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    # The only Sort nodes allowed are the window's local sort of the
+    # bounded 50-row input (after the TakeOrdered), not a global
+    # Exchange rangepartitioning sort of the full table.
+    assert "rangepartitioning" not in p
+
+
+def test_q10_bounds_before_global_window(spark):
+    p = plan(ENTRY.queries()["q10_positional_join"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
+def test_q29_lsh_path_no_cartesian(spark):
+    # The declared embedding-near-dup query must run the bucketed LSH
+    # plan: equi-join on (band, bucket), no crossJoin anywhere.
+    p = plan(ENTRY.queries()["q29_embedding_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q56_ann_lsh_no_cartesian(spark):
+    p = plan(ENTRY.queries()["q56_ann_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_q48_pivot_no_distinct_job_no_join(spark):
     # Explicit pivot values → a two-stage aggregate (group-by, then
     # pivotfirst) with no distinct-values job and no join; both

@@ -29,10 +29,53 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture()
 def event_dir(spark, tmp_path):
-    """Fixture events re-written as a 3-file parquet dir (3 micro-batches)."""
-    out = str(tmp_path / "events_stream")
-    load_table(spark, SF_DIR, "events").repartition(3).write.parquet(out)
-    return out
+    """Fixture events as a 3-file parquet dir, files TIME-ORDERED.
+
+    Update-mode streams drop rows older than the watermark, so the
+    micro-batches must arrive in event-time order (like a real ingest
+    pipeline) — a random split would make most of every later file
+    "late". Files are written sequentially so modification times (and
+    paths) increase with event time.
+    """
+    import glob
+    import shutil
+    import time
+
+    out = tmp_path / "events_stream"
+    out.mkdir()
+    events = load_table(spark, SF_DIR, "events").cache()
+    b1, b2 = events.selectExpr(
+        "percentile(cast(ts AS double), array(0.33, 0.66))"
+    ).collect()[0][0]
+    slices = [
+        events.where(F.col("ts").cast("double") < b1),
+        events.where(
+            (F.col("ts").cast("double") >= b1)
+            & (F.col("ts").cast("double") < b2)
+        ),
+        events.where(F.col("ts").cast("double") >= b2),
+    ]
+    for i, sl in enumerate(slices):
+        stage = tmp_path / f"stage_{i}"
+        sl.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.move(part, str(out / f"batch_{i}.parquet"))
+        time.sleep(1.1)
+    events.unpersist()
+    return str(out)
+
+
+def _final_per_key(spark, table):
+    """Update-mode memory sink: last emission per key = max n_events."""
+    rows = spark.sql(
+        f"SELECT window_id, event_type, max(n_events) AS n_events, "
+        f"max_by(sum_value, n_events) AS sum_value FROM {table} "
+        f"GROUP BY window_id, event_type"
+    ).collect()
+    return {
+        (r["window_id"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in rows
+    }
 
 
 def test_stream_matches_batch_twin(spark, event_dir):
@@ -46,10 +89,7 @@ def test_stream_matches_batch_twin(spark, event_dir):
     q = run_stream_to_memory(stream, "stream_tumbling_test")
     try:
         q.processAllAvailable()
-        got = {
-            (r["window_id"], r["event_type"]): (r["n_events"], r["sum_value"])
-            for r in spark.sql("SELECT * FROM stream_tumbling_test").collect()
-        }
+        got = _final_per_key(spark, "stream_tumbling_test")
     finally:
         q.stop()
 
@@ -85,17 +125,27 @@ def test_sessionize_agrees_with_native_session_window(spark):
 
 
 def test_watermark_bounds_state(spark, event_dir):
-    # Smoke: the watermarked plan analyzes and runs with append-friendly
-    # semantics (state cleanup metadata present in the query progress).
-    stream = read_event_stream(spark, event_dir, max_files_per_trigger=3)
+    # Update mode + watermark must actually EVICT finalized windows from
+    # the state store: with 3 time-ordered micro-batches spanning ~30
+    # days and a 1-hour watermark, the final batch's state must hold far
+    # fewer windows than were emitted in total, and rows must have been
+    # removed along the way.
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
     q = run_stream_to_memory(stream, "stream_watermark_test", watermark="1 hour")
     try:
         q.processAllAvailable()
-        progress = q.lastProgress
-        assert progress is not None
-        assert progress["stateOperators"]
+        emitted = spark.sql(
+            "SELECT count(DISTINCT window_id, event_type) AS n "
+            "FROM stream_watermark_test"
+        ).collect()[0]["n"]
+        ops = [p["stateOperators"][0] for p in q.recentProgress
+               if p["stateOperators"]]
+        removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+        final_state = ops[-1]["numRowsTotal"]
     finally:
         q.stop()
+    assert removed > 0
+    assert final_state < emitted
 
 
 def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
