@@ -860,6 +860,116 @@ def q55_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 2 rounds of synchronous label propagation
+    (most frequent undirected-neighbor label, ties → smallest). Fixed
+    iteration count makes the result deterministic and exactly
+    SQL-expressible (mode-by-count CTEs with the same tie break)."""
+    from pagerank_spark.graph.components import label_propagation
+
+    labels = label_propagation(_edges(spark, sf_dir), n_iterations=2)
+    return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def q58_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (exceptAll): duplicate edges survive
+    with multiplicity — the multiset complement of the ``src % 3`` slice.
+    DuckDB twin is EXCEPT ALL."""
+    e = _edges(spark, sf_dir)
+    return e.exceptAll(e.where(F.col("src") % 3 == 0))
+
+
+def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded event correlation: per click, the count and value
+    sum of the same user's views in the preceding hour. The batch twin
+    of a stream-stream interval join; the operator buckets both sides
+    by the interval width so the plan is an EQUI-join shuffle (plan
+    test: no BroadcastNestedLoopJoin), with the exact bounds as a
+    post-join filter."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    pairs = relational.interval_join(
+        clicks, views, on=["user_id"], interval_seconds=3600
+    )
+    return pairs.groupBy(F.col("event_id").alias("click_id")).agg(
+        F.count("*").alias("n_views"),
+        F.round(F.sum("value"), 2).alias("sum_view_value"),
+    )
+
+
+def q60_twohop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friend-of-friend motif: top-20 sources by count of distinct
+    two-hop targets not already directly linked (recommendation
+    candidates). Two equi-joins + anti join + TakeOrdered."""
+    from pagerank_spark.graph.components import twohop_recommendations
+
+    return twohop_recommendations(_edges(spark, sf_dir), k=20)
+
+
+def q61_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration personalized PageRank from the ``node % 64 = 0`` seed
+    set: teleport AND dangling mass return to the seeds. Exact SQL twin
+    (same algebra, ROUND 12)."""
+    from pagerank_spark.graph.pagerank import personalized_pagerank
+
+    e = _edges(spark, sf_dir)
+    seeds = vertices(e).where(F.col("node") % 64 == 0)
+    ranks = personalized_pagerank(e, seeds, beta=0.85, iterations=2)
+    return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+def q62_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by ship
+    year. Two broadcast dimension joins (nation via supplier and via
+    customer) over the lineitem fact — the classic star plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+    )
+    return (
+        joined.where(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -925,6 +1035,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_regexp_extract": q54_regexp_extract,
         "q55_percent_rank": q55_percent_rank,
         "q56_ann_lsh": q56_ann_lsh,
+        "q57_label_propagation": q57_label_propagation,
+        "q58_except_all": q58_except_all,
+        "q59_interval_join": q59_interval_join,
+        "q60_twohop_recs": q60_twohop_recs,
+        "q61_personalized_pagerank": q61_personalized_pagerank,
+        "q62_tpch_q7_volume": q62_tpch_q7_volume,
     }
 
 
@@ -1937,5 +2053,169 @@ SELECT c_custkey,
        ROUND(cume_dist() OVER w, 6) AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+
+_oracle(
+    "q57_label_propagation",
+    SQL_EDGES
+    + """
+, und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+adj AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL
+  SELECT b AS src, a AS dst FROM und
+),
+l0 AS (SELECT node, node AS label FROM nodes),
+n1 AS (
+  SELECT a.dst AS node, l.label, COUNT(*) AS n
+  FROM adj a JOIN l0 l ON a.src = l.node
+  GROUP BY a.dst, l.label
+),
+p1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY n DESC, label ASC
+           ) AS rn
+    FROM n1
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT l.node, COALESCE(p.label, l.label) AS label
+  FROM l0 l LEFT JOIN p1 p ON l.node = p.node
+),
+n2 AS (
+  SELECT a.dst AS node, l.label, COUNT(*) AS n
+  FROM adj a JOIN l1 l ON a.src = l.node
+  GROUP BY a.dst, l.label
+),
+p2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY n DESC, label ASC
+           ) AS rn
+    FROM n2
+  ) WHERE rn = 1
+)
+SELECT l.node, CAST(COALESCE(p.label, l.label) AS BIGINT) AS label
+FROM l1 l LEFT JOIN p2 p ON l.node = p.node
+""",
+)
+
+_oracle(
+    "q58_except_all",
+    SQL_EDGES
+    + """
+SELECT src, dst FROM edges
+EXCEPT ALL
+SELECT src, dst FROM edges WHERE src % 3 = 0
+""",
+)
+
+_oracle(
+    "q59_interval_join",
+    """
+SELECT c.event_id AS click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       ROUND(SUM(v.value), 2) AS sum_view_value
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts - INTERVAL 1 HOUR
+ AND v.ts <= c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+GROUP BY c.event_id
+""",
+)
+
+_oracle(
+    "q60_twohop_recs",
+    SQL_EDGES
+    + """
+, e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+hops AS (
+  SELECT DISTINCT e1.src AS a, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst
+),
+recs AS (
+  SELECT h.a, h.c FROM hops h
+  ANTI JOIN e ON h.a = e.src AND h.c = e.dst
+)
+SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_recs
+FROM recs GROUP BY a
+ORDER BY n_recs DESC, node ASC
+LIMIT 20
+""",
+)
+
+_oracle(
+    "q61_personalized_pagerank",
+    SQL_EDGES
+    + """
+, seeds AS (SELECT node FROM nodes WHERE node % 64 = 0),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+base AS (
+  SELECT n.node, d.deg,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS s
+  FROM nodes n
+  LEFT JOIN deg d ON n.node = d.src
+  LEFT JOIN seeds s ON n.node = s.node
+),
+r0 AS (SELECT node, deg, s, s AS rank FROM base),
+dm0 AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r0 WHERE deg IS NULL
+),
+c1 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r0 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT b.node, b.deg, b.s,
+         (0.15 + 0.85 * (SELECT dm FROM dm0)) * b.s
+           + COALESCE(c.contrib, 0.0) AS rank
+  FROM r0 b LEFT JOIN c1 c ON b.node = c.node
+),
+dm1 AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r1 WHERE deg IS NULL
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r1 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT b.node, b.s,
+         (0.15 + 0.85 * (SELECT dm FROM dm1)) * b.s
+           + COALESCE(c.contrib, 0.0) AS rank
+  FROM r1 b LEFT JOIN c2 c ON b.node = c.node
+)
+SELECT node, ROUND(rank, 12) AS rank FROM r2
+""",
+)
+
+_oracle(
+    "q62_tpch_q7_volume",
+    """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
 """,
 )

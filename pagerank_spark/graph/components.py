@@ -218,3 +218,102 @@ def shortest_paths(
             df.unpersist()
     e.unpersist()
     return final
+
+
+def label_propagation(edges: DataFrame, n_iterations: int = 2) -> DataFrame:
+    """Synchronous label propagation (community detection): (node, label).
+
+    Extension tier — the reference has no community detection; this is
+    the standard GraphFrames-style LPA re-expressed with DataFrames.
+    Each round every vertex adopts the MOST FREQUENT label among its
+    undirected neighbors, ties broken by the smallest label; vertices
+    with no neighbors (self-loop-only) keep their own. Synchronous
+    fixed-iteration semantics make the result deterministic AND give the
+    declared 2-round query an exact SQL twin (mode-by-count with the
+    same tie break).
+
+    Scale shape per round: one shuffle join (labels onto the symmetric
+    adjacency), one partial-combined (node, label) count, one
+    row_number window partitioned by node (bounded by each node's
+    distinct neighbor-label count, never global). Lineage is truncated
+    every 3 rounds like the other iterative loops.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = vertices(edges).withColumn("label", F.col("node"))
+    cached: list[DataFrame] = []
+    for i in range(1, n_iterations + 1):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("src"), "label"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        picked = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.select("node", "label")
+            .join(picked, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        if i % 3 == 0:
+            labels = labels.localCheckpoint(eager=True)
+            for df in cached:
+                df.unpersist()
+            cached = []
+    adj.unpersist()
+    for df in cached:
+        df.unpersist()
+    return labels
+
+
+def twohop_recommendations(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Friend-of-friend motif: per source, how many distinct two-hop
+    targets are NOT already direct neighbors — the classic
+    recommendation-candidate count. Returns the top-``k`` sources
+    (ties by node asc): (node, n_recs).
+
+    Plan shape: two equi-joins on node keys over the distinct edge set
+    (a→b→c), a distinct on the (a, c) pair, one LEFT ANTI join to
+    remove existing a→c edges, then a partial-combined count and
+    TakeOrdered — no cartesian stage, no window over the full table.
+    """
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    hops = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), on="b")
+        .where(F.col("a") != F.col("c"))
+        .select("a", "c")
+        .distinct()
+    )
+    recs = hops.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        on=["a", "c"],
+        how="left_anti",
+    )
+    return (
+        recs.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("n_recs"))
+        .orderBy(F.desc("n_recs"), F.asc("node"))
+        .limit(k)
+    )

@@ -423,3 +423,90 @@ def compare_teleports(
 
 def _beta_tag(beta: float) -> str:
     return str(beta).replace(".", "_")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    beta: float = 0.85,
+    iterations: int = 2,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to
+    the seed set instead of the whole graph. Returns (node, rank).
+
+    Extension tier (the reference teleports uniformly; README.md's
+    ``compare_teleports`` sweeps β only). Fixed-iteration synchronous
+    power steps starting from the teleport distribution (uniform over
+    seeds), so the declared 2-iteration query has an exact SQL twin:
+
+        r'[v] = (1-β+β·dm)·s[v] + β·Σ_{u→v} r[u]/deg(u)
+
+    with ``s[v] = 1/|S|`` on seeds (0 elsewhere) and ``dm`` the dangling
+    mass Σ_{deg(u)=0} r[u] of the previous iterate — ranks sum to 1
+    every iteration.
+
+    Scale shape: the whole computation is ONE lazy DAG — the per-
+    iteration scalars (|S|, dm) are single-row aggregates attached by
+    broadcast cross join, never collected to the driver, so the
+    operator composes inside a larger declared query. For high
+    iteration counts prefer the convergence-looped ``pagerank`` shape
+    (per-iteration checkpointing); this fixed-k form targets k ≤ ~4.
+    """
+    deg = degrees(edges)
+    seed_set = seeds.select("node").distinct()
+    n_seeds = F.broadcast(seed_set.agg(F.count("*").alias("__ns")))
+
+    state = (
+        vertices(edges)
+        .join(deg, on=[F.col("node") == F.col("src")], how="left")
+        .select("node", "deg")
+        .join(
+            seed_set.withColumn("__is_seed", F.lit(1)), on="node", how="left"
+        )
+        .crossJoin(n_seeds)
+        .select(
+            "node",
+            "deg",
+            (
+                F.coalesce(F.col("__is_seed"), F.lit(0)) / F.col("__ns")
+            ).alias("s"),
+        )
+    )
+    state = state.withColumn("rank", F.col("s"))
+
+    for _ in range(iterations):
+        dm = F.broadcast(
+            state.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+        )
+        contribs = (
+            edges.join(
+                state.select(
+                    F.col("node").alias("src"), "rank", F.col("deg").alias("d")
+                ),
+                on="src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(beta) * F.col("rank") / F.col("d")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        state = (
+            state.select("node", "deg", "s")
+            .join(contribs, on="node", how="left")
+            .crossJoin(dm)
+            .select(
+                "node",
+                "deg",
+                "s",
+                (
+                    (F.lit(1.0 - beta) + F.lit(beta) * F.col("__dm"))
+                    * F.col("s")
+                    + F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return state.select("node", "rank")

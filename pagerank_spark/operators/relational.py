@@ -287,3 +287,56 @@ def asof_join(
             *[F.col(f"__carry.{c}").alias(c) for c in carried],
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    interval_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Bounded-interval equi-join: left rows paired with right rows on
+    the same keys whose ``right_ts`` lies in
+    ``[left_ts - interval_seconds, left_ts]`` (both ends inclusive).
+
+    Extension tier — the batch twin of a stream-stream time-bounded
+    join. Scale design: NOT a raw inequality join (Spark plans those as
+    broadcast-nested-loop or a sort-merge with per-key quadratic
+    tails). Both sides are bucketed by ``floor(ts / interval)``; the
+    right side lands in its own bucket AND the next one, so every
+    qualifying pair shares exactly one (keys, bucket) — a plain
+    equi-join shuffle — and the precise bounds are a post-join filter.
+    Each matching pair meets exactly once (the right row's two bucket
+    copies are distinct, and only one equals the left row's bucket).
+
+    Right columns are prefixed ``r_`` on name collisions.
+    """
+    w = F.lit(interval_seconds)
+    l_b = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
+    r_b = F.floor(F.unix_timestamp(F.col(right_ts)) / w)
+    rename = {
+        c: f"r_{c}"
+        for c in right.columns
+        if c in left.columns and c not in on
+    }
+    r = right.select(
+        *on,
+        *[F.col(c).alias(rename.get(c, c)) for c in right.columns if c not in on],
+    )
+    r_ts_out = rename.get(right_ts, right_ts)
+    l = left.withColumn("__b", l_b)
+    r = r.withColumn(
+        "__b", F.explode(F.array(F.floor(F.unix_timestamp(F.col(r_ts_out)) / w),
+                                 F.floor(F.unix_timestamp(F.col(r_ts_out)) / w) + 1))
+    )
+    lo = F.col(left_ts).cast("double") - interval_seconds
+    return (
+        l.join(r, on=on + ["__b"])
+        .where(
+            (F.col(r_ts_out).cast("double") >= lo)
+            & (F.col(r_ts_out) <= F.col(left_ts))
+        )
+        .drop("__b")
+    )

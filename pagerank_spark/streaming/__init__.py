@@ -256,3 +256,38 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within
+    ``[left_ts - interval, left_ts]`` on the same key.
+
+    Both inputs carry watermarks, and the join condition bounds the
+    right timestamp RELATIVE to the left one — Spark derives from those
+    two facts how long each side's rows must be retained in the join
+    state store, so state is bounded (without the time bound a
+    stream-stream join would buffer both streams forever).
+
+    The batch twin is ``operators.relational.interval_join`` (bucketed
+    equi-join, driver-oracled as a declared query); the parity test
+    feeds the same events through both.
+
+    Right columns are prefixed ``r_`` to avoid ambiguity.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col(on) == F.col(f"r_{on}"))
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts) - F.expr(f"INTERVAL {interval}"))
+        & (F.col(f"r_{right_ts}") <= F.col(left_ts))
+    )
+    return l.join(r, on=cond, how="inner").drop(f"r_{on}")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pagerank_spark.graph.components import aggregate_messages, connected_components
@@ -112,3 +113,105 @@ def test_shortest_paths_hop_cap(spark):
         for r in shortest_paths(chain, srcs, max_iterations=3).collect()
     }
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def _lp_oracle(edges, n_iterations=2):
+    """Driver-side synchronous label propagation with the same tie rule."""
+    from collections import Counter
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nbrs: dict[int, list[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    labels = {n: n for n in nodes}
+    for _ in range(n_iterations):
+        new = {}
+        for n in nodes:
+            if n not in nbrs:
+                new[n] = labels[n]
+                continue
+            c = Counter(labels[m] for m in nbrs[n])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_oracle(spark):
+    import random
+
+    from pagerank_spark.graph.components import label_propagation
+
+    rng = random.Random(11)
+    edges = sorted(
+        {(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120)}
+    )
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iterations=2).collect()
+    }
+    want = _lp_oracle(edges, 2)
+    assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    # Two triangles joined by nothing: after 2 rounds each clique holds
+    # its own min label.
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    from pagerank_spark.graph.components import label_propagation
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iterations=2).collect()
+    }
+    assert set(got[n] for n in (1, 2, 3)) == {1}
+    assert set(got[n] for n in (10, 11, 12)) == {10}
+
+
+def test_twohop_recommendations_hand_checked(spark):
+    # 1->2->3, 1->2->4, 1->3 (already direct): recs for 1 = {4} only.
+    # 2->3 and 2->4 are direct; 2's two-hop set via 3/4 is empty.
+    from pagerank_spark.graph.components import twohop_recommendations
+
+    edges = [(1, 2), (2, 3), (2, 4), (1, 3)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["n_recs"] for r in twohop_recommendations(df).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_personalized_pagerank_sums_to_one_and_matches_numpy(spark):
+    from pagerank_spark.graph.pagerank import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 5)]
+    seeds = [1, 4]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node LONG")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds_df, iterations=3).collect()
+    }
+
+    # Direct driver-side computation of the same fixed-point steps.
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    sv = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    rank = dict(sv)
+    beta = 0.85
+    for _ in range(3):
+        dm = sum(rank[n] for n in nodes if n not in deg)
+        new = {n: (1 - beta + beta * dm) * sv[n] for n in nodes}
+        for s, d in edges:
+            new[d] += beta * rank[s] / deg[s]
+        rank = new
+
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for n in nodes:
+        assert got[n] == pytest.approx(rank[n], abs=1e-12), n

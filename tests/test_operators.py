@@ -301,3 +301,59 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         got_ts, got_v = got[row.lid]
         got_v = None if got_v is None else round(got_v, 6)
         assert (got_ts, got_v) == (exp_ts, exp_v), row.lid
+
+
+def test_interval_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(5)
+    base = 1_700_000_000
+    left = [
+        (i, rng.randint(0, 4), base + rng.randint(0, 20_000))
+        for i in range(80)
+    ]
+    right = [
+        (100 + i, rng.randint(0, 4), base + rng.randint(0, 20_000), round(rng.random(), 3))
+        for i in range(120)
+    ]
+    ldf = spark.createDataFrame(
+        [(i, k, __import__("datetime").datetime.utcfromtimestamp(t)) for i, k, t in left],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, __import__("datetime").datetime.utcfromtimestamp(t), v) for i, k, t, v in right],
+        "rid long, k long, ts timestamp, v double",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in relational.interval_join(
+            ldf, rdf, on=["k"], interval_seconds=3600
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lk, lt) in left
+        for (ri, rk, rt, _) in right
+        if lk == rk and lt - 3600 <= rt <= lt
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_interval_join_equi_plan(spark):
+    # The bucketed formulation must plan as a hash equi-join — never a
+    # nested-loop range join.
+    ldf = spark.createDataFrame([(1, 1, 0)], "lid long, k long, e long").select(
+        "lid", "k", F.timestamp_seconds("e").alias("ts")
+    )
+    rdf = spark.createDataFrame([(2, 1, 0)], "rid long, k long, e long").select(
+        "rid", "k", F.timestamp_seconds("e").alias("ts")
+    )
+    plan = (
+        relational.interval_join(ldf, rdf, on=["k"], interval_seconds=3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

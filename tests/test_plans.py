@@ -181,3 +181,17 @@ def test_q48_pivot_no_distinct_job_no_join(spark):
     assert "pivotfirst" in p
     assert "Join" not in p
     assert p.count("Arguments: hashpartitioning") == 2
+
+
+def test_q59_interval_join_equi_plan(spark):
+    # The time-bounded correlation must be a bucketed EQUI-join, not a
+    # nested-loop range join.
+    p = plan(ENTRY.queries()["q59_interval_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q62_broadcasts_dimensions(spark):
+    p = plan(ENTRY.queries()["q62_tpch_q7_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -179,3 +179,50 @@ def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
     src.unpersist()
 
     assert got["n"] == got["d"] == 1000
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, event_dir):
+    from pagerank_spark.operators.relational import interval_join
+    from pagerank_spark.streaming import stream_stream_interval_join
+
+    batch = spark.read.parquet(event_dir)
+    clicks_b = batch.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_b = batch.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    expected = {
+        (r["event_id"], r["r_ts"], r["value"])
+        for r in interval_join(
+            clicks_b, views_b, on=["user_id"], interval_seconds=3600
+        ).collect()
+    }
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    clicks_s = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_s = stream.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = stream_stream_interval_join(
+        clicks_s, views_s, on="user_id", interval="1 hour", watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["r_ts"], r["r_value"])
+            for r in spark.sql("SELECT * FROM ss_join_test").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == expected
+    assert len(got) > 0
