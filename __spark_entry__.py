@@ -970,6 +970,62 @@ def q62_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (frontier Bellman-Ford) on a sparse
+    derived graph, hop-bounded at 5 so a depth-bounded recursive CTE is
+    an exact twin: after k rounds the distance table is exact over all
+    ≤ k-edge paths, and both sides use the same deterministic integer
+    weights ((src+dst) % 5 + 1)."""
+    from pagerank_spark.graph.components import weighted_shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 4 == 0))
+        .select(
+            (F.col("l_orderkey") % 256).cast("long").alias("src"),
+            (F.col("l_partkey") % 256).cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+        )
+    )
+    seeds = vertices(e.select("src", "dst")).where(F.col("node") % 64 == 0)
+    out = weighted_shortest_paths(e, seeds, weight_col="w", max_iterations=5)
+    return out.select("node", F.round("dist", 6).alias("dist"))
+
+
+def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: order counts/revenue by (status, priority),
+    (status), and grand total in ONE pass — the generalized form of the
+    ROLLUP (q38) / CUBE (q45) family, expressed in Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+def q65_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with an explicit struct schema
+    (vs q19's path-string access) — per (event_type, k-bucket) stats."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k INT")
+    ).withColumn("k_bucket", (F.col("p.k") % 10).cast("long"))
+    return parsed.groupBy("event_type", "k_bucket").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1041,6 +1097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_twohop_recs": q60_twohop_recs,
         "q61_personalized_pagerank": q61_personalized_pagerank,
         "q62_tpch_q7_volume": q62_tpch_q7_volume,
+        "q63_weighted_sssp": q63_weighted_sssp,
+        "q64_grouping_sets": q64_grouping_sets,
+        "q65_from_json_struct": q65_from_json_struct,
     }
 
 
@@ -2217,5 +2276,57 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY 1, 2, 3
+""",
+)
+
+_oracle(
+    "q63_weighted_sssp",
+    """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(l_orderkey % 256 AS BIGINT) AS src,
+         CAST(l_partkey % 256 AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+),
+ew AS (
+  SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+walk(node, dist, depth) AS (
+  SELECT node, CAST(0 AS DOUBLE), 0 FROM nodes WHERE node % 64 = 0
+  UNION
+  SELECT ew.dst, w.dist + ew.w, w.depth + 1
+  FROM walk w JOIN ew ON ew.src = w.node
+  WHERE w.depth < 5
+)
+SELECT node, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY node
+""",
+)
+
+_oracle(
+    "q64_grouping_sets",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""",
+)
+
+_oracle(
+    "q65_from_json_struct",
+    """
+SELECT event_type,
+       CAST(CAST(props->>'k' AS INT) % 10 AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
 """,
 )

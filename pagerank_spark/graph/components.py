@@ -317,3 +317,86 @@ def twohop_recommendations(edges: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_recs"), F.asc("node"))
         .limit(k)
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "w",
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Frontier Bellman-Ford: minimum-cost distances from a source set
+    over positively weighted directed edges — (node, dist).
+
+    After k rounds ``dist`` is exact over all paths of ≤ k edges, and
+    the loop stops early once a round improves nothing, so with
+    ``max_iterations ≥`` the shortest-path hop diameter the result is
+    the true SSSP. Per round only the FRONTIER (nodes improved last
+    round) relaxes its out-edges — a node whose distance is settled
+    re-sends nothing (its edges were already relaxed with that value in
+    the round it improved). Per round: one shuffle join on ``src``
+    sized by the frontier, one partial-combined min-agg on ``dst``, one
+    join against the distance table to keep strict improvements.
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("__w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dist = (
+        sources.select("node").distinct().withColumn("dist", F.lit(0.0))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = dist
+    cached: list[DataFrame] = [dist]
+
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        msgs = (
+            e.join(
+                frontier.select(F.col("node").alias("src"), "dist"), on="src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            msgs.join(dist, on="node", how="left")
+            .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if improved.count() == 0:
+            improved.unpersist()
+            break
+        merged = (
+            dist.join(
+                improved.select("node", F.col("dist").alias("better")),
+                on="node",
+                how="full",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("better"), F.col("dist")).alias("dist"),
+            )
+        )
+        if iteration % checkpoint_every == 0:
+            dist = merged.localCheckpoint(eager=True)
+            for df in cached:
+                df.unpersist()
+            cached = [improved]
+        else:
+            dist = merged.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(improved)
+            cached.append(dist)
+        frontier = improved
+
+    final = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    final.count()
+    for df in cached:
+        if df is not final:
+            df.unpersist()
+    e.unpersist()
+    return final

@@ -208,3 +208,33 @@ def csv_download_payload(df: DataFrame, max_rows: int = 10_000) -> str:
 def show_table(df: DataFrame, n: int = 20) -> None:
     """K4: console inspection (reference prints / st.table)."""
     df.show(n, truncate=False)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format a reference user might hold
+    data in; same pushdown/pruning story as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (predicate pushdown + column pruning, like S2)."""
+    return spark.read.orc(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one JSON object per line)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines scan. ALWAYS pass an explicit ``schema`` in anything
+    but exploration: schema inference reads the data twice and types
+    drift run-to-run (ints become bigints become doubles) — the same
+    no-inference discipline as the CSV edge scan (S1).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -215,3 +215,62 @@ def test_personalized_pagerank_sums_to_one_and_matches_numpy(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     for n in nodes:
         assert got[n] == pytest.approx(rank[n], abs=1e-12), n
+
+
+def test_weighted_sssp_matches_dijkstra(spark):
+    import heapq
+    import random
+
+    from pagerank_spark.graph.components import weighted_shortest_paths
+
+    rng = random.Random(3)
+    edges = sorted(
+        {(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(100)}
+    )
+    weighted = [(s, d, float((s + d) % 7 + 1)) for s, d in edges if s != d]
+    seeds = [0, 7]
+
+    df = spark.createDataFrame(weighted, "src LONG, dst LONG, w DOUBLE")
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node LONG")
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(df, seeds_df, max_iterations=50).collect()
+    }
+
+    # Driver-side Dijkstra from the seed set.
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for s, d, w in weighted:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0.0 for s in seeds}
+    heap = [(0.0, s) for s in seeds]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    assert got == dist
+
+
+def test_weighted_sssp_hop_bound(spark):
+    # A cheap long path (3 hops of weight 1) vs an expensive short path
+    # (1 hop of weight 10): with max_iterations=1 only the direct edge
+    # is reachable; with 3 the cheap path wins.
+    from pagerank_spark.graph.components import weighted_shortest_paths
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 10.0)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    seeds = spark.createDataFrame([(0,)], "node LONG")
+    one = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(df, seeds, max_iterations=1).collect()
+    }
+    assert one[3] == 10.0
+    three = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(df, seeds, max_iterations=3).collect()
+    }
+    assert three[3] == 3.0

@@ -62,3 +62,32 @@ def test_csv_download_payload(spark):
     payload = pio.csv_download_payload(df)
     decoded = base64.b64decode(payload).decode()
     assert decoded.splitlines() == ["id,val", "1,x"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from pagerank_spark.io import read_orc, write_orc
+
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    # nullability relaxes on read; names and types must round-trip
+    assert back.dtypes == df.dtypes
+    assert sorted(r["v"] for r in back.collect()) == [2 * i for i in range(100)]
+
+
+def test_json_lines_roundtrip_with_explicit_schema(spark, tmp_path):
+    from pagerank_spark.io import read_json_lines, write_json_lines
+
+    df = spark.range(0, 50).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) / 4 AS v", "CONCAT('n', id) AS name"
+    )
+    path = str(tmp_path / "json_out")
+    write_json_lines(df, path)
+    back = read_json_lines(
+        spark, path, schema="k BIGINT, v DOUBLE, name STRING"
+    )
+    assert dict(back.dtypes) == {"k": "bigint", "v": "double", "name": "string"}
+    got = {r["k"]: (r["v"], r["name"]) for r in back.collect()}
+    assert got[8] == (2.0, "n8")
+    assert len(got) == 50
