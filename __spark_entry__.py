@@ -1026,6 +1026,107 @@ def q65_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: per
+    label, mean L1 mass and max absolute component — pure Catalyst
+    ``aggregate``/``transform`` folds, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l1 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return (
+        emb.select(F.col("label").cast("long").alias("label"),
+                   l1.alias("l1"), amax.alias("amax"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l1"), 6).alias("avg_l1"),
+            F.round(F.max("amax"), 6).alias("max_abs"),
+        )
+    )
+
+
+def q67_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: edit distance between each document's
+    20-char prefix and its successor's — an equi-join on doc_id+1 (no
+    cross join), JVM-side ``levenshtein``."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    a = docs.select(
+        F.col("doc_id"), F.substring("text", 1, 20).alias("pa")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 7).alias("doc_id"),
+        F.substring("text", 1, 20).alias("pb"),
+    )
+    return a.join(b, on="doc_id").select(
+        "doc_id",
+        F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+    )
+
+
+def q68_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank per market segment (completing the window
+    family with the two gap-sensitive ranks; rounded acctbal forces
+    real ties so the two functions visibly differ)."""
+    c = load_table(spark, sf_dir, "customer")
+    tier = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        c.select("c_custkey", "c_mktsegment", tier.alias("tier"))
+        .withColumn("rnk", F.rank().over(
+            Window.partitionBy("c_mktsegment").orderBy(F.desc("tier"))
+        ).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(
+            Window.partitionBy("c_mktsegment").orderBy(F.desc("tier"))
+        ).cast("long"))
+    )
+
+
+def q69_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause style conditional aggregation in one pass: per
+    nation, counts/sums split by account-balance sign without
+    re-scanning (count_if / sum(when) — partial-agg friendly)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pos = F.col("c_acctbal") > 0
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_positive"),
+            F.round(F.sum(F.when(pos, F.col("c_acctbal")).otherwise(0.0)), 2)
+              .alias("sum_positive"),
+            F.round(F.sum(F.when(~pos, F.col("c_acctbal")).otherwise(0.0)), 2)
+              .alias("sum_nonpositive"),
+        )
+    )
+
+
+def q70_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates: per nation, the customer
+    holding the extreme account balance. Ties are broken
+    deterministically by folding the unique custkey into the ordering
+    scalar (exact-integer cents·1e6 + custkey — identical arithmetic
+    in both engines, no struct comparison needed)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 1_000_000
+        + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .withColumn("__ord", key)
+        .groupBy("n_name")
+        .agg(
+            F.expr("max_by(c_custkey, __ord)").alias("richest_cust"),
+            F.expr("min_by(c_custkey, __ord)").alias("poorest_cust"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1100,6 +1201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_weighted_sssp": q63_weighted_sssp,
         "q64_grouping_sets": q64_grouping_sets,
         "q65_from_json_struct": q65_from_json_struct,
+        "q66_array_functions": q66_array_functions,
+        "q67_levenshtein_pairs": q67_levenshtein_pairs,
+        "q68_rank_dense_rank": q68_rank_dense_rank,
+        "q69_conditional_agg": q69_conditional_agg,
+        "q70_max_by": q70_max_by,
     }
 
 
@@ -2328,5 +2434,81 @@ SELECT event_type,
        CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1, 2
+""",
+)
+
+_oracle(
+    "q66_array_functions",
+    """
+WITH v AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'sum') AS l1,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'max') AS amax
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(l1), 6) AS avg_l1,
+       ROUND(MAX(amax), 6) AS max_abs
+FROM v GROUP BY label
+""",
+)
+
+_oracle(
+    "q67_levenshtein_pairs",
+    """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 20) AS p
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT a.doc_id,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON b.doc_id = a.doc_id + 7
+""",
+)
+
+_oracle(
+    "q68_rank_dense_rank",
+    """
+SELECT c_custkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS tier,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY FLOOR(c_acctbal / 1000) DESC)
+""",
+)
+
+_oracle(
+    "q69_conditional_agg",
+    """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_positive,
+       ROUND(COALESCE(SUM(c_acctbal) FILTER (WHERE c_acctbal > 0), 0), 2)
+         AS sum_positive,
+       ROUND(COALESCE(SUM(c_acctbal) FILTER (WHERE c_acctbal <= 0), 0), 2)
+         AS sum_nonpositive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+
+_oracle(
+    "q70_max_by",
+    """
+WITH c AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS ord
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       arg_max(c_custkey, ord) AS richest_cust,
+       arg_min(c_custkey, ord) AS poorest_cust,
+       ROUND(MAX(c_acctbal), 2) AS max_bal,
+       ROUND(MIN(c_acctbal), 2) AS min_bal
+FROM c GROUP BY n_name
 """,
 )

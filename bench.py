@@ -84,6 +84,11 @@ def main() -> None:
         "q43_asof_join",
         "q49_tpch_q3",
         "q52_shortest_paths",
+        # round-3 tiers (no r02 baseline — these SET the baseline):
+        "q56_ann_lsh",
+        "q57_label_propagation",
+        "q59_interval_join",
+        "q63_weighted_sssp",
     ]
 
     timings: dict[str, float] = {}
