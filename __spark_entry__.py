@@ -712,14 +712,20 @@ def q46_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q47_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) quartiles of customer balance, then per-quartile stats.
-    Global (unpartitioned) window — correct for a bounded dimension
-    table; an unbounded table would use percentile cutoffs instead."""
+    """ntile(4) balance quartiles WITHIN each market segment, then
+    per-(segment, quartile) stats. The window partitions on the
+    segment, so each sort is per-partition — no global single-partition
+    sort (the round-2 perf-weak global form); segment cardinality
+    bounds parallelism exactly like any grouped aggregate."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
-        c.select(F.ntile(4).over(w).alias("quartile"), "c_acctbal")
-        .groupBy("quartile")
+        c.select(
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            "c_acctbal",
+        )
+        .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
@@ -1127,6 +1133,42 @@ def q70_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical wordcount: explode whitespace tokens over the
+    corpus, count, top-20 (count desc, token asc). Partial-aggregated
+    map-side before the single shuffle; top-k is TakeOrdered."""
+    from pagerank_spark.functions import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q72_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a left-semi join: orders containing at
+    least one high-value returned line item, counted per status. The
+    semi join keeps the probe side lean (no fact-fact row explosion)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_extendedprice") > 30000)
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(hot, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1206,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_rank_dense_rank": q68_rank_dense_rank,
         "q69_conditional_agg": q69_conditional_agg,
         "q70_max_by": q70_max_by,
+        "q71_wordcount": q71_wordcount,
+        "q72_exists_semijoin": q72_exists_semijoin,
     }
 
 
@@ -2057,15 +2101,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 _oracle(
     "q47_ntile_quartiles",
     """
-SELECT quartile,
+SELECT c_mktsegment, quartile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(AVG(c_acctbal), 2) AS avg_bal
 FROM (
-  SELECT ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+  SELECT c_mktsegment,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile,
          c_acctbal
   FROM customer
 )
-GROUP BY quartile
+GROUP BY c_mktsegment, quartile
 """,
 )
 
@@ -2510,5 +2556,36 @@ SELECT n_name,
        ROUND(MAX(c_acctbal), 2) AS max_bal,
        ROUND(MIN(c_acctbal), 2) AS min_bal
 FROM c GROUP BY n_name
+""",
+)
+
+_oracle(
+    "q71_wordcount",
+    r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+
+_oracle(
+    "q72_exists_semijoin",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_returnflag = 'R' AND l.l_extendedprice > 30000
+)
+GROUP BY o_orderstatus
 """,
 )
