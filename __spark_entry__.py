@@ -1169,6 +1169,23 @@ def q72_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the refine-free codebook (first-16-by-id seed
+    vectors), hash-exact against a pure-SQL twin: the Lloyd-refined
+    variant (q36) stays rows-only because float mean-reduction order
+    differs across engines, but with raw seeds the whole
+    assign→probe→rank pipeline is reproducible — the same argument the
+    LSH twins use (identical sequential dot folds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.ann_ivf(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, refine=0
+    )
+    return out.select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1250,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_max_by": q70_max_by,
         "q71_wordcount": q71_wordcount,
         "q72_exists_semijoin": q72_exists_semijoin,
+        "q73_ann_ivf_seeded": q73_ann_ivf_seeded,
     }
 
 
@@ -2587,5 +2605,52 @@ WHERE EXISTS (
     AND l.l_returnflag = 'R' AND l.l_extendedprice > 30000
 )
 GROUP BY o_orderstatus
+""",
+)
+
+_oracle(
+    "q73_ann_ivf_seeded",
+    """
+WITH emb AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS cvec
+  FROM emb ORDER BY id LIMIT 16
+),
+aff AS (
+  SELECT e.id, c.cid,
+         list_dot_product(e.v, c.cvec)
+           / sqrt(list_dot_product(c.cvec, c.cvec)) AS affinity
+  FROM emb e CROSS JOIN cb c
+),
+ranked_aff AS (
+  SELECT id, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY affinity DESC, cid ASC
+         ) AS r
+  FROM aff
+),
+c_assign AS (SELECT id AS nb_id, cid FROM ranked_aff WHERE r = 1),
+q_assign AS (
+  SELECT id AS query_id, cid FROM ranked_aff WHERE r <= 4 AND id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.nb_id,
+         ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+  FROM q_assign q
+  JOIN c_assign c ON q.cid = c.cid
+  JOIN emb eq ON q.query_id = eq.id
+  JOIN emb ec ON c.nb_id = ec.id
+  WHERE q.query_id <> c.nb_id
+),
+topk AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, nb_id, cos, rank FROM topk WHERE rank <= 5
 """,
 )

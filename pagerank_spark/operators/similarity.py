@@ -128,12 +128,16 @@ def lsh_bucket(
 
 
 def _centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int,
+    refine: int = 1,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic IVF codebook: seed with the first ``n_centroids``
-    vectors by id order, then one Lloyd refinement (assign-all + per-
-    dimension mean via posexplode/groupBy — fully distributed; only the
-    n_centroids × dim codebook ever reaches the driver)."""
+    vectors by id order, then ``refine`` Lloyd refinements (assign-all +
+    per-dimension mean via posexplode/groupBy — fully distributed; only
+    the n_centroids × dim codebook ever reaches the driver).
+    ``refine=0`` keeps the raw seed vectors — lower recall, but the
+    codebook is then reproducible by any engine without matching float
+    mean-reduction order, which is what the exact SQL twin needs."""
     v = F.col(vec_col).cast("array<double>")
     seeds = (
         corpus.orderBy(F.col(id_col))
@@ -141,6 +145,8 @@ def _centroids(
         .select(F.col(id_col), v.alias("cvec"))
         .collect()
     )
+    if refine == 0:
+        return [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)]
     seed_df = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)],
         "cid INT, cvec ARRAY<DOUBLE>",
@@ -191,9 +197,12 @@ def ann_ivf(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus by nearest centroid,
-    probe only the query's ``n_probe`` closest lists.
+    probe only the query's ``n_probe`` closest lists. ``refine`` is the
+    Lloyd-refinement count for the codebook (0 = raw seed vectors,
+    engine-reproducible — see ``_centroids``).
 
     The scale story: corpus assignment is one broadcast join + window
     (each vector lands in exactly ONE inverted list, unlike LSH's
@@ -203,7 +212,7 @@ def ann_ivf(
     """
     spark = corpus.sparkSession
     codebook = spark.createDataFrame(
-        _centroids(corpus, id_col, vec_col, n_centroids),
+        _centroids(corpus, id_col, vec_col, n_centroids, refine=refine),
         "cid INT, cvec ARRAY<DOUBLE>",
     )
     v = F.col(vec_col).cast("array<double>")
