@@ -291,3 +291,41 @@ def stream_stream_interval_join(
         & (F.col(f"r_{right_ts}") <= F.col(left_ts))
     )
     return l.join(r, on=cond, how="inner").drop(f"r_{on}")
+
+
+def stream_to_parquet_foreachbatch(
+    agg_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "foreachbatch_sink",
+):
+    """Production sink pattern: route each micro-batch through the full
+    BATCH writer via ``foreachBatch`` — idempotent by ``batch_id``
+    (Spark replays a failed batch with the same id, and the partition
+    directory is overwritten, so exactly-once lands on top of
+    at-least-once delivery). This is how update-mode aggregates reach
+    parquet, which has no native streaming update sink.
+
+    State/progress live in ``checkpoint_dir`` (the restart contract);
+    output is hive-partitioned by ``batch_id`` so downstream readers
+    can consume "latest batch per key" with a max(batch_id) filter.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode", "dynamic"
+            )  # replayed batch rewrites ONLY its own partition
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg_stream.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -226,3 +226,37 @@ def test_stream_stream_interval_join_matches_batch_twin(spark, event_dir):
 
     assert got == expected
     assert len(got) > 0
+
+
+def test_foreachbatch_parquet_sink(spark, event_dir, tmp_path):
+    from pagerank_spark.streaming import stream_to_parquet_foreachbatch
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream.withWatermark("ts", "2 hours"))
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    q = stream_to_parquet_foreachbatch(agg, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out)
+    # 3 micro-batches → batch_id partitions exist; per key the row from
+    # the highest batch_id is the final aggregate, which must match the
+    # batch twin (same reasoning as the update-mode memory sink).
+    assert written.select("batch_id").distinct().count() >= 2
+    final = {
+        (r["window_id"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            f"SELECT window_id, event_type, max(n_events) AS n_events, "
+            f"max_by(sum_value, n_events) AS sum_value "
+            f"FROM parquet.`{out}` GROUP BY window_id, event_type"
+        ).collect()
+    }
+    batch = spark.read.parquet(event_dir)
+    expected = {
+        (r["window_id"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_agg(batch).collect()
+    }
+    assert final == expected
