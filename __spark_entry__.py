@@ -1186,6 +1186,247 @@ def q73_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): group-HAVING on the
+    fact to find big orders (sum qty > 150), then join customer+orders.
+    The HAVING filter runs before the dimension joins, so only the
+    (small) qualifying order set ever reaches the join — the shape that
+    survives a 100× fact scale-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q75_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 join topology (suppliers who alone caused a problem in
+    a multi-supplier order): semi join on "another supplier exists in
+    the order" + anti join on "another supplier also flagged" — the
+    EXISTS / NOT EXISTS pair over the same fact. Defect marker adapted
+    to l_returnflag='R' (the fixture has no receipt/commit dates).
+    Per-supplier count, top 20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: some other supplier participates in the same order.
+    other = all_pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    has_other = flagged.join(
+        other,
+        (flagged["l_orderkey"] == other["ok"])
+        & (flagged["l_suppkey"] != other["sk"]),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier in the order is also flagged.
+    other_flagged = flagged.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    lone = has_other.join(
+        other_flagged,
+        (has_other["l_orderkey"] == other_flagged["ok"])
+        & (has_other["l_suppkey"] != other_flagged["sk"]),
+        "left_anti",
+    )
+    return (
+        lone.join(F.broadcast(s), lone["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q76_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-min subquery): for each part in
+    a deterministic subset, every supplier whose unit price equals the
+    per-part minimum. The correlated subquery decorrelates into a
+    per-part min aggregate joined back on (part, price) — both engines
+    compute the min over identical IEEE doubles, so exact equality on
+    the join is sound and ALL tied suppliers are returned (no
+    tie-break needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
+    offers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit").alias("min_unit")
+    )
+    return (
+        offers.join(
+            mins,
+            (offers["p_partkey"] == mins["mk"])
+            & (offers["unit"] == mins["min_unit"]),
+        )
+        .select(
+            "p_partkey",
+            "l_suppkey",
+            F.round("min_unit", 6).alias("min_unit"),
+        )
+        .distinct()
+    )
+
+
+def q77_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: Pearson correlation,
+    sample covariance and sample stddev between quantity and price —
+    single-pass partial-aggregable moments (both engines use the
+    numerically stable one-pass form; rounding absorbs the ~1e-12
+    relative reduction-order noise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qp"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("std_price"),
+        F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
+    )
+
+
+def q78_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + quartiles of account balance per market segment —
+    ``percentile`` (exact, linear interpolation) matching DuckDB's
+    ``quantile_cont``. The exact form sorts per group; at 100 TB swap
+    in ``approx_percentile`` (t-digest sketch, mergeable) — q50 shows
+    the sketch pattern for distinct counts."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("median(c_acctbal)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+    )
+
+
+def q79_range_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time moving aggregate: per event type, the trailing-hour
+    event count and value sum at each event — a RANGE frame over epoch
+    seconds (value-bounded, so tied timestamps are peers in both
+    engines; deterministic without a row tie-break). Bounded to a
+    deterministic user subset."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    epoch = F.unix_timestamp("ts").alias("epoch")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select("event_id", "event_type", epoch, "value")
+        .withColumn("n_trailing", F.count("*").over(w))
+        .withColumn("sum_trailing", F.round(F.sum("value").over(w), 2))
+        .select(
+            "event_id", "event_type", "epoch", "n_trailing", "sum_trailing"
+        )
+    )
+
+
+def q80_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit full-partition
+    frames (the default frame truncates last_value at CURRENT ROW —
+    the classic window pitfall; both engines get the explicit
+    UNBOUNDED..UNBOUNDED frame). Total ordering (tier desc, custkey
+    asc) makes every value deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    tier = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("tier"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment", tier.alias("tier"))
+        .withColumn("top_cust", F.first("c_custkey").over(w))
+        .withColumn("bottom_cust", F.last("c_custkey").over(w))
+        .withColumn("third_cust", F.nth_value("c_custkey", 3).over(w))
+        .where(F.col("c_custkey") % 10 == 0)
+    )
+
+
+def q81_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-edge motif: unordered node pairs connected in BOTH
+    directions — a self-join of the distinct edge list on the swapped
+    key with src<dst canonicalization (each mutual pair counted once),
+    bucketed counts. One shuffle per side on the join key; no
+    enumeration of non-edges."""
+    e = _edges(spark, sf_dir).distinct()
+    fwd = e.where(F.col("src") < F.col("dst"))
+    rev = e.where(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = fwd.join(rev, on=["src", "dst"], how="left_semi")
+    return mutual.groupBy((F.col("src") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_mutual")
+    )
+
+
+def q82_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join as a declared query: lineitem (skewed
+    side) × orders on the order key via ``salted_join`` — salting
+    splits a hot key across 8 reducers; results are provably identical
+    to the plain join (the oracle IS the plain join). Revenue per
+    order priority."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = relational.salted_join(li, o, on=["o_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (sampleBy surrogate,
+    SURVEY §5.3 determinism rule): each market segment keeps a
+    ``custkey % m == 0`` slice where the modulus is derived from the
+    segment name itself — per-stratum rates without enumerating
+    segment values, identical arithmetic in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.length("c_mktsegment") % 3 + 2
+    return (
+        c.where(F.col("c_custkey") % m == 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1268,6 +1509,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_wordcount": q71_wordcount,
         "q72_exists_semijoin": q72_exists_semijoin,
         "q73_ann_ivf_seeded": q73_ann_ivf_seeded,
+        "q74_tpch_q18": q74_tpch_q18,
+        "q75_tpch_q21": q75_tpch_q21,
+        "q76_min_cost_supplier": q76_min_cost_supplier,
+        "q77_stats_agg": q77_stats_agg,
+        "q78_median_percentile": q78_median_percentile,
+        "q79_range_moving_window": q79_range_moving_window,
+        "q80_value_windows": q80_value_windows,
+        "q81_mutual_pairs": q81_mutual_pairs,
+        "q82_salted_skew_join": q82_salted_skew_join,
+        "q83_stratified_sample": q83_stratified_sample,
     }
 
 
@@ -2652,5 +2903,167 @@ topk AS (
   FROM scored
 )
 SELECT query_id, nb_id, cos, rank FROM topk WHERE rank <= 5
+""",
+)
+
+_oracle(
+    "q74_tpch_q18",
+    """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 150
+)
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o_totalprice, 2) AS totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+
+_oracle(
+    "q75_tpch_q21",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+flagged AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM flagged f
+JOIN supplier ON f.l_suppkey = s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.l_orderkey = f.l_orderkey AND p.l_suppkey <> f.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM flagged g
+  WHERE g.l_orderkey = f.l_orderkey AND g.l_suppkey <> f.l_suppkey
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+)
+
+_oracle(
+    "q76_min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT p_partkey, l_suppkey, l_extendedprice / l_quantity AS unit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_partkey % 20 = 0
+),
+mins AS (
+  SELECT p_partkey AS mk, MIN(unit) AS min_unit FROM offers GROUP BY p_partkey
+)
+SELECT DISTINCT p_partkey, l_suppkey, ROUND(min_unit, 6) AS min_unit
+FROM offers JOIN mins ON p_partkey = mk AND unit = min_unit
+""",
+)
+
+_oracle(
+    "q77_stats_agg",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       ROUND(stddev_samp(l_extendedprice), 3) AS std_price,
+       ROUND(AVG(l_extendedprice), 3) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_oracle(
+    "q78_median_percentile",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       ROUND(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+       ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75
+FROM customer GROUP BY c_mktsegment
+""",
+)
+
+_oracle(
+    "q79_range_moving_window",
+    """
+SELECT event_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       ROUND(SUM(value) OVER w, 2) AS sum_trailing
+FROM events
+WHERE user_id % 20 = 0
+WINDOW w AS (
+  PARTITION BY event_type
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+""",
+)
+
+_oracle(
+    "q80_value_windows",
+    """
+SELECT c_custkey, c_mktsegment, tier, top_cust, bottom_cust, third_cust
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS tier,
+         first_value(c_custkey) OVER w AS top_cust,
+         last_value(c_custkey) OVER w AS bottom_cust,
+         nth_value(c_custkey, 3) OVER w AS third_cust
+  FROM customer
+  WINDOW w AS (
+    PARTITION BY c_mktsegment
+    ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC, c_custkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+WHERE c_custkey % 10 = 0
+""",
+)
+
+_oracle(
+    "q81_mutual_pairs",
+    SQL_EDGES
+    + """
+, de AS (SELECT DISTINCT src, dst FROM edges),
+fwd AS (SELECT src, dst FROM de WHERE src < dst),
+rev AS (SELECT dst AS src, src AS dst FROM de WHERE src > dst)
+SELECT src % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_mutual
+FROM fwd
+WHERE EXISTS (SELECT 1 FROM rev WHERE rev.src = fwd.src AND rev.dst = fwd.dst)
+GROUP BY src % 16
+""",
+)
+
+_oracle(
+    "q82_salted_skew_join",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+
+_oracle(
+    "q83_stratified_sample",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       ROUND(AVG(c_acctbal), 2) AS avg_bal
+FROM customer
+WHERE c_custkey % (length(c_mktsegment) % 3 + 2) = 0
+GROUP BY c_mktsegment
 """,
 )
