@@ -195,3 +195,42 @@ def test_q62_broadcasts_dimensions(spark):
     p = plan(ENTRY.queries()["q62_tpch_q7_volume"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q74_aggregates_before_join_and_bounds_sort(spark):
+    """Q18 shape: the HAVING aggregate must run on the pruned fact scan
+    (2 columns) BEFORE the dimension joins, and the final order-by-100
+    must compile to TakeOrderedAndProject, not a global sort."""
+    p = plan(ENTRY.queries()["q74_tpch_q18"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q75_semi_anti_hash_joins(spark):
+    """Q21's EXISTS/NOT EXISTS must compile to hash semi/anti joins —
+    a BroadcastNestedLoopJoin here would be quadratic in the fact."""
+    p = plan(ENTRY.queries()["q75_tpch_q21"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q79_single_shuffle_shared_window(spark):
+    """Both trailing aggregates share one window spec: ONE exchange
+    (the events scan feeds a single partition-by-type sort), and the
+    deterministic user-subset filter reaches the scan."""
+    p = plan(ENTRY.queries()["q79_range_moving_window"](spark, SF_DIR))
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert p.count("Window") >= 1
+    assert "(user_id#" in p and "% 20)" in p  # filter at/near the scan
+
+
+def test_q82_salt_replicates_not_cartesian(spark):
+    """The salted join must stay an equi hash join on (key, salt) with
+    the small side replicated via explode — never a cartesian."""
+    p = plan(ENTRY.queries()["q82_salted_skew_join"](spark, SF_DIR))
+    assert "explode" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
