@@ -1427,6 +1427,27 @@ def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise feature standardization via the Arrow ``applyInPandas``
+    engine — the oracle twin is the plain SQL window form, so the
+    driver hash-checks the Pandas path itself (same pattern as q32's
+    mapInPandas digest). Stats are computed over FULL segments; the
+    output is then bounded to a deterministic customer subset.
+    Round 6 absorbs the numpy-vs-DuckDB reduction-order noise."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    z = relational.groupwise_zscore(
+        c, ["c_mktsegment"], "c_acctbal", engine="pandas"
+    )
+    return z.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1519,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_mutual_pairs": q81_mutual_pairs,
         "q82_salted_skew_join": q82_salted_skew_join,
         "q83_stratified_sample": q83_stratified_sample,
+        "q84_groupwise_zscore": q84_groupwise_zscore,
     }
 
 
@@ -3065,5 +3087,18 @@ SELECT c_mktsegment,
 FROM customer
 WHERE c_custkey % (length(c_mktsegment) % 3 + 2) = 0
 GROUP BY c_mktsegment
+""",
+)
+
+_oracle(
+    "q84_groupwise_zscore",
+    """
+SELECT c_custkey, c_mktsegment,
+       ROUND(c_acctbal, 2) AS c_acctbal,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+             / stddev_samp(c_acctbal) OVER w, 6) AS z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+QUALIFY c_custkey % 10 = 0
 """,
 )

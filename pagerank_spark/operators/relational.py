@@ -340,3 +340,52 @@ def interval_join(
         )
         .drop("__b")
     )
+
+
+def groupwise_zscore(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "z",
+    engine: str = "window",
+) -> DataFrame:
+    """Per-group standardization: ``(x - mean(group)) / stddev(group)``
+    (sample stddev; NULL for singleton groups) — the feature-scaling
+    step of a training-data pipeline.
+
+    Two engines with identical semantics:
+
+    - ``window`` (default, scale path): one hash shuffle on ``keys``;
+      the aggregates and the division stay in whole-stage codegen, no
+      Python in the loop.
+    - ``pandas``: ``groupBy(...).applyInPandas`` — each group arrives
+      as one Arrow batch and is normalized by vectorized numpy. The
+      demonstration path for custom groupwise logic Catalyst can't
+      express; prefer ``window`` whenever the expression exists
+      JVM-side. Each group must fit in one executor's memory — for
+      heavy-tailed group sizes use the window engine.
+    """
+    if engine == "window":
+        w = Window.partitionBy(*keys)
+        mu = F.avg(value_col).over(w)
+        sd = F.stddev_samp(value_col).over(w)
+        return df.withColumn(out_col, (F.col(value_col) - mu) / sd)
+    if engine != "pandas":
+        raise ValueError(f"engine must be 'window' or 'pandas', got {engine!r}")
+
+    # Copy the fields — StructType.add mutates in place, and df.schema
+    # hands back the DataFrame's live schema object.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def _norm(pdf):
+        v = pdf[value_col]
+        sd = v.std(ddof=1)
+        pdf = pdf.copy()
+        pdf[out_col] = (v - v.mean()) / sd if sd and sd == sd else None
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_norm, schema=out_schema)

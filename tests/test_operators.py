@@ -357,3 +357,43 @@ def test_interval_join_equi_plan(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_groupwise_zscore_engines_agree(spark):
+    """The Arrow applyInPandas path and the Catalyst window path are the
+    same operator: identical values to 1e-9 on every row, including a
+    singleton group (stddev_samp undefined -> NULL in both)."""
+    from pagerank_spark.operators.relational import groupwise_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0), ("b", 30.0),
+         ("lone", 7.0)],
+        "g string, x double",
+    )
+    w = {
+        (r["g"], r["x"]): r["z"]
+        for r in groupwise_zscore(df, ["g"], "x").collect()
+    }
+    p = {
+        (r["g"], r["x"]): r["z"]
+        for r in groupwise_zscore(df, ["g"], "x", engine="pandas").collect()
+    }
+    assert set(w) == set(p)
+    for k, wv in w.items():
+        pv = p[k]
+        if wv is None:
+            assert pv is None or pv != pv
+        else:
+            assert abs(wv - pv) < 1e-9
+    assert w[("lone", 7.0)] is None
+
+
+def test_groupwise_zscore_bad_engine(spark):
+    from pagerank_spark.operators.relational import groupwise_zscore
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    try:
+        groupwise_zscore(df, ["g"], "x", engine="rdd")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
