@@ -1448,6 +1448,32 @@ def q84_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles with a hash-exact oracle:
+    ``approx_percentile`` (Greenwald-Khanna, the single-pass mergeable
+    100 TB path — no per-group sort) with accuracy 1e6 has rank error
+    ``n/accuracy < 1`` at oracle scale, so it returns exactly the
+    discrete quantile DuckDB's ``quantile_disc`` picks. The declared
+    query thus pins the SKETCH code path itself, not an exact-sort
+    stand-in (same trick as q73's refine-free IVF). At real scale the
+    same plan runs with accuracy ~1e4 and a bounded error instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), q.alias("q"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("q")[0], 2).alias("p25"),
+            F.round(F.col("q")[1], 2).alias("p50"),
+            F.round(F.col("q")[2], 2).alias("p75"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1541,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_salted_skew_join": q82_salted_skew_join,
         "q83_stratified_sample": q83_stratified_sample,
         "q84_groupwise_zscore": q84_groupwise_zscore,
+        "q85_sketch_quantiles": q85_sketch_quantiles,
     }
 
 
@@ -3100,5 +3127,17 @@ SELECT c_custkey, c_mktsegment,
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment)
 QUALIFY c_custkey % 10 = 0
+""",
+)
+
+_oracle(
+    "q85_sketch_quantiles",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
+       ROUND(quantile_disc(l_extendedprice, 0.50), 2) AS p50,
+       ROUND(quantile_disc(l_extendedprice, 0.75), 2) AS p75
+FROM lineitem GROUP BY l_returnflag
 """,
 )
