@@ -329,3 +329,32 @@ def stream_to_parquet_foreachbatch(
         .queryName(query_name)
         .start()
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming dimension
+    lookup.
+
+    Stateless: each micro-batch hash-joins against the static side (no
+    state store, no watermark required), and the static side is
+    re-resolved per batch, so a dimension backed by a table picks up
+    slowly-changing updates between batches. The static side is
+    broadcast explicitly — at scale the dimension is small by
+    construction (it enriches, it isn't a fact), and a shuffle of the
+    stream side per micro-batch would dominate the trigger latency.
+    Inner/left only: right/full joins on a stream-static pair would
+    need to emit unmatched STATIC rows, which is undefined until the
+    stream ends.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"stream-static joins must preserve the stream side "
+            f"(inner/left/left_semi/left_anti), got how={how!r}"
+        )
+    return stream.join(F.broadcast(dim), on=on, how=how)

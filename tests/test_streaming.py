@@ -260,3 +260,61 @@ def test_foreachbatch_parquet_sink(spark, event_dir, tmp_path):
         for r in tumbling_window_agg(batch).collect()
     }
     assert final == expected
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, event_dir):
+    """enrich_stream: every micro-batch row is enriched by the static
+    dimension exactly as a batch join would — identical multiset of
+    (event_id, tier) pairs, nulls preserved for unmatched left rows."""
+    from pagerank_spark.streaming import enrich_stream, read_event_stream
+
+    batch = spark.read.parquet(event_dir)
+    dim = (
+        batch.select((F.col("user_id") % 3).alias("user_mod"))
+        .distinct()
+        .where(F.col("user_mod") < 2)  # leave mod==2 unmatched
+        .withColumn("tier", F.concat(F.lit("T"), F.col("user_mod")))
+    )
+
+    expected = sorted(
+        (r["event_id"], r["tier"])
+        for r in batch.withColumn("user_mod", F.col("user_id") % 3)
+        .join(dim, on=["user_mod"], how="left")
+        .select("event_id", "tier")
+        .collect()
+    )
+
+    stream = read_event_stream(spark, event_dir).withColumn(
+        "user_mod", F.col("user_id") % 3
+    )
+    q = (
+        enrich_stream(stream, dim, on=["user_mod"])
+        .select("event_id", "tier")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["event_id"], r["tier"])
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        )
+    finally:
+        q.stop()
+
+    assert got == expected
+    assert any(t is None for _, t in got)  # unmatched rows survive as null
+
+
+def test_enrich_stream_rejects_right_join(spark, event_dir):
+    from pagerank_spark.streaming import enrich_stream, read_event_stream
+
+    stream = read_event_stream(spark, event_dir)
+    dim = spark.range(3).withColumnRenamed("id", "user_id")
+    try:
+        enrich_stream(stream, dim, on=["user_id"], how="full")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
