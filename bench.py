@@ -89,6 +89,12 @@ def main() -> None:
         "q57_label_propagation",
         "q59_interval_join",
         "q63_weighted_sssp",
+        # round-3b tiers (no prior baseline — these SET the baseline):
+        "q74_tpch_q18",
+        "q75_tpch_q21",
+        "q77_stats_agg",
+        "q84_groupwise_zscore",
+        "q85_sketch_quantiles",
     ]
 
     timings: dict[str, float] = {}
