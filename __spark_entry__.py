@@ -1474,6 +1474,52 @@ def q85_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: per stage, users whose
+    earliest stage-i event is strictly after their stage-(i-1) time.
+    Each stage is a conditional min-agg + user-key join — never a
+    window over the raw stream."""
+    from pagerank_spark.operators.analytics import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week
+    (fixed 604800-second epoch buckets), counted as active per week
+    offset 0..3."""
+    from pagerank_spark.operators.analytics import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, max_offset=3)
+    return out.withColumnRenamed("offset", "week_offset")
+
+
+def q88_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=3 core peeling on a sparse derived graph (avg degree
+    ~3.7, so the peel genuinely removes nodes). Fixed rounds ≡ the
+    unrolled-CTE SQL twin exactly; the full k-core just iterates to
+    fixpoint."""
+    from pagerank_spark.graph.components import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.where(F.col("l_linenumber") == 1).select(
+        (F.col("l_orderkey") % 8192).cast("long").alias("src"),
+        (F.col("l_partkey") % 8192).cast("long").alias("dst"),
+    )
+    return kcore_peel(e, k=3, rounds=3)
+
+
+def q89_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the derived graph: corr of endpoint
+    degrees across distinct undirected edges — graph topology meets
+    the single-pass moment aggregates (q77)."""
+    from pagerank_spark.graph.components import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1568,6 +1614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_stratified_sample": q83_stratified_sample,
         "q84_groupwise_zscore": q84_groupwise_zscore,
         "q85_sketch_quantiles": q85_sketch_quantiles,
+        "q86_funnel": q86_funnel,
+        "q87_cohort_retention": q87_cohort_retention,
+        "q88_kcore": q88_kcore,
+        "q89_assortativity": q89_assortativity,
     }
 
 
@@ -3139,5 +3189,122 @@ SELECT l_returnflag,
        ROUND(quantile_disc(l_extendedprice, 0.50), 2) AS p50,
        ROUND(quantile_disc(l_extendedprice, 0.75), 2) AS p75
 FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_oracle(
+    "q86_funnel",
+    """
+WITH ep AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e
+  FROM events
+),
+t0 AS (
+  SELECT user_id, MIN(e) AS t FROM ep WHERE event_type = 'view'
+  GROUP BY user_id
+),
+t1 AS (
+  SELECT ep.user_id, MIN(e) AS t FROM ep
+  JOIN t0 ON ep.user_id = t0.user_id AND ep.e > t0.t
+  WHERE event_type = 'click' GROUP BY ep.user_id
+),
+t2 AS (
+  SELECT ep.user_id, MIN(e) AS t FROM ep
+  JOIN t1 ON ep.user_id = t1.user_id AND ep.e > t1.t
+  WHERE event_type = 'purchase' GROUP BY ep.user_id
+)
+SELECT CAST(0 AS BIGINT) AS stage, 'view' AS stage_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM t1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM t2)
+""",
+)
+
+_oracle(
+    "q87_cohort_retention",
+    """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS period
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(period) AS cohort FROM b GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, period FROM b)
+SELECT cohort, (period - cohort) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active JOIN cohort USING (user_id)
+WHERE period - cohort <= 3
+GROUP BY 1, 2
+""",
+)
+
+_oracle(
+    "q88_kcore",
+    """
+WITH sparse AS (
+  SELECT CAST(l_orderkey % 8192 AS BIGINT) AS src,
+         CAST(l_partkey % 8192 AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM sparse WHERE src <> dst
+),
+d1 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+e1 AS (
+  SELECT a, b FROM und
+  WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)
+),
+d2 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
+  ) GROUP BY node
+),
+k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+e2 AS (
+  SELECT a, b FROM e1
+  WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)
+),
+d3 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+  ) GROUP BY node
+),
+k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+e3 AS (
+  SELECT a, b FROM e2
+  WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3)
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3
+) GROUP BY node
+""",
+)
+
+_oracle(
+    "q89_assortativity",
+    SQL_EDGES
+    + """
+, und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+d AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(corr(da.deg, db.deg), 6) AS assortativity
+FROM und
+JOIN d da ON und.a = da.node
+JOIN d db ON und.b = db.node
 """,
 )

@@ -400,3 +400,84 @@ def weighted_shortest_paths(
             df.unpersist()
     e.unpersist()
     return final
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 3
+) -> DataFrame:
+    """Bounded k-core peeling: iteratively drop vertices of undirected
+    degree < k (and their edges) for ``rounds`` rounds; returns the
+    surviving (node, deg) table.
+
+    Extension tier (no reference analogue). Fixed-round peeling keeps
+    the result deterministic and gives the declared query an exact
+    unrolled-CTE SQL twin; full k-core = run until no node is dropped
+    (at 100 TB each round is one partial-combined degree count plus two
+    broadcast-or-shuffle semi joins — the surviving-node set shrinks
+    monotonically, so later rounds are cheap).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e = und
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), on="a", how="left_semi")
+            .join(keep.select(F.col("node").alias("b")), on="b", how="left_semi")
+        )
+    out = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    und.unpersist()
+    return out
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity: Pearson correlation between the undirected
+    degrees of the two endpoints across distinct non-loop edges — one
+    scalar row summarizing hub-to-hub vs hub-to-leaf wiring.
+
+    Two shuffles total: the degree count, then the edge-endpoint joins
+    (broadcastable when the vertex set is small relative to edges);
+    ``corr`` is a single-pass mergeable moment aggregate.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        und.join(da, on="a").join(db, on="b")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.corr("deg_a", "deg_b"), 6).alias("assortativity"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Behavioral-analytics operators: ordered funnels and cohort retention.
+
+Extension tier — the reference engine has no event-sequence analytics;
+these are the standard product-analytics queries a training-data /
+telemetry pipeline runs over an events fact, expressed as
+partial-agg-friendly DataFrame plans (no window over the full event
+stream, no per-user Python).
+
+Scale shape: every stage is a per-user conditional min-aggregation
+(map-side combinable) followed by a broadcast-or-shuffle equi-join on
+``user_id`` — the fact is scanned once per stage with column pruning,
+and nothing ever materializes per-event state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion times: for each user, the earliest time
+    each stage was reached STRICTLY AFTER the previous stage.
+
+    ``t_0 = min ts of stage 0``; ``t_i = min ts of stage i with
+    ts > t_{i-1}``. A user's row carries NULL from the first stage they
+    never completed (in order). One conditional-min aggregation per
+    stage over the pruned (user, ts) projection — the per-stage
+    dependency is a join on the previous stage's times, not a window
+    over the raw stream, so each step shuffles only |users| rows.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    out = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(epoch).alias("t_0"))
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .select(user_col, epoch.alias("__e"))
+            .join(out.select(user_col, f"t_{i - 1}"), on=user_col)
+            .where(F.col("__e") > F.col(f"t_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__e").alias(f"t_{i}"))
+        )
+        out = out.join(nxt, on=user_col, how="left")
+    return out
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel summary: one row per stage — (stage index, stage name,
+    number of users whose ordered funnel reached it)."""
+    times = funnel_stage_times(events, stages, user_col, type_col, ts_col)
+    aggs = [
+        F.count(F.col(f"t_{i}")).alias(f"__n_{i}") for i in range(len(stages))
+    ]
+    wide = times.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(stage).alias("stage_name"),
+            F.col(f"__n_{i}").cast("long").alias("n_users"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+    max_offset: int = 3,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, counted
+    as active in each subsequent period offset (0..max_offset).
+
+    Two scans of the pruned (user, ts) projection: one min-agg for the
+    cohort assignment, one distinct-activity set, joined on user — the
+    activity matrix is |users|·|periods|, never |events|. Periods are
+    fixed-width epoch buckets (calendar-agnostic, so the arithmetic is
+    engine-portable).
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds)
+    cohort = events.groupBy(user_col).agg(F.min(bucket).alias("cohort"))
+    active = events.select(
+        user_col, bucket.alias("period")
+    ).distinct()
+    return (
+        active.join(cohort, on=user_col)
+        .withColumn("offset", (F.col("period") - F.col("cohort")).cast("long"))
+        .where(F.col("offset") <= max_offset)
+        .groupBy(F.col("cohort").cast("long").alias("cohort"), "offset")
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -397,3 +397,57 @@ def test_groupwise_zscore_bad_engine(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_funnel_requires_strict_order(spark):
+    """A user whose 'click' precedes their first 'view' must not count
+    for stage 1 — the funnel is ordered, not a bag-of-events check."""
+    from pagerank_spark.operators.analytics import funnel_counts
+
+    rows = [
+        # u1: view@10 -> click@20 -> purchase@30  (full funnel)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click@5 BEFORE view@10, no click after -> stops at view
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 30),
+        # u3: view only
+        (3, "view", 10),
+        # u4: never viewed -> not even stage 0
+        (4, "click", 10), (4, "purchase", 20),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows], "user_id long, event_type string, sec long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = {
+        r["stage_name"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_kcore_peels_tail(spark):
+    """Triangle + pendant chain, k=2: the chain peels off over rounds,
+    the triangle survives with degree 2 everywhere."""
+    from pagerank_spark.graph.components import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),      # triangle: 2-core
+         (3, 4), (4, 5)],             # pendant chain: peels
+        "src long, dst long",
+    )
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: hub degree n pairs with
+    leaf degree 1 on every edge -> corr undefined only if degenerate;
+    star+extra edge gives a strictly negative coefficient."""
+    from pagerank_spark.graph.components import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)],
+        "src long, dst long",
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_edges"] == 6
+    assert row["assortativity"] < 0
