@@ -1520,6 +1520,22 @@ def q89_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(_edges(spark, sf_dir))
 
 
+def q90_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization end-to-end: MinHash+LSH pairs →
+    connected-components clustering → keep-min-id representative. The
+    oracle embeds the signature-exact pair SQL (q27's twin,
+    parameterized) as a CTE and closes it transitively with a recursive
+    CTE (q41's pattern) — the whole pipeline is hash-checked, not just
+    the pair list. Unigram shingles at threshold 0.9: the fixture
+    corpus is unigram-near-dup-rich (~300 pairs in the subset), so the
+    clustering genuinely merges (trigram/0.5 finds no pairs at
+    sf0.01 and would make this a no-op)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return dedup.neardup_clusters(docs, "doc_id", "text", n=1, threshold=0.9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1618,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_cohort_retention": q87_cohort_retention,
         "q88_kcore": q88_kcore,
         "q89_assortativity": q89_assortativity,
+        "q90_neardup_clusters": q90_neardup_clusters,
     }
 
 
@@ -2183,9 +2200,34 @@ _BAND_SIGS = "\n  UNION ALL\n".join(
     for band in range(4)
 )
 
-_oracle(
-    "q27_minhash_lsh",
-    r"""
+def _minhash_pair_sql(n: int, threshold: float) -> str:
+    """Parameterized MinHash+LSH pair twin (shingle width n, verify
+    threshold) — same signature/banding algebra as the Spark operator
+    for any (n, threshold)."""
+    if n == 1:
+        shingles = (
+            "shingles AS (\n"
+            "  SELECT DISTINCT doc_id, tok AS shingle FROM toks"
+            " WHERE tok <> ''\n)"
+        )
+    else:
+        aliases = [chr(ord("a") + i) for i in range(n)]
+        concat = " || ' ' || ".join(f"{al}.tok" for al in aliases)
+        joins = "\n".join(
+            f"  JOIN toks {al} ON a.doc_id = {al}.doc_id"
+            f" AND {al}.idx = a.idx + {i}"
+            for i, al in enumerate(aliases)
+            if i > 0
+        )
+        shingles = (
+            "shingles AS (\n"
+            f"  SELECT DISTINCT a.doc_id,\n         {concat} AS shingle\n"
+            "  FROM toks a\n"
+            f"{joins}\n"
+            f"  WHERE {concat} <> ''\n)"
+        )
+    return (
+        r"""
 WITH docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
 ),
@@ -2198,32 +2240,27 @@ toks AS (
     FROM docs
   )
 ),
-shingles AS (
-  SELECT DISTINCT a.doc_id,
-         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
-  FROM toks a
-  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
-  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
-  WHERE a.tok || ' ' || b.tok || ' ' || c.tok <> ''
-),
+"""
+        + shingles
+        + r""",
 hashed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % """
-    + str(_P)
-    + r""" AS h
+        + str(_P)
+        + r""" AS h
   FROM shingles
 ),
 sigs AS (
   SELECT doc_id,
     """
-    + _MH_COLS
-    + r"""
+        + _MH_COLS
+        + r"""
   FROM hashed GROUP BY doc_id
 ),
 banded AS (
 """
-    + _BAND_SIGS
-    + r"""
+        + _BAND_SIGS
+        + r"""
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2246,9 +2283,13 @@ SELECT i.id_a, i.id_b,
 FROM inter i
 JOIN sizes sa ON i.id_a = sa.doc_id
 JOIN sizes sb ON i.id_b = sb.doc_id
-WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
-""",
-)
+WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= """
+        + str(threshold)
+        + "\n"
+    )
+
+
+_oracle("q27_minhash_lsh", _minhash_pair_sql(3, 0.5))
 
 # q31_simhash_pairs intentionally has no oracle entry → rows-only check.
 
@@ -3306,5 +3347,42 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
 FROM und
 JOIN d da ON und.a = da.node
 JOIN d db ON und.b = db.node
+""",
+)
+
+# q90's oracle reuses q27's signature-exact MinHash pair SQL verbatim as
+# a nested CTE (a CTE body may carry its own WITH in DuckDB), then
+# transitively closes the pair graph with q41's recursive min-label
+# pattern and maps every subset doc to its cluster representative.
+_oracle(
+    "q90_neardup_clusters",
+    "WITH RECURSIVE pairs AS (\n"
+    + _minhash_pair_sql(1, 0.9)
+    + """
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+pnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, label) AS (
+  SELECT node, node FROM pnodes
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON r.node = u.src
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+subset AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+canon AS (
+  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS canonical_id
+  FROM subset s LEFT JOIN comp c ON s.doc_id = c.node
+),
+sizes AS (
+  SELECT canonical_id AS c_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM canon GROUP BY canonical_id
+)
+SELECT doc_id, canonical_id, cluster_size,
+       doc_id = canonical_id AS is_kept
+FROM canon JOIN sizes ON canonical_id = c_id
 """,
 )

@@ -419,3 +419,54 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup canonicalization: the step an actual dedup pipeline runs
+    AFTER pair finding — transitively cluster the near-dup pairs and
+    keep one representative per cluster.
+
+    ``minhash_neardup_pairs`` (LSH candidates + exact verify) feeds a
+    connected-components pass over the pair graph (near-duplication is
+    not transitive, but dedup policy treats clusters as one document —
+    the standard approach); the canonical id is the cluster's minimum
+    doc id. Returns one row per input doc: (id, canonical_id,
+    cluster_size, is_kept) — singletons are their own canonical.
+
+    Scale: the pair graph is tiny relative to the corpus (only
+    near-dups), so the iterative CC runs on a residual graph; the final
+    mapping is one left join back onto the id projection.
+    """
+    from pagerank_spark.graph.components import connected_components
+
+    pairs = minhash_neardup_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    ids = df.select(F.col(id_col))
+    canon = (
+        ids.join(comp, ids[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    sizes = canon.groupBy(F.col("canonical_id").alias("__c")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        canon.join(sizes, canon["canonical_id"] == sizes["__c"])
+        .select(
+            id_col,
+            "canonical_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_kept"),
+        )
+    )
