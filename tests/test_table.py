@@ -1,0 +1,79 @@
+"""Versioned-parquet table layer: snapshots, upsert merge, time travel,
+vacuum, crash-orphan cleanup."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pagerank_spark import table as T
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string")
+
+
+def test_write_read_roundtrip_and_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v0 = T.write_table(_df(spark, [(1, "a"), (2, "b")]), root)
+    v1 = T.write_table(_df(spark, [(3, "c")]), root)
+    assert (v0, v1) == (0, 1)
+    assert T.current_version(root) == 1
+    assert T.list_versions(root) == [0, 1]
+    assert {r["k"] for r in T.read_table(spark, root).collect()} == {3}
+    # time travel
+    assert {r["k"] for r in T.read_table(spark, root, version=0).collect()} == {1, 2}
+
+
+def test_upsert_merges_by_key(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.write_table(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    T.upsert_table(spark, _df(spark, [(2, "B"), (4, "d")]), root, keys=["k"])
+    got = {r["k"]: r["val"] for r in T.read_table(spark, root).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # original snapshot is untouched (immutability)
+    old = {r["k"]: r["val"] for r in T.read_table(spark, root, version=0).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_append_accumulates(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.append_table(spark, _df(spark, [(1, "a")]), root)
+    T.append_table(spark, _df(spark, [(2, "b")]), root)
+    assert T.read_table(spark, root).count() == 2
+
+
+def test_vacuum_keeps_recent_and_drops_orphans(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        T.write_table(_df(spark, [(i, "x")]), root)
+    # simulate a crashed writer: snapshot dir exists, pointer never moved
+    os.makedirs(os.path.join(root, "v00099"))
+    dropped = T.vacuum_table(root, keep=2)
+    assert dropped == [0, 1, 99]
+    assert T.list_versions(root) == [2, 3]
+    # current read still works; vacuumed time travel raises
+    assert T.read_table(spark, root).count() == 1
+    try:
+        T.read_table(spark, root, version=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_history_reports_counts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.write_table(_df(spark, [(1, "a")]), root)
+    T.append_table(spark, _df(spark, [(2, "b"), (3, "c")]), root)
+    hist = {r["version"]: (r["n_rows"], r["is_current"])
+            for r in T.table_history(spark, root).collect()}
+    assert hist == {0: (1, False), 1: (3, True)}
+
+
+def test_upsert_is_null_safe_on_keys(spark, tmp_path):
+    root = str(tmp_path / "t")
+    T.write_table(_df(spark, [(None, "a"), (1, "b")]), root)
+    T.upsert_table(spark, _df(spark, [(None, "A")]), root, keys=["k"])
+    got = {r["k"]: r["val"] for r in T.read_table(spark, root).collect()}
+    assert got == {None: "A", 1: "b"}
