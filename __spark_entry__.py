@@ -1536,6 +1536,29 @@ def q90_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(docs, "doc_id", "text", n=1, threshold=0.9)
 
 
+def q91_vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics via ``posexplode`` — the
+    vector-column profiling pass (feature drift / normalization checks)
+    a training pipeline runs. One explode + one partial-agg groupBy on
+    the bounded dimension key (64 groups regardless of corpus size).
+    DuckDB twin uses ``generate_subscripts`` (1-based → aligned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            )
+        )
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), 6).alias("avg_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1635,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_kcore": q88_kcore,
         "q89_assortativity": q89_assortativity,
         "q90_neardup_clusters": q90_neardup_clusters,
+        "q91_vector_dim_stats": q91_vector_dim_stats,
     }
 
 
@@ -3384,5 +3408,22 @@ sizes AS (
 SELECT doc_id, canonical_id, cluster_size,
        doc_id = canonical_id AS is_kept
 FROM canon JOIN sizes ON canonical_id = c_id
+""",
+)
+
+_oracle(
+    "q91_vector_dim_stats",
+    """
+WITH flat AS (
+  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+)
+SELECT CAST(idx - 1 AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), 6) AS avg_x,
+       ROUND(MIN(x), 6) AS min_x,
+       ROUND(MAX(x), 6) AS max_x
+FROM flat GROUP BY idx
 """,
 )

@@ -358,3 +358,40 @@ def enrich_stream(
             f"(inner/left/left_semi/left_anti), got how={how!r}"
         )
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_upsert_to_table(
+    agg_stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    query_name: str = "table_upsert_sink",
+):
+    """CDC-style sink: every update-mode micro-batch is MERGEd into the
+    versioned parquet table (``pagerank_spark.table``) by key — the
+    "streaming upsert into a lakehouse table" pattern.
+
+    Each batch produces one new table snapshot whose changed keys are
+    replaced and new keys inserted; readers always see a complete,
+    consistent snapshot via the atomic ``_latest`` pointer, and
+    ``read_table(version=...)`` time-travels through the batch history.
+    Replayed batches (failure recovery) re-upsert the same rows —
+    upsert is idempotent per key-value, so exactly-once lands on
+    at-least-once delivery here too.
+    """
+    from pagerank_spark import table as _table
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _table.upsert_table(
+            batch_df.sparkSession, batch_df, table_root, keys=keys
+        )
+
+    return (
+        agg_stream.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -318,3 +318,43 @@ def test_enrich_stream_rejects_right_join(spark, event_dir):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_stream_upsert_into_versioned_table(spark, event_dir, tmp_path):
+    """foreachBatch -> upsert merge: the final table snapshot holds the
+    LAST emitted value per key (= the batch aggregate), and earlier
+    snapshots time-travel through the batch history."""
+    from pagerank_spark import table as T
+    from pagerank_spark.streaming import (
+        read_event_stream,
+        stream_upsert_to_table,
+        tumbling_window_agg,
+    )
+
+    root = str(tmp_path / "tbl")
+    batch = spark.read.parquet(event_dir)
+    expected = {
+        (r["window_id"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_agg(batch).collect()
+    }
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream.withWatermark("ts", "2 hours"))
+    q = stream_upsert_to_table(
+        agg, root, str(tmp_path / "ckpt"), keys=["window_id", "event_type"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window_id"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in T.read_table(spark, root).collect()
+    }
+    assert got == expected
+    # multiple snapshots accumulated (one per non-empty batch)
+    assert len(T.list_versions(root)) >= 2
+    # the first snapshot has no more keys than the final one
+    first = T.read_table(spark, root, version=0).count()
+    assert first <= len(got)
