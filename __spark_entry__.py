@@ -1559,6 +1559,90 @@ def q91_vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparse_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q63's sparse deterministic weighted graph (shared by q92/q93)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 4 == 0))
+        .select(
+            (F.col("l_orderkey") % 256).cast("long").alias("src"),
+            (F.col("l_partkey") % 256).cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+        )
+    )
+
+
+SQL_SPARSE_W = """
+WITH e AS (
+  SELECT DISTINCT CAST(l_orderkey % 256 AS BIGINT) AS src,
+         CAST(l_partkey % 256 AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+),
+ew AS (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),
+snodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ew UNION ALL SELECT dst AS node FROM ew
+  )
+)
+"""
+
+
+def q92_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration weighted PageRank on the sparse weighted graph:
+    contributions split ∝ w/W(src); dangling mass recycled uniformly.
+    Fixed iterations ⇒ exact unrolled-CTE twin (q61's pattern)."""
+    from pagerank_spark.graph.pagerank import weighted_pagerank
+
+    e = _sparse_weighted_edges(spark, sf_dir)
+    out = weighted_pagerank(e, beta=0.85, iterations=2)
+    return out.select("node", F.round("rank", 12).alias("rank"))
+
+
+def q93_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (triangles at v over
+    C(deg,2)) — q42's canonical triangle plan extended to credit each
+    triangle's three corners."""
+    from pagerank_spark.graph.components import local_clustering
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    return local_clustering(e)
+
+
+def q94_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join: price-band bucketing against a 5-row
+    bands dimension via BETWEEN-style range predicates. With a tiny
+    broadcast dimension the nested-loop join IS the right plan (every
+    probe row tests 5 bands) — the one place the no-NLJ rule inverts;
+    contrast q59, which buckets a real interval join into an equi
+    join because BOTH sides are large."""
+    bands = spark.createDataFrame(
+        [
+            ("B0_under_1k", 0.0, 1_000.0),
+            ("B1_1k_5k", 1_000.0, 5_000.0),
+            ("B2_5k_20k", 5_000.0, 20_000.0),
+            ("B3_20k_50k", 20_000.0, 50_000.0),
+            ("B4_over_50k", 50_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1659,6 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_assortativity": q89_assortativity,
         "q90_neardup_clusters": q90_neardup_clusters,
         "q91_vector_dim_stats": q91_vector_dim_stats,
+        "q92_weighted_pagerank": q92_weighted_pagerank,
+        "q93_local_clustering": q93_local_clustering,
+        "q94_band_theta_join": q94_band_theta_join,
     }
 
 
@@ -3425,5 +3512,100 @@ SELECT CAST(idx - 1 AS BIGINT) AS dim,
        ROUND(MIN(x), 6) AS min_x,
        ROUND(MAX(x), 6) AS max_x
 FROM flat GROUP BY idx
+""",
+)
+
+_oracle(
+    "q92_weighted_pagerank",
+    SQL_SPARSE_W
+    + """
+, ws AS (SELECT src AS node, SUM(w) AS wsum FROM ew GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM snodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM snodes),
+dm0 AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm
+  FROM r0 LEFT JOIN ws USING (node) WHERE wsum IS NULL
+),
+c1 AS (
+  SELECT ew.dst AS node, SUM(0.85 * r0.rank * ew.w / ws.wsum) AS c
+  FROM ew JOIN r0 ON ew.src = r0.node JOIN ws ON ew.src = ws.node
+  GROUP BY ew.dst
+),
+r1 AS (
+  SELECT s.node,
+         (0.15 + 0.85 * (SELECT dm FROM dm0)) / (SELECT n FROM nn)
+           + COALESCE(c1.c, 0.0) AS rank
+  FROM snodes s LEFT JOIN c1 ON s.node = c1.node
+),
+dm1 AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm
+  FROM r1 LEFT JOIN ws USING (node) WHERE wsum IS NULL
+),
+c2 AS (
+  SELECT ew.dst AS node, SUM(0.85 * r1.rank * ew.w / ws.wsum) AS c
+  FROM ew JOIN r1 ON ew.src = r1.node JOIN ws ON ew.src = ws.node
+  GROUP BY ew.dst
+),
+r2 AS (
+  SELECT s.node,
+         (0.15 + 0.85 * (SELECT dm FROM dm1)) / (SELECT n FROM nn)
+           + COALESCE(c2.c, 0.0) AS rank
+  FROM snodes s LEFT JOIN c2 ON s.node = c2.node
+)
+SELECT node, ROUND(rank, 12) AS rank FROM r2
+""",
+)
+
+_oracle(
+    "q93_local_clustering",
+    SQL_SPARSE_W
+    + """
+, und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+d AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+nt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(nt.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN ROUND(COALESCE(nt.n_tri, 0)
+                       / (d.deg * (d.deg - 1) / 2.0), 6)
+            ELSE 0.0 END AS clustering
+FROM d LEFT JOIN nt ON d.node = nt.node
+""",
+)
+
+_oracle(
+    "q94_band_theta_join",
+    """
+WITH bands(band, lo, hi) AS (
+  VALUES ('B0_under_1k', 0.0, 1000.0),
+         ('B1_1k_5k', 1000.0, 5000.0),
+         ('B2_5k_20k', 5000.0, 20000.0),
+         ('B3_20k_50k', 20000.0, 50000.0),
+         ('B4_over_50k', 50000.0, 1e18)
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
 """,
 )

@@ -423,7 +423,6 @@ def kcore_peel(
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e = und
     deg = None
@@ -445,7 +444,6 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    und.unpersist()
     return out
 
 
@@ -481,3 +479,64 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.round(F.corr("deg_a", "deg_b"), 6).alias("assortativity"),
         )
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient on the distinct undirected
+    graph: triangles_at(v) / C(deg(v), 2); nodes with deg < 2 get 0.
+
+    The triangle enumeration reuses the canonical two-join plan of
+    ``triangle_count`` (each triangle found once as a<b<c), then each
+    triangle credits its three corners — an explode + count, never a
+    per-node neighborhood materialization.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, on="b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corner = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    out = (
+        deg.join(corner, on="node", how="left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering"),
+        )
+    )
+    return out

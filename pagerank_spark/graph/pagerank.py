@@ -510,3 +510,85 @@ def personalized_pagerank(
             )
         )
     return state.select("node", "rank")
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    beta: float = 0.85,
+    iterations: int = 2,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank: contributions split ∝ edge weight instead of
+    uniformly. Returns (node, rank).
+
+    Extension tier (the reference's loop — pageRank.py:117-139 — is
+    unweighted). Each step:
+
+        r'[v] = (1-β)/n + β·dm/n + β·Σ_{u→v} r[u]·w(u,v)/W(u)
+
+    with ``W(u)`` the sum of u's outgoing weights and ``dm`` the
+    dangling mass — ranks sum to 1 every iteration. Fixed-iteration
+    synchronous form so a k-step declared query has an exact SQL twin
+    (same pattern as ``personalized_pagerank``); swap in the
+    convergence-looped shape of ``pagerank`` for large k.
+
+    Scale shape: one weight-sum aggregation up front (reused every
+    iteration, analogous to the degree table), then per iteration one
+    shuffle join + one partial-agg sum; the scalars (n, dm) ride along
+    as broadcast single-row joins — nothing collects to the driver.
+    """
+    wsum = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum(weight_col).alias("wsum")
+    )
+    verts = vertices(edges)
+    n = F.broadcast(verts.agg(F.count("*").alias("__n")))
+
+    state = (
+        verts.join(wsum, on="node", how="left")
+        .crossJoin(n)
+        .select("node", "wsum", "__n", (1.0 / F.col("__n")).alias("rank"))
+    )
+
+    for _ in range(iterations):
+        dm = F.broadcast(
+            state.where(F.col("wsum").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+        )
+        contribs = (
+            edges.join(
+                state.select(
+                    F.col("node").alias("src"),
+                    "rank",
+                    F.col("wsum").alias("__ws"),
+                ),
+                on="src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(beta)
+                    * F.col("rank")
+                    * F.col(weight_col)
+                    / F.col("__ws")
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        state = (
+            state.select("node", "wsum", "__n")
+            .join(contribs, on="node", how="left")
+            .crossJoin(dm)
+            .select(
+                "node",
+                "wsum",
+                "__n",
+                (
+                    (F.lit(1.0 - beta) + F.lit(beta) * F.col("__dm"))
+                    / F.col("__n")
+                    + F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return state.select("node", "rank")

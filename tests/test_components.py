@@ -274,3 +274,33 @@ def test_weighted_sssp_hop_bound(spark):
         for r in weighted_shortest_paths(df, seeds, max_iterations=3).collect()
     }
     assert three[3] == 3.0
+
+
+def test_weighted_pagerank_sums_to_one_and_prefers_heavy_edges(spark):
+    from pagerank_spark.graph.pagerank import weighted_pagerank
+
+    # 1 -> 2 (w=9), 1 -> 3 (w=1): node 2 must outrank node 3.
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    ranks = {r["node"]: r["rank"]
+             for r in weighted_pagerank(edges, iterations=4).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[2] > ranks[3]
+
+
+def test_local_clustering_triangle_plus_pendant(spark):
+    from pagerank_spark.graph.components import local_clustering
+
+    # triangle 1-2-3 plus pendant 3-4: nodes 1,2 fully clustered (1.0),
+    # node 3 has deg 3 and one triangle -> 1/3; node 4 deg 1 -> 0.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: (r["deg"], r["n_tri"], r["clustering"])
+           for r in local_clustering(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)
