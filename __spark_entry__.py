@@ -1643,6 +1643,44 @@ def q94_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end: language-ID + quality scoring
+    composed into a keep/drop policy (quality ≥ 0.5, ≥ 5 tokens, known
+    language), reported per predicted language. One scan computes all
+    features (the two operators compose column-wise — Catalyst fuses
+    them into a single projection), one conditional aggregation — the
+    shape of a real corpus-filter job at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.quality_score(text.language_id(docs))
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+        & (F.col("pred_lang") != "unknown")
+    )
+    return (
+        feats.groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.round(F.avg(F.when(keep, F.col("quality"))), 6).alias(
+                "avg_kept_quality"
+            ),
+        )
+    )
+
+
+def q96_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (FW-BW min-pivot peeling) on the
+    sparse directed graph — the sf0.01 instance has one 64-node SCC
+    plus 192 singletons, so the peel does real work. Oracle: recursive
+    transitive closure + mutual-reachability grouping (exact; the
+    Spark side never materializes a closure)."""
+    from pagerank_spark.graph.components import strongly_connected_components
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    return strongly_connected_components(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1746,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_weighted_pagerank": q92_weighted_pagerank,
         "q93_local_clustering": q93_local_clustering,
         "q94_band_theta_join": q94_band_theta_join,
+        "q95_curation_pipeline": q95_curation_pipeline,
+        "q96_scc": q96_scc,
     }
 
 
@@ -3607,5 +3647,78 @@ SELECT band,
 FROM lineitem JOIN bands
   ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY band
+""",
+)
+
+_oracle(
+    "q95_curation_pipeline",
+    r"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS len_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+           AS h_en,
+         len(regexp_extract_all(lower(text), '\b(?:el|la|de|que|y)\b'))
+           AS h_es,
+         len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des)\b'))
+           AS h_fr,
+         len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ein)\b'))
+           AS h_de,
+         len(regexp_extract_all(lower(text), '(?:的|是|了|在|我)')) AS h_zh
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CASE
+           WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'unknown'
+           WHEN h_de = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'de'
+           WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+           WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+           WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+           ELSE 'zh'
+         END AS pred_lang,
+         ROUND(0.4 * least(len_chars / 500.0, 1.0)
+               + 0.3 * (1.0 - n_punct / greatest(len_chars, 1))
+               + 0.3 * least(h_en / greatest(n_tokens, 1), 1.0), 9)
+           AS quality
+  FROM feats
+),
+flagged AS (
+  SELECT pred_lang, quality,
+         (quality >= 0.5 AND n_tokens >= 5 AND pred_lang <> 'unknown')
+           AS keep
+  FROM scored
+)
+SELECT pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(CASE WHEN keep THEN quality END), 6) AS avg_kept_quality
+FROM flagged GROUP BY pred_lang
+""",
+)
+
+_oracle(
+    "q96_scc",
+    """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(l_orderkey % 256 AS BIGINT) AS src,
+         CAST(l_partkey % 256 AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+),
+n AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+reach(s, d) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src
+)
+SELECT a.s AS node, MIN(a.d) AS component
+FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+GROUP BY a.s
 """,
 )

@@ -540,3 +540,135 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def _min_label_fixpoint(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Directed min-label propagation to fixpoint: for each node, the
+    minimum node id among its ancestors (nodes that can reach it,
+    itself included). Labels flow ALONG edge direction (src → dst)."""
+    state = nodes.withColumn("lab", F.col("node")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached: list[DataFrame] = [state]
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        nbr = aggregate_messages(
+            edges, state.select("node", "lab"), msg=F.col("lab"),
+            agg=F.min("__msg"),
+        )
+        new_state = (
+            state.select("node", F.col("lab").alias("old"))
+            .join(nbr, on="node", how="left")
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("old"), F.coalesce("msg_agg", F.col("old"))
+                ).alias("lab"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_state.agg(
+                F.sum(F.when(F.col("lab") != F.col("old"), 1).otherwise(0))
+                .alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
+        nxt = new_state.select("node", "lab")
+        if iteration % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            for df in cached:
+                df.unpersist()
+            new_state.unpersist()
+            cached = []
+        else:
+            cached.append(new_state)
+        state = nxt
+        if changed == 0:
+            break
+    out = state.select("node", "lab")
+    if hasattr(out, "localCheckpoint"):
+        out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 60,
+    max_label_iterations: int = 30,
+) -> DataFrame:
+    """Strongly connected components by forward/backward min-pivot
+    peeling: (node, component) with component = min node id in the SCC.
+
+    Per outer round, over the residual graph: F(v) = min ancestor id
+    (min-label propagation along edges), B(v) = min descendant id
+    (along reversed edges). F(v) == B(v) == L means v and L reach each
+    other, so every such v settles into SCC L — all local min-pivots
+    settle concurrently, and the global min always does, so each round
+    strictly shrinks the residual. Standard FW-BW-style decomposition
+    (Fleischer et al.'s divide-and-conquer reachability idea) driven by
+    label propagation instead of recursion — every step is a shuffle
+    join + partial-agg, nothing driver-side but the scalar change
+    counts.
+    """
+    residual_edges = edges.select("src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    residual_nodes = vertices(residual_edges)
+    settled: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        if residual_nodes.isEmpty():
+            break
+        fwd = _min_label_fixpoint(
+            residual_edges, residual_nodes, max_label_iterations
+        ).withColumnRenamed("lab", "f")
+        bwd = _min_label_fixpoint(
+            residual_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            residual_nodes,
+            max_label_iterations,
+        ).withColumnRenamed("lab", "b")
+        both = fwd.join(bwd, on="node")
+        done = (
+            both.where(F.col("f") == F.col("b"))
+            .select("node", F.col("f").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        settled = (
+            done if settled is None else settled.unionByName(done)
+        )
+        residual_nodes = (
+            both.where(F.col("f") != F.col("b"))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        keep_src = residual_nodes.select(F.col("node").alias("src"))
+        keep_dst = residual_nodes.select(F.col("node").alias("dst"))
+        new_edges = (
+            residual_edges.join(keep_src, on="src", how="left_semi")
+            .join(keep_dst, on="dst", how="left_semi")
+            .localCheckpoint(eager=True)
+        )
+        residual_edges.unpersist()
+        residual_edges = new_edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    residual_edges.unpersist()
+    if not residual_nodes.isEmpty():
+        raise RuntimeError(
+            "SCC peeling did not converge within max_rounds="
+            f"{max_rounds}; raise max_rounds (each round settles every "
+            "current min-pivot SCC, so adversarial id orderings can need "
+            "up to #SCC rounds)"
+        )
+    return settled

@@ -304,3 +304,35 @@ def test_local_clustering_triangle_plus_pendant(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, round(1 / 3, 6))
     assert got[4] == (1, 0, 0.0)
+
+
+def test_scc_cycles_bridge_and_tail(spark):
+    """Two 3-cycles joined by a one-way bridge plus a tail node: the
+    bridge must NOT merge the cycles, and the tail is a singleton."""
+    from pagerank_spark.graph.components import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4), (6, 7)],
+        "src long, dst long",
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in strongly_connected_components(edges).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7)]
+
+
+def test_scc_chain_needs_many_rounds(spark):
+    """A pure directed chain with ids ordered AGAINST the peel (each
+    round settles only the residual minimum) — exercises the outer
+    peeling loop beyond one round."""
+    from pagerank_spark.graph.components import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in strongly_connected_components(edges).collect()
+    )
+    assert got == [(i, i) for i in range(1, 7)]
