@@ -1681,6 +1681,101 @@ def q96_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(e)
 
 
+def q97_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly event counts per
+    type, with MISSING hours materialized as zero rows — the dense
+    grid a downstream model expects. The hour axis comes from
+    ``sequence(min_h, max_h)`` + explode per type (rows ∝ type-span,
+    never a cross join against a calendar table)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    counts = (
+        ev.select("event_type", hour.alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    spans = counts.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    return grid.join(counts, on=["event_type", "h"], how="left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def q98_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: gap-sessionize (q35's lag +
+    running-sum plan), flag sessions containing a purchase, summarize
+    converted vs non-converted session populations in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").alias("ep")
+    w = Window.partitionBy("user_id").orderBy("ep")
+    run = Window.partitionBy("user_id").orderBy("ep").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = (
+        ev.select("user_id", ep, "event_type")
+        .withColumn(
+            "boundary",
+            F.when(
+                F.col("ep") - F.lag("ep").over(w) > 1800, 1
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("boundary").over(run))
+    )
+    sessions = marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sessions.groupBy("converted").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg("dur"), 6).alias("avg_duration_sec"),
+    )
+
+
+def q99_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by balance: the canonical top-N-per-
+    group window (partitioned row_number — bounded per-partition sort,
+    never a global one)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("bal"), F.asc("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("bal"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+def q100_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket`` (price axis 0..100k in
+    20 buckets; overflow lands in bucket 21) — the equi-width
+    counterpart of q94's hand-rolled bands, one partial-agg groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr(
+                "width_bucket(l_extendedprice, 0.0, 100000.0, 20)"
+            ).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1786,6 +1881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_band_theta_join": q94_band_theta_join,
         "q95_curation_pipeline": q95_curation_pipeline,
         "q96_scc": q96_scc,
+        "q97_resample_gapfill": q97_resample_gapfill,
+        "q98_session_conversion": q98_session_conversion,
+        "q99_topn_per_group": q99_topn_per_group,
+        "q100_width_bucket_histogram": q100_width_bucket_histogram,
     }
 
 
@@ -3720,5 +3819,94 @@ reach(s, d) AS (
 SELECT a.s AS node, MIN(a.d) AS component
 FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
 GROUP BY a.s
+""",
+)
+
+_oracle(
+    "q97_resample_gapfill",
+    """
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 2) AS sv
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM counts GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM spans
+)
+SELECT g.event_type, g.h,
+       COALESCE(c.n, 0) AS n,
+       COALESCE(c.sv, 0.0) AS sum_value
+FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.h = c.h
+""",
+)
+
+_oracle(
+    "q98_session_conversion",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events
+),
+marked AS (
+  SELECT user_id, ep, event_type,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep)
+                   > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM e
+),
+numbered AS (
+  SELECT user_id, ep, event_type,
+         SUM(boundary) OVER (
+           PARTITION BY user_id ORDER BY ep
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_idx,
+         COUNT(*) AS n_events,
+         MAX(ep) - MIN(ep) AS dur,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT CAST(converted AS INT) AS converted,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events,
+       ROUND(AVG(dur), 6) AS avg_duration_sec
+FROM sessions GROUP BY converted
+""",
+)
+
+_oracle(
+    "q99_topn_per_group",
+    """
+SELECT n_name, c_custkey, bal, rn FROM (
+  SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS bal,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n_name
+           ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey ASC
+         ) AS BIGINT) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rn <= 3
+""",
+)
+
+_oracle(
+    "q100_width_bucket_histogram",
+    """
+SELECT CAST(CASE
+         WHEN l_extendedprice < 0 THEN 0
+         WHEN l_extendedprice >= 100000.0 THEN 21
+         ELSE floor(l_extendedprice / 5000.0) + 1
+       END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1
 """,
 )
