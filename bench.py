@@ -95,6 +95,8 @@ def main() -> None:
         "q77_stats_agg",
         "q84_groupwise_zscore",
         "q85_sketch_quantiles",
+        "q90_neardup_clusters",
+        "q95_curation_pipeline",
     ]
 
     timings: dict[str, float] = {}
