@@ -1776,6 +1776,81 @@ def q100_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: item pairs sharing an
+    order (self-join on the basket key, a<b canonicalization), scored
+    by lift = P(ab)/(P(a)P(b)). The self-join is bounded by per-basket
+    item counts (distinct items per order), not the catalog; per-item
+    supports ride in on broadcastable aggregates. Top 20 by count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = (
+        li.select(
+            "l_orderkey", (F.col("l_partkey") % 500).cast("long").alias("item")
+        )
+        .distinct()
+    )
+    n_orders = F.broadcast(
+        basket.select("l_orderkey").distinct().agg(
+            F.count("*").alias("__n")
+        )
+    )
+    support = basket.groupBy("item").agg(F.count("*").alias("s"))
+    a = basket.select("l_orderkey", F.col("item").alias("item_a"))
+    b = basket.select("l_orderkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_co"))
+    )
+    sa = support.select(F.col("item").alias("item_a"), F.col("s").alias("sa"))
+    sb = support.select(F.col("item").alias("item_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), on="item_a")
+        .join(F.broadcast(sb), on="item_b")
+        .crossJoin(n_orders)
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            F.round(
+                F.col("n_co") * F.col("__n") / (F.col("sa") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_co"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
+def q102_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan (the pure-Catalyst half of the
+    video pipeline): deterministic media metadata derived from events
+    (fps by type, duration from the value column) exploded into one
+    row per sampled frame — the plan the decode mapInPandas would then
+    consume, already partitioned by media id."""
+    from pagerank_spark.operators import multimodal
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 0
+    )
+    fps = (
+        F.when(F.length("event_type") % 3 == 0, 24.0)
+        .when(F.length("event_type") % 3 == 1, 30.0)
+        .otherwise(60.0)
+    )
+    meta = ev.select(
+        F.col("event_id").alias("media_id"),
+        fps.alias("fps"),
+        (F.col("value") % 30 + 1).alias("duration_s"),
+    )
+    out = multimodal.frame_sample_plan(meta, every_s=1.0)
+    return out.select(
+        "media_id",
+        F.round("sample_ts", 6).alias("sample_ts"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1885,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_session_conversion": q98_session_conversion,
         "q99_topn_per_group": q99_topn_per_group,
         "q100_width_bucket_histogram": q100_width_bucket_histogram,
+        "q101_cooccurrence_lift": q101_cooccurrence_lift,
+        "q102_frame_sample_plan": q102_frame_sample_plan,
     }
 
 
@@ -3908,5 +3985,58 @@ SELECT CAST(CASE
        END AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem GROUP BY 1
+""",
+)
+
+_oracle(
+    "q101_cooccurrence_lift",
+    """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, CAST(l_partkey % 500 AS BIGINT) AS item
+  FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+support AS (SELECT item, COUNT(*) AS s FROM basket GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_co
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n_co AS BIGINT) AS n_co,
+       ROUND(n_co * (SELECT n_orders FROM n)
+             / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN support sa ON pairs.item_a = sa.item
+JOIN support sb ON pairs.item_b = sb.item
+ORDER BY n_co DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
+)
+
+_oracle(
+    "q102_frame_sample_plan",
+    """
+WITH meta AS (
+  SELECT event_id AS media_id,
+         CASE
+           WHEN length(event_type) % 3 = 0 THEN 24.0
+           WHEN length(event_type) % 3 = 1 THEN 30.0
+           ELSE 60.0
+         END AS fps,
+         (value % 30) + 1 AS duration_s
+  FROM events WHERE event_id % 20 = 0
+),
+samples AS (
+  SELECT media_id, fps,
+         unnest(generate_series(
+           0, greatest(CAST(floor(duration_s) AS INT), 1) - 1
+         )) * 1.0 AS sample_ts
+  FROM meta
+)
+SELECT media_id,
+       ROUND(sample_ts, 6) AS sample_ts,
+       CAST(floor(sample_ts * fps) AS BIGINT) AS frame_index
+FROM samples
 """,
 )

@@ -157,6 +157,30 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source, the read side of K1.
+
+    Pass an explicit DDL ``schema`` in production — schema inference
+    costs an extra full pass over the files and can flip types between
+    runs; with a schema the scan is single-pass and the types are a
+    contract. ``mode=FAILFAST`` surfaces malformed rows instead of
+    silently nulling them.
+    """
+    reader = (
+        spark.read.option("header", header).option("mode", "FAILFAST")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
 def format_result_lines(ranks: DataFrame) -> DataFrame:
     """K2 expression: one ``[page] [score]`` string per row (distributed).
 

@@ -91,3 +91,32 @@ def test_json_lines_roundtrip_with_explicit_schema(spark, tmp_path):
     got = {r["k"]: (r["v"], r["name"]) for r in back.collect()}
     assert got[8] == (2.0, "n8")
     assert len(got) == 50
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    """write_csv -> read_csv with an explicit DDL schema: values and
+    types survive; no inference pass."""
+    from pagerank_spark.io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -3.25)], "id long, s string, x double"
+    )
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="id long, s string, x double")
+    assert back.schema.simpleString() == "struct<id:bigint,s:string,x:double>"
+    got = sorted(
+        (r["id"], r["s"], r["x"]) for r in back.collect()
+    )
+    assert got == [(1, "a,b", 1.5), (2, None, -3.25)]
+
+
+def test_csv_read_infers_without_schema(spark, tmp_path):
+    from pagerank_spark.io import read_csv, write_csv
+
+    df = spark.createDataFrame([(7, 2.0)], "id long, x double")
+    path = str(tmp_path / "csv2")
+    write_csv(df, path)
+    back = read_csv(spark, path)
+    assert back.count() == 1
+    assert dict(back.dtypes)["x"] == "double"

@@ -234,3 +234,33 @@ def test_q82_salt_replicates_not_cartesian(spark):
     assert "explode" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q95_single_fused_scan(spark):
+    """language_id + quality_score compose column-wise: ONE documents
+    scan, one aggregation exchange, no join anywhere."""
+    import re
+
+    p = plan(ENTRY.queries()["q95_curation_pipeline"](spark, SF_DIR))
+    # formatted explain prints each node twice (tree + details); the
+    # numbered detail header appears once per physical node.
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_q97_gapfill_no_cartesian(spark):
+    """The hour grid explodes per-type spans — never a calendar cross
+    join."""
+    p = plan(ENTRY.queries()["q97_resample_gapfill"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the sequence() explode
+
+
+def test_q100_histogram_partial_aggregates(spark):
+    """width_bucket histogram: partial agg before the single shuffle,
+    2-column pruned scan."""
+    p = plan(ENTRY.queries()["q100_width_bucket_histogram"](spark, SF_DIR))
+    assert "partial_count" in p
+    assert p.count("Arguments: hashpartitioning") == 1
