@@ -1851,6 +1851,30 @@ def q102_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long), the inverse of q48's pivot: per-nation
+    measures melted into (nation, measure, value) rows —
+    ``DataFrame.unpivot`` compiles to a Generate (expand), no shuffle
+    beyond the aggregation's own."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "total_bal", "avg_bal"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1962,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_width_bucket_histogram": q100_width_bucket_histogram,
         "q101_cooccurrence_lift": q101_cooccurrence_lift,
         "q102_frame_sample_plan": q102_frame_sample_plan,
+        "q103_unpivot": q103_unpivot,
     }
 
 
@@ -4038,5 +4063,21 @@ SELECT media_id,
        ROUND(sample_ts, 6) AS sample_ts,
        CAST(floor(sample_ts * fps) AS BIGINT) AS frame_index
 FROM samples
+""",
+)
+
+_oracle(
+    "q103_unpivot",
+    """
+WITH wide AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         ROUND(SUM(c_acctbal), 2) AS total_bal,
+         ROUND(AVG(c_acctbal), 6) AS avg_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+UNPIVOT wide ON n_customers, total_bal, avg_bal
+INTO NAME measure VALUE value
 """,
 )

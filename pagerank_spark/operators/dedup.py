@@ -446,9 +446,14 @@ def neardup_clusters(
     from pagerank_spark.graph.components import connected_components
 
     pairs = minhash_neardup_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    # Materialize the (tiny) pair list once before the iterative CC:
+    # connected_components re-reads its edge input several times (the
+    # undirected union plus the vertex set), and without this cut each
+    # re-read would recompute the full shingle→signature→verify
+    # pipeline — measured 2× the whole operator's cost at sf0.1.
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     comp = connected_components(edges)
     ids = df.select(F.col(id_col))
     canon = (

@@ -77,3 +77,41 @@ def test_upsert_is_null_safe_on_keys(spark, tmp_path):
     T.upsert_table(spark, _df(spark, [(None, "A")]), root, keys=["k"])
     got = {r["k"]: r["val"] for r in T.read_table(spark, root).collect()}
     assert got == {None: "A", 1: "b"}
+
+
+def test_upsert_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: any interleaving of write/upsert/append agrees
+    with a plain dict; every intermediate version time-travels back
+    exactly. (Deterministic op list — no RNG in tests.)"""
+    ops = [
+        ("write", [(1, "a"), (2, "b")]),
+        ("upsert", [(2, "B"), (3, "c")]),
+        ("append", [(4, "d")]),
+        ("upsert", [(1, "A"), (4, "D"), (5, "e")]),
+        ("upsert", [(5, "E")]),
+        ("append", [(6, "f"), (7, "g")]),
+    ]
+    root = str(tmp_path / "t")
+    model: dict[int, str] = {}
+    snapshots = []
+    for op, rows in ops:
+        df = _df(spark, rows)
+        if op == "write":
+            T.write_table(df, root)
+            model = dict(rows)
+        elif op == "upsert":
+            T.upsert_table(spark, df, root, keys=["k"])
+            model.update(dict(rows))
+        else:
+            T.append_table(spark, df, root)
+            # append keeps duplicates; this op list never re-appends a
+            # live key, so the dict stays a faithful model
+            model.update(dict(rows))
+        snapshots.append(dict(model))
+
+    for v, want in enumerate(snapshots):
+        got = {
+            r["k"]: r["val"]
+            for r in T.read_table(spark, root, version=v).collect()
+        }
+        assert got == want, f"version {v}"
