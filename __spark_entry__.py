@@ -911,10 +911,16 @@ def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60_twohop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friend-of-friend motif: top-20 sources by count of distinct
     two-hop targets not already directly linked (recommendation
-    candidates). Two equi-joins + anti join + TakeOrdered."""
+    candidates). Two equi-joins + anti join + TakeOrdered. Runs on the
+    SPARSE derived graph: on the dense mod-4096 multigraph nearly every
+    pair is two-hop reachable, so the intermediate (a, c) set
+    approaches n² — quadratic at any scale and recommendation-
+    meaningless (re-scoped in round 3; measured 26s → sub-second at
+    sf0.1)."""
     from pagerank_spark.graph.components import twohop_recommendations
 
-    return twohop_recommendations(_edges(spark, sf_dir), k=20)
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    return twohop_recommendations(e, k=20)
 
 
 def q61_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1875,6 +1881,32 @@ def q103_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's as-of join with a staleness bound (pandas
+    ``merge_asof(tolerance=...)`` parity): clicks older than 1 hour
+    before the purchase are nulled out — a post-window mask, same
+    single-shuffle plan. The twin masks the native ASOF match with the
+    identical CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = relational.asof_join(
+        purchases, clicks, on="user_id", value_cols=["value"],
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ep"),
+        F.unix_timestamp("ts_asof").cast("long").alias("click_ep"),
+        F.round("value_asof", 2).alias("click_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -1987,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_cooccurrence_lift": q101_cooccurrence_lift,
         "q102_frame_sample_plan": q102_frame_sample_plan,
         "q103_unpivot": q103_unpivot,
+        "q104_asof_tolerance": q104_asof_tolerance,
     }
 
 
@@ -3107,17 +3140,17 @@ GROUP BY c.event_id
 
 _oracle(
     "q60_twohop_recs",
-    SQL_EDGES
+    SQL_SPARSE_W
     + """
-, e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+, se AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
 hops AS (
   SELECT DISTINCT e1.src AS a, e2.dst AS c
-  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  FROM se e1 JOIN se e2 ON e1.dst = e2.src
   WHERE e1.src <> e2.dst
 ),
 recs AS (
   SELECT h.a, h.c FROM hops h
-  ANTI JOIN e ON h.a = e.src AND h.c = e.dst
+  ANTI JOIN se ON h.a = se.src AND h.c = se.dst
 )
 SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_recs
 FROM recs GROUP BY a
@@ -4079,5 +4112,28 @@ WITH wide AS (
 )
 UNPIVOT wide ON n_customers, total_bal, avg_bal
 INTO NAME measure VALUE value
+""",
+)
+
+_oracle(
+    "q104_asof_tolerance",
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ep,
+       CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600.0
+            THEN CAST(floor(epoch(c.ts)) AS BIGINT) END AS click_ep,
+       CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600.0
+            THEN ROUND(c.click_value, 2) END AS click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
 )

@@ -195,10 +195,15 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` on the same ``on`` key (left-outer: left rows
-    with no preceding right row keep nulls).
+    with no preceding right row keep nulls). ``tolerance_seconds``
+    (pandas ``merge_asof(tolerance=...)`` parity) additionally nulls the
+    carried row when it is older than ``left_ts - tolerance`` — a
+    staleness bound, applied as a post-window mask so the plan shape is
+    unchanged.
 
     The reference has no temporal joins; this is extension tier. The
     DuckDB oracle twin expresses it natively as ``ASOF LEFT JOIN``.
@@ -271,21 +276,26 @@ def asof_join(
             F.lit(None).cast(l_side.schema["__payload"].dataType),
         ).select(on, "__ts", "__payload", "__side", "__carry")
     )
-    return (
-        unioned.select(
-            on,
-            "__ts",
-            "__payload",
-            "__side",
-            F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
+    out = unioned.select(
+        on,
+        "__ts",
+        "__payload",
+        "__side",
+        F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
+    ).where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("double")
+            - F.col(f"__carry.{right_ts}{suffix}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.withColumn(
+            "__carry", F.when(fresh, F.col("__carry"))
         )
-        .where(F.col("__side") == 1)
-        .select(
-            F.col(on),
-            F.col("__ts").alias(left_ts),
-            *[F.col(f"__payload.{c}").alias(c) for c in payload],
-            *[F.col(f"__carry.{c}").alias(c) for c in carried],
-        )
+    return out.select(
+        F.col(on),
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__payload.{c}").alias(c) for c in payload],
+        *[F.col(f"__carry.{c}").alias(c) for c in carried],
     )
 
 

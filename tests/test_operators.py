@@ -451,3 +451,26 @@ def test_assortativity_star_is_negative(spark):
     row = degree_assortativity(edges).collect()[0]
     assert row["n_edges"] == 6
     assert row["assortativity"] < 0
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    """tolerance_seconds nulls carried fields when the matched right row
+    is older than the bound; an in-bound match is untouched."""
+    from pagerank_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100.0, "p1"), ("k", 5000.0, "p2")],
+        "k string, ts double, tag string",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [("k", 90.0, 1.0)], "k string, ts double, v double"
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "v")
+
+    out = {
+        r["tag"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, on="k", value_cols=["v"], tolerance_seconds=60
+        ).collect()
+    }
+    assert out["p1"][1] == 1.0           # 10s stale: kept
+    assert out["p2"] == (None, None)     # 4910s stale: masked
