@@ -284,9 +284,14 @@ def asof_join(
         F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
     ).where(F.col("__side") == 1)
     if tolerance_seconds is not None:
+        # TIMESTAMP_NTZ (the parquet fixtures' type) cannot cast straight
+        # to double; hop through TIMESTAMP (a no-op for TIMESTAMP columns,
+        # and the session-tz shift cancels in the difference).
         fresh = (
-            F.col("__ts").cast("double")
-            - F.col(f"__carry.{right_ts}{suffix}").cast("double")
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col(f"__carry.{right_ts}{suffix}")
+            .cast("timestamp")
+            .cast("double")
         ) <= F.lit(float(tolerance_seconds))
         out = out.withColumn(
             "__carry", F.when(fresh, F.col("__carry"))

@@ -474,3 +474,26 @@ def test_asof_tolerance_masks_stale_matches(spark):
     }
     assert out["p1"][1] == 1.0           # 10s stale: kept
     assert out["p2"] == (None, None)     # 4910s stale: masked
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    """The parquet fixtures surface ts as TIMESTAMP_NTZ, which cannot
+    cast straight to double — the tolerance mask must work there too."""
+    from pagerank_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:01:40", "p1"), ("k", "2024-01-01 01:23:20", "p2")],
+        "k string, ts string, tag string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:01:30", 1.0)], "k string, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+
+    out = {
+        r["tag"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, on="k", value_cols=["v"], tolerance_seconds=60
+        ).collect()
+    }
+    assert out["p1"][1] == 1.0
+    assert out["p2"] == (None, None)
