@@ -9,8 +9,40 @@ in ``__spark_entry__.py`` with a DuckDB SQL twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _is_timestamp(dtype) -> bool:
+    return isinstance(dtype, (TimestampType, TimestampNTZType))
+
+
+def _seconds_interval(seconds: float) -> Column:
+    """A DayTimeInterval of ``seconds`` — timestamp ± interval is tz-free
+    for both TIMESTAMP (physical duration) and TIMESTAMP_NTZ (naive
+    wall-clock), unlike the epoch-double hop, which silently shifts NTZ
+    differences across DST transitions in a DST session timezone."""
+    return F.expr(f"INTERVAL '{float(seconds)}' SECOND")
+
+
+def _bucket_epoch(c: Column, dtype) -> Column:
+    """Whole seconds for width bucketing, consistent with the semantics
+    of timestamp subtraction for the column's type: physical epoch for
+    TIMESTAMP, tz-free naive epoch (days since 1970 × 86400 + time of
+    day) for TIMESTAMP_NTZ — ``unix_timestamp`` on NTZ would reintroduce
+    the session-tz DST distortion that the interval bounds avoid.
+    Numeric epoch columns pass through floored."""
+    if isinstance(dtype, TimestampNTZType):
+        return (
+            F.unix_date(F.to_date(c)) * F.lit(86400).cast("long")
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        )
+    if isinstance(dtype, TimestampType):
+        return F.unix_timestamp(c)
+    return F.floor(c.cast("double")).cast("long")
 
 
 def adjacency_lists(
@@ -284,15 +316,20 @@ def asof_join(
         F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
     ).where(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        # TIMESTAMP_NTZ (the parquet fixtures' type) cannot cast straight
-        # to double; hop through TIMESTAMP (a no-op for TIMESTAMP columns,
-        # and the session-tz shift cancels in the difference).
-        fresh = (
-            F.col("__ts").cast("timestamp").cast("double")
-            - F.col(f"__carry.{right_ts}{suffix}")
-            .cast("timestamp")
-            .cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+        # Timestamp columns (TIMESTAMP and TIMESTAMP_NTZ alike): tz-free
+        # interval arithmetic — subtraction yields a DayTimeInterval with
+        # no session-tz dependence, matching pandas merge_asof's naive
+        # difference for NTZ and physical duration for instants. The
+        # epoch-double hop is kept only for numeric epoch ts columns.
+        carry_ts = F.col(f"__carry.{right_ts}{suffix}")
+        if _is_timestamp(left.schema[left_ts].dataType):
+            fresh = carry_ts >= F.col("__ts") - _seconds_interval(
+                tolerance_seconds
+            )
+        else:
+            fresh = (
+                F.col("__ts").cast("double") - carry_ts.cast("double")
+            ) <= F.lit(float(tolerance_seconds))
         out = out.withColumn(
             "__carry", F.when(fresh, F.col("__carry"))
         )
@@ -327,10 +364,20 @@ def interval_join(
     copies are distinct, and only one equals the left row's bucket).
 
     Right columns are prefixed ``r_`` on name collisions.
+
+    Timestamp handling is type-aware and tz-free: the precise bounds use
+    interval arithmetic (valid for TIMESTAMP and TIMESTAMP_NTZ alike —
+    the fixtures' parquet ``ts`` reads as NTZ, which cannot cast to
+    double), and the bucket epoch matches each type's subtraction
+    semantics so bucket adjacency still covers every qualifying pair
+    even in a DST session timezone. Second-floored bucket epochs are
+    safe for sub-second timestamps: a pair within ``interval_seconds``
+    lands at integer-second distance ≤ interval, hence in the same or
+    adjacent bucket.
     """
     w = F.lit(interval_seconds)
-    l_b = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
-    r_b = F.floor(F.unix_timestamp(F.col(right_ts)) / w)
+    l_dtype = left.schema[left_ts].dataType
+    r_dtype = right.schema[right_ts].dataType
     rename = {
         c: f"r_{c}"
         for c in right.columns
@@ -341,18 +388,23 @@ def interval_join(
         *[F.col(c).alias(rename.get(c, c)) for c in right.columns if c not in on],
     )
     r_ts_out = rename.get(right_ts, right_ts)
-    l = left.withColumn("__b", l_b)
-    r = r.withColumn(
-        "__b", F.explode(F.array(F.floor(F.unix_timestamp(F.col(r_ts_out)) / w),
-                                 F.floor(F.unix_timestamp(F.col(r_ts_out)) / w) + 1))
+    l = left.withColumn(
+        "__b", F.floor(_bucket_epoch(F.col(left_ts), l_dtype) / w)
     )
-    lo = F.col(left_ts).cast("double") - interval_seconds
+    r_bucket = F.floor(_bucket_epoch(F.col(r_ts_out), r_dtype) / w)
+    r = r.withColumn("__b", F.explode(F.array(r_bucket, r_bucket + 1)))
+    if _is_timestamp(l_dtype):
+        lo_pred = F.col(r_ts_out) >= F.col(left_ts) - _seconds_interval(
+            interval_seconds
+        )
+    else:
+        lo_pred = (
+            F.col(r_ts_out).cast("double")
+            >= F.col(left_ts).cast("double") - interval_seconds
+        )
     return (
         l.join(r, on=on + ["__b"])
-        .where(
-            (F.col(r_ts_out).cast("double") >= lo)
-            & (F.col(r_ts_out) <= F.col(left_ts))
-        )
+        .where(lo_pred & (F.col(r_ts_out) <= F.col(left_ts)))
         .drop("__b")
     )
 

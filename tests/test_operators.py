@@ -238,6 +238,56 @@ def test_asof_join_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_temporal_joins_ntz_dst_safe(spark):
+    # TIMESTAMP_NTZ has naive-difference semantics (pandas merge_asof
+    # parity). The old epoch-double hop measured physical seconds in the
+    # session tz, so across a DST transition a 90-min-stale row passed a
+    # 1h tolerance (spring-forward) and a 30-min-fresh row was dropped
+    # (fall-back). Interval arithmetic is tz-free; pin both directions
+    # under a DST session timezone.
+    from datetime import datetime
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        left = spark.createDataFrame(
+            [
+                # spring-forward 2024-03-10 02:00: naive diff to its
+                # right row is 90 min (physical 30 min).
+                (1, datetime(2024, 3, 10, 3, 0)),
+                # fall-back 2024-11-03 02:00: naive diff 30 min
+                # (physical 90 min).
+                (2, datetime(2024, 11, 3, 2, 15)),
+            ],
+            "k long, ts timestamp_ntz",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, datetime(2024, 3, 10, 1, 30), 1.0),
+                (2, datetime(2024, 11, 3, 1, 45), 2.0),
+            ],
+            "k long, ts timestamp_ntz, v double",
+        )
+        out = {
+            r["k"]: r["v_asof"]
+            for r in relational.asof_join(
+                left, right, on="k", value_cols=["v"], tolerance_seconds=3600
+            ).collect()
+        }
+        assert out == {1: None, 2: 2.0}
+
+        pairs = {
+            (r["k"], r["v"])
+            for r in relational.interval_join(
+                left, right.withColumnRenamed("v", "v"), on=["k"],
+                interval_seconds=3600,
+            ).collect()
+        }
+        assert pairs == {(2, 2.0)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_approx_count_distinct_error_bound(spark):
     from pagerank_spark.io import load_table
     from tests.conftest import SF_DIR
