@@ -568,12 +568,20 @@ def q37_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: the Lloyd-refined codebook's
-    distributed float averaging isn't bit-reproducible in SQL; recall vs
-    the exact baseline is pinned by pytest)."""
+    """IVF approximate top-k, hash-exact against a pure-SQL twin: the
+    refine-free codebook (first-16-by-id seeds) makes the whole
+    assign→probe→rank pipeline engine-reproducible (SURVEY §5.3
+    determinism rule). Narrow probe (n_probe=2) on a wider query set
+    than q73's 4-probe variant. The Lloyd-refined codebook path stays
+    covered by the pytest recall test (float mean-reduction order isn't
+    reproducible across engines, so it cannot be hashed)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") % 50 == 0)
-    return similarity.ann_ivf(emb, queries_df, k=5)
+    queries_df = emb.where(F.col("vec_id") % 25 == 0)
+    return similarity.ann_ivf(
+        emb, queries_df, k=5, n_centroids=16, n_probe=2, refine=0
+    ).select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q35_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3384,9 +3392,9 @@ GROUP BY o_orderstatus
 """,
 )
 
-_oracle(
-    "q73_ann_ivf_seeded",
-    """
+# q36 and q73 share the refine-free IVF algebra; the twin is generated
+# from one template so the two stay in lockstep.
+_IVF_SEEDED_SQL = """
 WITH emb AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -3409,7 +3417,8 @@ ranked_aff AS (
 ),
 c_assign AS (SELECT id AS nb_id, cid FROM ranked_aff WHERE r = 1),
 q_assign AS (
-  SELECT id AS query_id, cid FROM ranked_aff WHERE r <= 4 AND id % 50 = 0
+  SELECT id AS query_id, cid
+  FROM ranked_aff WHERE r <= {n_probe} AND id % {query_mod} = 0
 ),
 scored AS (
   SELECT q.query_id, c.nb_id,
@@ -3428,7 +3437,12 @@ topk AS (
   FROM scored
 )
 SELECT query_id, nb_id, cos, rank FROM topk WHERE rank <= 5
-""",
+"""
+
+_oracle("q36_ann_ivf", _IVF_SEEDED_SQL.format(n_probe=2, query_mod=25))
+
+_oracle(
+    "q73_ann_ivf_seeded", _IVF_SEEDED_SQL.format(n_probe=4, query_mod=50)
 )
 
 _oracle(
