@@ -604,13 +604,28 @@ def q34_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q33_compare_teleports(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5 parameter sweep (reference README-only compare_teleports):
-    full convergence per β then positional rank comparison. Iterative →
-    rows-only check; the algebra is pinned by q15 and the golden pytest."""
+    """G5 parameter sweep (reference README-only compare_teleports),
+    hash-exact: the declared variant runs a FIXED 2 iterations per β
+    (SURVEY §5.3 deterministic rule for iterative results) and ranks on
+    9-decimal-rounded scores, so the DuckDB twin reproduces the full
+    sweep — two q15-style power-step expansions positionally joined.
+    The full-convergence sweep (δ=1e-5) stays pinned by the pytest
+    sweep-shape test and the golden WikiData run."""
     from pagerank_spark.graph.pagerank import compare_teleports
 
-    return compare_teleports(
-        _edges(spark, sf_dir), betas=(0.80, 0.85), k=20, tune_aqe=False
+    out = compare_teleports(
+        _edges(spark, sf_dir),
+        betas=(0.80, 0.85),
+        k=20,
+        delta=0.0,
+        max_iterations=2,
+        tune_aqe=False,
+    )
+    return out.select(
+        F.col("position").cast("long").alias("position"),
+        "page_0_8",
+        "page_0_85",
+        "all_match",
     )
 
 
@@ -2842,6 +2857,78 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS digest
 FROM documents
+""",
+)
+
+
+def _pr2_beta_block(tag: str, beta: float) -> str:
+    """One β's 2-iteration power-step expansion (q15's algebra) ending
+    in a ``top_{tag}`` CTE of (position, page_{tag}) — composed per β by
+    the q33 sweep twin. Shares the β-independent consts/r0/m0 CTEs."""
+    b = repr(float(beta))
+    return f"""
+contrib1_{tag} AS (
+  SELECT e.dst AS node, SUM({b} * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r0 r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+r1_{tag} AS (
+  SELECT r.node, r.deg,
+         ((1.0 - {b}) / c.n + ({b} * (1.0 - (SELECT m FROM m0))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r0 r LEFT JOIN contrib1_{tag} k ON r.node = k.node CROSS JOIN consts c
+),
+m1_{tag} AS (
+  SELECT SUM(CASE WHEN deg IS NOT NULL THEN rank ELSE 0.0 END) AS m
+  FROM r1_{tag}
+),
+contrib2_{tag} AS (
+  SELECT e.dst AS node, SUM({b} * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r1_{tag} r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+r2_{tag} AS (
+  SELECT r.node,
+         ((1.0 - {b}) / c.n + ({b} * (1.0 - (SELECT m FROM m1_{tag}))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r1_{tag} r LEFT JOIN contrib2_{tag} k ON r.node = k.node
+  CROSS JOIN consts c
+),
+top_{tag} AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(rank, 9) DESC, node ASC
+         ) AS BIGINT) AS position,
+         node AS page_{tag}
+  FROM r2_{tag}
+  ORDER BY ROUND(rank, 9) DESC, node ASC
+  LIMIT 20
+)"""
+
+
+_oracle(
+    "q33_compare_teleports",
+    SQL_EDGES
+    + """
+, consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_src
+),
+r0 AS (
+  SELECT n.node, d.deg, 1.0 / c.n AS rank
+  FROM nodes n LEFT JOIN deg d ON n.node = d.src CROSS JOIN consts c
+),
+m0 AS (
+  SELECT CAST(c.n_src AS DOUBLE) / c.n AS m FROM consts c
+),"""
+    + _pr2_beta_block("0_8", 0.80)
+    + ","
+    + _pr2_beta_block("0_85", 0.85)
+    + """
+SELECT a.position, a.page_0_8, b.page_0_85,
+       (a.page_0_8 = b.page_0_85) AS all_match
+FROM top_0_8 a JOIN top_0_85 b USING (position)
 """,
 )
 

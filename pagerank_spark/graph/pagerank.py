@@ -390,21 +390,38 @@ def compare_teleports(
     delta: float = 1e-5,
     k: int = 100,
     tune_aqe: bool = True,
+    max_iterations: int | None = None,
 ) -> DataFrame:
     """G5 parameter sweep (reference README-only ``compare_teleports``).
 
     Runs the pipeline per β, attaches 1-based positions (W1 row_number),
     and joins on position (J4) so each row compares the page ranked at
     position *i* across all runs, plus an ``all_match`` flag.
+
+    ``max_iterations`` caps each run's power iterations (pass with
+    ``delta=0.0`` for a fixed-iteration sweep — the SURVEY §5.3
+    deterministic variant an exact SQL twin can reproduce). Ordering is
+    on scores rounded to 9 decimals with page-id tiebreak, so positions
+    don't depend on sub-1e-9 float summation-order noise.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("score"), F.asc("page"))
+    score9 = F.round("score", 9)
+    w = Window.orderBy(F.desc(score9), F.asc("page"))
     tagged = []
     for beta in betas:
-        res = pagerank(edges, beta=beta, delta=delta, tune_aqe=tune_aqe)
+        kwargs = {} if max_iterations is None else {
+            "max_iterations": max_iterations
+        }
+        res = pagerank(
+            edges, beta=beta, delta=delta, tune_aqe=tune_aqe, **kwargs
+        )
         t = (
-            res.top(k)
+            res.ranks.select(
+                F.col("node").alias("page"), F.col("rank").alias("score")
+            )
+            .orderBy(F.desc(score9), F.asc("page"))
+            .limit(k)
             .withColumn("position", F.row_number().over(w))
             .select("position", F.col("page").alias(f"page_{_beta_tag(beta)}"))
         )
