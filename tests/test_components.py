@@ -336,3 +336,29 @@ def test_scc_chain_needs_many_rounds(spark):
         for r in strongly_connected_components(edges).collect()
     )
     assert got == [(i, i) for i in range(1, 7)]
+
+
+def test_components_adaptive_strategies_agree(spark):
+    # neardup_clusters picks driver-side union-find for small pair
+    # lists and the distributed min-label loop above the limit; both
+    # must produce the identical (node, min-id component) mapping.
+    import random
+
+    from pagerank_spark.operators.dedup import _components_adaptive
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    fast = {
+        r["node"]: r["component"]
+        for r in _components_adaptive(df).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in _components_adaptive(df, driver_pairs_limit=0).collect()
+    }
+    assert fast == dist
+    assert fast == _union_find(edges)
