@@ -1,0 +1,163 @@
+"""Second-generation stateful streaming via ``transformWithStateInPandas``.
+
+``applyInPandasWithState`` (``stateful.py``) carries ONE opaque state
+tuple per key. Spark 4's ``transformWithStateInPandas`` replaces that
+with a typed state store API — named ValueState / ListState / MapState
+variables per key, optional TTL, and timers — the shape long-running
+keyed pipelines need (feature stores, rate limiters, per-entity
+profiles). Requires the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass``), which Spark 4
+bundles.
+
+``user_profile`` is the demonstration operator: a per-user profile
+maintained across micro-batches with all three typed-state kinds —
+
+- ValueState ``n``:      total event count (and running value sum);
+- ListState  ``topv``:   the top-K event values seen so far;
+- MapState   ``types``:  event_type → occurrence count.
+
+Every fold is ORDER-INSENSITIVE (count/sum/top-k/per-type counts), so
+the streamed result converges to the single-pass batch twin no matter
+how files are split into micro-batches — that convergence is what the
+parity test pins. (An order-sensitive fold like EWMA would need
+event-time ordering guarantees the file source doesn't provide.)
+
+No reference analogue (the reference is batch-only); extension tier.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+try:  # The typed-state API client speaks protobuf to the JVM; some
+    # environments ship pyspark without the protobuf wheel. The batch
+    # twin below needs neither.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS_RUNTIME = HAS_TWS
+except ImportError:  # pragma: no cover - env without protobuf
+    HAS_TWS_RUNTIME = False
+
+TOP_K = 3
+
+OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, "
+    "top_values STRING, type_counts STRING"
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _fold_batches(
+    pdfs: list[pd.DataFrame],
+    n: int,
+    s: float,
+    topv: list[float],
+    types: dict[str, int],
+) -> tuple[int, float, list[float], dict[str, int]]:
+    """Order-insensitive accumulation of event batches into the profile."""
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += int(len(pdf))
+        s += float(pdf["value"].sum())
+        topv = heapq.nlargest(TOP_K, topv + [float(v) for v in pdf["value"]])
+        for t, c in pdf["event_type"].value_counts().items():
+            types[str(t)] = types.get(str(t), 0) + int(c)
+    return n, s, topv, types
+
+
+def _profile_row(
+    user_id: int, n: int, s: float, topv: list[float], types: dict[str, int]
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(user_id)],
+            "n_events": [n],
+            "sum_value": [round(s, 2)],
+            "top_values": [
+                ",".join(f"{v:.2f}" for v in sorted(topv, reverse=True))
+            ],
+            "type_counts": [
+                ",".join(f"{t}:{c}" for t, c in sorted(types.items()))
+            ],
+        }
+    )
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Typed-state per-user profile (ValueState + ListState + MapState)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._count = handle.getValueState("n", "n BIGINT, s DOUBLE")
+        self._topv = handle.getListState("topv", "v DOUBLE")
+        self._types = handle.getMapState("types", "t STRING", "c BIGINT")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, s = (
+            (int(self._count.get()[0]), float(self._count.get()[1]))
+            if self._count.exists()
+            else (0, 0.0)
+        )
+        topv = (
+            [float(r[0]) for r in self._topv.get()]
+            if self._topv.exists()
+            else []
+        )
+        types = (
+            {str(k[0]): int(v[0]) for k, v in self._types.iterator()}
+            if self._types.exists()
+            else {}
+        )
+        n, s, topv, types = _fold_batches(list(rows), n, s, topv, types)
+        self._count.update((n, s))
+        self._topv.put([(v,) for v in topv])
+        for t, c in types.items():
+            self._types.updateValue((t,), (c,))
+        yield _profile_row(key[0], n, s, topv, types)
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Streaming: per-user typed-state profile, one updated row per
+    (user, micro-batch); pair with ``outputMode("update")`` and the
+    RocksDB state store provider (``ROCKSDB_PROVIDER``)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: one-pass fold per user via ``applyInPandas`` — the
+    backfill path and the convergence oracle for the stream."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, s, topv, types = _fold_batches([pdf], 0, 0.0, [], {})
+        return _profile_row(int(pdf["user_id"].iloc[0]), n, s, topv, types)
+
+    return events.groupBy("user_id").applyInPandas(fn, schema=OUTPUT_SCHEMA)
