@@ -156,6 +156,37 @@ def vacuum_table(root: str, keep: int = 2) -> list[int]:
     return sorted(dropped)
 
 
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    sort_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE analogue: rewrite the current snapshot into
+    ``target_files`` files (optionally sorted within/across files by
+    ``sort_by`` for clustering) and commit it as a new version.
+
+    Small-file management is a first-class 100 TB concern: streaming
+    upserts and fine-grained appends leave thousands of KB-scale files
+    whose per-file open/footer cost dominates scans. Compaction is a
+    read → repartition/sortWithinPartitions → write of one snapshot —
+    embarrassingly parallel, and time travel to the pre-compaction
+    version still works because snapshots are immutable.
+
+    ``sort_by`` uses ``repartitionByRange`` + ``sortWithinPartitions``
+    so each output file covers a disjoint key range (the poor man's
+    Z-order for one key prefix): min/max parquet column stats then let
+    a filtering scan skip whole files.
+    """
+    df = read_table(spark, root)
+    if sort_by:
+        df = df.repartitionByRange(target_files, *sort_by)
+        df = df.sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(target_files)
+    return write_table(df, root)
+
+
 def table_history(spark: SparkSession, root: str) -> DataFrame:
     """Snapshot audit: (version, n_rows, is_current) per retained
     snapshot — the DESCRIBE HISTORY analogue."""

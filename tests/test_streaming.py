@@ -44,16 +44,16 @@ def event_dir(spark, tmp_path):
     out = tmp_path / "events_stream"
     out.mkdir()
     events = load_table(spark, SF_DIR, "events").cache()
+    # unix_timestamp works for TIMESTAMP and TIMESTAMP_NTZ alike (the
+    # fixtures' parquet ts reads as NTZ, which cannot cast to double).
     b1, b2 = events.selectExpr(
-        "percentile(cast(ts AS double), array(0.33, 0.66))"
+        "percentile(unix_timestamp(ts), array(0.33, 0.66))"
     ).collect()[0][0]
+    ep = F.unix_timestamp(F.col("ts"))
     slices = [
-        events.where(F.col("ts").cast("double") < b1),
-        events.where(
-            (F.col("ts").cast("double") >= b1)
-            & (F.col("ts").cast("double") < b2)
-        ),
-        events.where(F.col("ts").cast("double") >= b2),
+        events.where(ep < b1),
+        events.where((ep >= b1) & (ep < b2)),
+        events.where(ep >= b2),
     ]
     for i, sl in enumerate(slices):
         stage = tmp_path / f"stage_{i}"

@@ -115,3 +115,41 @@ def test_upsert_sequences_match_dict_model(spark, tmp_path):
             for r in T.read_table(spark, root, version=v).collect()
         }
         assert got == want, f"version {v}"
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+    import os
+
+    root = str(tmp_path / "t_compact")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("val")
+    )
+    T.write_table(df.repartition(16), root)
+    v0_files = glob.glob(os.path.join(root, "v00000", "*.parquet"))
+    assert len(v0_files) == 16
+
+    v1 = T.compact_table(spark, root, target_files=2, sort_by=["k"])
+    assert v1 == 1
+    v1_files = glob.glob(os.path.join(root, "v00001", "*.parquet"))
+    assert len(v1_files) == 2
+
+    got = sorted(
+        (r["k"], r["val"]) for r in T.read_table(spark, root).collect()
+    )
+    want = sorted((i, i % 7) for i in range(1000))
+    assert got == want
+    # time travel to the pre-compaction snapshot still works
+    assert T.read_table(spark, root, version=0).count() == 1000
+
+    # range-partitioned + sorted files have disjoint k ranges: file-level
+    # min/max stats can prune (check via per-file min/max).
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(v1_files):
+        t = pq.read_table(f, columns=["k"])
+        ranges.append((t["k"][0].as_py(), t["k"][-1].as_py()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
