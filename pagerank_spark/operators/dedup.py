@@ -388,16 +388,23 @@ def embedding_neardup_pairs(
                 on=["band", "bucket"],
             )
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "na", "vb", "nb")
-            .distinct()
         )
-        return pairs.select(
-            "id_a",
-            "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos"
-            ),
-        ).where(F.col("cos") >= threshold)
+        # Score BEFORE the cross-band dedup: cos is deterministic per
+        # pair, so band duplicates collapse to identical rows and the
+        # distinct shuffles (id, id, cos) instead of two dim-sized
+        # vectors per candidate (see similarity.ann_lsh).
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                (
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                ).alias("cos"),
+            )
+            .distinct()
+            .where(F.col("cos") >= threshold)
+        )
 
     # Norms are computed once per row BELOW the join — never per pair.
     v = df.select(

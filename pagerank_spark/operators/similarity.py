@@ -294,9 +294,13 @@ def ann_lsh(
             on=["band", "bucket"],
         )
         .where(F.col("query_id") != F.col("nb_id"))
-        .select("query_id", "nb_id", "query_vec", "query_norm", "nb_vec", "nb_norm")
-        .distinct()
     )
+    # Score BEFORE the cross-band dedup: cos is a deterministic function
+    # of the pair, so duplicates (one per shared band) collapse to
+    # identical (query_id, nb_id, cos) rows — the distinct then shuffles
+    # three scalar columns instead of two dim-sized vectors per row
+    # (~30× fewer shuffle bytes at dim=64 for ≤ n_bands extra dot
+    # products per pair, which whole-stage codegen makes cheap).
     scored = pairs.select(
         "query_id",
         "nb_id",
@@ -305,7 +309,7 @@ def ann_lsh(
             / (F.col("query_norm") * F.col("nb_norm")),
             6,
         ).alias("cos"),
-    )
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
