@@ -125,8 +125,18 @@ def pagerank(
     edge_semantics: str = "bag",
     reliable_checkpoint: bool | str = "auto",
     tune_aqe: bool = True,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Power iteration with dangling-mass renormalization (G1-G4).
+
+    ``init_ranks``: optional (node, rank) warm start — the incremental
+    path for periodically refreshed graphs: restart from the previous
+    converged vector instead of uniform. The fixed point is unique, so
+    the result is unchanged; only the iteration count drops (a small
+    graph delta leaves the old vector near the new fixed point). The
+    vector is normalized over the CURRENT vertex set (new vertices get
+    the uniform share, departed ones are dropped, then ranks rescale to
+    sum 1), costing one extra setup aggregation.
 
     ``strategy``: "broadcast" joins the rank vector to edges as a broadcast
     hash join; "shuffle" co-partitions both sides on ``src``; "auto" picks
@@ -240,13 +250,45 @@ def pagerank(
     edge_deg = edge_deg.persist(StorageLevel.MEMORY_AND_DISK)
 
     teleport = (1.0 - beta) / n
-    state = state.withColumn("rank", F.lit(1.0 / n))
-    # Distributed mass of the uniform init: Σ_{deg(u)>0} (1/n)·dfrac(u).
-    # In bag mode sdfrac == n_src, giving the classic n_src/n.
-    m = (counts["sdfrac"] or 0.0) / n
+    if init_ranks is None:
+        state = state.withColumn("rank", F.lit(1.0 / n))
+        # Distributed mass of the uniform init: Σ_{deg(u)>0} (1/n)·dfrac(u).
+        # In bag mode sdfrac == n_src, giving the classic n_src/n.
+        m = (counts["sdfrac"] or 0.0) / n
+    else:
+        # Warm start: previous vector onto the current vertex set (new
+        # vertices → uniform share), renormalized to sum exactly 1 so
+        # the analytic dangling correction stays valid from iteration 1.
+        warm = (
+            state.join(
+                init_ranks.select("node", F.col("rank").alias("__r0")),
+                on="node",
+                how="left",
+            )
+            .select(
+                "node",
+                "deg",
+                "dfrac",
+                F.coalesce(F.col("__r0"), F.lit(1.0 / n)).alias("rank"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row0 = warm.agg(
+            F.sum("rank").alias("t"),
+            F.sum(
+                F.when(
+                    F.col("deg").isNotNull(), F.col("rank") * F.col("dfrac")
+                ).otherwise(0.0)
+            ).alias("mraw"),
+        ).collect()[0]
+        total = row0["t"] or 1.0
+        state = warm.withColumn("rank", F.col("rank") / F.lit(float(total)))
+        m = (row0["mraw"] or 0.0) / total
+        warm_cached = warm
 
     trajectory: list[float] = []
-    cached: list[DataFrame] = []
+    # The warm-start relation rides the loop's cache-eviction cycle.
+    cached: list[DataFrame] = [] if init_ranks is None else [warm_cached]
 
     try:
         return _iterate(

@@ -208,3 +208,52 @@ class TestCompareTeleports:
         assert len(out) == 5
         assert out[0]["position"] == 1
         assert {"page_0_8", "page_0_85", "all_match"} <= set(out[0].asDict())
+
+
+class TestWarmStart:
+    def test_warm_start_same_fixed_point_fewer_iterations(self, spark):
+        rng = random.Random(5)
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(800)
+        ]
+        cold = pagerank(_edges_df(spark, edges), tune_aqe=False)
+        # Restarting from the converged vector: first L1 is already under
+        # delta, so the loop stops immediately with the same ranks.
+        warm = pagerank(
+            _edges_df(spark, edges),
+            tune_aqe=False,
+            init_ranks=cold.ranks,
+        )
+        assert warm.iterations < cold.iterations
+        assert warm.iterations <= 2
+        cd, wd = _ranks_dict(cold), _ranks_dict(warm)
+        assert set(cd) == set(wd)
+        for node in cd:
+            assert wd[node] == pytest.approx(cd[node], abs=1e-6)
+        cold.ranks.unpersist()
+        warm.ranks.unpersist()
+
+    def test_warm_start_after_delta_matches_cold(self, spark):
+        rng = random.Random(9)
+        edges = [
+            (rng.randrange(150), rng.randrange(150)) for _ in range(600)
+        ]
+        prev = pagerank(_edges_df(spark, edges), tune_aqe=False)
+        # graph delta: a few new edges, including a brand-new vertex 999
+        delta_edges = edges + [(999, 3), (3, 999), (1, 2), (7, 11)]
+        cold = pagerank(_edges_df(spark, delta_edges), tune_aqe=False)
+        warm = pagerank(
+            _edges_df(spark, delta_edges),
+            tune_aqe=False,
+            init_ranks=prev.ranks,
+        )
+        assert warm.iterations <= cold.iterations
+        cd, wd = _ranks_dict(cold), _ranks_dict(warm)
+        assert set(cd) == set(wd)
+        total = sum(wd.values())
+        assert total == pytest.approx(1.0, abs=1e-9)
+        for node in cd:
+            assert wd[node] == pytest.approx(cd[node], abs=1e-5)
+        prev.ranks.unpersist()
+        cold.ranks.unpersist()
+        warm.ranks.unpersist()
