@@ -53,11 +53,11 @@ R02_BASELINE = {
     "q39_revenue_per_nation": 1.44,
     "q43_asof_join": 0.782,
     "q49_tpch_q3": 0.937,
-    "q52_shortest_paths": 2.14,
+    "q52_shortest_paths": 3.3,
     "q56_ann_lsh": 3.16,
     "q57_label_propagation": 3.2,
     "q59_interval_join": 0.761,
-    "q63_weighted_sssp": 1.42,
+    "q63_weighted_sssp": 2.44,
     "q74_tpch_q18": 0.972,
     "q75_tpch_q21": 2.245,
     "q77_stats_agg": 0.552,
