@@ -342,11 +342,15 @@ def _label_propagation_impl(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
-        picked = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        # Mode with smallest-label tie break as a hash aggregation:
+        # max of (n, -label) orders first by count then by smaller
+        # label. A row_number window over the same (node) key would add
+        # a full in-partition SORT after the shuffle; max_by keeps the
+        # second stage a partial-combined hash agg.
+        picked = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
         )
         labels = (
             labels.select("node", "label")
