@@ -547,3 +547,69 @@ def test_asof_tolerance_on_ntz_timestamps(spark):
     }
     assert out["p1"][1] == 1.0
     assert out["p2"] == (None, None)
+
+
+def test_asof_join_ntz_tolerance_matches_pandas(spark):
+    # datetime64 (tz-naive) inputs declared as TIMESTAMP_NTZ with a
+    # tolerance: the operator's DayTimeInterval bound must reproduce
+    # pandas merge_asof's naive Timedelta semantics exactly even in a
+    # DST session timezone. (TIMESTAMP columns are instants — physical
+    # duration is the CORRECT semantics there and legitimately differs
+    # from pandas across a DST transition.)
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    base = pd.Timestamp("2024-03-09 12:00:00")  # spans US spring-forward
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 150),
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 96 * 3600, 150), unit="s"),
+            "lid": np.arange(150),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 200),
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 96 * 3600, 200), unit="s"),
+            "v": rng.random(200).round(6),
+        }
+    )
+    right = right.groupby(["k", "ts"], as_index=False)["v"].max()
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        got = {
+            r["lid"]: r["v_asof"]
+            for r in relational.asof_join(
+                spark.createDataFrame(
+                    left, "k long, ts timestamp_ntz, lid long"
+                ),
+                spark.createDataFrame(right, "k long, ts timestamp_ntz, v double"),
+                on="k",
+                value_cols=["v"],
+                tolerance_seconds=7200,
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    exp_df = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(columns={"v": "rv"}),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=pd.Timedelta(seconds=7200),
+    )
+    want = {int(r.lid): (None if pd.isna(r.rv) else r.rv) for r in exp_df.itertuples()}
+    assert set(got) == set(want)
+    for lid in want:
+        if want[lid] is None:
+            assert got[lid] is None
+        else:
+            assert got[lid] == pytest.approx(want[lid], abs=1e-9)
