@@ -12,7 +12,7 @@ the message key plus one scalar convergence collect.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
+from contextlib import contextmanager, nullcontext
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -116,6 +116,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 3,
+    tune: bool = True,
 ) -> DataFrame:
     """Undirected connected components: (node, component) where
     ``component`` is the minimum node id in the node's component.
@@ -126,10 +127,18 @@ def connected_components(
 
     Small-graph loops run under ``_iterative_loop_conf`` (AQE off,
     right-sized shuffle) — the same measured tuning the PageRank loop
-    applies; a no-op above ``SMALL_LOOP_EDGE_LIMIT`` edges.
+    applies; a no-op above ``SMALL_LOOP_EDGE_LIMIT`` edges. Pass
+    ``tune=False`` (mirroring ``pagerank(tune_aqe=False)``) in sessions
+    shared with concurrent queries: the tuning flips session-global
+    confs for the duration of the loop.
     """
     spark = edges.sparkSession
-    with _iterative_loop_conf(spark, 2 * edges.count()):
+    ctx = (
+        _iterative_loop_conf(spark, 2 * edges.count())
+        if tune
+        else nullcontext()
+    )
+    with ctx:
         return _connected_components_impl(
             edges, max_iterations, checkpoint_every
         )
@@ -215,6 +224,7 @@ def shortest_paths(
     sources: DataFrame,
     max_iterations: int = 30,
     checkpoint_every: int = 3,
+    tune: bool = True,
 ) -> DataFrame:
     """Directed BFS hop distances from a source set: (node, dist) for
     every node reachable within ``max_iterations`` hops.
@@ -229,10 +239,14 @@ def shortest_paths(
     ``dst``, one anti join against the reached set. The reached set's
     union lineage is checkpoint-truncated on the same cadence as the
     other iterative loops. Small graphs run under
-    ``_iterative_loop_conf`` (AQE off, right-sized shuffle).
+    ``_iterative_loop_conf`` (AQE off, right-sized shuffle);
+    ``tune=False`` opts out for shared sessions.
     """
     spark = edges.sparkSession
-    with _iterative_loop_conf(spark, edges.count()):
+    ctx = (
+        _iterative_loop_conf(spark, edges.count()) if tune else nullcontext()
+    )
+    with ctx:
         return _shortest_paths_impl(
             edges, sources, max_iterations, checkpoint_every
         )
@@ -290,7 +304,9 @@ def _shortest_paths_impl(
     return final
 
 
-def label_propagation(edges: DataFrame, n_iterations: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, n_iterations: int = 2, tune: bool = True
+) -> DataFrame:
     """Synchronous label propagation (community detection): (node, label).
 
     Extension tier — the reference has no community detection; this is
@@ -306,12 +322,18 @@ def label_propagation(edges: DataFrame, n_iterations: int = 2) -> DataFrame:
     adjacency), one partial-combined (node, label) count, one
     row_number window partitioned by node (bounded by each node's
     distinct neighbor-label count, never global). Lineage is truncated
-    every 3 rounds like the other iterative loops.
+    every 3 rounds like the other iterative loops; the final labels are
+    materialized (eager localCheckpoint) INSIDE the tuning context so
+    the loop actually executes under the tuned confs. ``tune=False``
+    opts out for shared sessions.
     """
-    from pyspark.sql import Window
-
     spark = edges.sparkSession
-    with _iterative_loop_conf(spark, 2 * edges.count()):
+    ctx = (
+        _iterative_loop_conf(spark, 2 * edges.count())
+        if tune
+        else nullcontext()
+    )
+    with ctx:
         return _label_propagation_impl(edges, n_iterations)
 
 
@@ -343,13 +365,15 @@ def _label_propagation_impl(
             .agg(F.count("*").alias("n"))
         )
         # Mode with smallest-label tie break as a hash aggregation:
-        # max of (n, -label) orders first by count then by smaller
-        # label. A row_number window over the same (node) key would add
-        # a full in-partition SORT after the shuffle; max_by keeps the
+        # min of (-n, label) orders first by larger count then by
+        # smaller label — negating the COUNT (always numeric) keeps the
+        # label column untouched, so string node ids order correctly
+        # too. A row_number window over the same (node) key would add a
+        # full in-partition SORT after the shuffle; min_by keeps the
         # second stage a partial-combined hash agg.
         picked = counts.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+            F.min_by(
+                "label", F.struct((-F.col("n")).alias("nn"), F.col("label"))
             ).alias("new_label")
         )
         labels = (
@@ -365,6 +389,12 @@ def _label_propagation_impl(
             for df in cached:
                 df.unpersist()
             cached = []
+    # Materialize the final labels while still inside the caller's
+    # tuning context — otherwise (e.g. the default n_iterations=2,
+    # which never hits the i%3 checkpoint) the whole loop would plan
+    # lazily and execute only after the confs were restored.
+    if n_iterations % 3 != 0:
+        labels = labels.localCheckpoint(eager=True)
     adj.unpersist()
     for df in cached:
         df.unpersist()
@@ -409,6 +439,7 @@ def weighted_shortest_paths(
     weight_col: str = "w",
     max_iterations: int = 20,
     checkpoint_every: int = 3,
+    tune: bool = True,
 ) -> DataFrame:
     """Frontier Bellman-Ford: minimum-cost distances from a source set
     over positively weighted directed edges — (node, dist).
@@ -422,10 +453,14 @@ def weighted_shortest_paths(
     the round it improved). Per round: one shuffle join on ``src``
     sized by the frontier, one partial-combined min-agg on ``dst``, one
     join against the distance table to keep strict improvements.
-    Small graphs run under ``_iterative_loop_conf``.
+    Small graphs run under ``_iterative_loop_conf``; ``tune=False``
+    opts out for shared sessions.
     """
     spark = edges.sparkSession
-    with _iterative_loop_conf(spark, edges.count()):
+    ctx = (
+        _iterative_loop_conf(spark, edges.count()) if tune else nullcontext()
+    )
+    with ctx:
         return _weighted_shortest_paths_impl(
             edges, sources, weight_col, max_iterations, checkpoint_every
         )
@@ -704,6 +739,7 @@ def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 60,
     max_label_iterations: int = 30,
+    tune: bool = True,
 ) -> DataFrame:
     """Strongly connected components by forward/backward min-pivot
     peeling: (node, component) with component = min node id in the SCC.
@@ -717,10 +753,14 @@ def strongly_connected_components(
     (Fleischer et al.'s divide-and-conquer reachability idea) driven by
     label propagation instead of recursion — every step is a shuffle
     join + partial-agg, nothing driver-side but the scalar change
-    counts.
+    counts. ``tune=False`` opts out of the session-conf tuning for
+    shared sessions.
     """
     spark = edges.sparkSession
-    with _iterative_loop_conf(spark, edges.count()):
+    ctx = (
+        _iterative_loop_conf(spark, edges.count()) if tune else nullcontext()
+    )
+    with ctx:
         return _scc_impl(edges, max_rounds, max_label_iterations)
 
 

@@ -370,11 +370,24 @@ def interval_join(
     the fixtures' parquet ``ts`` reads as NTZ, which cannot cast to
     double), and the bucket epoch matches each type's subtraction
     semantics so bucket adjacency still covers every qualifying pair
-    even in a DST session timezone. Second-floored bucket epochs are
-    safe for sub-second timestamps: a pair within ``interval_seconds``
-    lands at integer-second distance ≤ interval, hence in the same or
-    adjacent bucket.
+    even in a DST session timezone.
+
+    ``interval_seconds`` must be an integer ≥ 1 (validated): bucket
+    epochs are second-floored, and the b/b+1 adjacency argument only
+    holds when the bucket width is a whole number of seconds — with a
+    fractional width (e.g. 0.5 s) two timestamps within the interval
+    can land two floored-second buckets apart and the explode would
+    miss the pair. Sub-second *timestamps* are fine (a pair within an
+    integer interval is at floored-second distance ≤ interval, hence
+    same-or-adjacent bucket); sub-second interval *widths* are not.
     """
+    if int(interval_seconds) != interval_seconds or interval_seconds < 1:
+        raise ValueError(
+            "interval_seconds must be an integer >= 1 (second-floored "
+            "bucketing cannot express fractional widths); got "
+            f"{interval_seconds!r}"
+        )
+    interval_seconds = int(interval_seconds)
     w = F.lit(interval_seconds)
     l_dtype = left.schema[left_ts].dataType
     r_dtype = right.schema[right_ts].dataType

@@ -362,3 +362,59 @@ def test_components_adaptive_strategies_agree(spark):
     }
     assert fast == dist
     assert fast == _union_find(edges)
+
+
+def test_label_propagation_string_ids(spark):
+    # String node ids must keep the smallest-LABEL tie break (the
+    # min_by struct negates only the numeric count, never the label —
+    # a numeric-negation tie break would silently null string labels).
+    from pagerank_spark.graph.components import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iterations=2).collect()
+    }
+    # Triangle, hand-walked: round 1 every node sees two distinct
+    # neighbor labels (count 1 each), tie -> lexicographically smallest
+    # ("a"->"b", "b"->"a", "c"->"a"); round 2 converges to "a" for all.
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_graph_apis_tune_false_same_result(spark):
+    # tune=False must skip the session-conf flips and still produce
+    # identical results; confs must be untouched afterwards.
+    from pagerank_spark.graph.components import (
+        connected_components,
+        label_propagation,
+        shortest_paths,
+    )
+
+    edges = [(1, 2), (2, 3), (5, 6), (3, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+
+    cc_t = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    cc_f = {
+        r["node"]: r["component"]
+        for r in connected_components(df, tune=False).collect()
+    }
+    assert cc_t == cc_f
+
+    lp_f = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iterations=2, tune=False).collect()
+    }
+    assert lp_f == _lp_oracle(edges, 2)
+
+    src = spark.createDataFrame([(1,)], "node LONG")
+    sp_f = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, src, tune=False).collect()
+    }
+    assert sp_f == {1: 0, 2: 1, 3: 2}
+
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before

@@ -613,3 +613,22 @@ def test_asof_join_ntz_tolerance_matches_pandas(spark):
             assert got[lid] is None
         else:
             assert got[lid] == pytest.approx(want[lid], abs=1e-9)
+
+
+def test_interval_join_rejects_fractional_width(spark):
+    # Second-floored bucketing cannot express fractional widths (two
+    # timestamps within 0.5s can land two floored-second buckets
+    # apart); the operator must refuse rather than silently drop pairs.
+    import pytest as _pytest
+
+    from pagerank_spark.operators.relational import interval_join
+
+    df = spark.createDataFrame(
+        [(1, 10.0)], "k LONG, ts DOUBLE"
+    )
+    with _pytest.raises(ValueError, match="integer"):
+        interval_join(df, df, on=["k"], interval_seconds=0.5)
+    with _pytest.raises(ValueError, match="integer"):
+        interval_join(df, df, on=["k"], interval_seconds=0)
+    # Integral floats are accepted (2.0 == 2).
+    assert interval_join(df, df, on=["k"], interval_seconds=2.0).count() == 1
