@@ -813,13 +813,27 @@ def q49_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx_count_distinct next to the exact count per event type.
-    No DuckDB oracle (HLL implementations differ) — rows-only driver
-    check; tests/test_operators.py asserts the ≤2% relative error."""
+    """HLL approx_count_distinct, made hash-oracle-able: the raw HLL
+    estimate cannot match across engines (sketch implementations
+    differ), so the declared output carries the EXACT per-type NDV
+    (oracled by DuckDB ``COUNT(DISTINCT …)``) plus a boolean asserting
+    the HLL estimate lands within the documented bound (≤ max(2, 2%) of
+    exact — the same bound tests/test_operators.py pins). The oracle
+    declares the boolean TRUE, so a drifting estimate breaks the hash:
+    the sketch's accuracy contract IS driver-verified, only its raw
+    value is not."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
         F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    bound = F.greatest(F.lit(2.0), 0.02 * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("__approx") - F.col("exact_users")) <= bound).alias(
+            "approx_within_2pct"
+        ),
     )
 
 
@@ -3034,6 +3048,22 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
+""",
+)
+
+# q50 twin: the exact NDV is fully oracle-able; the HLL estimate's
+# accuracy contract is declared as a boolean (oracle side: TRUE). If
+# Spark's sketch ever drifts past the max(2, 2%) bound the Spark side
+# emits FALSE and the driver's value hash breaks — the bound itself is
+# driver-verified even though the raw estimate can't be.
+_oracle(
+    "q50_approx_distinct",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_2pct
+FROM events
+GROUP BY event_type
 """,
 )
 
