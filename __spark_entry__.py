@@ -1944,6 +1944,79 @@ def q104_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table layer end-to-end under the oracle
+    (pagerank_spark/table.py): write a base snapshot (orders with
+    o_orderkey % 4 == 0), MERGE-upsert a fixed delta (doubled
+    totalprice for % 8 == 0 — updates; % 4 == 1 rows — inserts), read
+    the COMMITTED post-merge version through the atomic pointer, and
+    return its rows plus the time-traveled v0 row count and the
+    committed version id. The whole write→commit→read path is what the
+    hash covers; the DuckDB twin computes the same MERGE with
+    NOT EXISTS + UNION ALL over the same parquet."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pagerank_spark import table as tbl
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("tp"),
+    )
+    base = o.where(F.col("o_orderkey") % 4 == 0)
+    delta = (
+        o.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("tp", F.round(F.col("tp") * 2, 2))
+        .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "psq105_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v0 = tbl.write_table(base, root)
+    v1 = tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
+    committed = tbl.read_table(spark, root)  # resolves _latest
+    n_v0 = tbl.read_table(spark, root, version=v0).count()  # time travel
+    return committed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "tp",
+        F.lit(n_v0).cast("long").alias("v0_rows"),
+        F.lit(v1).cast("long").alias("version"),
+    )
+
+
+def q106_warmstart_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start incremental PageRank under the oracle: a cold
+    2-iteration run seeds ``init_ranks`` for ONE further iteration
+    (graph/pagerank.py warm-start path — the incremental-refresh story
+    at scale: after a graph delta, the previous converged vector
+    resumes instead of restarting from uniform). The warm result is
+    algebraically a cold 3-iteration run, hash-checked against a
+    3-step SQL power-iteration expansion; ``warm_iters`` ASSERTS the
+    warm loop executed exactly 1 iteration (the oracle pins it to 1)."""
+    e = _edges(spark, sf_dir)
+    cold = pagerank(
+        e, beta=0.85, delta=0.0, max_iterations=2, tune_aqe=False
+    )
+    warm = pagerank(
+        e,
+        beta=0.85,
+        delta=0.0,
+        max_iterations=1,
+        init_ranks=cold.ranks,
+        tune_aqe=False,
+    )
+    return warm.ranks.select(
+        "node",
+        F.round("rank", 9).alias("rank"),
+        F.lit(warm.iterations).cast("long").alias("warm_iters"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2057,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_frame_sample_plan": q102_frame_sample_plan,
         "q103_unpivot": q103_unpivot,
         "q104_asof_tolerance": q104_asof_tolerance,
+        "q105_table_merge": q105_table_merge,
+        "q106_warmstart_pagerank": q106_warmstart_pagerank,
     }
 
 
@@ -4266,5 +4341,105 @@ SELECT p.event_id,
             THEN ROUND(c.click_value, 2) END AS click_value
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+
+# q105 twin: the MERGE's relational semantics — kept = base rows whose
+# key has no delta row (NOT EXISTS ≡ the left-anti join in
+# table.py upsert_table), plus every delta row; v0_rows pins the
+# time-traveled pre-merge snapshot, version pins the committed pointer.
+_oracle(
+    "q105_table_merge",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS tp
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+delta AS (
+  SELECT o_orderkey, o_orderstatus,
+         ROUND(ROUND(o_totalprice, 2) * 2, 2) AS tp
+  FROM orders WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS tp
+  FROM orders WHERE o_orderkey % 4 = 1
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.tp FROM base b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey
+  )
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, tp FROM delta
+)
+SELECT m.o_orderkey, m.o_orderstatus, m.tp,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS v0_rows,
+       CAST(1 AS BIGINT) AS version
+FROM merged m
+""",
+)
+
+# q106 twin: three unrolled power steps of q15's algebra (uniform init,
+# per-step analytic dangling-mass correction); warm_iters = 1 asserts
+# the engine's warm-start loop resumed from the 2-iteration vector and
+# ran exactly one more iteration rather than recomputing all three.
+_oracle(
+    "q106_warmstart_pagerank",
+    SQL_EDGES
+    + """
+, consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_src
+),
+r0 AS (
+  SELECT n.node, d.deg, 1.0 / c.n AS rank
+  FROM nodes n LEFT JOIN deg d ON n.node = d.src CROSS JOIN consts c
+),
+contrib1 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r0 r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+m0 AS (
+  SELECT CAST(c.n_src AS DOUBLE) / c.n AS m FROM consts c
+),
+r1 AS (
+  SELECT r.node, r.deg,
+         ((1.0 - 0.85) / c.n + (0.85 * (1.0 - (SELECT m FROM m0))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r0 r LEFT JOIN contrib1 k ON r.node = k.node CROSS JOIN consts c
+),
+m1 AS (
+  SELECT SUM(CASE WHEN deg IS NOT NULL THEN rank ELSE 0.0 END) AS m FROM r1
+),
+contrib2 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r1 r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT r.node, r.deg,
+         ((1.0 - 0.85) / c.n + (0.85 * (1.0 - (SELECT m FROM m1))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r1 r LEFT JOIN contrib2 k ON r.node = k.node CROSS JOIN consts c
+),
+m2 AS (
+  SELECT SUM(CASE WHEN deg IS NOT NULL THEN rank ELSE 0.0 END) AS m FROM r2
+),
+contrib3 AS (
+  SELECT e.dst AS node, SUM(0.85 * r.rank / r.deg) AS contrib
+  FROM edges e JOIN r2 r ON e.src = r.node
+  WHERE r.deg IS NOT NULL
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT r.node,
+         ((1.0 - 0.85) / c.n + (0.85 * (1.0 - (SELECT m FROM m2))) / c.n)
+           + COALESCE(k.contrib, 0.0) AS rank
+  FROM r2 r LEFT JOIN contrib3 k ON r.node = k.node CROSS JOIN consts c
+)
+SELECT node, ROUND(rank, 9) AS rank, CAST(1 AS BIGINT) AS warm_iters
+FROM r3
 """,
 )
