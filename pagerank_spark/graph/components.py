@@ -115,7 +115,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
     tune: bool = True,
 ) -> DataFrame:
     """Undirected connected components: (node, component) where
@@ -184,8 +184,15 @@ def _connected_components_impl(
                     F.coalesce(F.col("msg_agg"), F.col("old_comp")),
                 ).alias("comp"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        on_ckpt = iteration % checkpoint_every == 0
+        if on_ckpt:
+            # Lazy lineage truncation: materializes inside the same
+            # convergence-check job below — one job per iteration even
+            # at cadence 1 (see pagerank.py, same discipline).
+            new_state = new_state.localCheckpoint(eager=False)
+        else:
+            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
         # sum() over an empty relation is NULL — treat as converged.
         changed = (
             new_state.agg(
@@ -197,11 +204,9 @@ def _connected_components_impl(
         )
 
         next_state = new_state.select("node", "comp")
-        if iteration % checkpoint_every == 0:
-            next_state = next_state.localCheckpoint(eager=True)
+        if on_ckpt:
             for df in cached:
                 df.unpersist()
-            new_state.unpersist()
             cached = []
         else:
             cached.append(new_state)
@@ -223,7 +228,7 @@ def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
     max_iterations: int = 30,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
     tune: bool = True,
 ) -> DataFrame:
     """Directed BFS hop distances from a source set: (node, dist) for
@@ -266,6 +271,11 @@ def _shortest_paths_impl(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     reached = frontier
     cached: list[DataFrame] = [frontier]
+    # Caches that must outlive the CURRENT round: a lazily checkpointed
+    # ``reached`` materializes only in the NEXT round's anti-join count
+    # (or the final count), so its upstream caches are unpersisted one
+    # generation late.
+    pending: list[DataFrame] = []
 
     iteration = 0
     while iteration < max_iterations:
@@ -278,16 +288,23 @@ def _shortest_paths_impl(
             .select("node", F.col("msg_agg").alias("dist"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if new_frontier.count() == 0:
+        n_new = new_frontier.count()
+        # The count's anti join scanned ``reached`` fully — any lazy
+        # checkpoint from last round is now materialized; its upstream
+        # caches are safe to drop.
+        for df in pending:
+            df.unpersist()
+        pending = []
+        if n_new == 0:
             new_frontier.unpersist()
             break
         merged = reached.unionByName(new_frontier)
         if iteration % checkpoint_every == 0:
-            # Checkpoint materializes the union — every earlier cache
-            # (prior frontiers and reached unions) is now dead weight.
-            reached = merged.localCheckpoint(eager=True)
-            for df in cached:
-                df.unpersist()
+            # Lazy lineage truncation (see pagerank.py): the checkpoint
+            # materializes inside next round's anti-join count — no
+            # dedicated checkpoint job.
+            reached = merged.localCheckpoint(eager=False)
+            pending = cached
             cached = [new_frontier]
         else:
             reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -297,6 +314,8 @@ def _shortest_paths_impl(
 
     final = reached.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
+    for df in pending:
+        df.unpersist()
     for df in cached:
         if df is not final:
             df.unpersist()
@@ -322,7 +341,7 @@ def label_propagation(
     adjacency), one partial-combined (node, label) count, one
     row_number window partitioned by node (bounded by each node's
     distinct neighbor-label count, never global). Lineage is truncated
-    every 3 rounds like the other iterative loops; the final labels are
+    like the other iterative loops; the final labels are
     materialized (eager localCheckpoint) INSIDE the tuning context so
     the loop actually executes under the tuned confs. ``tune=False``
     opts out for shared sessions.
@@ -438,7 +457,7 @@ def weighted_shortest_paths(
     sources: DataFrame,
     weight_col: str = "w",
     max_iterations: int = 20,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
     tune: bool = True,
 ) -> DataFrame:
     """Frontier Bellman-Ford: minimum-cost distances from a source set
@@ -481,6 +500,10 @@ def _weighted_shortest_paths_impl(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     frontier = dist
     cached: list[DataFrame] = [dist]
+    # See _shortest_paths_impl: lazily checkpointed ``dist`` materializes
+    # in the NEXT round's improved-count join, so upstream caches are
+    # unpersisted one generation late.
+    pending: list[DataFrame] = []
 
     iteration = 0
     while iteration < max_iterations:
@@ -502,7 +525,13 @@ def _weighted_shortest_paths_impl(
             .select("node", F.col("cand").alias("dist"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if improved.count() == 0:
+        n_improved = improved.count()
+        # The count's left join scanned ``dist`` fully — last round's
+        # lazy checkpoint is materialized; drop its upstream caches.
+        for df in pending:
+            df.unpersist()
+        pending = []
+        if n_improved == 0:
             improved.unpersist()
             break
         merged = (
@@ -517,9 +546,10 @@ def _weighted_shortest_paths_impl(
             )
         )
         if iteration % checkpoint_every == 0:
-            dist = merged.localCheckpoint(eager=True)
-            for df in cached:
-                df.unpersist()
+            # Lazy lineage truncation (see pagerank.py): materializes in
+            # next round's improved-count join — no dedicated job.
+            dist = merged.localCheckpoint(eager=False)
+            pending = cached
             cached = [improved]
         else:
             dist = merged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -529,6 +559,8 @@ def _weighted_shortest_paths_impl(
 
     final = dist.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
+    for df in pending:
+        df.unpersist()
     for df in cached:
         if df is not final:
             df.unpersist()
@@ -680,7 +712,7 @@ def _min_label_fixpoint(
     edges: DataFrame,
     nodes: DataFrame,
     max_iterations: int,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Directed min-label propagation to fixpoint: for each node, the
     minimum node id among its ancestors (nodes that can reach it,
@@ -706,8 +738,14 @@ def _min_label_fixpoint(
                     F.col("old"), F.coalesce("msg_agg", F.col("old"))
                 ).alias("lab"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        on_ckpt = iteration % checkpoint_every == 0
+        if on_ckpt:
+            # Lazy lineage truncation — materializes inside the same
+            # convergence-check job below (see pagerank.py).
+            new_state = new_state.localCheckpoint(eager=False)
+        else:
+            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_state.agg(
                 F.sum(F.when(F.col("lab") != F.col("old"), 1).otherwise(0))
@@ -716,11 +754,9 @@ def _min_label_fixpoint(
             or 0
         )
         nxt = new_state.select("node", "lab")
-        if iteration % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        if on_ckpt:
             for df in cached:
                 df.unpersist()
-            new_state.unpersist()
             cached = []
         else:
             cached.append(new_state)

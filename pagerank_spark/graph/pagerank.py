@@ -49,11 +49,16 @@ Scale design (the part that matters at 100 TB):
 - One tiny driver-side scalar row per iteration (L1 norm + dangling
   mass) drives the loop — the only driver materialization; the rank
   table itself never collects.
-- Lineage is truncated with ``localCheckpoint`` every ``checkpoint_every``
-  iterations so the logical plan doesn't grow per iteration (SURVEY §7.5.1).
-  Measured on WikiData (warm): cadence 3 → 6.45s, 5 → 6.96s, 7 → 8.73s,
-  never → crash; Catalyst re-analysis of the growing plan dominates, so
-  the default is 3.
+- Lineage is truncated with a LAZY ``localCheckpoint`` every
+  ``checkpoint_every`` iterations so the logical plan doesn't grow per
+  iteration (SURVEY §7.5.1). Lazy means the checkpoint materializes
+  inside the iteration's one aggregation job — no dedicated checkpoint
+  pass — so truncation is free and the default cadence is EVERY
+  iteration. Measured on WikiData (warm, lazy): cadence 1 → 4.9s,
+  2 → 5.7s, 3 → 6.5s, never → crash; Catalyst re-analysis of the
+  growing plan dominates any plan reuse. (Reliable ``checkpoint()``
+  writes state to the checkpoint dir — real I/O per truncation — so
+  that mode amortizes over 3 iterations.)
 """
 
 from __future__ import annotations
@@ -119,7 +124,7 @@ def pagerank(
     beta: float = 0.85,
     delta: float = 1e-5,
     max_iterations: int = 200,
-    checkpoint_every: int = 3,
+    checkpoint_every: int | None = None,
     strategy: str = "auto",
     broadcast_vertex_limit: int = 5_000_000,
     edge_semantics: str = "bag",
@@ -169,6 +174,16 @@ def pagerank(
         reliable_checkpoint = (
             spark.sparkContext.getCheckpointDir() is not None
         )
+    if checkpoint_every is None:
+        # Checkpoints are lazy (they materialize inside the iteration's
+        # one aggregation job), so with localCheckpoint the truncation
+        # is free and EVERY iteration should truncate — measured on
+        # WikiData (warm, lazy): cadence 1 → 4.9s, 2 → 5.7s, 3 → 6.5s;
+        # Catalyst re-analysis of the growing plan dominates any reuse.
+        # Reliable checkpoints write the state table to the checkpoint
+        # dir (HDFS/object store) — a real I/O cost per truncation, so
+        # amortize over 3 iterations there.
+        checkpoint_every = 3 if reliable_checkpoint else 1
 
     # Out-degrees are computed ONCE and reused for both the decorated edge
     # relation and the state init (was: two scans+aggs of the edge table).
@@ -377,11 +392,31 @@ def _iterate(
                     + F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        on_ckpt = iteration % checkpoint_every == 0
+        if on_ckpt:
+            # Truncate lineage so the analyzed plan doesn't grow per
+            # iteration (SURVEY §7.5.1) — LAZILY, so the checkpoint
+            # materializes inside the same aggregation job below: one
+            # job per iteration even at cadence 1, where eager
+            # checkpointing used to cost a second pass. The stored
+            # blocks double as the cache for new_state, so no persist
+            # is needed on checkpoint iterations (they carry old_rank,
+            # one extra double per vertex — dropped at the next step).
+            # checkpoint() (reliable mode) is fault-tolerant across
+            # executor loss; localCheckpoint is faster but dies with
+            # its executor.
+            pre = (
+                pre.checkpoint(eager=False)
+                if reliable_checkpoint
+                else pre.localCheckpoint(eager=False)
+            )
+        else:
+            pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
 
         # G4: ONE aggregation job per iteration — L1 convergence metric and
-        # next iteration's distributed mass; also materializes the cache.
+        # next iteration's distributed mass; also materializes the
+        # cache/checkpoint.
         row = pre.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
             F.sum(
@@ -394,19 +429,10 @@ def _iterate(
         trajectory.append(l1)
 
         new_state = pre.select("node", "deg", "dfrac", "rank")
-        if iteration % checkpoint_every == 0:
-            # Truncate lineage so the analyzed plan doesn't grow per
-            # iteration (SURVEY §7.5.1). checkpoint() (reliable mode) is
-            # fault-tolerant across executor loss; localCheckpoint is
-            # faster but dies with its executor.
-            if reliable_checkpoint:
-                new_state = new_state.checkpoint(eager=True)
-            else:
-                new_state = new_state.localCheckpoint(eager=True)
-            # The checkpoint materialized new_state, so pre's cache (and
-            # every earlier iterate's) is dead weight — unpersist now or
-            # one MEMORY_AND_DISK vertex table leaks per checkpoint.
-            pre.unpersist()
+        if on_ckpt:
+            # The agg materialized the checkpoint, so every earlier
+            # persisted iterate is dead weight — unpersist now or one
+            # MEMORY_AND_DISK vertex table leaks per checkpoint.
             for df in cached:
                 df.unpersist()
             cached = []
