@@ -31,42 +31,42 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WIKIDATA = "/root/reference/WikiData.txt"
 
-# Best observed per-query seconds (min of BENCH_r02.json and the
-# round-4 best-of-2 solo runs; sf0.1, local[32]) — the regression
+# Best observed per-query seconds (running min across round benches;
+# last refreshed round 5 after the lazy-checkpoint loop rework) — the regression
 # baseline. Any query >1.5× its baseline gets a stderr warning so a
 # slowdown can't land silently. Only meaningful at sf0.1. The factor
 # is 1.5 (not 1.3) because baselines are now best-of-2 minima — the
 # guard should fire on real plan regressions, not host noise.
 R02_BASELINE = {
-    "q03_out_degree_top20": 0.39,
-    "q08_induced_subgraph": 0.651,
-    "q11_lineitem_agg": 0.545,
-    "q12_customer_nation_region": 0.555,
-    "q16_adjacency_lists": 0.823,
-    "q18_top_customers": 0.61,
-    "q21_fingerprint": 0.779,
-    "q22_language_id": 0.638,
-    "q27_minhash_lsh": 2.986,
-    "q28_ann_bruteforce": 1.415,
-    "q30_tumbling_window": 0.459,
-    "q35_sessionize": 0.732,
-    "q39_revenue_per_nation": 1.44,
-    "q43_asof_join": 0.782,
-    "q49_tpch_q3": 0.937,
-    "q52_shortest_paths": 3.3,
-    "q56_ann_lsh": 3.16,
-    "q57_label_propagation": 3.2,
-    "q59_interval_join": 0.761,
-    "q63_weighted_sssp": 2.44,
-    "q74_tpch_q18": 0.972,
-    "q75_tpch_q21": 2.245,
-    "q77_stats_agg": 0.552,
-    "q84_groupwise_zscore": 0.545,
-    "q85_sketch_quantiles": 1.02,
-    "q90_neardup_clusters": 5.62,
-    "q95_curation_pipeline": 0.843,
-    "pagerank_full": 4.469,
-    "pagerank_wikidata": 7.354,
+    "q03_out_degree_top20": 0.242,
+    "q08_induced_subgraph": 0.438,
+    "q11_lineitem_agg": 0.412,
+    "q12_customer_nation_region": 0.384,
+    "q16_adjacency_lists": 0.687,
+    "q18_top_customers": 0.465,
+    "q21_fingerprint": 0.696,
+    "q22_language_id": 0.457,
+    "q27_minhash_lsh": 2.346,
+    "q28_ann_bruteforce": 1.02,
+    "q30_tumbling_window": 0.327,
+    "q35_sessionize": 0.578,
+    "q39_revenue_per_nation": 0.814,
+    "q43_asof_join": 0.572,
+    "q49_tpch_q3": 0.609,
+    "q52_shortest_paths": 2.398,
+    "q56_ann_lsh": 2.028,
+    "q57_label_propagation": 3.166,
+    "q59_interval_join": 0.533,
+    "q63_weighted_sssp": 1.475,
+    "q74_tpch_q18": 0.677,
+    "q75_tpch_q21": 1.698,
+    "q77_stats_agg": 0.392,
+    "q84_groupwise_zscore": 0.342,
+    "q85_sketch_quantiles": 0.694,
+    "q90_neardup_clusters": 4.408,
+    "q95_curation_pipeline": 0.737,
+    "pagerank_full": 2.354,
+    "pagerank_wikidata": 4.488,
 }
 REGRESSION_FACTOR = 1.5
 
