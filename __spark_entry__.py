@@ -2017,6 +2017,74 @@ def q106_warmstart_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style structural quality gates
+    (operators/text.py gopher_quality; Rae et al. 2021 §A1.1): word
+    count / mean word length / symbol ratio / duplicate-line bounds,
+    one codegen'd projection, reported per source. The fixture docs
+    span 10-99 words so the 50-word floor splits the corpus — n_pass
+    exercises the gate, not a constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.gopher_quality(docs)
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.round(F.avg("mean_word_len"), 6).alias("avg_mean_word_len"),
+        F.round(F.avg("n_words"), 6).alias("avg_n_words"),
+    )
+
+
+def q108_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py pii_redact): every doc gets a
+    deterministic synthetic email + phone appended (the fixture corpus
+    has none), then the redaction chain replaces them with
+    placeholders. The hash covers the redacted TEXT (md5 digest), so
+    the twin must reproduce the exact replacement semantics, plus
+    both per-row counts from the original text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = text.pii_redact(docs)
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("text_redacted").alias("redacted_digest"),
+    )
+
+
+def q109_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix resampling
+    (operators/curation.py sample_to_mix): downsample the corpus to a
+    target language mix (en 40%, others 15% each) with a portable-hash
+    coin per row — no RNG, no order dependence, reproducible in any
+    engine with md5. Returns the kept rows themselves (doc_id, lang,
+    source), so the hash pins the exact per-row keep decisions."""
+    from pagerank_spark.operators.curation import sample_to_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_to_mix(
+        docs,
+        group_col="lang",
+        weights={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        id_col="doc_id",
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2132,6 +2200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_asof_tolerance": q104_asof_tolerance,
         "q105_table_merge": q105_table_merge,
         "q106_warmstart_pagerank": q106_warmstart_pagerank,
+        "q107_gopher_quality": q107_gopher_quality,
+        "q108_pii_redact": q108_pii_redact,
+        "q109_sample_to_mix": q109_sample_to_mix,
     }
 
 
@@ -4441,5 +4512,114 @@ r3 AS (
 )
 SELECT node, ROUND(rank, 9) AS rank, CAST(1 AS BIGINT) AS warm_iters
 FROM r3
+""",
+)
+
+# q107 twin: the same structure features in DuckDB list/regex functions.
+# list_sum over an empty list is NULL there (Spark's aggregate returns
+# its 0 init), hence the COALESCE; both sides round ratios to 9dp in
+# the row expression and 6dp in the aggregate.
+_oracle(
+    "q107_gopher_quality",
+    r"""
+WITH feats AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         ROUND(
+           COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+'), w -> length(w))), 0)
+           / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 9
+         ) AS mean_word_len,
+         ROUND(
+           len(regexp_extract_all(text, '[#*]|\.\.\.'))
+           / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 9
+         ) AS symbol_word_ratio,
+         ROUND(
+           (len(string_split(text, chr(10)))
+            - len(list_distinct(string_split(text, chr(10)))))
+           / GREATEST(len(string_split(text, chr(10))), 1), 9
+         ) AS dup_line_frac
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_word_ratio <= 0.1
+                      AND dup_line_frac <= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(AVG(mean_word_len), 6) AS avg_mean_word_len,
+       ROUND(AVG(n_words), 6) AS avg_n_words
+FROM feats
+GROUP BY source
+""",
+)
+
+# q108 twin: identical synthetic PII augmentation, identical regex
+# patterns (Java and RE2 agree on these constructs), counts from the
+# original text, emails replaced before phones ('g' = global, Spark's
+# regexp_replace default).
+_oracle(
+    "q108_pii_redact",
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com or +1 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+       )) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(
+         text, '\+?[0-9][0-9 ()./-]{6,}[0-9]'
+       )) AS INT) AS n_phones,
+       md5(regexp_replace(
+         regexp_replace(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'
+         ),
+         '\+?[0-9][0-9 ()./-]{6,}[0-9]', '<PHONE>', 'g'
+       )) AS redacted_digest
+FROM aug
+""",
+)
+
+# q109 twin: the same mix plan (feasible total T = min(n/w), keep
+# fraction w*T/n) and the same portable-hash coin per row. Weights
+# CAST to DOUBLE so the arithmetic is bit-identical to Spark's
+# (DuckDB would otherwise infer DECIMAL for the VALUES literals).
+_oracle(
+    "q109_sample_to_mix",
+    r"""
+WITH w(lang, wt) AS (
+  VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+         ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+         ('zh', CAST(0.15 AS DOUBLE))
+),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+caps AS (
+  SELECT c.lang, c.n, w.wt FROM counts c JOIN w ON c.lang = w.lang
+),
+t AS (SELECT MIN(n / wt) AS t FROM caps),
+plan AS (
+  SELECT lang,
+         CAST(FLOOR(
+           LEAST(1.0, wt * (SELECT t FROM t) / n) * 1000000
+         ) AS BIGINT) AS thresh
+  FROM caps
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN plan p ON d.lang = p.lang
+WHERE CAST(('0x' || substr(
+        md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15
+      )) AS BIGINT) % 1000000 < p.thresh
 """,
 )

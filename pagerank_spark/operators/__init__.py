@@ -1,4 +1,5 @@
 from pagerank_spark.operators import (  # noqa: F401
+    curation,
     dedup,
     multimodal,
     relational,

@@ -143,12 +143,124 @@ def _hash_sql(col: str) -> str:
     return f"CAST(conv(substr(md5({col}),1,15),16,10) AS BIGINT)"
 
 
+# Structural-repetition symbols counted against the word count (the
+# Gopher paper's "symbol-to-word ratio" uses # and ellipsis; * added
+# for markdown bullets). Shared with the DuckDB twin.
+GOPHER_SYMBOL_PATTERN = "[#*]|\\.\\.\\."
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style structural quality gates (Rae et al. 2021, §A1.1 —
+    public paper; the reference has no quality tier, extension op).
+
+    Computes per-document structure features and a single
+    ``passes_gopher`` keep flag from the classic bounds: word count in
+    [min, max], mean word length in [3, 10], symbol-to-word ratio
+    below 0.1, duplicate-line fraction below 0.3.
+
+    All pure Catalyst (regexp_extract_all / higher-order aggregate /
+    array_distinct) — one whole-stage-codegen projection, no shuffle,
+    no Python; the exact shape a 100 TB corpus pre-filter needs.
+    Ratios round to 9 decimals so the DuckDB twin value-matches.
+    """
+    text = F.col(text_col)
+    words = F.regexp_extract_all(text, F.lit("[A-Za-z]+"), F.lit(0))
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    denom_w = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.round(sum_len / denom_w, 9)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines)))
+        / F.greatest(n_lines, F.lit(1)),
+        9,
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(text, F.lit(GOPHER_SYMBOL_PATTERN), F.lit(0))
+    )
+    symbol_word_ratio = F.round(n_symbols / denom_w, 9)
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_word_ratio <= max_symbol_word_ratio)
+        & (dup_line_frac <= max_dup_line_frac)
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        dup_line_frac.alias("dup_line_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+# PII patterns shared with the DuckDB twin. Both engines' regex
+# dialects (Java / RE2) agree on these constructs: literal classes,
+# bounded repetition, greedy longest-at-leftmost matches.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\+?[0-9][0-9 ()./-]{6,}[0-9]"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """PII scrubbing: replace emails / phone-shaped numbers with
+    ``<EMAIL>`` / ``<PHONE>`` placeholders and count the redactions
+    (counted on the ORIGINAL text, so the two counts don't interact).
+
+    Extension op (no reference analogue) — the standard scrub pass a
+    training-data pipeline runs before tokenization. Pure Catalyst
+    ``regexp_replace`` chain in one codegen'd projection; emails are
+    replaced first so digit runs inside addresses can't double-match
+    as phones.
+    """
+    text = F.col(text_col)
+    out = out_col or f"{text_col}_redacted"
+    n_emails = F.size(
+        F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))
+    )
+    n_phones = F.size(
+        F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        "*",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redacted.alias(out),
+    )
+
+
 __all__ = [
     "LANG_MARKERS",
     "SUBWORD_PATTERN",
+    "GOPHER_SYMBOL_PATTERN",
+    "EMAIL_PATTERN",
+    "PHONE_PATTERN",
     "language_id",
     "quality_score",
     "token_stats",
     "fingerprint",
+    "gopher_quality",
+    "pii_redact",
     "portable_hash60",
 ]

@@ -632,3 +632,80 @@ def test_interval_join_rejects_fractional_width(spark):
         interval_join(df, df, on=["k"], interval_seconds=0)
     # Integral floats are accepted (2.0 == 2).
     assert interval_join(df, df, on=["k"], interval_seconds=2.0).count() == 1
+
+
+def test_gopher_quality_gates(spark):
+    long_good = " ".join(["alpha beta gamma delta"] * 15)  # 60 words
+    too_short = "just a few words here"
+    symbol_heavy = " ".join(["word ### *** ..."] * 20)  # 20 words, 60+ syms
+    dup_lines = "\n".join(["same line of text"] * 8 + ["unique closer"])
+    df = spark.createDataFrame(
+        [(1, long_good), (2, too_short), (3, symbol_heavy), (4, dup_lines)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_quality(df, min_words=10).collect()
+    }
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["passes_gopher"] is False  # 4 words < floor
+    assert out[3]["passes_gopher"] is False  # symbol ratio 7.0 > 0.1
+    assert out[3]["symbol_word_ratio"] == 7.0
+    assert out[4]["passes_gopher"] is False  # 7/9 duplicate lines
+    assert abs(out[4]["dup_line_frac"] - 7 / 9) < 1e-9
+    assert out[1]["n_words"] == 60
+    assert abs(out[1]["mean_word_len"] - 19 / 4) < 1e-9
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or +1 (555) 123-4567."),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.io and 555 0100 9999"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<PHONE>" in out[1]["text_redacted"]
+    assert "jo.doe" not in out[1]["text_redacted"]
+    assert "555" not in out[1]["text_redacted"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["text_redacted"] == "no pii here"
+    assert out[3]["n_emails"] == 2 and out[3]["n_phones"] == 1
+    assert out[3]["text_redacted"].count("<EMAIL>") == 2
+
+
+def test_sample_to_mix_hits_target_and_is_deterministic(spark):
+    from pagerank_spark.operators.curation import mix_plan, sample_to_mix
+
+    rows = [(i, "big" if i % 10 < 8 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    # Target 50/50 from an 80/20 corpus: "small" (1000 rows) binds, so
+    # the plan keeps all of it and downsamples "big" to ~1000.
+    plan = {
+        r["grp"]: r
+        for r in mix_plan(df, "grp", {"big": 0.5, "small": 0.5}).collect()
+    }
+    assert plan["small"]["keep_frac"] == 1.0
+    assert abs(plan["big"]["keep_frac"] - 0.25) < 1e-9
+    kept = sample_to_mix(df, "grp", {"big": 0.5, "small": 0.5}, id_col="id")
+    sizes = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes["small"] == 1000
+    assert 850 <= sizes["big"] <= 1150  # binomial around 1000
+    # Deterministic: identical keep set on rerun.
+    ids1 = sorted(r["id"] for r in kept.select("id").collect())
+    ids2 = sorted(
+        r["id"]
+        for r in sample_to_mix(
+            df, "grp", {"big": 0.5, "small": 0.5}, id_col="id"
+        ).select("id").collect()
+    )
+    assert ids1 == ids2
+    # Unknown group (weight absent) is dropped entirely.
+    df2 = df.union(spark.createDataFrame([(99999, "other")], ["id", "grp"]))
+    kept2 = sample_to_mix(df2, "grp", {"big": 0.5, "small": 0.5}, id_col="id")
+    assert kept2.where(F.col("grp") == "other").count() == 0
