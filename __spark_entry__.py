@@ -2085,6 +2085,52 @@ def q109_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def q110_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination
+    (operators/curation.py contamination_report): every 50th doc plays
+    the held-out eval set; the scan reports corpus docs sharing ≥1
+    distinct 5-gram with it. Broadcast semi-join on the shingle key —
+    the eval suite is tiny next to the corpus at any scale."""
+    from pagerank_spark.operators.curation import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_report(corpus, bench, n=5, min_overlap=1)
+
+
+def q111_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal
+    (operators/curation.py remove_boilerplate_lines): every doc gets a
+    shared footer line plus a doc-unique line appended; lines occurring
+    in ≥2 distinct docs (the footer, plus any duplicated original
+    text) are dropped and the doc reassembled in line order. The hash
+    covers the cleaned text (md5) and the removed-line count."""
+    from pagerank_spark.operators.curation import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfooter: standard legal boilerplate\nid line "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(docs, min_docs=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_digest"), "n_lines_removed"
+    )
+
+
+def q112_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/text.py tfidf_top_terms):
+    top-3 terms per document by tf·ln(N/df); the ROUNDED score drives
+    the ranking so cross-engine libm ulp differences can't flip the
+    order (ties by tf desc, term asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2203,6 +2249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_gopher_quality": q107_gopher_quality,
         "q108_pii_redact": q108_pii_redact,
         "q109_sample_to_mix": q109_sample_to_mix,
+        "q110_decontamination": q110_decontamination,
+        "q111_boilerplate_lines": q111_boilerplate_lines,
+        "q112_tfidf_top_terms": q112_tfidf_top_terms,
     }
 
 
@@ -4621,5 +4670,115 @@ FROM documents d JOIN plan p ON d.lang = p.lang
 WHERE CAST(('0x' || substr(
         md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15
       )) AS BIGINT) % 1000000 < p.thresh
+""",
+)
+
+# q110 twin: 5-gram shingles via the idx-offset self-join (the same
+# construction as the MinHash twins), distinct per doc; eval side =
+# doc_id % 50 == 0, overlap = equi-join + count per corpus doc.
+_oracle(
+    "q110_decontamination",
+    r"""
+WITH toks AS (
+  SELECT doc_id, tok, idx FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+             AS idx
+    FROM documents
+  )
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' '
+               || e.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+  JOIN toks d ON a.doc_id = d.doc_id AND d.idx = a.idx + 3
+  JOIN toks e ON a.doc_id = e.doc_id AND e.idx = a.idx + 4
+  WHERE a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' '
+        || e.tok <> ''
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+HAVING COUNT(*) >= 1
+""",
+)
+
+# q111 twin: same synthetic footer/id-line augmentation; boilerplate =
+# lines in >= 2 distinct docs; reassembly via ORDER BY pos string_agg
+# (NULL-skipping, like Spark's concat_ws over a NULL-free collect).
+_oracle(
+    "q111_boilerplate_lines",
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'footer: standard legal boilerplate'
+              || chr(10) || 'id line ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, line, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+    FROM aug
+  )
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+tagged AS (
+  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS is_b
+  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+)
+SELECT doc_id,
+       md5(COALESCE(
+         string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                    ORDER BY pos), ''
+       )) AS clean_digest,
+       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed
+FROM tagged
+GROUP BY doc_id
+""",
+)
+
+# q112 twin: tf * ln(N/df) rounded to 6dp, ranked on the ROUNDED
+# score (ties tf desc, term asc) so both engines rank identically.
+_oracle(
+    "q112_tfidf_top_terms",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         ROUND(t.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6)
+           AS tfidf
+  FROM tf t JOIN dfreq d ON t.term = d.term
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY tfidf DESC, tf DESC, term ASC
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, tfidf
+FROM ranked WHERE rk <= 3
 """,
 )

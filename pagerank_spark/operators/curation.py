@@ -102,4 +102,107 @@ def sample_to_mix(
     )
 
 
-__all__ = ["MIX_PRECISION", "mix_plan", "sample_to_mix"]
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` distinct word ``n``-grams with the benchmark set —
+    the standard eval-leakage scan a training pipeline runs before
+    training. Returns (id_col, n_hits) where ``n_hits`` counts the
+    doc's distinct shingles that occur anywhere in the benchmark.
+
+    Plan: both sides shingle with the existing ``word_shingles``
+    (sequence/slice/explode, pure Catalyst, distinct per doc), the
+    benchmark's distinct shingle set broadcasts (eval suites are tiny
+    next to a 100 TB corpus), and the overlap is a broadcast hash
+    semi-join + partial-combined count. No Python, one shuffle (the
+    per-doc count), corpus scanned once.
+    """
+    from pagerank_spark.operators.dedup import word_shingles
+
+    c = word_shingles(corpus, id_col, text_col, n)
+    b = (
+        word_shingles(
+            benchmark, id_col, bench_text_col or text_col, n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), on="shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_overlap)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line that occurs in at
+    least ``min_docs`` DISTINCT documents (navigation chrome, cookie
+    banners, license footers), preserving the remaining lines' order.
+    Returns (id_col, cleaned text, n_lines_removed).
+
+    Plan: posexplode lines (position keeps reassembly deterministic),
+    count distinct docs per line (partial-combined agg on the line
+    key), broadcast-or-shuffle join the boilerplate set back, and
+    reassemble with sort_array over (pos, line) structs — exact,
+    order-stable, no window and no Python. Every kept document emits
+    exactly one row, including documents left empty.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    tagged = lines.join(
+        boiler.withColumn("__is_boiler", F.lit(True)), on="line", how="left"
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__is_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.sum(
+                F.when(F.col("__is_boiler").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+__all__ = [
+    "MIX_PRECISION",
+    "mix_plan",
+    "sample_to_mix",
+    "contamination_report",
+    "remove_boilerplate_lines",
+]

@@ -250,6 +250,54 @@ def pii_redact(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (keyword extraction):
+    (id, rk, term, tf, tfidf) with ``tfidf = tf · ln(N/df)`` rounded
+    to 6dp (the ROUNDED score also drives the ranking, so the order is
+    reproducible across engines whose libm differs in the last ulp;
+    ties break by raw tf desc then term asc).
+
+    Plan: explode → (doc, term) count → per-term document frequency →
+    join + scalar-N cross join → bounded row_number window per doc.
+    The doc-frequency side is vocabulary-sized — Catalyst picks
+    broadcast vs shuffle by its stats rather than a forced hint, since
+    a 100 TB corpus vocabulary can exceed broadcast limits.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "tf", "tfidf")
+    )
+
+
 __all__ = [
     "LANG_MARKERS",
     "SUBWORD_PATTERN",
@@ -262,5 +310,6 @@ __all__ = [
     "fingerprint",
     "gopher_quality",
     "pii_redact",
+    "tfidf_top_terms",
     "portable_hash60",
 ]

@@ -709,3 +709,63 @@ def test_sample_to_mix_hits_target_and_is_deterministic(spark):
     df2 = df.union(spark.createDataFrame([(99999, "other")], ["id", "grp"]))
     kept2 = sample_to_mix(df2, "grp", {"big": 0.5, "small": 0.5}, id_col="id")
     assert kept2.where(F.col("grp") == "other").count() == 0
+
+
+def test_contamination_report_counts_shared_shingles(spark):
+    from pagerank_spark.operators.curation import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps elsewhere"),
+            (2, "totally unrelated words with zero benchmark overlap here"),
+            (3, "the quick brown fox jumps over the lazy dog exactly"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_report(corpus, bench, n=5).collect()
+    }
+    assert out[1] == 1  # shares exactly "the quick brown fox jumps"
+    assert 2 not in out  # clean doc reported nowhere
+    assert out[3] == 5  # all 5 benchmark 5-grams present
+
+
+def test_remove_boilerplate_lines_keeps_order(spark):
+    from pagerank_spark.operators.curation import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\nshared footer\nunique beta"),
+            (2, "other text\nshared footer"),
+            (3, "solo document with its own line"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df).collect()}
+    assert out[1]["text"] == "unique alpha\nunique beta"  # order preserved
+    assert out[1]["n_lines_removed"] == 1
+    assert out[2]["text"] == "other text"
+    assert out[3]["text"] == "solo document with its own line"
+    assert out[3]["n_lines_removed"] == 0
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1 rare1 rare1"),
+            (2, "common rare2"),
+            (3, "common filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # "common" appears in all docs -> idf 0; doc-specific terms win.
+    assert top == {1: "rare1", 2: "rare2", 3: "filler"}
+    ranks = {(r["doc_id"], r["rk"]) for r in out}
+    assert all(rk == 1 for _, rk in ranks)
