@@ -264,3 +264,49 @@ def test_q100_histogram_partial_aggregates(spark):
     p = plan(ENTRY.queries()["q100_width_bucket_histogram"](spark, SF_DIR))
     assert "partial_count" in p
     assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_q107_gopher_single_fused_scan(spark):
+    # All structure features + the gate must fuse into ONE projection
+    # over one scan — no Python eval, no join, no extra exchange beyond
+    # the per-source aggregation.
+    p = plan(ENTRY.queries()["q107_gopher_quality"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    # one scan node = two mentions (tree line + detail section)
+    assert p.count("Scan parquet") == 2
+
+
+def test_q108_pii_no_python_single_scan(spark):
+    p = plan(ENTRY.queries()["q108_pii_redact"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Scan parquet") == 2  # one node: tree + detail
+    assert "Exchange" not in p  # pure row-local projection
+
+
+def test_q109_mix_broadcasts_plan_table(spark):
+    # The per-group sampling plan is group-cardinality-sized and must
+    # broadcast back onto the corpus — never a shuffle join, never a
+    # cartesian beyond the scalar-T attachment.
+    p = plan(ENTRY.queries()["q109_sample_to_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q110_decontamination_broadcasts_benchmark(spark):
+    # The eval-set shingles broadcast; the corpus side never shuffles
+    # for the overlap join.
+    p = plan(ENTRY.queries()["q110_decontamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_q111_boilerplate_no_window(spark):
+    # Order-stable reassembly must come from sort_array inside the
+    # aggregate, not a window (a window would add a full sort per doc
+    # partition on top of the agg exchange).
+    p = plan(ENTRY.queries()["q111_boilerplate_lines"](spark, SF_DIR))
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
