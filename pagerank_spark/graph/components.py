@@ -30,6 +30,22 @@ SMALL_LOOP_EDGE_LIMIT = 64_000_000
 LOOP_ROWS_PER_PARTITION = 2_000_000
 LOOP_PARTS_FLOOR = 4
 
+# Below this bound on the loop's STATE rows (vertex-table-sized; the
+# wrappers bound it by the edge count they already compute), the
+# per-round state joins broadcast instead of shuffling — the same cut
+# the PageRank loop applies via broadcast_vertex_limit (~5M rows ≈
+# 80 MB hashed). With AQE off inside the loop tuning, Catalyst has no
+# runtime sizes for the derived per-round intermediates and would
+# default the joins to sort-merge, shuffling the big edge side every
+# round; the explicit hint keeps the only per-round exchange the
+# message aggregation itself. Above the bound the hint is withheld
+# and the joins shuffle — correct at cluster scale.
+BROADCAST_STATE_ROW_LIMIT = 5_000_000
+
+
+def _bc(df: DataFrame, broadcast_state: bool) -> DataFrame:
+    return F.broadcast(df) if broadcast_state else df
+
 
 @contextmanager
 def _iterative_loop_conf(spark, approx_rows: int):
@@ -64,21 +80,24 @@ def aggregate_messages(
     vertex_state: DataFrame,
     msg: Column,
     agg: Column,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """One message round: for each edge, evaluate ``msg`` over the edge
     row joined with the source's state (columns of ``vertex_state``
     except ``node``), then aggregate ``agg`` per destination.
 
     Returns (node, msg_agg) for destinations that received ≥1 message.
-    The join broadcasts or shuffles per Catalyst's choice; the aggregate
-    partial-combines map-side.
+    ``broadcast_state`` pins the state side of the join as a broadcast
+    (callers gate it on ``BROADCAST_STATE_ROW_LIMIT``); otherwise the
+    join broadcasts or shuffles per Catalyst's choice. The aggregate
+    partial-combines map-side either way.
     """
     src_state = vertex_state.select(
         F.col("node").alias("src"),
         *[c for c in vertex_state.columns if c != "node"],
     )
     return (
-        edges.join(src_state, on="src")
+        edges.join(_bc(src_state, broadcast_state), on="src")
         .select(F.col("dst").alias("node"), msg.alias("__msg"))
         .groupBy("node")
         .agg(agg.alias("msg_agg"))
@@ -133,14 +152,14 @@ def connected_components(
     confs for the duration of the loop.
     """
     spark = edges.sparkSession
-    ctx = (
-        _iterative_loop_conf(spark, 2 * edges.count())
-        if tune
-        else nullcontext()
-    )
+    approx = 2 * edges.count()
+    ctx = _iterative_loop_conf(spark, approx) if tune else nullcontext()
     with ctx:
         return _connected_components_impl(
-            edges, max_iterations, checkpoint_every
+            edges,
+            max_iterations,
+            checkpoint_every,
+            broadcast_state=approx <= BROADCAST_STATE_ROW_LIMIT,
         )
 
 
@@ -148,6 +167,7 @@ def _connected_components_impl(
     edges: DataFrame,
     max_iterations: int,
     checkpoint_every: int,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     und = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -165,7 +185,11 @@ def _connected_components_impl(
     while iteration < max_iterations:
         iteration += 1
         nbr_min = aggregate_messages(
-            und, state, msg=F.col("comp"), agg=F.min("__msg")
+            und,
+            state,
+            msg=F.col("comp"),
+            agg=F.min("__msg"),
+            broadcast_state=broadcast_state,
         )
         # NOTE on pointer jumping (comp ← comp[comp] self-join): measured
         # on the sf0.01 graph it halves iterations (30 → 14) but nearly
@@ -175,7 +199,7 @@ def _connected_components_impl(
         # diameter, not per-round cost, dominates.
         new_state = (
             state.select("node", F.col("comp").alias("old_comp"))
-            .join(nbr_min, on="node", how="left")
+            .join(_bc(nbr_min, broadcast_state), on="node", how="left")
             .select(
                 "node",
                 "old_comp",
@@ -248,12 +272,15 @@ def shortest_paths(
     ``tune=False`` opts out for shared sessions.
     """
     spark = edges.sparkSession
-    ctx = (
-        _iterative_loop_conf(spark, edges.count()) if tune else nullcontext()
-    )
+    ec = edges.count()
+    ctx = _iterative_loop_conf(spark, ec) if tune else nullcontext()
     with ctx:
         return _shortest_paths_impl(
-            edges, sources, max_iterations, checkpoint_every
+            edges,
+            sources,
+            max_iterations,
+            checkpoint_every,
+            broadcast_state=2 * ec <= BROADCAST_STATE_ROW_LIMIT,
         )
 
 
@@ -262,6 +289,7 @@ def _shortest_paths_impl(
     sources: DataFrame,
     max_iterations: int,
     checkpoint_every: int,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     e = edges.select("src", "dst").distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
@@ -281,10 +309,14 @@ def _shortest_paths_impl(
     while iteration < max_iterations:
         iteration += 1
         msgs = aggregate_messages(
-            e, frontier, msg=F.col("dist") + 1, agg=F.min("__msg")
+            e,
+            frontier,
+            msg=F.col("dist") + 1,
+            agg=F.min("__msg"),
+            broadcast_state=broadcast_state,
         )
         new_frontier = (
-            msgs.join(reached, on="node", how="left_anti")
+            msgs.join(_bc(reached, broadcast_state), on="node", how="left_anti")
             .select("node", F.col("msg_agg").alias("dist"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -347,17 +379,18 @@ def label_propagation(
     opts out for shared sessions.
     """
     spark = edges.sparkSession
-    ctx = (
-        _iterative_loop_conf(spark, 2 * edges.count())
-        if tune
-        else nullcontext()
-    )
+    approx = 2 * edges.count()
+    ctx = _iterative_loop_conf(spark, approx) if tune else nullcontext()
     with ctx:
-        return _label_propagation_impl(edges, n_iterations)
+        return _label_propagation_impl(
+            edges,
+            n_iterations,
+            broadcast_state=approx <= BROADCAST_STATE_ROW_LIMIT,
+        )
 
 
 def _label_propagation_impl(
-    edges: DataFrame, n_iterations: int
+    edges: DataFrame, n_iterations: int, broadcast_state: bool = False
 ) -> DataFrame:
     from pyspark.sql import Window
 
@@ -378,7 +411,11 @@ def _label_propagation_impl(
     for i in range(1, n_iterations + 1):
         counts = (
             adj.join(
-                labels.select(F.col("node").alias("src"), "label"), on="src"
+                _bc(
+                    labels.select(F.col("node").alias("src"), "label"),
+                    broadcast_state,
+                ),
+                on="src",
             )
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("n"))
@@ -397,7 +434,7 @@ def _label_propagation_impl(
         )
         labels = (
             labels.select("node", "label")
-            .join(picked, on="node", how="left")
+            .join(_bc(picked, broadcast_state), on="node", how="left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
@@ -476,12 +513,16 @@ def weighted_shortest_paths(
     opts out for shared sessions.
     """
     spark = edges.sparkSession
-    ctx = (
-        _iterative_loop_conf(spark, edges.count()) if tune else nullcontext()
-    )
+    ec = edges.count()
+    ctx = _iterative_loop_conf(spark, ec) if tune else nullcontext()
     with ctx:
         return _weighted_shortest_paths_impl(
-            edges, sources, weight_col, max_iterations, checkpoint_every
+            edges,
+            sources,
+            weight_col,
+            max_iterations,
+            checkpoint_every,
+            broadcast_state=2 * ec <= BROADCAST_STATE_ROW_LIMIT,
         )
 
 
@@ -491,6 +532,7 @@ def _weighted_shortest_paths_impl(
     weight_col: str,
     max_iterations: int,
     checkpoint_every: int,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     e = edges.select("src", "dst", F.col(weight_col).alias("__w")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -510,7 +552,11 @@ def _weighted_shortest_paths_impl(
         iteration += 1
         msgs = (
             e.join(
-                frontier.select(F.col("node").alias("src"), "dist"), on="src"
+                _bc(
+                    frontier.select(F.col("node").alias("src"), "dist"),
+                    broadcast_state,
+                ),
+                on="src",
             )
             .select(
                 F.col("dst").alias("node"),
@@ -520,7 +566,7 @@ def _weighted_shortest_paths_impl(
             .agg(F.min("cand").alias("cand"))
         )
         improved = (
-            msgs.join(dist, on="node", how="left")
+            msgs.join(_bc(dist, broadcast_state), on="node", how="left")
             .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -713,6 +759,7 @@ def _min_label_fixpoint(
     nodes: DataFrame,
     max_iterations: int,
     checkpoint_every: int = 1,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Directed min-label propagation to fixpoint: for each node, the
     minimum node id among its ancestors (nodes that can reach it,
@@ -726,11 +773,11 @@ def _min_label_fixpoint(
         iteration += 1
         nbr = aggregate_messages(
             edges, state.select("node", "lab"), msg=F.col("lab"),
-            agg=F.min("__msg"),
+            agg=F.min("__msg"), broadcast_state=broadcast_state,
         )
         new_state = (
             state.select("node", F.col("lab").alias("old"))
-            .join(nbr, on="node", how="left")
+            .join(_bc(nbr, broadcast_state), on="node", how="left")
             .select(
                 "node",
                 "old",
@@ -793,15 +840,22 @@ def strongly_connected_components(
     shared sessions.
     """
     spark = edges.sparkSession
-    ctx = (
-        _iterative_loop_conf(spark, edges.count()) if tune else nullcontext()
-    )
+    ec = edges.count()
+    ctx = _iterative_loop_conf(spark, ec) if tune else nullcontext()
     with ctx:
-        return _scc_impl(edges, max_rounds, max_label_iterations)
+        return _scc_impl(
+            edges,
+            max_rounds,
+            max_label_iterations,
+            broadcast_state=2 * ec <= BROADCAST_STATE_ROW_LIMIT,
+        )
 
 
 def _scc_impl(
-    edges: DataFrame, max_rounds: int, max_label_iterations: int
+    edges: DataFrame,
+    max_rounds: int,
+    max_label_iterations: int,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     residual_edges = edges.select("src", "dst").distinct().persist(
         StorageLevel.MEMORY_AND_DISK
@@ -813,7 +867,10 @@ def _scc_impl(
         if residual_nodes.isEmpty():
             break
         fwd = _min_label_fixpoint(
-            residual_edges, residual_nodes, max_label_iterations
+            residual_edges,
+            residual_nodes,
+            max_label_iterations,
+            broadcast_state=broadcast_state,
         ).withColumnRenamed("lab", "f")
         bwd = _min_label_fixpoint(
             residual_edges.select(
@@ -821,6 +878,7 @@ def _scc_impl(
             ),
             residual_nodes,
             max_label_iterations,
+            broadcast_state=broadcast_state,
         ).withColumnRenamed("lab", "b")
         both = fwd.join(bwd, on="node")
         done = (
@@ -836,8 +894,12 @@ def _scc_impl(
             .select("node")
             .localCheckpoint(eager=True)
         )
-        keep_src = residual_nodes.select(F.col("node").alias("src"))
-        keep_dst = residual_nodes.select(F.col("node").alias("dst"))
+        keep_src = _bc(
+            residual_nodes.select(F.col("node").alias("src")), broadcast_state
+        )
+        keep_dst = _bc(
+            residual_nodes.select(F.col("node").alias("dst")), broadcast_state
+        )
         new_edges = (
             residual_edges.join(keep_src, on="src", how="left_semi")
             .join(keep_dst, on="dst", how="left_semi")
