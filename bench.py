@@ -41,32 +41,36 @@ R02_BASELINE = {
     "q03_out_degree_top20": 0.242,
     "q08_induced_subgraph": 0.438,
     "q11_lineitem_agg": 0.412,
-    "q12_customer_nation_region": 0.384,
-    "q16_adjacency_lists": 0.687,
-    "q18_top_customers": 0.465,
-    "q21_fingerprint": 0.696,
-    "q22_language_id": 0.457,
-    "q27_minhash_lsh": 2.346,
-    "q28_ann_bruteforce": 1.02,
-    "q30_tumbling_window": 0.327,
-    "q35_sessionize": 0.578,
-    "q39_revenue_per_nation": 0.814,
-    "q43_asof_join": 0.572,
-    "q49_tpch_q3": 0.609,
-    "q52_shortest_paths": 2.398,
-    "q56_ann_lsh": 2.028,
-    "q57_label_propagation": 3.166,
-    "q59_interval_join": 0.533,
-    "q63_weighted_sssp": 1.475,
-    "q74_tpch_q18": 0.677,
-    "q75_tpch_q21": 1.698,
-    "q77_stats_agg": 0.392,
-    "q84_groupwise_zscore": 0.342,
-    "q85_sketch_quantiles": 0.694,
-    "q90_neardup_clusters": 4.408,
-    "q95_curation_pipeline": 0.737,
-    "pagerank_full": 2.354,
-    "pagerank_wikidata": 4.488,
+    "q12_customer_nation_region": 0.351,
+    "q16_adjacency_lists": 0.614,
+    "q18_top_customers": 0.447,
+    "q21_fingerprint": 0.628,
+    "q22_language_id": 0.418,
+    "q27_minhash_lsh": 1.657,
+    "q28_ann_bruteforce": 0.831,
+    "q30_tumbling_window": 0.266,
+    "q35_sessionize": 0.504,
+    "q39_revenue_per_nation": 0.749,
+    "q43_asof_join": 0.547,
+    "q49_tpch_q3": 0.574,
+    "q52_shortest_paths": 2.262,
+    "q56_ann_lsh": 1.942,
+    "q57_label_propagation": 2.955,
+    "q59_interval_join": 0.472,
+    "q63_weighted_sssp": 1.236,
+    "q74_tpch_q18": 0.632,
+    "q75_tpch_q21": 1.499,
+    "q77_stats_agg": 0.342,
+    "q84_groupwise_zscore": 0.31,
+    "q85_sketch_quantiles": 0.622,
+    "q90_neardup_clusters": 4.004,
+    "q95_curation_pipeline": 0.697,
+    "q107_gopher_quality": 0.466,
+    "q109_sample_to_mix": 0.602,
+    "q110_decontamination": 3.289,
+    "q112_tfidf_top_terms": 0.92,
+    "pagerank_full": 2.115,
+    "pagerank_wikidata": 3.65,
 }
 REGRESSION_FACTOR = 1.5
 
@@ -111,6 +115,11 @@ def main() -> None:
         "q85_sketch_quantiles",
         "q90_neardup_clusters",
         "q95_curation_pipeline",
+        # round-5 curation tier (no prior baseline — these SET it):
+        "q107_gopher_quality",
+        "q109_sample_to_mix",
+        "q110_decontamination",
+        "q112_tfidf_top_terms",
     ]
 
     timings: dict[str, float] = {}
