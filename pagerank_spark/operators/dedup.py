@@ -84,10 +84,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     Built with sequence/transform/explode — pure Catalyst, no UDF.
     """
     toks = word_tokens(text_col)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    n_shingles = F.size(toks) - (n - 1)
+    # Guard: sequence(1, stop) with stop < 1 DESCENDS (sequence(1, 0)
+    # = [1, 0]), feeding slice a 0 start — a runtime error on any doc
+    # shorter than n tokens. Such docs have no n-grams: empty array.
+    shingles = F.when(
+        n_shingles >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_shingles),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .where(F.col("shingle") != "")

@@ -769,3 +769,19 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     assert top == {1: "rare1", 2: "rare2", 3: "filler"}
     ranks = {(r["doc_id"], r["rk"]) for r in out}
     assert all(rk == 1 for _, rk in ranks)
+
+
+def test_word_shingles_short_docs_yield_no_shingles(spark):
+    # Docs shorter than n tokens have no n-grams; sequence(1, stop<1)
+    # DESCENDS in Spark ([1, 0]) and fed slice a 0 start — this used
+    # to be a runtime crash on any short/empty document.
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d e f"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = dedup.word_shingles(df, "doc_id", "text", n=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in by_doc and 3 not in by_doc
+    assert sorted(by_doc[2]) == ["a b c d e", "b c d e f"]
