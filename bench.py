@@ -67,7 +67,7 @@ R02_BASELINE = {
     "q95_curation_pipeline": 0.697,
     "q107_gopher_quality": 0.466,
     "q109_sample_to_mix": 0.602,
-    "q110_decontamination": 3.289,
+    "q110_decontamination": 0.984,
     "q112_tfidf_top_terms": 0.92,
     "pagerank_full": 2.115,
     "pagerank_wikidata": 3.65,
