@@ -171,8 +171,10 @@ def gopher_quality(
     array_distinct) — one whole-stage-codegen projection, no shuffle,
     no Python; the exact shape a 100 TB corpus pre-filter needs.
     Ratios round to 9 decimals so the DuckDB twin value-matches.
+    NULL text is treated as empty (a real corpus always has some):
+    zero words, gate fails on the word floor.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.regexp_extract_all(text, F.lit("[A-Za-z]+"), F.lit(0))
     n_words = F.size(words)
     sum_len = F.aggregate(
@@ -227,9 +229,9 @@ def pii_redact(
     training-data pipeline runs before tokenization. Pure Catalyst
     ``regexp_replace`` chain in one codegen'd projection; emails are
     replaced first so digit runs inside addresses can't double-match
-    as phones.
+    as phones. NULL text passes through as empty with zero counts.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     out = out_col or f"{text_col}_redacted"
     n_emails = F.size(
         F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))

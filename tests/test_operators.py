@@ -785,3 +785,14 @@ def test_word_shingles_short_docs_yield_no_shingles(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
     assert 1 not in by_doc and 3 not in by_doc
     assert sorted(by_doc[2]) == ["a b c d e", "b c d e f"]
+
+
+def test_text_ops_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "fifty words " * 25)], ["doc_id", "text"]
+    )
+    g = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    assert g[1]["n_words"] == 0 and g[1]["passes_gopher"] is False
+    assert g[2]["passes_gopher"] is True
+    p = {r["doc_id"]: r for r in text.pii_redact(df).collect()}
+    assert p[1]["n_emails"] == 0 and p[1]["text_redacted"] == ""
