@@ -4661,7 +4661,7 @@ t AS (SELECT MIN(n / wt) AS t FROM caps),
 plan AS (
   SELECT lang,
          CAST(FLOOR(
-           LEAST(1.0, wt * (SELECT t FROM t) / n) * 1000000
+           LEAST(1.0, ROUND(wt * (SELECT t FROM t) / n, 12)) * 1000000
          ) AS BIGINT) AS thresh
   FROM caps
 )

@@ -55,9 +55,17 @@ def mix_plan(
             group_col,
             "n_rows",
             "weight",
+            # round(·, 12) snaps the binding group's w·(n/w)/n — exactly
+            # 1 algebraically, up to ~3 ulp off in floating point — back
+            # to 1.0, so "the binding group is kept whole" holds
+            # EXACTLY; a 5e-13 perturbation of real fractions is far
+            # below the 1e-6 coin resolution. The oracle twin applies
+            # the same rounding.
             F.least(
                 F.lit(1.0),
-                F.col("weight") * F.col("__t") / F.col("n_rows"),
+                F.round(
+                    F.col("weight") * F.col("__t") / F.col("n_rows"), 12
+                ),
             ).alias("keep_frac"),
         )
     )

@@ -82,3 +82,66 @@ def test_fingerprint_is_order_insensitive(spark, words, seed):
     out = {r["doc_id"]: (r["fingerprint"], r["n_tokens"])
            for r in text.fingerprint(df, "doc_id").collect()}
     assert out[1] == out[2]
+
+
+@settings(**SETTINGS)
+@given(
+    sizes=st.tuples(st.integers(1, 40), st.integers(1, 40)),
+    w_a=st.integers(1, 9),
+)
+def test_sample_to_mix_plan_feasibility(spark, sizes, w_a):
+    # Invariants for ANY two-group corpus and weight split: keep
+    # fractions never exceed 1, the binding group (min n/w) is kept
+    # whole, and the keep set is a subset of the input chosen
+    # deterministically.
+    from pagerank_spark.operators.curation import mix_plan, sample_to_mix
+
+    n_a, n_b = sizes
+    weights = {"a": w_a / 10.0, "b": 1.0 - w_a / 10.0}
+    rows = [(i, "a") for i in range(n_a)] + [
+        (n_a + i, "b") for i in range(n_b)
+    ]
+    df = spark.createDataFrame(rows, "id INT, grp STRING")
+    plan = {
+        r["grp"]: r for r in mix_plan(df, "grp", weights).collect()
+    }
+    assert all(r["keep_frac"] <= 1.0 + 1e-12 for r in plan.values())
+    binding = min(plan, key=lambda g: plan[g]["n_rows"] / plan[g]["weight"])
+    assert plan[binding]["keep_frac"] == 1.0
+    kept1 = sorted(
+        r["id"] for r in sample_to_mix(df, "grp", weights, "id").collect()
+    )
+    kept2 = sorted(
+        r["id"]
+        for r in sample_to_mix(
+            df.repartition(7), "grp", weights, "id"
+        ).collect()
+    )
+    assert kept1 == kept2  # partitioning-invariant keep set
+    assert set(kept1) <= {i for i, _ in rows}
+
+
+@settings(**SETTINGS)
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll",), max_codepoint=122
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_boilerplate_removal_single_doc_is_identity(spark, lines):
+    # With one document no line can reach min_docs=2 distinct docs, so
+    # the text must round-trip unchanged with zero removals.
+    from pagerank_spark.operators.curation import remove_boilerplate_lines
+
+    txt = "\n".join(lines)
+    df = spark.createDataFrame([(1, txt)], "doc_id INT, text STRING")
+    out = remove_boilerplate_lines(df).collect()[0]
+    assert out["text"] == txt
+    assert out["n_lines_removed"] == 0
