@@ -395,3 +395,69 @@ def stream_upsert_to_table(
         .queryName(query_name)
         .start()
     )
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+) -> DataFrame:
+    """The batch curation transform behind ``curate_stream_to_table``:
+    PII-scrub the text in place, apply the Gopher structure gate, and
+    keep only passing rows (gate feature columns dropped, scrub count
+    columns kept as provenance). One codegen'd projection + filter —
+    running it per micro-batch or over the full corpus produces the
+    same rows, which the stream≡batch test pins."""
+    from pagerank_spark.operators.text import gopher_quality, pii_redact
+
+    scrubbed = pii_redact(df, text_col=text_col).withColumn(
+        text_col, F.col(f"{text_col}_redacted")
+    ).drop(f"{text_col}_redacted")
+    gated = gopher_quality(scrubbed, text_col=text_col, min_words=min_words)
+    return gated.where(F.col("passes_gopher")).drop(
+        "passes_gopher", "mean_word_len", "symbol_word_ratio",
+        "dup_line_frac",
+    )
+
+
+def curate_stream_to_table(
+    doc_stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    query_name: str = "curation_sink",
+):
+    """Ingest-time corpus curation: every micro-batch of raw documents
+    is PII-scrubbed (``text.pii_redact``), structure-gated
+    (``text.gopher_quality``), and the passing rows MERGE-upserted by
+    id into the versioned parquet table — the streaming front door of
+    the training-data pipeline (scrub → gate → lakehouse append),
+    composed entirely from the batch operators so stream and batch
+    runs of the same corpus land the identical curated table.
+
+    The per-batch transformation is one codegen'd projection + filter
+    (both operators are pure Catalyst, no shuffle before the table
+    write); idempotency per document id comes from the MERGE, so
+    replayed batches land exactly-once on at-least-once delivery.
+    """
+    from pagerank_spark import table as _table
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        curated = curate_documents(
+            batch_df, text_col=text_col, min_words=min_words
+        )
+        if curated.isEmpty():
+            return
+        _table.upsert_table(
+            batch_df.sparkSession, curated, table_root, keys=[id_col]
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -358,3 +358,54 @@ def test_stream_upsert_into_versioned_table(spark, event_dir, tmp_path):
     # the first snapshot has no more keys than the final one
     first = T.read_table(spark, root, version=0).count()
     assert first <= len(got)
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """Ingest-time curation (scrub -> gopher gate -> table MERGE): the
+    streamed result table equals the batch curation of the full corpus,
+    and PII never reaches the table."""
+    from pagerank_spark import table as T
+    from pagerank_spark.streaming import (
+        curate_documents,
+        curate_stream_to_table,
+    )
+
+    base = "words and more words " * 8  # 32 words, passes min_words=20
+    rows = [
+        (1, base + "mail me at a.person@example.com please"),
+        (2, "too short to pass"),
+        (3, base + "call +1 555 123 4567 now"),
+        (4, None),
+        (5, base),
+    ]
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    # Two time-ordered files so the stream sees >= 2 micro-batches.
+    df.where("doc_id <= 2").coalesce(1).write.parquet(src)
+    df.where("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    expected = {
+        r["doc_id"]: (r["text"], r["n_emails"], r["n_phones"])
+        for r in curate_documents(df, min_words=20).collect()
+    }
+    assert set(expected) == {1, 3, 5}
+    assert "a.person" not in expected[1][0] and expected[1][1] == 1
+    assert "555" not in expected[3][0] and expected[3][2] == 1
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    root = str(tmp_path / "tbl")
+    q = curate_stream_to_table(
+        stream, root, str(tmp_path / "ckpt"), min_words=20
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_emails"], r["n_phones"])
+        for r in T.read_table(spark, root).collect()
+    }
+    assert got == expected
