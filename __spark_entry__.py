@@ -2131,6 +2131,40 @@ def q112_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, k=3)
 
 
+def q113_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed batch curation transform behind the streaming
+    ingest sink (streaming.curate_documents): PII scrub in place →
+    Gopher structure gate → keep passing rows. Same synthetic PII
+    augmentation as q108 so the scrub does real work; the hash covers
+    the curated text (md5), the scrub counts, and the surviving row
+    set — oracle evidence for exactly what the foreachBatch sink lands
+    in the table."""
+    from pagerank_spark.streaming import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = curate_documents(docs, min_words=50)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_words",
+        F.md5("text").alias("curated_digest"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2252,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_decontamination": q110_decontamination,
         "q111_boilerplate_lines": q111_boilerplate_lines,
         "q112_tfidf_top_terms": q112_tfidf_top_terms,
+        "q113_curate_documents": q113_curate_documents,
     }
 
 
@@ -4780,5 +4815,66 @@ ranked AS (
 )
 SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, tfidf
 FROM ranked WHERE rk <= 3
+""",
+)
+
+# q113 twin: q108's augmentation + scrub (counts from original text),
+# then q107's structure features computed on the SCRUBBED text, gate
+# applied as the keep filter — the composed pipeline end-to-end.
+_oracle(
+    "q113_curate_documents",
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com or +1 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+         )) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(
+           text, '\+?[0-9][0-9 ()./-]{6,}[0-9]'
+         )) AS INT) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'
+           ),
+           '\+?[0-9][0-9 ()./-]{6,}[0-9]', '<PHONE>', 'g'
+         ) AS text
+  FROM aug
+),
+feats AS (
+  SELECT doc_id, n_emails, n_phones, text,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         ROUND(
+           COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+'), w -> length(w))), 0)
+           / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 9
+         ) AS mean_word_len,
+         ROUND(
+           len(regexp_extract_all(text, '[#*]|\.\.\.'))
+           / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 9
+         ) AS symbol_word_ratio,
+         ROUND(
+           (len(string_split(text, chr(10)))
+            - len(list_distinct(string_split(text, chr(10)))))
+           / GREATEST(len(string_split(text, chr(10))), 1), 9
+         ) AS dup_line_frac
+  FROM scrub
+)
+SELECT doc_id, n_emails, n_phones, n_words,
+       md5(text) AS curated_digest
+FROM feats
+WHERE n_words >= 50 AND n_words <= 100000
+  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+  AND symbol_word_ratio <= 0.1 AND dup_line_frac <= 0.3
 """,
 )
