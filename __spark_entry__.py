@@ -2165,6 +2165,42 @@ def q113_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q114_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding under the oracle
+    (operators/multimodal.py decode_image): every 10th doc id becomes
+    a synthetic 64×48 P6 PPM whose pixel (x,y) channel c is
+    (7·id + 3·x + 5·y + 11·c) mod 256; the numpy decoder parses the
+    header+raster and reports dimensions, per-channel means, and a 2×2
+    nearest-neighbor grayscale thumbnail. The DuckDB twin never sees
+    the bytes — it integrates the same pixel formula in closed form
+    over generate_series, so a hash match proves the decoder actually
+    decoded."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_ppm_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_ppm_media(ids, "media_id", width=64, height=48)
+    return decode_image(media, thumb_size=2).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.col("thumb")[0].alias("t00"),
+        F.col("thumb")[1].alias("t01"),
+        F.col("thumb")[2].alias("t10"),
+        F.col("thumb")[3].alias("t11"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2287,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_boilerplate_lines": q111_boilerplate_lines,
         "q112_tfidf_top_terms": q112_tfidf_top_terms,
         "q113_curate_documents": q113_curate_documents,
+        "q114_image_decode": q114_image_decode,
     }
 
 
@@ -4876,5 +4913,44 @@ FROM feats
 WHERE n_words >= 50 AND n_words <= 100000
   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
   AND symbol_word_ratio <= 0.1 AND dup_line_frac <= 0.3
+""",
+)
+
+# q114 twin: closed-form integration of the synthetic pixel formula —
+# the oracle never parses bytes, so a hash match proves the numpy
+# PPM decoder really decoded the raster it was handed. Thumb bases:
+# x∈{0,32}→3x∈{0,96}, y∈{0,24}→5y∈{0,120}; gray = mean of 3 channels.
+_oracle(
+    "q114_image_decode",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+ys AS (SELECT unnest(generate_series(0, 47)) AS y),
+px AS (
+  SELECT i.media_id,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) AS mr,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y + 11) % 256) AS mg,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y + 22) % 256) AS mb
+  FROM ids i CROSS JOIN xs x CROSS JOIN ys y
+  GROUP BY i.media_id
+)
+SELECT i.media_id,
+       'ppm' AS format,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       ROUND(p.mr, 6) AS mean_r,
+       ROUND(p.mg, 6) AS mean_g,
+       ROUND(p.mb, 6) AS mean_b,
+       ROUND(((7 * i.media_id) % 256 + (7 * i.media_id + 11) % 256
+              + (7 * i.media_id + 22) % 256) / 3.0, 6) AS t00,
+       ROUND(((7 * i.media_id + 96) % 256 + (7 * i.media_id + 107) % 256
+              + (7 * i.media_id + 118) % 256) / 3.0, 6) AS t01,
+       ROUND(((7 * i.media_id + 120) % 256 + (7 * i.media_id + 131) % 256
+              + (7 * i.media_id + 142) % 256) / 3.0, 6) AS t10,
+       ROUND(((7 * i.media_id + 216) % 256 + (7 * i.media_id + 227) % 256
+              + (7 * i.media_id + 238) % 256) / 3.0, 6) AS t11
+FROM ids i JOIN px p USING (media_id)
 """,
 )

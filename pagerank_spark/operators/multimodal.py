@@ -7,13 +7,17 @@ Arrow-batched Pandas functions over ``mapInPandas`` — the only sane
 shape at 100 TB (no driver materialization, vectorized Python batches,
 schema declared up front so Catalyst can prune around the UDF).
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-environment, so ``decode_media`` computes deterministic payload
-statistics (exactly reproducible in SQL for the oracle gate) and
-``extract_features`` derives a deterministic pseudo-embedding from the
-bytes. The Spark-side plumbing — binary schema, Arrow batch iteration,
-output schema, partition preservation — is real and tested; swapping in
-PIL/ffmpeg is a local change inside the batch loop.
+Codec status: ``decode_image`` is a REAL decoder for the two
+header+raster image formats numpy alone can handle — binary P6 PPM and
+uncompressed 24-bit BMP — with per-channel stats and nearest-neighbor
+thumbnailing (q114 verifies the decoder against a closed-form SQL
+oracle over synthetic images). Compressed formats (JPEG/PNG) and
+audio/video remain stubbed behind ``decode_media`` /
+``extract_features`` (deterministic payload statistics and
+pseudo-embeddings): their codec libraries are not in this environment,
+and swapping PIL/ffmpeg in is a local change inside the batch loop.
+The Spark-side plumbing — binary schema, Arrow batch iteration, output
+schema, partition preservation — is real and tested throughout.
 """
 
 from __future__ import annotations
@@ -97,6 +101,156 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(features, schema=FEATURE_SCHEMA)
+
+
+IMAGE_DECODE_SCHEMA = (
+    "media_id BIGINT, format STRING, width INT, height INT, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, thumb ARRAY<DOUBLE>"
+)
+
+
+def _decode_ppm(buf: bytes):
+    """Real P6 (binary PPM) decoder in numpy: header parse + raster
+    reshape. Returns an (H, W, 3) uint8 array."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", buf)
+    if not m:
+        raise ValueError("not a binary P6 PPM")
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = buf[m.end() : m.end() + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(buf: bytes):
+    """Real uncompressed 24-bit BMP decoder in numpy: BITMAPINFOHEADER
+    parse, 4-byte row padding, bottom-up BGR → top-down RGB."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24bpp BMP supported")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(buf[off : off + stride * h], dtype=np.uint8)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
+    """REAL image decode over ``mapInPandas`` (no codec libraries
+    needed: P6 PPM and uncompressed 24-bit BMP are pure header+raster
+    formats, decoded with numpy). Per image: dimensions, per-channel
+    means, and a ``thumb_size``×``thumb_size`` nearest-neighbor
+    grayscale thumbnail (row-major array<double>) — the
+    decode → stat → downsample shape of a vision-pipeline ingest step.
+
+    Values round to 6dp so a closed-form oracle over synthetic images
+    can value-match the decoder bit-for-bit (q114). Unsupported or
+    corrupt payloads surface as format="error" rows with NULL stats
+    rather than failing the batch — at corpus scale a poison payload
+    must never kill the job.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def r6(x: float) -> float:
+            # Half-UP at 6dp for non-negative values — Python's round()
+            # is half-EVEN, but Spark's ROUND and DuckDB's round are
+            # half-up/away, and exact .5 ties are reachable here (pixel
+            # means are rationals with power-of-two denominators).
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "thumb": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                try:
+                    if b[:2] == b"P6":
+                        arr, fmt = _decode_ppm(b), "ppm"
+                    elif b[:2] == b"BM":
+                        arr, fmt = _decode_bmp(b), "bmp"
+                    else:
+                        raise ValueError("unknown magic")
+                except ValueError:
+                    out["media_id"].append(mid)
+                    out["format"].append("error")
+                    for k in ("width", "height", "mean_r", "mean_g",
+                              "mean_b", "thumb"):
+                        out[k].append(None)
+                    continue
+                h, w = arr.shape[:2]
+                means = arr.reshape(-1, 3).mean(axis=0)
+                ys = (np.arange(thumb_size) * h) // thumb_size
+                xs = (np.arange(thumb_size) * w) // thumb_size
+                th = arr[np.ix_(ys, xs)].mean(axis=2, dtype=np.float64)
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(r6(float(means[0])))
+                out["mean_g"].append(r6(float(means[1])))
+                out["mean_b"].append(r6(float(means[2])))
+                out["thumb"].append(
+                    [r6(float(v)) for v in th.ravel()]
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=IMAGE_DECODE_SCHEMA)
+
+
+def synthesize_ppm_media(
+    ids: DataFrame, id_col: str = "media_id",
+    width: int = 64, height: int = 48,
+) -> DataFrame:
+    """Deterministic synthetic P6 image per id: pixel (x, y) channel c
+    is ``(7·id + 3·x + 5·y + 11·c) mod 256`` — a formula a SQL oracle
+    can integrate in closed form, so the REAL decoder's output is
+    verifiable against an independent computation (q114). Payload built
+    vectorized in numpy per Arrow batch."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3),
+            indexing="ij",
+        )
+        base = 3 * x + 5 * y + 11 * c
+        header_tail = f" {width} {height} 255\n".encode()
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                arr = ((7 * int(mid) + base) % 256).astype("uint8")
+                payloads.append(b"P6" + header_tail + arr.tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
 
 
 def frame_sample_plan(

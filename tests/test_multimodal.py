@@ -69,3 +69,81 @@ def test_frame_sample_plan(spark):
         )
     assert by_media[1] == [(0.0, 0), (1.0, 30), (2.0, 60)]
     assert by_media[2] == [(0.0, 0)]  # at least one sample
+
+
+def _bmp_bytes(arr):
+    """Hand-build an uncompressed 24bpp bottom-up BMP from an (H, W, 3)
+    RGB uint8 array — no codec library involved."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    raster = b""
+    for y in range(h - 1, -1, -1):
+        row = b"".join(
+            bytes([arr[y, x, 2], arr[y, x, 1], arr[y, x, 0]])
+            for x in range(w)
+        )
+        raster += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+    )
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little") + b"\x00" * 16
+    )
+    return header + info + raster
+
+
+def test_decode_image_real_formats_and_poison(spark):
+    import numpy as np
+
+    arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    ppm = b"P6 5 4 255\n" + arr.tobytes()
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(_bmp_bytes(arr))),
+        (3, bytearray(b"not an image at all")),
+        (4, bytearray(b"P6 5 4 255\n\x00\x01")),  # truncated raster
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id LONG, payload BINARY"
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_image(media, thumb_size=2).collect()
+    }
+    # Both real decoders agree with numpy ground truth.
+    for mid, fmt in ((1, "ppm"), (2, "bmp")):
+        r = out[mid]
+        assert (r["format"], r["width"], r["height"]) == (fmt, 5, 4)
+        means = arr.reshape(-1, 3).mean(axis=0)
+        assert abs(r["mean_r"] - means[0]) < 1e-6
+        assert abs(r["mean_b"] - means[2]) < 1e-6
+        # nearest-neighbor thumb: rows 0,2 × cols 0,2, channel mean
+        expect = [arr[y, x].mean() for y in (0, 2) for x in (0, 2)]
+        assert all(
+            abs(a - b) < 1e-6 for a, b in zip(r["thumb"], expect)
+        )
+    # Poison payloads become error rows, never batch failures.
+    assert out[3]["format"] == "error" and out[3]["width"] is None
+    assert out[4]["format"] == "error"
+
+
+def test_synthesize_ppm_roundtrips_through_decoder(spark):
+    ids = spark.createDataFrame([(7,), (123,)], "media_id LONG")
+    media = multimodal.synthesize_ppm_media(
+        ids, "media_id", width=8, height=6
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_image(media).collect()
+    }
+    assert out[7]["format"] == "ppm"
+    assert (out[7]["width"], out[7]["height"]) == (8, 6)
+    # pixel (0,0) channel 0 of id 7 is (49 % 256) = 49; thumb t00 is
+    # the channel mean at that pixel: (49 + 60 + 71) / 3 = 60.0
+    assert abs(out[7]["thumb"][0] - 60.0) < 1e-6
