@@ -2201,6 +2201,29 @@ def q114_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding under the oracle
+    (operators/multimodal.py decode_audio): every 10th doc id becomes
+    a synthetic mono 16-bit PCM WAV (2000 samples at 8 kHz, sample i =
+    (13·id + 37·i) mod 65536 − 32768); the numpy decoder walks the
+    RIFF chunks and reports rate/channels/frames/duration/RMS/peak.
+    The DuckDB twin integrates the same sample formula in closed form
+    over generate_series — sqrt is IEEE-exact, so the RMS hash-matches
+    bit-for-bit."""
+    from pagerank_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_wav_media(ids, "media_id", n_samples=2000, rate=8000)
+    return decode_audio(media)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2324,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_tfidf_top_terms": q112_tfidf_top_terms,
         "q113_curate_documents": q113_curate_documents,
         "q114_image_decode": q114_image_decode,
+        "q115_audio_decode": q115_audio_decode,
     }
 
 
@@ -4952,5 +4976,39 @@ SELECT i.media_id,
        ROUND(((7 * i.media_id + 216) % 256 + (7 * i.media_id + 227) % 256
               + (7 * i.media_id + 238) % 256) / 3.0, 6) AS t11
 FROM ids i JOIN px p USING (media_id)
+""",
+)
+
+# q115 twin: closed-form integration of the synthetic waveform. The
+# oracle computes sum of squares / abs-max over the generating formula
+# directly — a bit-exact match (integer sums exact in double, sqrt
+# IEEE-correctly-rounded) proves the WAV chunk walk + sample parse.
+_oracle(
+    "q115_audio_decode",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+i AS (SELECT unnest(generate_series(0, 1999)) AS i),
+s AS (
+  SELECT ids.media_id,
+         ((13 * ids.media_id + 37 * i.i) % 65536 - 32768) AS x
+  FROM ids CROSS JOIN i
+),
+agg AS (
+  SELECT media_id,
+         SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS ssq,
+         MAX(ABS(x)) AS peak
+  FROM s GROUP BY media_id
+)
+SELECT media_id,
+       'wav' AS format,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(2000 AS BIGINT) AS n_samples,
+       0.25 AS duration_s,
+       ROUND(SQRT(ssq / 2000.0), 6) AS rms,
+       CAST(peak AS INT) AS peak
+FROM agg
 """,
 )

@@ -253,6 +253,133 @@ def synthesize_ppm_media(
     )
 
 
+AUDIO_DECODE_SCHEMA = (
+    "media_id BIGINT, format STRING, sample_rate INT, n_channels INT, "
+    "n_samples BIGINT, duration_s DOUBLE, rms DOUBLE, peak INT"
+)
+
+
+def _decode_wav(buf: bytes):
+    """Real RIFF/WAVE PCM decoder in numpy: chunk walk, fmt parse,
+    16-bit little-endian samples. Returns (rate, channels, int16 array
+    of shape (n_frames, channels))."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError("only PCM WAV supported")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    samples = np.frombuffer(
+        data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2"
+    ).reshape(-1, channels)
+    return rate, channels, samples
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode over ``mapInPandas`` (16-bit PCM WAV — a pure
+    header+samples format, no codec library needed). Per clip: rate,
+    channel count, frame count, duration, RMS amplitude, and absolute
+    peak — the triage stats an audio-ingest pipeline computes before
+    expensive transcription. Poison payloads become format="error"
+    rows. rms/duration round half-up at 6dp for the closed-form oracle
+    (q115); sqrt is IEEE-correctly-rounded so both engines agree
+    bit-for-bit on identical integer sums."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "sample_rate": [],
+                "n_channels": [], "n_samples": [], "duration_s": [],
+                "rms": [], "peak": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, ch, samples = _decode_wav(bytes(b))
+                except ValueError:
+                    out["media_id"].append(mid)
+                    out["format"].append("error")
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_s", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                n = samples.shape[0]
+                flat = samples.astype(np.int64).ravel()
+                mean_sq = float((flat * flat).sum()) / max(len(flat), 1)
+                out["media_id"].append(mid)
+                out["format"].append("wav")
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(n)
+                out["duration_s"].append(r6(n / rate))
+                out["rms"].append(r6(math.sqrt(mean_sq)))
+                out["peak"].append(int(np.abs(flat).max()) if len(flat) else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=AUDIO_DECODE_SCHEMA)
+
+
+def synthesize_wav_media(
+    ids: DataFrame, id_col: str = "media_id",
+    n_samples: int = 2000, rate: int = 8000,
+) -> DataFrame:
+    """Deterministic synthetic mono 16-bit PCM WAV per id: sample i is
+    ``((13·id + 37·i) mod 65536) − 32768`` — integrable in closed form
+    by a SQL oracle (q115), like the synthetic PPMs."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(n_samples, dtype=np.int64)
+        data_size = n_samples * 2
+        header = (
+            b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + data_size.to_bytes(4, "little")
+        )
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                wave = ((13 * int(mid) + 37 * i) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                payloads.append(header + wave.tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
 def frame_sample_plan(
     media_meta: DataFrame,
     fps_col: str = "fps",

@@ -147,3 +147,59 @@ def test_synthesize_ppm_roundtrips_through_decoder(spark):
     # pixel (0,0) channel 0 of id 7 is (49 % 256) = 49; thumb t00 is
     # the channel mean at that pixel: (49 + 60 + 71) / 3 = 60.0
     assert abs(out[7]["thumb"][0] - 60.0) < 1e-6
+
+
+def _wav_bytes(samples, rate=8000):
+    """Hand-build a 16-bit PCM WAV from an (n_frames, channels) int16
+    array — no codec library involved."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    ch = arr.shape[1]
+    data = arr.tobytes()
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2 * ch).to_bytes(4, "little")
+        + (2 * ch).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def test_decode_audio_real_wav_and_poison(spark):
+    import math
+
+    import numpy as np
+
+    stereo = np.array([[100, -200], [300, -400], [32767, -32768]])
+    rows = [
+        (1, bytearray(_wav_bytes(stereo, rate=44100))),
+        (2, bytearray(b"RIFFxxxxNOPE")),
+        (3, bytearray(b"random junk")),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {
+        r["media_id"]: r for r in multimodal.decode_audio(media).collect()
+    }
+    r = out[1]
+    assert (r["format"], r["sample_rate"], r["n_channels"]) == (
+        "wav", 44100, 2,
+    )
+    assert r["n_samples"] == 3 and r["peak"] == 32768
+    flat = stereo.astype("int64").ravel()
+    want_rms = math.sqrt(float((flat * flat).sum()) / len(flat))
+    assert abs(r["rms"] - want_rms) < 1e-6
+    assert out[2]["format"] == "error"
+    assert out[3]["format"] == "error"
+
+
+def test_synthesize_wav_roundtrips_through_decoder(spark):
+    ids = spark.createDataFrame([(42,)], "media_id LONG")
+    media = multimodal.synthesize_wav_media(
+        ids, "media_id", n_samples=100, rate=1000
+    )
+    out = multimodal.decode_audio(media).collect()[0]
+    assert out["format"] == "wav"
+    assert (out["n_samples"], out["duration_s"]) == (100, 0.1)
