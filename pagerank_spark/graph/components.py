@@ -191,12 +191,19 @@ def _connected_components_impl(
             agg=F.min("__msg"),
             broadcast_state=broadcast_state,
         )
-        # NOTE on pointer jumping (comp ← comp[comp] self-join): measured
-        # on the sf0.01 graph it halves iterations (30 → 14) but nearly
-        # triples per-iteration cost (extra shuffle join + persist), a
-        # net LOSS locally (18.5s → 26.5s). Plain propagation wins when
-        # per-round fixed cost is low; revisit only for graphs whose
-        # diameter, not per-round cost, dominates.
+        # NOTE on pointer jumping: measured twice, rejected twice.
+        # (a) Small graphs (sf0.01): halves iterations (30 → 14) but
+        # nearly triples per-iteration cost — net LOSS (18.5s → 26.5s).
+        # (b) Long-diameter graphs: a post-round comp←comp[comp]
+        # self-join on the lazily checkpointed state re-derives the
+        # doubly-referenced chain (geometric blowup, 2.2s → 200s/round
+        # by round 23), and the safe in-plan variant against the
+        # PREVIOUS state only shortcuts by a constant factor — path
+        # components still need ~diameter rounds. The principled
+        # O(log²) alternative is large-star/small-star (Kiveris et
+        # al.), a different loop body; until that's needed, the cap
+        # below raises instead of silently returning non-converged
+        # labels.
         new_state = (
             state.select("node", F.col("comp").alias("old_comp"))
             .join(_bc(nbr_min, broadcast_state), on="node", how="left")
@@ -237,6 +244,20 @@ def _connected_components_impl(
         state = next_state
         if changed == 0:
             break
+    else:
+        # Exhausting the cap without a changed==0 round means the
+        # labels are NOT components yet (min-label needs ~the distance
+        # from each node to its component's min-id node — long path
+        # components legitimately need thousands of rounds). Silently
+        # returning partial labels corrupts every downstream dedup /
+        # canonicalization decision, so fail loudly instead.
+        raise RuntimeError(
+            "connected_components did not converge within "
+            f"max_iterations={max_iterations} (last round still "
+            f"changed {changed} labels); raise max_iterations — "
+            "propagation rounds scale with the graph's label "
+            "propagation distance, not just its size"
+        )
 
     final = state.select(
         "node", F.col("comp").alias("component")
@@ -810,6 +831,15 @@ def _min_label_fixpoint(
         state = nxt
         if changed == 0:
             break
+    else:
+        # SCC correctness REQUIRES the fixpoint: with partial labels,
+        # F(v) == B(v) can coincide spuriously and settle nodes into
+        # the wrong SCC. Fail loudly like connected_components.
+        raise RuntimeError(
+            "min-label propagation did not reach its fixpoint within "
+            f"max_iterations={max_iterations} (last round changed "
+            f"{changed} labels); raise max_label_iterations"
+        )
     out = state.select("node", "lab")
     if hasattr(out, "localCheckpoint"):
         out = out.localCheckpoint(eager=True)
