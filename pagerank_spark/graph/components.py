@@ -136,13 +136,29 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 1,
     tune: bool = True,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Undirected connected components: (node, component) where
     ``component`` is the minimum node id in the node's component.
 
-    Min-label propagation: each round every vertex takes the min of its
-    own label and its neighbors' labels; stops when no label changes
-    (one fused aggregation drives the loop, like the PageRank L1 check).
+    Two algorithms, selected by ``algorithm``:
+
+    - ``"label"`` — min-label propagation: each round every vertex
+      takes the min of its own label and its neighbors' labels; stops
+      when no label changes. Rounds scale with the label propagation
+      DISTANCE (≈ how far each node is from its component's min-id
+      node) — cheap fixed cost per round, ideal for small or
+      low-diameter graphs; raises if ``max_iterations`` is exhausted
+      before convergence.
+    - ``"star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"): rounds are O(log²) in the component size REGARDLESS of
+      diameter — the cluster-scale choice, and the only one that
+      terminates usefully on long-path/chain components (near-dup
+      chains produce exactly those).
+    - ``"auto"`` — "label" below ``BROADCAST_STATE_ROW_LIMIT`` state
+      rows (where per-round cost is tiny and real-world diameters are
+      small), "star" above it.
 
     Small-graph loops run under ``_iterative_loop_conf`` (AQE off,
     right-sized shuffle) — the same measured tuning the PageRank loop
@@ -151,16 +167,123 @@ def connected_components(
     shared with concurrent queries: the tuning flips session-global
     confs for the duration of the loop.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     spark = edges.sparkSession
     approx = 2 * edges.count()
+    small = approx <= BROADCAST_STATE_ROW_LIMIT
+    if algorithm == "auto":
+        algorithm = "label" if small else "star"
     ctx = _iterative_loop_conf(spark, approx) if tune else nullcontext()
     with ctx:
+        if algorithm == "star":
+            return _connected_components_star(
+                edges, max_iterations, broadcast_state=small
+            )
         return _connected_components_impl(
             edges,
             max_iterations,
             checkpoint_every,
-            broadcast_state=approx <= BROADCAST_STATE_ROW_LIMIT,
+            broadcast_state=small,
         )
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    max_iterations: int,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al.): contract the
+    edge list toward a star forest where every node points at its
+    component's minimum id. Diameter-independent — O(log²) rounds.
+
+    Per round (two shuffle-bounded steps, no collect_list so hub
+    neighborhoods never materialize in one task):
+
+    - large-star: with the symmetric neighbor view, every neighbor
+      LARGER than u repoints to ``m(u) = min(N(u) ∪ {u})``.
+    - small-star: on the resulting (child > parent) list, every parent
+      of u except the minimum repoints to that minimum, and u follows.
+
+    Convergence: the small-star output is compared to the previous
+    round's edge set with an anti join (exact, order-free); a stable
+    set IS the star forest. Output matches the label algorithm exactly:
+    (node, component) over the full vertex set, component = min id.
+    """
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        sym = cur.unionAll(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # m(u) = min over neighborhood incl. self.
+        mn = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        big = (
+            sym.where(F.col("dst") > F.col("src"))
+            .join(_bc(mn, broadcast_state), on="src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the (child → smaller parent) list.
+        pm = big.groupBy("src").agg(F.min("dst").alias("m"))
+        small_edges = (
+            big.join(_bc(pm, broadcast_state), on="src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionAll(
+                pm.select(F.col("src"), F.col("m").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small_edges.join(cur, on=["src", "dst"], how="left_anti")
+            .unionAll(
+                cur.join(small_edges, on=["src", "dst"], how="left_anti")
+            )
+            .limit(1)
+            .count()
+        )
+        cur = small_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "star contraction did not converge within "
+            f"max_iterations={max_iterations} — unexpected (rounds are "
+            "O(log² component size)); raise max_iterations"
+        )
+
+    final = (
+        verts.join(
+            cur.select(F.col("src").alias("node"), F.col("dst").alias("__c")),
+            on="node",
+            how="left",
+        )
+        .select(
+            "node", F.coalesce("__c", F.col("node")).alias("component")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    final.count()
+    verts.unpersist()
+    return final
 
 
 def _connected_components_impl(

@@ -455,7 +455,11 @@ def _components_adaptive(
     from pagerank_spark.graph.components import connected_components
 
     if edges.count() > driver_pairs_limit:
-        return connected_components(edges)
+        # Star contraction, not label propagation: a near-dup pair
+        # graph can contain arbitrarily long chains (doc1~doc2~doc3~…),
+        # and label rounds scale with chain length while star rounds
+        # are O(log²) regardless of diameter.
+        return connected_components(edges, algorithm="star")
 
     parent: dict = {}
 

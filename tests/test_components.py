@@ -418,3 +418,56 @@ def test_graph_apis_tune_false_same_result(spark):
 
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+
+
+def test_star_cc_matches_label_cc(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.graph.components import connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (8, 6), (10, 11), (11, 12),
+         (12, 10)],
+        ["src", "dst"],
+    )
+    lab = {
+        (r["node"], r["component"])
+        for r in connected_components(e, algorithm="label").collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components(e, algorithm="star").collect()
+    }
+    assert lab == star
+    comps = {}
+    for n, c in star:
+        comps.setdefault(c, set()).add(n)
+    assert comps == {1: {1, 2, 3}, 5: {5, 6, 8}, 7: {7}, 10: {10, 11, 12}}
+
+
+def test_star_cc_handles_long_chain(spark):
+    # A 2000-node path: label propagation needs ~2000 rounds (and now
+    # raises at its cap); star contraction converges in O(log^2).
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.graph.components import connected_components
+
+    path = spark.range(1, 2000).select(
+        (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
+    )
+    comp = connected_components(path, algorithm="star")
+    assert comp.where(F.col("component") != 0).count() == 0
+    assert comp.count() == 2000
+
+
+def test_label_cc_raises_on_nonconvergence(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.graph.components import connected_components
+
+    path = spark.range(1, 50).select(
+        (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, algorithm="label", max_iterations=5)
