@@ -2224,6 +2224,26 @@ def q115_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media)
 
 
+def q116_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components
+    (graph/components.py _connected_components_star; Kiveris et al.) —
+    the diameter-independent O(log²)-round contraction the engine
+    auto-selects above the broadcast-state cut. Same graph and
+    recursive-closure oracle as q41, so the hash proves star and label
+    propagation compute the identical (node, min-id component)
+    mapping."""
+    from pagerank_spark.graph.components import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.where(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 8 == 0)
+    ).select(
+        (F.col("l_orderkey") + 1_000_000).cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    return connected_components(edges, algorithm="star")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2348,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_curate_documents": q113_curate_documents,
         "q114_image_decode": q114_image_decode,
         "q115_audio_decode": q115_audio_decode,
+        "q116_star_components": q116_star_components,
     }
 
 
@@ -5012,3 +5033,9 @@ SELECT media_id,
 FROM agg
 """,
 )
+
+
+# q116 twin: identical to q41's recursive transitive-closure oracle —
+# the star algorithm must produce the same (node, min-id component)
+# mapping as label propagation.
+_oracle("q116_star_components", _ORACLES["q41_connected_components"])
