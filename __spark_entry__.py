@@ -2244,6 +2244,121 @@ def q116_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, algorithm="star")
 
 
+def q117_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/curation.py bloom_bits /
+    bloom_might_contain): the eval set's distinct 5-gram shingles set
+    k=3 md5-derived bits in an m=65536-bit filter; every corpus doc
+    counts its shingles the filter MIGHT contain. The deliberately
+    small m makes real false positives occur, and the DuckDB twin
+    reproduces the identical bit arithmetic — so the hash pins exact
+    Bloom semantics (no false negatives, deterministic false
+    positives), not just the exact-overlap answer q110 computes. The
+    scale story: the set-bit table is bounded by k·|eval shingles| and
+    broadcasts, so the corpus-side scan is one broadcast join + one
+    partial-combined count regardless of corpus size."""
+    from pagerank_spark.operators.curation import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+    from pagerank_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bench_sh = (
+        word_shingles(bench, "doc_id", "text", 5)
+        .select("shingle")
+        .distinct()
+    )
+    bits = bloom_bits(bench_sh, "shingle", m=1 << 16, k=3)
+    probes = word_shingles(corpus, "doc_id", "text", 5)
+    flagged = bloom_might_contain(probes, "shingle", bits, m=1 << 16, k=3)
+    return (
+        flagged.where(F.col("might_contain"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_maybe"))
+    )
+
+
+def q118_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/curation.py
+    pack_sequences): documents laid head-to-tail in doc_id order and
+    cut into 512-token training sequences — concatenate-and-chunk, the
+    T5/GPT batch layout. The global token offsets come from a
+    distributed two-level prefix sum (order-preserving id blocks →
+    local window cumsum → block-total offsets broadcast back), never a
+    single-partition global window; the twin is DuckDB's plain ordered
+    window cumsum, so the hash proves the distributed scan equals the
+    sequential one."""
+    from pagerank_spark.functions import word_tokens
+    from pagerank_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return pack_sequences(counted, "doc_id", "n_toks", budget=512, blocks=8)
+
+
+def q119_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring (operators/text.py unigram_logprob):
+    per-document mean log-probability under the corpus's own unigram
+    model — the cheap CCNet-style LM quality proxy. One explode, one
+    vocabulary-sized frequency agg, one join back; score rounded to
+    6dp (the tfidf libm discipline)."""
+    from pagerank_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+def q120_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/curation.py
+    dataset_split): 90/5/5 by a portable md5 coin on doc_id — stable
+    under reruns and repartitioning, so eval rows can never leak into
+    train across reprocessing. Returns every row's assignment; the
+    hash pins each individual membership decision."""
+    from pagerank_spark.operators.curation import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dataset_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
+
+
+def q121_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates (operators/sketch.py): build a
+    4×512 CMS over the corpus token stream (bounded, mergeable,
+    map-side-combined), then estimate the frequencies of the exact
+    top-20 tokens. The deliberately narrow width forces real
+    collisions; the twin rebuilds the identical sketch from the same
+    md5 bucket arithmetic, so the hash pins the estimates themselves —
+    including the never-underestimate guarantee asserted per row."""
+    from pagerank_spark.functions import word_tokens
+    from pagerank_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(word_tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    sketch = cms_build(toks, "tok", width=512, depth=4)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    est = cms_estimate(top, "tok", sketch, width=512, depth=4)
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2369,6 +2484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_image_decode": q114_image_decode,
         "q115_audio_decode": q115_audio_decode,
         "q116_star_components": q116_star_components,
+        "q117_bloom_decontaminate": q117_bloom_decontaminate,
+        "q118_pack_sequences": q118_pack_sequences,
+        "q119_unigram_logprob": q119_unigram_logprob,
+        "q120_dataset_split": q120_dataset_split,
+        "q121_cms_heavy_hitters": q121_cms_heavy_hitters,
     }
 
 
@@ -5039,3 +5159,178 @@ FROM agg
 # the star algorithm must produce the same (node, min-id component)
 # mapping as label propagation.
 _oracle("q116_star_components", _ORACLES["q41_connected_components"])
+
+# q117 twin: q110's 5-gram shingle construction, then the identical
+# Bloom bit arithmetic — k=3 md5 positions mod 65536, a shingle is a
+# "maybe" iff all three positions are set by the bench side. HAVING
+# COUNT(*) = 3 is exact: the bit table is distinct, and each of the
+# three i-rows matches at most one bit row.
+_oracle(
+    "q117_bloom_decontaminate",
+    r"""
+WITH toks AS (
+  SELECT doc_id, tok, idx FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+             AS idx
+    FROM documents
+  )
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' '
+               || e.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+  JOIN toks d ON a.doc_id = d.doc_id AND d.idx = a.idx + 3
+  JOIN toks e ON a.doc_id = e.doc_id AND e.idx = a.idx + 4
+  WHERE a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' '
+        || e.tok <> ''
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+hf AS (SELECT unnest(generate_series(0, 2)) AS i),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(
+           md5(b.shingle || ':bloom' || CAST(hf.i AS VARCHAR)), 1, 15
+         )) AS BIGINT) % 65536 AS pos
+  FROM bench b CROSS JOIN hf
+),
+probe AS (
+  SELECT c.doc_id, c.shingle, hf.i,
+         CAST(('0x' || substr(
+           md5(c.shingle || ':bloom' || CAST(hf.i AS VARCHAR)), 1, 15
+         )) AS BIGINT) % 65536 AS pos
+  FROM corpus c CROSS JOIN hf
+),
+maybe AS (
+  SELECT p.doc_id, p.shingle
+  FROM probe p JOIN bits USING (pos)
+  GROUP BY p.doc_id, p.shingle
+  HAVING COUNT(*) = 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe
+FROM maybe GROUP BY doc_id
+""",
+)
+
+# q118 twin: the sequential ordered-window cumsum the distributed
+# two-level prefix sum must equal value-for-value.
+_oracle(
+    "q118_pack_sequences",
+    r"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM counted
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS seq_first,
+       CAST(FLOOR((start_tok + GREATEST(n_tokens - 1, 0)) / 512.0)
+            AS BIGINT) AS seq_last,
+       CAST(start_tok % 512 AS BIGINT) AS offset_in_seq
+FROM c
+""",
+)
+
+# q119 twin: corpus unigram frequencies, per-doc mean ln(p) rounded
+# to 6dp (all casts to DOUBLE so DuckDB's HUGEINT sum can't change
+# the arithmetic type vs Spark).
+_oracle(
+    "q119_unigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok
+),
+total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       ROUND(AVG(ln(CAST(f.cnt AS DOUBLE) / (SELECT total FROM total))),
+             6) AS avg_logprob
+FROM tk t JOIN freq f USING (tok)
+GROUP BY t.doc_id
+""",
+)
+
+# q120 twin: the same md5 coin against cumulative thresholds
+# (0.9, 0.95 of the 1e6 precision).
+_oracle(
+    "q120_dataset_split",
+    r"""
+SELECT doc_id,
+       CASE
+         WHEN CAST(('0x' || substr(
+                md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15
+              )) AS BIGINT) % 1000000 < 900000 THEN 'train'
+         WHEN CAST(('0x' || substr(
+                md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15
+              )) AS BIGINT) % 1000000 < 950000 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+)
+
+# q121 twin: rebuild the identical 4x512 count-min sketch from the
+# same md5 bucket arithmetic, probe the exact top-20 tokens.
+_oracle(
+    "q121_cms_heavy_hitters",
+    r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT tok FROM toks WHERE tok <> ''),
+hf AS (SELECT unnest(generate_series(0, 3)) AS d),
+cells AS (
+  SELECT hf.d,
+         CAST(('0x' || substr(
+           md5(tk.tok || ':cms' || CAST(hf.d AS VARCHAR)), 1, 15
+         )) AS BIGINT) % 512 AS pos
+  FROM tk CROSS JOIN hf
+),
+sketch AS (
+  SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY d, pos
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tk GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok ASC LIMIT 20
+),
+probe AS (
+  SELECT top.tok, top.exact_cnt, hf.d,
+         CAST(('0x' || substr(
+           md5(top.tok || ':cms' || CAST(hf.d AS VARCHAR)), 1, 15
+         )) AS BIGINT) % 512 AS pos
+  FROM top CROSS JOIN hf
+),
+est AS (
+  SELECT p.tok, p.exact_cnt,
+         CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probe p LEFT JOIN sketch s ON p.d = s.d AND p.pos = s.pos
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok, exact_cnt, cms_est, cms_est >= exact_cnt AS never_under
+FROM est
+""",
+)

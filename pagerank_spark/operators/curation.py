@@ -13,7 +13,7 @@ beyond its seeded head-sample; this is the large-corpus analogue.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import portable_hash60
@@ -207,10 +207,233 @@ def remove_boilerplate_lines(
     )
 
 
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    naming which partition each row belongs to.
+
+    The assignment hashes the row id with the portable md5 family and
+    compares against cumulative integer thresholds (``MIX_PRECISION``
+    resolution), so it is (a) stable under reruns, repartitioning and
+    row order, (b) disjoint and exhaustive by construction, and (c)
+    reproducible bit-for-bit in any engine with md5 — the property a
+    training pipeline needs so val/test rows can NEVER leak into train
+    across reprocessing runs. Fractions are normalized to sum 1;
+    iteration order of ``fractions`` fixes the threshold order.
+
+    At 100 TB: a pure per-row projection — no shuffle, no window, no
+    driver state; composes under any scan.
+    """
+    total = float(sum(fractions.values()))
+    if total <= 0:
+        raise ValueError("fractions must sum to a positive value")
+    names = list(fractions)
+    coin = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ) % F.lit(MIX_PRECISION)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    thresholds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += fractions[name] / total
+        thresholds.append((name, int(round(cum * MIX_PRECISION))))
+    for name, thresh in reversed(thresholds):
+        expr = F.when(coin < F.lit(thresh), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def _bloom_pos(key: Column, i: int, m: int, salt: str):
+    """Bit position of hash function ``i``: portable 60-bit md5 hash of
+    the salted key, reduced mod ``m`` (non-negative: the hash is a
+    positive 60-bit value in both Spark and DuckDB)."""
+    return portable_hash60(F.concat(key, F.lit(f":{salt}{i}"))) % F.lit(m)
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 16,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD: the filter as its set-bit table
+    ``(bit_pos BIGINT)`` — each input key sets ``k`` md5-derived
+    positions in ``[0, m)``.
+
+    The set-bit relation is bounded by ``min(m, k·|keys|)`` rows, so a
+    filter over an eval suite / URL seen-set broadcasts to every
+    executor regardless of corpus size; building is one explode + one
+    distinct (partial-combined — duplicate bits collapse map-side).
+    Unlike ``df.stat.bloomFilter`` this build never materializes on
+    the driver, is mergeable across corpus shards by construction
+    (union ∪ distinct), and is engine-portable: DuckDB reproduces the
+    identical bit set from the same md5 arithmetic.
+    """
+    key = F.col(key_col).cast("string")
+    return (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(key, i, m, salt) for i in range(k)])
+            ).alias("bit_pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m: int = 1 << 16,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter MEMBERSHIP: for each (distinct) probe row, a
+    ``might_contain`` flag — true iff all ``k`` positions of the key
+    are set in ``bits``. No false negatives; false-positive rate
+    ≈ ``(set_bits/m)^k`` by the standard bound.
+
+    Plan: explode the ``k`` probe positions, broadcast-left-join the
+    set-bit table, and regroup on the probe's own columns counting
+    hits (duplicate positions from colliding hash functions match
+    identically, so ``count == k`` is exact). Probe rows must be
+    unique (the regroup is on all probe columns); pass a ``.distinct()``
+    projection if not. One broadcast join + one partial-combined
+    aggregation per probe scan — the decontamination / seen-URL gate
+    shape at 100 TB.
+    """
+    key = F.col(key_col).cast("string")
+    exploded = probes.select(
+        "*",
+        F.explode(
+            F.array(*[_bloom_pos(key, i, m, salt) for i in range(k)])
+        ).alias("__pos"),
+    )
+    bit_side = F.broadcast(
+        bits.select(
+            F.col("bit_pos").alias("__pos"), F.lit(True).alias("__hit")
+        )
+    )
+    return (
+        exploded.join(bit_side, on="__pos", how="left")
+        .groupBy(*probes.columns)
+        .agg((F.count("__hit") == F.lit(k)).alias("might_contain"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the T5/GPT training
+    layout): documents are laid head-to-tail in ``id_col`` order into
+    one token stream, which is cut into fixed ``budget``-token
+    sequences; a document crossing a cut is split across adjacent
+    sequences. Returns per document::
+
+        (id, n_tokens, start_tok, seq_first, seq_last, offset_in_seq)
+
+    where ``start_tok`` is the document's global token offset,
+    ``seq_first/seq_last`` the first/last sequence indices it occupies
+    and ``offset_in_seq`` its offset inside ``seq_first``.
+
+    The global running offset is a distributed two-level prefix sum —
+    NOT a single-partition global window (the classic scale trap):
+    rows are grouped into order-preserving blocks by integer-dividing
+    the id range into ``blocks`` slices (deterministic — no sampled
+    range partitioner, so re-evaluation of the lazy plan cannot
+    reassign rows), a per-block window computes local exclusive
+    cumsums, block totals (a ``blocks``-row relation) get exclusive
+    offsets via a tiny window, and the offsets broadcast back. Two
+    data-sized shuffle-free passes over one exchange on the block key;
+    the only global ordering ever materialized is the block-total
+    table. Requires a numeric id; balance assumes ids are roughly
+    dense over their range (true of sequential doc ids — for
+    arbitrary keys, map them to dense ids first).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return df.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("start_tok"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_last"),
+            F.lit(0).cast("long").alias("offset_in_seq"),
+        ).limit(0)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, -(-(hi - lo + 1) // blocks))  # ceil; block is id-ordered
+    blk = F.floor((F.col(id_col) - F.lit(lo)) / F.lit(span)).alias("__blk")
+    toks = F.col(n_tokens_col).cast("long")
+
+    local_w = (
+        Window.partitionBy("__blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.select(F.col(id_col), toks.alias("__n"), blk).withColumn(
+        "__local_start",
+        F.coalesce(F.sum("__n").over(local_w), F.lit(0)).cast("long"),
+    )
+    # Block totals: a <= `blocks`-row relation; its exclusive prefix sum
+    # is the only single-partition window in the operator — bounded by
+    # the block count, never by the data.
+    tot_w = Window.orderBy("__blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("__blk")
+        .agg(F.sum("__n").alias("__tot"))
+        .select(
+            "__blk",
+            F.coalesce(F.sum("__tot").over(tot_w), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
+    start = (F.col("__local_start") + F.col("__off")).alias("start_tok")
+    out = local.join(F.broadcast(offsets), on="__blk").select(
+        F.col(id_col), F.col("__n").alias("n_tokens"), start
+    )
+    end_incl = F.col("start_tok") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / F.lit(budget))
+        .cast("long")
+        .alias("seq_first"),
+        F.floor(end_incl / F.lit(budget)).cast("long").alias("seq_last"),
+        (F.col("start_tok") % F.lit(budget)).cast("long").alias(
+            "offset_in_seq"
+        ),
+    )
+
+
 __all__ = [
     "MIX_PRECISION",
     "mix_plan",
     "sample_to_mix",
     "contamination_report",
     "remove_boilerplate_lines",
+    "dataset_split",
+    "bloom_bits",
+    "bloom_might_contain",
+    "pack_sequences",
 ]

@@ -300,6 +300,44 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    OWN unigram language model — the cheap LM-fluency proxy (the
+    CCNet/CC-MAIN filter shape, with the corpus itself as the model):
+    gibberish and boilerplate-heavy documents score far below prose
+    because their tokens are corpus-rare. Returns
+    ``(id, n_toks, avg_logprob)`` with the score rounded to 6dp (the
+    same cross-engine libm discipline as ``tfidf_top_terms``).
+
+    Plan: one explode → token-frequency aggregation (vocabulary-sized,
+    partial-combined) → join back on token → per-doc avg. The corpus
+    total rides a broadcast scalar cross join; Catalyst picks
+    broadcast vs shuffle for the frequency join from its stats (a
+    100 TB corpus vocabulary can exceed broadcast limits). No Python
+    anywhere.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__total"))
+    return (
+        toks.join(freq, on="tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("__total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 __all__ = [
     "LANG_MARKERS",
     "SUBWORD_PATTERN",
@@ -313,5 +351,6 @@ __all__ = [
     "gopher_quality",
     "pii_redact",
     "tfidf_top_terms",
+    "unigram_logprob",
     "portable_hash60",
 ]

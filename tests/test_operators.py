@@ -796,3 +796,127 @@ def test_text_ops_null_safe(spark):
     assert g[2]["passes_gopher"] is True
     p = {r["doc_id"]: r for r in text.pii_redact(df).collect()}
     assert p[1]["n_emails"] == 0 and p[1]["text_redacted"] == ""
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from pagerank_spark.operators.curation import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], ["k"]
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(2000)], ["k"]
+    )
+    bits = bloom_bits(keys, "k", m=1 << 14, k=3)
+    # Every inserted key MUST be reported present (no false negatives).
+    present = bloom_might_contain(keys, "k", bits, m=1 << 14, k=3)
+    assert all(r["might_contain"] for r in present.collect())
+    # False positives on disjoint probes stay near (set_bits/m)^3.
+    n_bits = bits.count()
+    fp = (
+        bloom_might_contain(others, "k", bits, m=1 << 14, k=3)
+        .where("might_contain")
+        .count()
+    )
+    expected = 2000 * (n_bits / (1 << 14)) ** 3
+    assert fp <= max(10, 10 * expected)
+
+
+def test_pack_sequences_matches_sequential_layout(spark):
+    from pagerank_spark.operators.curation import pack_sequences
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(0, 500, 3)]
+    df = spark.createDataFrame(rows, ["id", "n"])
+    out = {
+        r["id"]: r
+        for r in pack_sequences(df, "id", "n", budget=128, blocks=7)
+        .collect()
+    }
+    # Sequential ground truth: running offset in id order.
+    start = 0
+    for i, n in sorted(rows):
+        r = out[i]
+        assert r["start_tok"] == start
+        assert r["seq_first"] == start // 128
+        assert r["seq_last"] == (start + n - 1) // 128
+        assert r["offset_in_seq"] == start % 128
+        start += n
+
+
+def test_pack_sequences_empty_and_single_block(spark):
+    from pagerank_spark.operators.curation import pack_sequences
+
+    empty = spark.createDataFrame([], "id long, n long")
+    assert pack_sequences(empty, "id", "n", budget=16).count() == 0
+    one = spark.createDataFrame([(5, 40)], ["id", "n"])
+    r = pack_sequences(one, "id", "n", budget=16, blocks=4).collect()[0]
+    assert (r["start_tok"], r["seq_first"], r["seq_last"]) == (0, 0, 2)
+
+
+def test_dataset_split_disjoint_exhaustive_deterministic(spark):
+    from pagerank_spark.operators.curation import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], ["id"])
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = dataset_split(df, "id", fr).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in got}
+    assert sum(counts.values()) == 4000  # exhaustive, disjoint
+    assert abs(counts["train"] - 3200) < 150  # binomial concentration
+    # Rerun (and re-partitioned input) assigns identically.
+    again = dataset_split(df.repartition(13), "id", fr)
+    merged = (
+        dataset_split(df, "id", fr)
+        .withColumnRenamed("split", "a")
+        .join(again.withColumnRenamed("split", "b"), on="id")
+    )
+    assert merged.where("a <> b").count() == 0
+
+
+def test_cms_never_underestimates_any_key(spark):
+    from pagerank_spark.operators.sketch import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    # Zipf-ish stream: key j appears ~600/j times.
+    rows = [(f"k{j}",) for j in range(1, 60) for _ in range(600 // j)]
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms_build(df, "k", width=64, depth=4)
+    # Sketch is bounded by depth x width regardless of stream size.
+    assert sketch.count() <= 4 * 64
+    exact = df.groupBy("k").agg(F.count("*").alias("exact"))
+    est = cms_estimate(exact, "k", sketch, width=64, depth=4)
+    checked = est.collect()
+    assert len(checked) == 59
+    assert all(r["cms_est"] >= r["exact"] for r in checked)
+    # Mergeability: sketches of two disjoint shards sum cell-wise to
+    # the whole-stream sketch (linearity).
+    h1 = df.where(F.length("k") == 2)
+    h2 = df.where(F.length("k") != 2)
+    merged = (
+        cms_build(h1, "k", width=64, depth=4)
+        .unionAll(cms_build(h2, "k", width=64, depth=4))
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["d"], r["pos"]): r["cnt"] for r in sketch.collect()}
+    assert {
+        (r["d"], r["pos"]): r["cnt"] for r in merged.collect()
+    } == full
+
+
+def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
+    from pagerank_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the the the zzzquux"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_toks"] == 4 and out[2]["n_toks"] == 4
+    # Doc 2 contains a corpus-rare token: strictly lower mean logprob.
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"] < 0
