@@ -2359,6 +2359,57 @@ def q121_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph/components.py adamic_adar):
+    top-50 non-adjacent pairs scored Σ 1/ln(deg(w)) over common
+    neighbors, hub-capped at deg ≤ 64 — the graph-ML feature op for
+    recommendation candidates. Runs on the sparse derived graph (q60's
+    re-scoping rationale: the dense mod-4096 multigraph makes
+    common-neighbor pairs approach n²)."""
+    from pagerank_spark.graph.components import adamic_adar
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    return adamic_adar(e, k=50, max_degree=64)
+
+
+def q123_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/relational.py
+    merge_grouped_partials): per-nation revenue state built from the
+    base orders (o_orderkey % 10 != 0), then refreshed by merging the
+    delta batch's partials — the algebraic combine
+    merge(agg(base), agg(delta)) == agg(all) that lets a materialized
+    aggregate refresh in O(|delta|+|state|). The oracle recomputes
+    from the full table, so the hash proves the identity holds."""
+    from pagerank_spark.operators.relational import merge_grouped_partials
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nationkey"),
+        "o_totalprice",
+    )
+
+    def partial(part: DataFrame) -> DataFrame:
+        return part.groupBy("nationkey").agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+
+    base = partial(enriched.where(F.col("o_orderkey") % 10 != 0))
+    delta = partial(enriched.where(F.col("o_orderkey") % 10 == 0))
+    merged = merge_grouped_partials(
+        base, delta, keys=["nationkey"], sum_cols=["revenue", "n_orders"]
+    )
+    return merged.select(
+        "nationkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2489,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_unigram_logprob": q119_unigram_logprob,
         "q120_dataset_split": q120_dataset_split,
         "q121_cms_heavy_hitters": q121_cms_heavy_hitters,
+        "q122_adamic_adar": q122_adamic_adar,
+        "q123_incremental_agg": q123_incremental_agg,
     }
 
 
@@ -5332,5 +5385,59 @@ est AS (
 )
 SELECT tok, exact_cnt, cms_est, cms_est >= exact_cnt AS never_under
 FROM est
+""",
+)
+
+# q122 twin: the same hub-capped common-neighbor enumeration through
+# each shared w, 1/ln(deg) weights (true uncapped degree), rounded
+# score driving the deterministic top-50.
+_oracle(
+    "q122_adamic_adar",
+    SQL_SPARSE_W
+    + """
+,
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+nbr AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und
+),
+dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY node),
+wn AS (
+  SELECT nb.node AS w, nb.nbr AS n, 1.0 / ln(d.deg) AS wt
+  FROM nbr nb JOIN dg d ON nb.node = d.node
+  WHERE d.deg BETWEEN 2 AND 64
+),
+pairs AS (
+  SELECT x.n AS u, y.n AS v, x.wt
+  FROM wn x JOIN wn y ON x.w = y.w AND x.n < y.n
+),
+sc AS (
+  SELECT u, v, ROUND(SUM(wt), 6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs GROUP BY u, v
+)
+SELECT u, v, score, n_common
+FROM sc s
+WHERE NOT EXISTS (
+  SELECT 1 FROM und WHERE und.a = s.u AND und.b = s.v
+)
+ORDER BY score DESC, u ASC, v ASC
+LIMIT 50
+""",
+)
+
+# q123 twin: the single full recompute the incremental merge must
+# equal — merge(agg(base), agg(delta)) == agg(all).
+_oracle(
+    "q123_incremental_agg",
+    """
+SELECT c_nationkey AS nationkey,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
 """,
 )

@@ -898,6 +898,63 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     return out
 
 
+def adamic_adar(
+    edges: DataFrame, k: int = 50, max_degree: int = 64
+) -> DataFrame:
+    """Adamic-Adar link prediction on the distinct undirected graph:
+    for each NON-adjacent pair (u < v), ``score = Σ_{w ∈ N(u)∩N(v)}
+    1/ln(deg(w))``; returns the top-``k`` candidate links
+    ``(u, v, score, n_common)`` by (score desc, u asc, v asc), score
+    rounded to 6dp so the ranking is engine-reproducible.
+
+    Scale shape: common-neighbor pairs are enumerated THROUGH each
+    shared neighbor ``w`` (self-join of the neighbor relation on
+    ``w``), so per-``w`` cost is deg(w)² — shared neighbors above
+    ``max_degree`` are excluded, the standard hub cap in link
+    prediction (a million-degree hub generates 10¹² pairs while
+    contributing weight 1/ln(10⁶) ≈ 0.07; the cap bounds the join
+    quadratically while discarding near-zero signal). Degrees in the
+    WEIGHT use the true uncapped degree. The adjacency exclusion is a
+    left-anti join; top-k is TakeOrdered, never a global sort.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = nbr.groupBy("node").agg(F.count("*").alias("deg"))
+    wn = (
+        nbr.join(deg, on="node")
+        .where((F.col("deg") >= 2) & (F.col("deg") <= max_degree))
+        .select(
+            F.col("node").alias("w"),
+            F.col("nbr").alias("n"),
+            (F.lit(1.0) / F.log(F.col("deg"))).alias("wt"),
+        )
+    )
+    left = wn.select("w", F.col("n").alias("u"), "wt")
+    right = wn.select("w", F.col("n").alias("v"))
+    pairs = left.join(right, on="w").where(F.col("u") < F.col("v"))
+    sc = pairs.groupBy("u", "v").agg(
+        F.round(F.sum("wt"), 6).alias("score"),
+        F.count("*").alias("n_common"),
+    )
+    nonadj = sc.join(
+        und,
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        how="left_anti",
+    )
+    return nonadj.orderBy(
+        F.desc("score"), F.asc("u"), F.asc("v")
+    ).limit(k)
+
+
 def _min_label_fixpoint(
     edges: DataFrame,
     nodes: DataFrame,

@@ -469,3 +469,28 @@ def groupwise_zscore(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_norm, schema=out_schema)
+
+
+def merge_grouped_partials(
+    state: DataFrame, delta: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Incremental-view maintenance for algebraic aggregates: merge a
+    delta batch's per-group partials into the existing aggregate state
+    by the same combine rule Spark's partial aggregation uses
+    (sums/counts add; avg is carried as sum+count). The invariant —
+    ``merge(agg(base), agg(delta)) == agg(base ∪ delta)`` — is what
+    lets a materialized aggregate refresh from only the new data
+    instead of recomputing over the full history.
+
+    Plan: unionAll + one partial-combined groupBy — the delta side is
+    batch-sized, so at 100 TB of history the refresh cost is
+    O(|delta| + |state|), never O(|history|); pair with
+    ``table.upsert`` to persist the refreshed state as a snapshot.
+    """
+    aligned = delta.select(*keys, *sum_cols)
+    return (
+        state.select(*keys, *sum_cols)
+        .unionAll(aligned)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

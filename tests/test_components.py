@@ -471,3 +471,34 @@ def test_label_cc_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, algorithm="label", max_iterations=5)
+
+
+def test_adamic_adar_hand_graph(spark):
+    import math
+
+    from pagerank_spark.graph.components import adamic_adar
+
+    # Path 1-2-3 plus hub 9 connected to 1,3,4: candidates include
+    # (1,3) via w=2 (deg 2) and via w=9 (deg 3), (1,4)/(3,4) via w=9.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 1), (9, 3), (9, 4)], ["src", "dst"]
+    )
+    got = {(r["u"], r["v"]): r for r in adamic_adar(edges, k=10).collect()}
+    s13 = round(1 / math.log(2) + 1 / math.log(3), 6)
+    s14 = round(1 / math.log(3), 6)
+    assert got[(1, 3)]["score"] == s13 and got[(1, 3)]["n_common"] == 2
+    assert got[(1, 4)]["score"] == s14
+    assert got[(3, 4)]["score"] == s14
+    # Adjacent pairs are excluded.
+    assert (1, 2) not in got and (1, 9) not in got
+    # Hub cap: with max_degree=2, w=9 (deg 3) stops contributing —
+    # (1,4)/(3,4) vanish, (1,3) keeps only its w=2 term, and (2,9)
+    # survives via its two deg-2 common neighbors 1 and 3.
+    capped = {
+        (r["u"], r["v"]): r["score"]
+        for r in adamic_adar(edges, k=10, max_degree=2).collect()
+    }
+    assert capped == {
+        (1, 3): round(1 / math.log(2), 6),
+        (2, 9): round(2 / math.log(2), 6),
+    }

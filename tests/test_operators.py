@@ -920,3 +920,31 @@ def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
     assert out[1]["n_toks"] == 4 and out[2]["n_toks"] == 4
     # Doc 2 contains a corpus-rare token: strictly lower mean logprob.
     assert out[2]["avg_logprob"] < out[1]["avg_logprob"] < 0
+
+
+def test_merge_grouped_partials_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.relational import merge_grouped_partials
+
+    rows = [(i % 7, float(i * 3 + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n")
+        )
+
+    base, delta = df.where("v < 900"), df.where("v >= 900")
+    merged = merge_grouped_partials(
+        agg(base), agg(delta), keys=["k"], sum_cols=["s", "n"]
+    )
+    full = {r["k"]: (r["s"], r["n"]) for r in agg(df).collect()}
+    got = {r["k"]: (r["s"], r["n"]) for r in merged.collect()}
+    assert got == full
+    # A key present only in the delta still appears after the merge.
+    extra = spark.createDataFrame([(99, 5.0, 2)], ["k", "s", "n"])
+    with_new = merge_grouped_partials(
+        agg(base), extra, keys=["k"], sum_cols=["s", "n"]
+    )
+    assert with_new.where("k = 99").collect()[0]["s"] == 5.0
