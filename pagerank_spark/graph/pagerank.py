@@ -69,11 +69,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-# Reduce-side partition floor for the broadcast-strategy iteration loop
-# (the sizing target is ~2M vertices/partition, capped by the session
-# setting). Floor of 4 keeps a few cores busy on tiny graphs without
-# paying per-task scheduling overhead across all 32.
+# Reduce-side partition floor for the tuned iteration loop (the sizing
+# target is ~2M vertices/partition, capped by the session setting).
+# Floor of 4 keeps a few cores busy on tiny graphs without paying
+# per-task scheduling overhead across all 32.
 LOOP_PARTS_FLOOR = 4
+
+# Below this vertex count the co-partitioned shuffle join beats the
+# broadcast join even though the rank vector trivially fits in memory:
+# the per-iteration cost of broadcast is a driver collect + rebroadcast
+# round trip, which at tiny sizes exceeds shuffling the rank vector
+# through the (tuned, ~4-partition) exchange. Measured, 6 fixed
+# iterations, best-of-2, local[32]: tuned shuffle wins at 10k vertices
+# (1.8s vs 3.3s), 30k (4.5 vs 5.7), 80k (2.5 vs 3.7) and WikiData's 7k
+# (4.3 vs 4.7); broadcast wins again by 200k (6.1 vs 8.2 — the collect
+# amortizes, and the SMJ's per-iteration edge-side sort grows with E).
+TINY_VERTEX_LIMIT = 100_000
+
+# Setup-phase tuning gate: when Catalyst's size estimate of the edge
+# plan is below this (64 MiB ≈ 4M edges at 16 bytes/row), the setup
+# aggregations (vertex distinct, degree join, counts) run under the
+# same AQE-off/small-partition confs as the loop — running setup
+# untuned while only the loop was tuned measured 6.3s vs 4.4s
+# end-to-end on WikiData. The estimate costs no job (it is the same
+# statistic the optimizer uses for broadcast decisions). Deliberately
+# conservative: tuning the setup of a 10M-edge graph down to 5
+# partitions measured 3.5s SLOWER (under-parallelized distinct+join),
+# so above the gate setup keeps the session's full parallelism.
+SETUP_TUNE_SIZE_BYTES = 64 << 20
 
 
 @dataclass
@@ -83,6 +106,7 @@ class PageRankResult:
     ranks: DataFrame  # (node BIGINT, rank DOUBLE), sums to 1
     iterations: int
     l1_trajectory: list[float]
+    strategy: str = "broadcast"  # the join strategy the loop ran with
 
     def top(self, k: int = 100) -> DataFrame:
         return top_k(self.ranks, k)
@@ -144,15 +168,17 @@ def pagerank(
     sum 1), costing one extra setup aggregation.
 
     ``strategy``: "broadcast" joins the rank vector to edges as a broadcast
-    hash join; "shuffle" co-partitions both sides on ``src``; "auto" picks
-    broadcast when the vertex count is below ``broadcast_vertex_limit``.
-    The default 2M is the MEASURED crossover (synthetic hash-mixed
-    graphs, 6 fixed iterations, local[32]): broadcast wins 5.6 vs 8.4s
-    at 200k vertices, is within noise at 1-2M (13.1 vs 14.6s, 17.8 vs
-    18.8s), and collapses by 3M (40.3 vs 16.7s — per-iteration driver
-    collect + rebroadcast of the rank vector dominates). Beyond the
-    cut, shuffle co-partitioning is also the only plan that survives a
-    cluster whose rank vector exceeds executor memory.
+    hash join; "shuffle" co-partitions both sides on ``src``; "auto" is
+    three MEASURED tiers (synthetic hash-mixed graphs, 6 fixed
+    iterations, local[32]): tuned co-partitioned shuffle below
+    ``TINY_VERTEX_LIMIT`` (100k — broadcast's per-iteration driver
+    collect round trip costs more than the tiny rank exchange: 1.8 vs
+    3.3s at 10k vertices, 2.5 vs 3.7s at 80k), broadcast from there to
+    ``broadcast_vertex_limit`` (broadcast wins 6.1 vs 8.2s at 200k, is
+    within noise at 1-2M, and collapses by 3M — 40.3 vs 16.7s, the
+    collect + rebroadcast dominating), and shuffle again above. Beyond
+    the cut, shuffle co-partitioning is also the only plan that
+    survives a cluster whose rank vector exceeds executor memory.
 
     ``edge_semantics``: "bag" (default) lets every duplicate edge
     occurrence contribute; "reference" pins the reference's multigraph
@@ -188,6 +214,107 @@ def pagerank(
         # dir (HDFS/object store) — a real I/O cost per truncation, so
         # amortize over 3 iterations there.
         checkpoint_every = 3 if reliable_checkpoint else 1
+
+    # AQE re-plans every stage at runtime; on a small graph each
+    # iteration is a sub-second job and replanning overhead more than
+    # doubles wall time (measured 21.8s → 9.7s on WikiData) — so it's
+    # disabled for any graph under the broadcast limit (whichever join
+    # strategy runs), which also loses AQE's partition coalescing; we
+    # size the loop's reduce-side partitions ourselves (~2M rows /
+    # partition, floor 4, never above the session setting; measured
+    # 13.2s → ~7s on WikiData at 32 → 4 partitions). At scale AQE's
+    # skew-join splitting is worth the replanning and stays on.
+    #
+    # The flip happens BEFORE the setup aggregations (vertex distinct,
+    # degree join, counts): running setup under AQE + session
+    # partitions while only the loop is tuned measured 6.3s vs 4.4s
+    # end-to-end on WikiData — the setup jobs carry the same per-stage
+    # fixed costs the loop does. Since the vertex count isn't known
+    # yet at that point, the setup flip is gated on Catalyst's own
+    # size estimate of the edge plan (the same statistic the optimizer
+    # uses for broadcast decisions — no extra job); the loop flip is
+    # then re-decided from the exact vertex count.
+    # NOTE: these are session-global conf flips (restored in ``finally``)
+    # — safe for a dedicated job session, not for a session shared with
+    # concurrent queries; pass ``tune_aqe=False`` there.
+    aqe_key = "spark.sql.adaptive.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
+    aqe_before = spark.conf.get(aqe_key)
+    parts_before = spark.conf.get(parts_key)
+    loop_parts = shuffle_parts
+    conf_flipped = False
+    if tune_aqe:
+        est_bytes = _plan_size_bytes(edges)
+        if est_bytes <= SETUP_TUNE_SIZE_BYTES:
+            conf_flipped = True
+            spark.conf.set(aqe_key, "false")
+            loop_parts = max(
+                LOOP_PARTS_FLOOR,
+                min(shuffle_parts, -(-est_bytes // (32 << 20))),
+            )
+            spark.conf.set(parts_key, str(loop_parts))
+
+    try:
+        return _setup_and_iterate(
+            spark,
+            edges,
+            beta=beta,
+            delta=delta,
+            max_iterations=max_iterations,
+            checkpoint_every=checkpoint_every,
+            strategy=strategy,
+            broadcast_vertex_limit=broadcast_vertex_limit,
+            edge_semantics=edge_semantics,
+            reliable_checkpoint=reliable_checkpoint,
+            tune_aqe=tune_aqe,
+            init_ranks=init_ranks,
+            shuffle_parts=shuffle_parts,
+            loop_parts=loop_parts,
+            conf_flipped=conf_flipped,
+            aqe_before=aqe_before,
+            parts_before=parts_before,
+        )
+    finally:
+        if tune_aqe:
+            spark.conf.set(aqe_key, aqe_before)
+            spark.conf.set(parts_key, parts_before)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (the statistic the optimizer
+    itself uses for broadcast decisions) — no job is run. Falls back to
+    'huge' when the estimate is unavailable (e.g. Spark Connect), which
+    just means the setup phase runs untuned."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
+
+def _setup_and_iterate(
+    spark,
+    edges: DataFrame,
+    *,
+    beta: float,
+    delta: float,
+    max_iterations: int,
+    checkpoint_every: int,
+    strategy: str,
+    broadcast_vertex_limit: int,
+    edge_semantics: str,
+    reliable_checkpoint: bool,
+    tune_aqe: bool,
+    init_ranks: DataFrame | None,
+    shuffle_parts: int,
+    loop_parts: int,
+    conf_flipped: bool,
+    aqe_before: str,
+    parts_before: str,
+) -> PageRankResult:
+    aqe_key = "spark.sql.adaptive.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
 
     # Out-degrees are computed ONCE and reused for both the decorated edge
     # relation and the state init (was: two scans+aggs of the edge table).
@@ -227,33 +354,36 @@ def pagerank(
     n, n_src = counts["n"], counts["n_src"]
     if n == 0:
         empty = state.withColumn("rank", F.lit(0.0)).select("node", "rank")
-        return PageRankResult(empty, 0, [])
+        return PageRankResult(empty, 0, [], strategy)
 
     if strategy == "auto":
-        strategy = "broadcast" if n <= broadcast_vertex_limit else "shuffle"
+        if n <= TINY_VERTEX_LIMIT:
+            # Tiny tier: co-partitioned shuffle — broadcast's
+            # per-iteration driver collect costs more than the tiny
+            # rank exchange (see TINY_VERTEX_LIMIT measurements).
+            strategy = "shuffle"
+        elif n <= broadcast_vertex_limit:
+            strategy = "broadcast"
+        else:
+            strategy = "shuffle"
 
-    # AQE re-plans every stage at runtime; on a small graph (broadcast
-    # strategy) each iteration is a sub-second job and replanning overhead
-    # more than doubles wall time (measured 21.8s → 9.7s on WikiData) —
-    # so it's disabled there, which also loses AQE's partition
-    # coalescing; we size the loop's reduce-side partitions to the
-    # vertex count ourselves (~2M vertices/partition, floor 4, never
-    # above the session setting; measured 13.2s → ~7s on WikiData at
-    # 32 → 4 partitions). At scale (shuffle strategy) AQE's skew-join
-    # splitting is worth the replanning and stays on.
-    # NOTE: these are session-global conf flips (restored in ``finally``)
-    # — safe for a dedicated job session, not for a session shared with
-    # concurrent queries; pass ``tune_aqe=False`` there.
-    aqe_key = "spark.sql.adaptive.enabled"
-    parts_key = "spark.sql.shuffle.partitions"
-    aqe_before = spark.conf.get(aqe_key)
-    parts_before = spark.conf.get(parts_key)
-    if strategy == "broadcast" and tune_aqe:
-        spark.conf.set(aqe_key, "false")
+    # Re-decide the loop tuning from the EXACT vertex count: small
+    # graphs get (or keep) the flip with partitions sized to vertices;
+    # big-vertex graphs restore the session confs so the loop runs
+    # with AQE's skew handling even if the setup estimate was small.
+    if tune_aqe and n <= broadcast_vertex_limit:
+        if not conf_flipped:
+            conf_flipped = True
+            spark.conf.set(aqe_key, "false")
         loop_parts = max(
             LOOP_PARTS_FLOOR, min(shuffle_parts, -(-n // 2_000_000))
         )
         spark.conf.set(parts_key, str(loop_parts))
+    elif conf_flipped:
+        spark.conf.set(aqe_key, aqe_before)
+        spark.conf.set(parts_key, parts_before)
+        conf_flipped = False
+        loop_parts = shuffle_parts
 
     # Loop-invariant: edges decorated with the source's out-degree
     # (reference builds this once too — M_block_list at pageRank.py:159).
@@ -265,7 +395,9 @@ def pagerank(
     if strategy == "shuffle":
         # Pre-partition by src so each iteration's rank join shuffles only
         # the rank vector, reusing this cached exchange for the edge side.
-        edge_deg = edge_deg.repartition(shuffle_parts, "src")
+        # Tuned small graphs use the loop's partition sizing so every
+        # per-iteration exchange (rank side, contribs agg) aligns.
+        edge_deg = edge_deg.repartition(loop_parts, "src")
     edge_deg = edge_deg.persist(StorageLevel.MEMORY_AND_DISK)
 
     teleport = (1.0 - beta) / n
@@ -309,29 +441,24 @@ def pagerank(
     # The warm-start relation rides the loop's cache-eviction cycle.
     cached: list[DataFrame] = [] if init_ranks is None else [warm_cached]
 
-    try:
-        return _iterate(
-            spark,
-            edge_deg,
-            state,
-            n,
-            m,
-            beta=beta,
-            delta=delta,
-            teleport=teleport,
-            max_iterations=max_iterations,
-            checkpoint_every=checkpoint_every,
-            strategy=strategy,
-            shuffle_parts=shuffle_parts,
-            trajectory=trajectory,
-            cached=cached,
-            init_state=init_state,
-            reliable_checkpoint=reliable_checkpoint,
-        )
-    finally:
-        if tune_aqe:
-            spark.conf.set(aqe_key, aqe_before)
-            spark.conf.set(parts_key, parts_before)
+    return _iterate(
+        spark,
+        edge_deg,
+        state,
+        n,
+        m,
+        beta=beta,
+        delta=delta,
+        teleport=teleport,
+        max_iterations=max_iterations,
+        checkpoint_every=checkpoint_every,
+        strategy=strategy,
+        shuffle_parts=loop_parts,
+        trajectory=trajectory,
+        cached=cached,
+        init_state=init_state,
+        reliable_checkpoint=reliable_checkpoint,
+    )
 
 
 def _iterate(
@@ -453,7 +580,7 @@ def _iterate(
         df.unpersist()
     edge_deg.unpersist()
     init_state.unpersist()
-    return PageRankResult(final, iteration, trajectory)
+    return PageRankResult(final, iteration, trajectory, strategy)
 
 
 def compare_teleports(

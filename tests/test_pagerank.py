@@ -257,3 +257,25 @@ class TestWarmStart:
         prev.ranks.unpersist()
         cold.ranks.unpersist()
         warm.ranks.unpersist()
+
+
+def test_auto_strategy_tiers(spark):
+    # Tiny graphs run the co-partitioned shuffle loop (broadcast's
+    # per-iteration driver collect costs more than the rank exchange);
+    # forcing a tiny broadcast_vertex_limit pushes the same graph to
+    # shuffle via the big-graph tier too.
+    edges = [(i, (i * 7) % 50) for i in range(200)]
+    res = pagerank(_edges_df(spark, edges), delta=0.0, max_iterations=2)
+    assert res.strategy == "shuffle"
+    res2 = pagerank(
+        _edges_df(spark, edges),
+        delta=0.0,
+        max_iterations=2,
+        strategy="broadcast",
+    )
+    assert res2.strategy == "broadcast"
+    # The two tiers agree value-for-value (9dp — summation order).
+    a = {r["node"]: round(r["rank"], 9) for r in res.ranks.collect()}
+    b = {r["node"]: round(r["rank"], 9) for r in res2.ranks.collect()}
+    assert a == b
+    res.ranks.unpersist(), res2.ranks.unpersist()
