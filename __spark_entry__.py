@@ -2410,6 +2410,36 @@ def q123_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (graph/pagerank.py hits): 2
+    synchronous L1-normalized rounds of the Kleinberg mutual-
+    reinforcement recursion on the sparse derived graph — the other
+    classic link-analysis fixed point beside the reference's PageRank.
+    Fixed iterations ⇒ exact unrolled-CTE twin (q92's pattern); 9dp
+    rounding absorbs summation-order ulps."""
+    from pagerank_spark.graph.pagerank import hits
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    out = hits(e, iterations=2)
+    return out.select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("auth", 9).alias("auth"),
+    )
+
+
+def q125_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (graph/pagerank.py katz_centrality): 3 rounds
+    of the truncated damped-path series x = 1 + α·Mᵀx (α=0.1) — the
+    path-counting cousin of PageRank that does not split weight by
+    out-degree. Fixed iterations ⇒ exact unrolled twin."""
+    from pagerank_spark.graph.pagerank import katz_centrality
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    out = katz_centrality(e, alpha=0.1, iterations=3)
+    return out.select("node", F.round("katz", 9).alias("katz"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2542,6 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_cms_heavy_hitters": q121_cms_heavy_hitters,
         "q122_adamic_adar": q122_adamic_adar,
         "q123_incremental_agg": q123_incremental_agg,
+        "q124_hits": q124_hits,
+        "q125_katz_centrality": q125_katz_centrality,
     }
 
 
@@ -5439,5 +5471,83 @@ SELECT c_nationkey AS nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
+""",
+)
+
+# q124 twin: two unrolled HITS rounds — each half-step is an edge
+# join + group-sum, L1-normalized by a scalar subquery.
+_oracle(
+    "q124_hits",
+    SQL_SPARSE_W
+    + """
+,
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM snodes),
+h0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS hub FROM snodes),
+a1r AS (
+  SELECT e.dst AS node, SUM(h0.hub) AS v
+  FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst
+),
+a1f AS (
+  SELECT s.node, COALESCE(a1r.v, 0.0) AS v
+  FROM snodes s LEFT JOIN a1r ON s.node = a1r.node
+),
+a1 AS (SELECT node, v / (SELECT SUM(v) FROM a1f) AS auth FROM a1f),
+h1r AS (
+  SELECT e.src AS node, SUM(a1.auth) AS v
+  FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+),
+h1f AS (
+  SELECT s.node, COALESCE(h1r.v, 0.0) AS v
+  FROM snodes s LEFT JOIN h1r ON s.node = h1r.node
+),
+h1 AS (SELECT node, v / (SELECT SUM(v) FROM h1f) AS hub FROM h1f),
+a2r AS (
+  SELECT e.dst AS node, SUM(h1.hub) AS v
+  FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+),
+a2f AS (
+  SELECT s.node, COALESCE(a2r.v, 0.0) AS v
+  FROM snodes s LEFT JOIN a2r ON s.node = a2r.node
+),
+a2 AS (SELECT node, v / (SELECT SUM(v) FROM a2f) AS auth FROM a2f),
+h2r AS (
+  SELECT e.src AS node, SUM(a2.auth) AS v
+  FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+),
+h2f AS (
+  SELECT s.node, COALESCE(h2r.v, 0.0) AS v
+  FROM snodes s LEFT JOIN h2r ON s.node = h2r.node
+),
+h2 AS (SELECT node, v / (SELECT SUM(v) FROM h2f) AS hub FROM h2f)
+SELECT h2.node, ROUND(h2.hub, 9) AS hub, ROUND(a2.auth, 9) AS auth
+FROM h2 JOIN a2 ON h2.node = a2.node
+""",
+)
+
+# q125 twin: three unrolled Katz rounds x := 1 + 0.1 * M^T x from
+# x0 = 0 (so x1 is uniformly 1).
+_oracle(
+    "q125_katz_centrality",
+    SQL_SPARSE_W
+    + """
+,
+x1 AS (SELECT node, 1.0 AS katz FROM snodes),
+x2r AS (
+  SELECT e.dst AS node, SUM(x1.katz) AS v
+  FROM e JOIN x1 ON e.src = x1.node GROUP BY e.dst
+),
+x2 AS (
+  SELECT s.node, 1.0 + 0.1 * COALESCE(x2r.v, 0.0) AS katz
+  FROM snodes s LEFT JOIN x2r ON s.node = x2r.node
+),
+x3r AS (
+  SELECT e.dst AS node, SUM(x2.katz) AS v
+  FROM e JOIN x2 ON e.src = x2.node GROUP BY e.dst
+),
+x3 AS (
+  SELECT s.node, 1.0 + 0.1 * COALESCE(x3r.v, 0.0) AS katz
+  FROM snodes s LEFT JOIN x3r ON s.node = x3r.node
+)
+SELECT node, ROUND(katz, 9) AS katz FROM x3
 """,
 )

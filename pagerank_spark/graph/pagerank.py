@@ -808,3 +808,104 @@ def weighted_pagerank(
             )
         )
     return state.select("node", "rank")
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999): the other classic
+    link-analysis fixed point beside PageRank. Returns
+    ``(node, hub, auth)`` after ``iterations`` synchronous rounds of
+
+        a[v] ∝ Σ_{u→v} h[u]        (authority: pointed to by good hubs)
+        h[u] ∝ Σ_{u→v} a[v]        (hub: points at good authorities)
+
+    each L1-normalized (scores sum to 1 — keeps the fixed-iteration
+    algebra rational, so a declared k-step query has an exact SQL
+    twin; the classical L2 norm only rescales the ranking).
+
+    Extension tier: same family as the reference's PageRank loop
+    (``pageRank.py:116-145``) but the two-sided mutual-reinforcement
+    recursion. Scale shape mirrors ``weighted_pagerank``: the whole
+    k-step computation is ONE lazy DAG — per half-step one equi-join
+    against the edge table + one partial-combined aggregation, with
+    the normalization constants riding broadcast single-row cross
+    joins; nothing collects to the driver. For large k, restructure
+    into the checkpointed convergence loop like ``pagerank``.
+    """
+    verts = vertices(edges)
+    n = F.broadcast(verts.agg(F.count("*").alias("__n")))
+    state = verts.crossJoin(n).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("hub")
+    )
+
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(
+                state.select(F.col("node").alias("src"), "hub"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__v"))
+        )
+        a_full = verts.join(a_raw, on="node", how="left").select(
+            "node", F.coalesce(F.col("__v"), F.lit(0.0)).alias("__v")
+        )
+        a_sum = F.broadcast(a_full.agg(F.sum("__v").alias("__s")))
+        auth = a_full.crossJoin(a_sum).select(
+            "node", (F.col("__v") / F.col("__s")).alias("auth")
+        )
+        h_raw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "auth"), on="dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("__v"))
+        )
+        h_full = verts.join(h_raw, on="node", how="left").select(
+            "node", F.coalesce(F.col("__v"), F.lit(0.0)).alias("__v")
+        )
+        h_sum = F.broadcast(h_full.agg(F.sum("__v").alias("__s")))
+        state = h_full.crossJoin(h_sum).select(
+            "node", (F.col("__v") / F.col("__s")).alias("hub")
+        )
+
+    return state.join(auth, on="node", how="inner").select(
+        "node", "hub", "auth"
+    )
+
+
+def katz_centrality(
+    edges: DataFrame, alpha: float = 0.1, iterations: int = 3
+) -> DataFrame:
+    """Katz centrality, fixed-iteration form: counts in-paths of every
+    length, geometrically damped —
+
+        x_{t+1}[v] = 1 + α · Σ_{u→v} x_t[u],   x_0 = 0
+
+    so after k rounds ``x_k[v] = Σ_{j<=k} α^j · (#paths of length j
+    ending at v)`` (the truncated Katz series; converges for α below
+    the inverse spectral radius). Returns (node, katz).
+
+    Extension tier — the damped-path cousin of PageRank that does NOT
+    divide by out-degree, so prolific linkers transfer full weight.
+    Same one-DAG scale shape as ``hits``: per round one edge join +
+    one partial-combined aggregation, no driver collects, no
+    normalization scalars at all.
+    """
+    verts = vertices(edges)
+    state = verts.select("node", F.lit(0.0).alias("katz"))
+    for _ in range(iterations):
+        raw = (
+            edges.join(
+                state.select(F.col("node").alias("src"), "katz"), on="src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("katz").alias("__v"))
+        )
+        state = verts.join(raw, on="node", how="left").select(
+            "node",
+            (
+                F.lit(1.0)
+                + F.lit(alpha) * F.coalesce(F.col("__v"), F.lit(0.0))
+            ).alias("katz"),
+        )
+    return state

@@ -279,3 +279,36 @@ def test_auto_strategy_tiers(spark):
     b = {r["node"]: round(r["rank"], 9) for r in res2.ranks.collect()}
     assert a == b
     res.ranks.unpersist(), res2.ranks.unpersist()
+
+
+def test_hits_hand_graph(spark):
+    # Star: 1,2,3 all point at 4; 4 points at 5.
+    # Authorities concentrate on 4; hubs on 1,2,3.
+    from pagerank_spark.graph.pagerank import hits
+
+    e = _edges_df(spark, [(1, 4), (2, 4), (3, 4), (4, 5)])
+    out = {r["node"]: r for r in hits(e, iterations=2).collect()}
+    assert len(out) == 5
+    import pytest as _pt
+
+    assert sum(r["hub"] for r in out.values()) == _pt.approx(1.0)
+    assert sum(r["auth"] for r in out.values()) == _pt.approx(1.0)
+    # 4 is the top authority; 1,2,3 are the (equal) top hubs.
+    assert out[4]["auth"] == max(r["auth"] for r in out.values())
+    assert out[1]["hub"] == out[2]["hub"] == out[3]["hub"]
+    assert out[1]["hub"] > out[4]["hub"] > out[5]["hub"]
+
+
+def test_katz_truncated_series(spark):
+    # Chain 1->2->3: x3[3] counts paths of length 0..3 ending at 3.
+    from pagerank_spark.graph.pagerank import katz_centrality
+
+    e = _edges_df(spark, [(1, 2), (2, 3)])
+    a = 0.1
+    out = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(e, alpha=a, iterations=3).collect()
+    }
+    assert out[1] == 1.0                      # nothing points at 1
+    assert out[2] == 1.0 + a                  # one in-path of length 1
+    assert out[3] == 1.0 + a * (1.0 + a)      # length-1 and length-2
