@@ -828,8 +828,15 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     k-step computation is ONE lazy DAG — per half-step one equi-join
     against the edge table + one partial-combined aggregation, with
     the normalization constants riding broadcast single-row cross
-    joins; nothing collects to the driver. For large k, restructure
-    into the checkpointed convergence loop like ``pagerank``.
+    joins; nothing collects to the driver. The edge and vertex
+    relations are deliberately NOT cached: the DAG references each
+    ~2k times, but Catalyst's size estimates on the raw plan keep
+    every half-step join a broadcast — caching replaces them with
+    InMemoryRelations whose stats flip the joins to sort-merge, which
+    A/B-measured 3× SLOWER (17s vs 5s at sf0.1, k=2) despite the
+    repeated upstream scans. For large k (where rescans would
+    dominate), restructure into the checkpointed convergence loop
+    like ``pagerank``.
     """
     verts = vertices(edges)
     n = F.broadcast(verts.agg(F.count("*").alias("__n")))
@@ -889,7 +896,8 @@ def katz_centrality(
     divide by out-degree, so prolific linkers transfer full weight.
     Same one-DAG scale shape as ``hits``: per round one edge join +
     one partial-combined aggregation, no driver collects, no
-    normalization scalars at all.
+    normalization scalars at all; edges and vertices uncached for
+    the same broadcast-preserving reason as ``hits``.
     """
     verts = vertices(edges)
     state = verts.select("node", F.lit(0.0).alias("katz"))
