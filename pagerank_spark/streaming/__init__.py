@@ -461,3 +461,74 @@ def curate_stream_to_table(
         .queryName(query_name)
         .start()
     )
+
+
+def cms_stream_to_table(
+    key_stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    width: int = 1024,
+    depth: int = 4,
+    query_name: str = "cms_sink",
+):
+    """Streaming heavy-hitter state: maintain a count-min sketch of
+    the FULL event history inside the versioned table, merging each
+    micro-batch's partial sketch cell-wise (the CMS linearity that
+    makes the sketch a streaming-aggregation citizen). The stored
+    relation is bounded by ``depth × width`` cells forever, however
+    many events flow — the state a dashboard queries with
+    ``cms_estimate`` at any moment.
+
+    Unlike the upsert sinks, the merge is ADDITIVE, so replaying a
+    micro-batch after failure recovery would double-count. The last
+    applied ``batch_id`` is therefore committed in the SAME snapshot
+    as the cells (a ``d = -1`` meta row — one atomic pointer flip
+    covers both), and any batch at or below it is skipped: exactly-
+    once effect on top of foreachBatch's at-least-once replay.
+    """
+    from pagerank_spark import table as _table
+    from pagerank_spark.operators.relational import merge_grouped_partials
+    from pagerank_spark.operators.sketch import cms_build
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = cms_build(
+            batch_df, key_col, width=width, depth=depth
+        ).select(
+            F.col("d").cast("int").alias("d"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        try:
+            state = _table.read_table(spark, table_root)
+        except FileNotFoundError:
+            state = None
+        if state is not None:
+            last = state.where(F.col("d") == -1).collect()
+            if last and last[0]["cnt"] >= batch_id:
+                return  # replayed batch: already folded in
+            merged = merge_grouped_partials(
+                state.where(F.col("d") >= 0),
+                delta,
+                keys=["d", "pos"],
+                sum_cols=["cnt"],
+            )
+        else:
+            merged = delta
+        meta = spark.createDataFrame(
+            [(-1, -1, batch_id)], "d int, pos long, cnt long"
+        )
+        _table.write_table(
+            merged.select("d", "pos", "cnt").unionAll(meta), table_root
+        )
+
+    return (
+        key_stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

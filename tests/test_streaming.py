@@ -409,3 +409,61 @@ def test_curate_stream_matches_batch(spark, tmp_path):
         for r in T.read_table(spark, root).collect()
     }
     assert got == expected
+
+
+def test_cms_stream_matches_batch_sketch(spark, tmp_path):
+    """foreachBatch additive CMS merge: after streaming all files, the
+    table holds exactly the sketch a single batch build produces
+    (cell-wise linearity), stays bounded, and records the last applied
+    batch id in the same snapshot."""
+    from pagerank_spark import table as T
+    from pagerank_spark.operators.sketch import cms_build, cms_estimate
+    from pagerank_spark.streaming import cms_stream_to_table
+
+    src = tmp_path / "toks"
+    src.mkdir()
+    rows = [(f"k{i % 37}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "key string")
+    # several files -> several micro-batches at one file per trigger
+    df.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    root = str(tmp_path / "cms_tbl")
+    stream = spark.readStream.schema("key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = cms_stream_to_table(
+        stream, root, str(tmp_path / "ckpt"), key_col="key", width=64,
+        depth=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = T.read_table(spark, root)
+    cells = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in state.where("d >= 0").collect()
+    }
+    expect = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in cms_build(df, "key", width=64, depth=4).collect()
+    }
+    assert cells == expect
+    assert len(cells) <= 4 * 64
+    # meta row: last applied batch id, committed atomically with cells
+    meta = state.where("d = -1").collect()
+    assert len(meta) == 1 and meta[0]["cnt"] >= 1
+    # the streamed sketch answers point queries like the batch one
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(
+            spark.createDataFrame([("k0",), ("k5",)], ["k"]),
+            "k",
+            state.where("d >= 0"),
+            width=64,
+            depth=4,
+        ).collect()
+    }
+    exact = 3000 // 37 + (1 if 0 < 3000 % 37 else 0)
+    assert est["k0"] >= exact
