@@ -69,6 +69,13 @@ R02_BASELINE = {
     "q109_sample_to_mix": 0.602,
     "q110_decontamination": 0.984,
     "q112_tfidf_top_terms": 0.92,
+    "q117_bloom_decontaminate": 1.931,
+    "q118_pack_sequences": 0.753,
+    "q119_unigram_logprob": 0.617,
+    "q121_cms_heavy_hitters": 1.426,
+    "q122_adamic_adar": 1.505,
+    "q124_hits": 4.438,
+    "q125_katz_centrality": 1.008,
     "pagerank_full": 2.115,
     "pagerank_wikidata": 3.65,
 }
@@ -120,6 +127,14 @@ def main() -> None:
         "q109_sample_to_mix",
         "q110_decontamination",
         "q112_tfidf_top_terms",
+        # round-5b tiers (no prior baseline — these SET it):
+        "q117_bloom_decontaminate",
+        "q118_pack_sequences",
+        "q119_unigram_logprob",
+        "q121_cms_heavy_hitters",
+        "q122_adamic_adar",
+        "q124_hits",
+        "q125_katz_centrality",
     ]
 
     timings: dict[str, float] = {}
