@@ -20,6 +20,15 @@ against the new snapshot. Prints ONE JSON line::
      "scan_before_sec": ..., "scan_after_sec": ..., "compact_sec": ...,
      "files_before": N, "files_after": M, "rows": R, "sf": ...}
 
+A second scenario measures multi-dimensional clustering: the same
+snapshot laid out as ``--zfiles`` files range-clustered on
+``l_orderkey`` alone versus Z-order clustered on
+``(l_orderkey, l_partkey)``, probed by a scan ~10% selective in BOTH
+dimensions. Reported both as wall time and as the scale-honest
+``two_dim_candidate_files_*`` metric — the number of files whose
+parquet min/max box intersects the predicate (at 100 TB file counts
+this IS the I/O; at bench scale wall time is mostly fixed overhead).
+
 Run: ``python compaction_bench.py`` (artifact: COMPACTION_BENCH.json).
 """
 
@@ -49,6 +58,8 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=64,
                     help="fragment count for the uncompacted snapshot")
     ap.add_argument("--target-files", type=int, default=8)
+    ap.add_argument("--zfiles", type=int, default=64,
+                    help="file count for the 2-dim clustering scenario")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "COMPACTION_BENCH.json"))
     args = ap.parse_args()
@@ -101,6 +112,69 @@ def main() -> None:
         compact_sec = round(time.perf_counter() - t0, 4)
         after = scan(v1)
 
+        # Z-order scenario: a scan selective (~10%) in TWO dimensions
+        # over a finer-grained layout (--zfiles). Range clustering on
+        # l_orderkey prunes only via the first dimension (~10% of
+        # files survive, each still spanning the full partkey domain);
+        # the Morton interleave narrows per-file min/max in BOTH, so
+        # the second predicate prunes again.
+        p_lo, p_hi = src.agg(
+            F.min("l_partkey"), F.max("l_partkey")
+        ).collect()[0]
+        p_span = max((p_hi - p_lo) // 10, 1)  # ~10% of partkey domain
+        pq_lo, pq_hi = p_lo + 3 * p_span, p_lo + 4 * p_span
+        o_span10 = max((hi - lo) // 10, 1)  # ~10% of orderkey domain
+        oq_lo, oq_hi = lo + 4 * o_span10, lo + 5 * o_span10
+
+        def scan2(version: int) -> float:
+            best = None
+            for _ in range(max(args.passes, 1)):
+                t0 = time.perf_counter()
+                read_table(spark, root, version).where(
+                    F.col("l_orderkey").between(oq_lo, oq_hi)
+                    & F.col("l_partkey").between(pq_lo, pq_hi)
+                ).agg(
+                    F.sum("l_extendedprice"), F.count("*")
+                ).collect()
+                e = time.perf_counter() - t0
+                best = e if best is None else min(best, e)
+            return round(best, 4)
+
+        v1b = compact_table(
+            spark, root, target_files=args.zfiles,
+            sort_by=["l_orderkey"],
+        )
+        two_dim_range = scan2(v1b)
+        t0 = time.perf_counter()
+        v2 = compact_table(
+            spark, root, target_files=args.zfiles,
+            sort_by=["l_orderkey", "l_partkey"], cluster="zorder",
+        )
+        zorder_compact_sec = round(time.perf_counter() - t0, 4)
+        two_dim_zorder = scan2(v2)
+
+        def candidate_files(version: int) -> int:
+            # The scale-honest pruning metric: files whose parquet
+            # min/max box intersects the 2-dim predicate — at 100 TB
+            # file counts this IS the I/O; at bench scale wall-clock
+            # is dominated by fixed per-query overhead and can't show
+            # it. Noise-free by construction.
+            n = 0
+            for fp in glob.glob(
+                os.path.join(_snap_dir(root, version), "*.parquet")
+            ):
+                st = spark.read.parquet(fp).agg(
+                    F.min("l_orderkey"), F.max("l_orderkey"),
+                    F.min("l_partkey"), F.max("l_partkey"),
+                ).collect()[0]
+                if st[0] <= oq_hi and st[1] >= oq_lo and \
+                        st[2] <= pq_hi and st[3] >= pq_lo:
+                    n += 1
+            return n
+
+        cand_range = candidate_files(v1b)
+        cand_zorder = candidate_files(v2)
+
         result = {
             "metric": "compaction_scan_speedup",
             "value": round(before / after, 3) if after else None,
@@ -112,8 +186,13 @@ def main() -> None:
             "files_after": _parquet_files(_snap_dir(root, v1)),
             "rows": src.count(),
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "two_dim_scan_range_sec": two_dim_range,
+            "two_dim_scan_zorder_sec": two_dim_zorder,
+            "two_dim_candidate_files_range": cand_range,
+            "two_dim_candidate_files_zorder": cand_zorder,
+            "zorder_compact_sec": zorder_compact_sec,
         }
-        assert current_version(root) == v1
+        assert current_version(root) == v2
         line = json.dumps(result)
         print(line)
         with open(args.out, "w") as f:

@@ -156,15 +156,56 @@ def vacuum_table(root: str, keep: int = 2) -> list[int]:
     return sorted(dropped)
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) key: each numeric column min/max-normalized to
+    ``bits`` bits, then bit-interleaved — points close in EVERY
+    dimension get close keys, so range-clustering on the key gives
+    per-file min/max stats that are narrow in ALL the dimensions at
+    once (single-column sort clusters only its prefix). Pure Catalyst
+    column expressions (shift/and chain, whole-stage codegen'd); one
+    tiny min/max aggregation for the normalization."""
+    stats = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn = float(stats[f"__mn_{c}"])
+        span = max(1.0, float(stats[f"__mx_{c}"]) - mn)
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(float(top))
+                ).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for sc in scaled:
+            bit = (
+                F.when(sc.bitwiseAND(F.lit(1 << b)) > 0, 1)
+                .otherwise(0)
+                .cast("long")
+            )
+            z = F.shiftleft(z, 1) + bit
+    return z
+
+
 def compact_table(
     spark: SparkSession,
     root: str,
     target_files: int = 1,
     sort_by: list[str] | None = None,
+    cluster: str = "range",
+    zorder_bits: int = 16,
 ) -> int:
     """OPTIMIZE analogue: rewrite the current snapshot into
-    ``target_files`` files (optionally sorted within/across files by
-    ``sort_by`` for clustering) and commit it as a new version.
+    ``target_files`` files (optionally clustered by ``sort_by``) and
+    commit it as a new version.
 
     Small-file management is a first-class 100 TB concern: streaming
     upserts and fine-grained appends leave thousands of KB-scale files
@@ -173,13 +214,30 @@ def compact_table(
     embarrassingly parallel, and time travel to the pre-compaction
     version still works because snapshots are immutable.
 
-    ``sort_by`` uses ``repartitionByRange`` + ``sortWithinPartitions``
-    so each output file covers a disjoint key range (the poor man's
-    Z-order for one key prefix): min/max parquet column stats then let
-    a filtering scan skip whole files.
+    ``cluster="range"`` uses ``repartitionByRange`` +
+    ``sortWithinPartitions`` so each output file covers a disjoint
+    range of the ``sort_by`` prefix: min/max parquet column stats then
+    let a scan filtering on that prefix skip whole files.
+    ``cluster="zorder"`` range-clusters on a Morton interleave of ALL
+    the ``sort_by`` columns instead (numeric columns only) — the
+    multi-dimensional OPTIMIZE ZORDER BY analogue: a scan filtering on
+    ANY of the dimensions (not just the sort prefix) skips files.
     """
     df = read_table(spark, root)
-    if sort_by:
+    if sort_by and cluster == "zorder":
+        df = df.withColumn(
+            "__z", _zorder_key(df, sort_by, zorder_bits)
+        )
+        df = (
+            df.repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by:
+        if cluster != "range":
+            raise ValueError(
+                f"cluster must be 'range' or 'zorder', got {cluster!r}"
+            )
         df = df.repartitionByRange(target_files, *sort_by)
         df = df.sortWithinPartitions(*sort_by)
     else:

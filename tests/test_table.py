@@ -153,3 +153,62 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    from pagerank_spark.table import _zorder_key
+
+    # Values already spanning [0, 3] in both dims with bits=2 -> the
+    # normalization is the identity and z must equal the exact Morton
+    # code (x-bit before y-bit, most significant first).
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", _zorder_key(df, ["x", "y"], bits=2)
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in (1, 0):
+            z = (z << 1) | ((x >> b) & 1)
+            z = (z << 1) | ((y >> b) & 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_compact_zorder_clusters_both_dims(spark, tmp_path):
+    from pagerank_spark import table as T
+
+    # 64x64 grid fragmented randomly; z-order compaction into 16 files
+    # must give per-file spans far below the full range in BOTH dims
+    # (a single-dim sort leaves the second dim's span at ~full width).
+    rows = [((i * 37) % 64, (i * 53) % 64, i) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    root = str(tmp_path / "ztbl")
+    T.write_table(df.repartition(32), root)
+    v = T.compact_table(
+        spark, root, target_files=16, sort_by=["x", "y"], cluster="zorder"
+    )
+    assert T.current_version(root) == v
+    snap = T.read_table(spark, root)
+    assert snap.count() == 4096
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(os.path.join(root, f"v{v:05d}", "*.parquet")):
+        s = spark.read.parquet(f).agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        ).collect()[0]
+        spans_x.append(s["sx"]), spans_y.append(s["sy"])
+    assert len(spans_x) >= 8
+    # Z-order: average span well under the full 63 range in BOTH dims.
+    assert sum(spans_x) / len(spans_x) <= 40
+    assert sum(spans_y) / len(spans_y) <= 40
