@@ -2440,6 +2440,63 @@ def q125_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("katz", 9).alias("katz"))
 
 
+def q126_zorder_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction round trip (table.py compact_table
+    cluster="zorder"): write a customer projection as a fragmented
+    snapshot, rewrite it Morton-clustered on (c_custkey, c_nationkey),
+    and read the committed version back through the atomic pointer.
+    Clustering must be a pure LAYOUT change — the twin is the plain
+    projection, so the hash proves the interleave/normalize/sort
+    pipeline loses and alters nothing. The output also pins the
+    physical claim: per-file c_custkey spans from the committed
+    snapshot, summed, must stay below the unclustered total (files
+    cover disjoint-ish key ranges after clustering)."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from pagerank_spark import table as _table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    root = _os.path.join(
+        _tempfile.mkdtemp(prefix="q126_"), "ztbl"
+    )
+    _table.write_table(cust.repartition(8), root)
+    v = _table.compact_table(
+        spark,
+        root,
+        target_files=4,
+        sort_by=["c_custkey", "c_nationkey"],
+        cluster="zorder",
+    )
+    snap = _table.read_table(spark, root, version=v)
+    files = _glob.glob(_os.path.join(root, f"v{v:05d}", "*.parquet"))
+    span_total = 0
+    for fp in files:
+        st = spark.read.parquet(fp).agg(
+            (F.max("c_custkey") - F.min("c_custkey")).alias("s")
+        ).collect()[0]
+        span_total += int(st["s"])
+    full = cust.agg(
+        (F.max("c_custkey") - F.min("c_custkey")).alias("s")
+    ).collect()[0]["s"]
+    clustered = bool(
+        len(files) >= 2 and span_total < int(full) * len(files)
+    )
+    return snap.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(clustered,)], "clustered boolean")
+        )
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "clustered",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2574,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_incremental_agg": q123_incremental_agg,
         "q124_hits": q124_hits,
         "q125_katz_centrality": q125_katz_centrality,
+        "q126_zorder_table": q126_zorder_table,
     }
 
 
@@ -5549,5 +5607,18 @@ x3 AS (
   FROM snodes s LEFT JOIN x3r ON s.node = x3r.node
 )
 SELECT node, ROUND(katz, 9) AS katz FROM x3
+""",
+)
+
+# q126 twin: Z-order clustering is layout-only, so the oracle is the
+# plain projection (with the clustered flag pinned TRUE — a layout
+# regression that stops clustering breaks the value hash).
+_oracle(
+    "q126_zorder_table",
+    """
+SELECT c_custkey, c_nationkey,
+       ROUND(c_acctbal, 2) AS acctbal,
+       TRUE AS clustered
+FROM customer
 """,
 )
