@@ -2497,6 +2497,43 @@ def q126_zorder_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/text.py
+    chunk_documents): 64-token windows with 8-token overlap — the
+    embedding/RAG preparation step. Pure Catalyst sequence/slice
+    explode, no shuffle; the hash covers every chunk's exact text."""
+    from pagerank_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap_tokens=8
+    )
+
+
+def q128_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (operators/validate.py
+    expectations_report): not-null / unique / range / accepted-values
+    / referential-integrity rules over orders, one report row per
+    rule. The rule mix includes deliberately failing bounds (a
+    too-tight o_totalprice cap) so the hash pins real violation
+    COUNTS, not an all-zeros report; scalar rules fuse into one scan,
+    uniqueness is one groupBy, the FK check one anti join."""
+    from pagerank_spark.operators.validate import expectations_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        orders,
+        not_null=["o_orderkey", "o_custkey", "o_orderstatus"],
+        unique=[["o_orderkey"]],
+        ranges={
+            "o_totalprice": (0.0, 200_000.0),  # deliberately tight
+        },
+        accepted={"o_orderstatus": ["O", "F", "P"]},
+        foreign_keys=[("o_custkey", cust, "c_custkey")],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2632,6 +2669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_hits": q124_hits,
         "q125_katz_centrality": q125_katz_centrality,
         "q126_zorder_table": q126_zorder_table,
+        "q127_chunk_documents": q127_chunk_documents,
+        "q128_expectations": q128_expectations,
     }
 
 
@@ -5620,5 +5659,87 @@ SELECT c_custkey, c_nationkey,
        ROUND(c_acctbal, 2) AS acctbal,
        TRUE AS clustered
 FROM customer
+""",
+)
+
+# q127 twin: the same strided-window chunking over the same
+# tokenization — chunk count ceil((n - overlap) / step), 1-based list
+# slice of `chunk` tokens per index.
+_oracle(
+    "q127_chunk_documents",
+    r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(text), '\s+'), t -> t <> ''
+         ) AS toks
+  FROM documents
+),
+nn AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(
+           1, CAST(CEIL((n - 8) / 56.0) AS BIGINT)
+         ))) AS chunk_id
+  FROM nn
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64])
+            AS BIGINT) AS n_chunk_toks,
+       array_to_string(
+         toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' '
+       ) AS chunk_text
+FROM idx
+""",
+)
+
+# q128 twin: each rule as one SQL aggregate, unioned.
+_oracle(
+    "q128_expectations",
+    """
+WITH rules AS (
+  SELECT 'not_null:o_orderkey' AS rule,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'not_null:o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'not_null:o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'range:o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 200000)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'accepted:o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique:o_orderkey',
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'fk:o_custkey->c_custkey',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+    )
+)
+SELECT rule, violations, violations = 0 AS passed
+FROM rules ORDER BY rule
 """,
 )

@@ -338,6 +338,70 @@ def unigram_logprob(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking — the embedding/RAG
+    preparation step: split each document into windows of
+    ``chunk_tokens`` tokens with ``overlap_tokens`` overlap between
+    consecutive windows (so no boundary context is lost). Returns
+    ``(id, chunk_id, n_chunk_toks, chunk_text)``, chunk_id 0-based;
+    documents with no tokens are dropped.
+
+    Window count: with ``step = chunk_tokens - overlap_tokens``,
+    ``n_chunks = max(1, ceil((n - overlap) / step))`` — one window
+    when the document fits, and the final window may be short.
+
+    Plan: tokenize once per document, generate chunk indices with
+    ``sequence`` and slice the token array per index — pure Catalyst
+    (the ``word_shingles`` machinery generalized to strided windows),
+    whole-stage codegen, no UDF, no shuffle at all: chunking is a
+    per-row explode, embarrassingly parallel at any corpus size.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toked = df.select(
+        F.col(id_col),
+        F.filter(
+            word_tokens(F.col(text_col)), lambda t: t != ""
+        ).alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap_tokens)) / F.lit(step)).cast("int"),
+    )
+    return (
+        toked.select(
+            F.col(id_col),
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.slice(
+                F.col("__toks"),
+                F.col("chunk_id") * F.lit(step) + 1,
+                F.lit(chunk_tokens),
+            ).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_chunk_toks"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )
+
+
 __all__ = [
     "LANG_MARKERS",
     "SUBWORD_PATTERN",
@@ -352,5 +416,6 @@ __all__ = [
     "pii_redact",
     "tfidf_top_terms",
     "unigram_logprob",
+    "chunk_documents",
     "portable_hash60",
 ]

@@ -1,0 +1,137 @@
+"""Data-quality expectations: declarative constraint validation.
+
+The dbt-test / Great-Expectations shape a 100 TB ingest gate needs:
+declare constraints, get back one small report relation
+``(rule STRING, violations BIGINT, passed BOOLEAN)`` — never a
+per-row blowup. A pipeline asserts ``passed`` before promoting a
+snapshot; the violation counts (not just booleans) make the report
+diffable across loads.
+
+Scale shape: every scalar rule (not-null, range, accepted-values)
+FUSES into one aggregation over a single scan of the table — adding
+rules adds expressions, not passes. Uniqueness is one
+partial-combined groupBy per declared key; referential integrity is
+one (broadcast-able) anti join per declared key. The report itself
+is rule-cardinality-sized. Everything stays lazy — no driver
+collects inside the operator.
+
+Extension tier: the reference has no constraint surface (SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expectations_report(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted: dict[str, list] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Validate ``df`` against declared expectations.
+
+    - ``not_null``: columns that must never be NULL.
+    - ``unique``: key-column lists that must have no duplicate rows
+      (violations = number of surplus rows beyond one per key).
+    - ``ranges``: ``col -> (lo, hi)`` inclusive bounds (NULLs are the
+      ``not_null`` rule's business and do not violate a range).
+    - ``accepted``: ``col -> allowed values`` (again NULL-exempt).
+    - ``foreign_keys``: ``(col, ref_df, ref_col)`` — every non-NULL
+      value must exist in the reference relation.
+
+    Returns ``(rule, violations, passed)``, one row per rule, ordered
+    by rule name for deterministic presentation.
+    """
+    spark = df.sparkSession
+    scalar_exprs = []
+    for c in not_null or []:
+        scalar_exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"not_null:{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = F.col(c).isNotNull() & (
+            (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
+        )
+        scalar_exprs.append(
+            F.sum(F.when(bad, 1).otherwise(0))
+            .cast("long")
+            .alias(f"range:{c}")
+        )
+    for c, values in (accepted or {}).items():
+        bad = F.col(c).isNotNull() & ~F.col(c).isin(values)
+        scalar_exprs.append(
+            F.sum(F.when(bad, 1).otherwise(0))
+            .cast("long")
+            .alias(f"accepted:{c}")
+        )
+
+    reports: list[DataFrame] = []
+    if scalar_exprs:
+        wide = df.agg(*scalar_exprs)
+        stack = ", ".join(
+            f"'{c}', `{c}`" for c in wide.columns
+        )
+        reports.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(wide.columns)}, {stack}) "
+                    "AS (rule, violations)"
+                )
+            )
+        )
+    for keys in unique or []:
+        surplus = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("__n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("__n") - 1), F.lit(0)
+                )
+                .cast("long")
+                .alias("violations")
+            )
+            .select(
+                F.lit("unique:" + ",".join(keys)).alias("rule"),
+                "violations",
+            )
+        )
+        reports.append(surplus)
+    for col, ref_df, ref_col in foreign_keys or []:
+        missing = (
+            df.where(F.col(col).isNotNull())
+            .join(
+                ref_df.select(
+                    F.col(ref_col).alias(col)
+                ).distinct(),
+                on=col,
+                how="left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("violations"))
+            .select(
+                F.lit(f"fk:{col}->{ref_col}").alias("rule"),
+                "violations",
+            )
+        )
+        reports.append(missing)
+
+    if not reports:
+        return spark.createDataFrame(
+            [], "rule string, violations long, passed boolean"
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "rule",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+__all__ = ["expectations_report"]

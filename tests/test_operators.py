@@ -948,3 +948,73 @@ def test_merge_grouped_partials_equals_full_recompute(spark):
         agg(base), extra, keys=["k"], sum_cols=["s", "n"]
     )
     assert with_new.where("k = 99").collect()[0]["s"] == 5.0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from pagerank_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(
+        df, "doc_id", "text", chunk_tokens=4, overlap_tokens=1
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # step=3, n=10 -> ceil((10-1)/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0]["chunk_text"] == "t0 t1 t2 t3"
+    assert by_doc[1][1]["chunk_text"] == "t3 t4 t5 t6"
+    assert by_doc[1][2]["chunk_text"] == "t6 t7 t8 t9"
+    # consecutive chunks share exactly the 1-token overlap
+    assert by_doc[1][0]["chunk_text"].split()[-1] == \
+        by_doc[1][1]["chunk_text"].split()[0]
+    # short doc: one (short) chunk; empty doc: dropped
+    assert by_doc[2][0]["chunk_text"] == "a b"
+    assert by_doc[2][0]["n_chunk_toks"] == 2
+    assert 3 not in by_doc
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 4, 4)
+
+
+def test_expectations_report_counts_violations(spark):
+    from pagerank_spark.operators.validate import expectations_report
+
+    rows = [
+        (1, 10.0, "A"),
+        (2, 10.0, "A"),
+        (2, 999.0, "B"),   # dup id, range violation
+        (None, 5.0, "C"),  # null id, bad status
+        (7, None, "A"),    # null value exempt from range
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, st string")
+    ref = spark.createDataFrame([(1,), (2,)], ["k"])
+    rep = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in expectations_report(
+            df,
+            not_null=["id"],
+            unique=[["id"]],
+            ranges={"v": (0.0, 100.0)},
+            accepted={"st": ["A", "B"]},
+            foreign_keys=[("id", ref, "k")],
+        ).collect()
+    }
+    assert rep["not_null:id"] == (1, False)
+    assert rep["unique:id"] == (1, False)  # one surplus row for id=2
+    assert rep["range:v"] == (1, False)    # 999 only; NULL exempt
+    assert rep["accepted:st"] == (1, False)
+    assert rep["fk:id->k"] == (1, False)   # id=7 missing from ref
+    # A clean table passes everything.
+    clean = spark.createDataFrame(
+        [(1, 1.0, "A"), (2, 2.0, "B")], "id long, v double, st string"
+    )
+    rep2 = expectations_report(
+        clean, not_null=["id"], unique=[["id"]],
+        ranges={"v": (0.0, 100.0)},
+    ).collect()
+    assert all(r["passed"] for r in rep2)
