@@ -145,3 +145,71 @@ def test_boilerplate_removal_single_doc_is_identity(spark, lines):
     out = remove_boilerplate_lines(df).collect()[0]
     assert out["text"] == txt
     assert out["n_lines_removed"] == 0
+
+
+@settings(**SETTINGS)
+@given(
+    sizes=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    budget=st.integers(4, 64),
+)
+def test_pack_sequences_equals_sequential_scan(spark, sizes, budget):
+    # The distributed two-level prefix sum must equal the sequential
+    # layout for ANY size profile (zeros included) and any budget.
+    from pagerank_spark.operators.curation import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = {
+        r["id"]: r
+        for r in pack_sequences(df, "id", "n", budget=budget, blocks=3)
+        .collect()
+    }
+    start = 0
+    for i, n in rows:
+        r = out[i]
+        assert r["start_tok"] == start
+        assert r["seq_first"] == start // budget
+        assert r["seq_last"] == (start + max(n - 1, 0)) // budget
+        start += n
+
+
+@settings(**SETTINGS)
+@given(
+    n_rows=st.integers(1, 300),
+    fracs=st.tuples(
+        st.floats(0.1, 5.0), st.floats(0.1, 5.0), st.floats(0.1, 5.0)
+    ),
+)
+def test_dataset_split_partition_properties(spark, n_rows, fracs):
+    # Exhaustive + disjoint for arbitrary (unnormalized) fractions,
+    # and stable across repartitioning.
+    from pagerank_spark.operators.curation import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(n_rows)], ["id"])
+    names = {"a": fracs[0], "b": fracs[1], "c": fracs[2]}
+    out = dataset_split(df, "id", names).collect()
+    assert len(out) == n_rows
+    assert {r["split"] for r in out} <= {"a", "b", "c"}
+    again = {
+        r["id"]: r["split"]
+        for r in dataset_split(df.repartition(7), "id", names).collect()
+    }
+    assert {r["id"]: r["split"] for r in out} == again
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 25), min_size=1, max_size=120),
+    width=st.integers(8, 64),
+)
+def test_cms_estimate_never_underestimates(spark, keys, width):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{k}",) for k in keys], ["k"])
+    sketch = cms_build(df, "k", width=width, depth=3)
+    exact = df.groupBy("k").agg(F.count("*").alias("exact"))
+    est = cms_estimate(exact, "k", sketch, width=width, depth=3)
+    for r in est.collect():
+        assert r["cms_est"] >= r["exact"]
