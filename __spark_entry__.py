@@ -2534,6 +2534,43 @@ def q128_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled multi-source BFS (graph/components.py
+    multi_source_shortest_paths): per-seed hop distances from 8
+    landmark seeds over the sparse graph, one synchronized frontier
+    loop for all seeds — the landmark-distance primitive. Twin: a
+    (seed, node, dist)-keyed recursive CTE (q52's pattern with the
+    seed label carried through)."""
+    from pagerank_spark.graph.components import multi_source_shortest_paths
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 32 == 0)
+    )
+    out = multi_source_shortest_paths(e, seeds, max_iterations=12)
+    return out.select("seed", "node", F.col("dist").cast("long").alias("dist"))
+
+
+def q130_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-harmonic centrality of the landmark seeds
+    (graph/components.py harmonic_centrality): Σ 1/d(s,v) over
+    reachable v — the disconnection-safe closeness variant, computed
+    from the same multi-source frontier loop."""
+    from pagerank_spark.graph.components import harmonic_centrality
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 32 == 0)
+    )
+    return harmonic_centrality(e, seeds, max_iterations=12)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2671,6 +2708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_zorder_table": q126_zorder_table,
         "q127_chunk_documents": q127_chunk_documents,
         "q128_expectations": q128_expectations,
+        "q129_multi_source_bfs": q129_multi_source_bfs,
+        "q130_harmonic_centrality": q130_harmonic_centrality,
     }
 
 
@@ -5741,5 +5780,48 @@ WITH rules AS (
 )
 SELECT rule, violations, violations = 0 AS passed
 FROM rules ORDER BY rule
+""",
+)
+
+# Shared recursive walk for the multi-source BFS twins: the sparse
+# graph with the seed label carried through every expansion step.
+_SQL_MULTI_BFS_WALK = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(l_orderkey % 256 AS BIGINT) AS src,
+         CAST(l_partkey % 256 AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+),
+snodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+walk(seed, node, dist) AS (
+  SELECT node, node, 0 FROM snodes WHERE node % 32 = 0
+  UNION
+  SELECT w.seed, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 12
+),
+d AS (
+  SELECT seed, node, MIN(dist) AS dist FROM walk GROUP BY seed, node
+)
+"""
+
+_oracle(
+    "q129_multi_source_bfs",
+    _SQL_MULTI_BFS_WALK
+    + """
+SELECT seed, node, CAST(dist AS BIGINT) AS dist FROM d
+""",
+)
+
+_oracle(
+    "q130_harmonic_centrality",
+    _SQL_MULTI_BFS_WALK
+    + """
+SELECT seed, ROUND(SUM(1.0 / dist), 9) AS harmonic,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM d WHERE dist > 0 GROUP BY seed
 """,
 )

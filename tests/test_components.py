@@ -502,3 +502,30 @@ def test_adamic_adar_hand_graph(spark):
         (1, 3): round(1 / math.log(2), 6),
         (2, 9): round(2 / math.log(2), 6),
     }
+
+
+def test_multi_source_bfs_and_harmonic(spark):
+    from pagerank_spark.graph.components import (
+        harmonic_centrality,
+        multi_source_shortest_paths,
+    )
+
+    # 1 -> 2 -> 3 -> 4, and 9 -> 4: seeds 1 and 9 see different trees.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 4)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], ["node"])
+    d = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_shortest_paths(edges, seeds).collect()
+    }
+    assert d[(1, 1)] == 0 and d[(1, 2)] == 1
+    assert d[(1, 3)] == 2 and d[(1, 4)] == 3
+    assert d[(9, 9)] == 0 and d[(9, 4)] == 1
+    assert (9, 2) not in d  # 2 unreachable from 9
+    h = {
+        r["seed"]: (r["harmonic"], r["n_reached"])
+        for r in harmonic_centrality(edges, seeds).collect()
+    }
+    assert h[1] == (round(1 / 1 + 1 / 2 + 1 / 3, 9), 3)
+    assert h[9] == (1.0, 1)
