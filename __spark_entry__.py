@@ -2571,6 +2571,21 @@ def q130_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(e, seeds, max_iterations=12)
 
 
+def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (operators/curation.py
+    sample_weighted): each document survives with probability equal to
+    its 9dp-rounded quality score — per-row Bernoulli via the portable
+    md5 coin, the curation shape behind quality-proportional
+    downsampling. The hash pins every individual keep decision."""
+    from pagerank_spark.operators.curation import sample_weighted
+    from pagerank_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    kept = sample_weighted(scored, "quality", "doc_id")
+    return kept.select("doc_id", "lang", "quality")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2710,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_expectations": q128_expectations,
         "q129_multi_source_bfs": q129_multi_source_bfs,
         "q130_harmonic_centrality": q130_harmonic_centrality,
+        "q131_weighted_sample": q131_weighted_sample,
     }
 
 
@@ -5823,5 +5839,42 @@ _oracle(
 SELECT seed, ROUND(SUM(1.0 / dist), 9) AS harmonic,
        CAST(COUNT(*) AS BIGINT) AS n_reached
 FROM d WHERE dist > 0 GROUP BY seed
+""",
+)
+
+# q131 twin: q23's quality construction feeding the same md5 coin —
+# keep iff coin < floor(clamp(quality) * 1e6).
+_oracle(
+    "q131_weighted_sample",
+    r"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text) AS len_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+           AS stop_hits
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, lang, len_chars, n_tokens,
+         n_punct / greatest(len_chars, 1) AS punct_ratio,
+         stop_hits / greatest(n_tokens, 1) AS stop_ratio
+  FROM feats
+),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * least(len_chars / 500.0, 1.0)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(stop_ratio, 1.0), 9) AS quality
+  FROM ratios
+)
+SELECT doc_id, lang, quality
+FROM scored
+WHERE CAST(('0x' || substr(
+        md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15
+      )) AS BIGINT) % 1000000
+      < CAST(FLOOR(GREATEST(0.0, LEAST(1.0, quality)) * 1000000)
+             AS BIGINT)
 """,
 )

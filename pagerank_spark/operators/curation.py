@@ -426,6 +426,35 @@ def pack_sequences(
     )
 
 
+def sample_weighted(
+    df: DataFrame,
+    prob_col: str | Column,
+    id_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a row-specific
+    keep probability: row ``r`` survives iff
+    ``portable_hash60(id || ':' || salt) % 10^6 < floor(p_r · 10^6)``.
+    The curation shape behind quality-weighted downsampling (keep
+    documents with probability proportional to a quality score) and
+    temperature-style source reweighting — ``sample_to_mix`` with the
+    keep fraction computed PER ROW instead of per group.
+
+    Same determinism contract as the other md5-coin operators: stable
+    under reruns and repartitioning, order-independent, reproducible
+    in any engine with md5. Probabilities clamp to [0, 1]. Pure
+    filter — no shuffle, no RNG, no window.
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    thresh = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), p)) * MIX_PRECISION
+    ).cast("long")
+    coin = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ) % F.lit(MIX_PRECISION)
+    return df.where(coin < thresh)
+
+
 __all__ = [
     "MIX_PRECISION",
     "mix_plan",
@@ -436,4 +465,5 @@ __all__ = [
     "bloom_bits",
     "bloom_might_contain",
     "pack_sequences",
+    "sample_weighted",
 ]

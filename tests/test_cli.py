@@ -51,3 +51,45 @@ def test_cli_end_to_end(tmp_path, spark, capsys):
     rows = (csv_dir / csv_files[0]).read_text().strip().splitlines()
     assert rows[0] == "src,dst"
     assert len(rows) == 7
+
+
+def test_curate_cli_end_to_end(tmp_path, spark, capsys):
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    long_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "keeps going with more and more plain english words "
+                 "about the weather the market and the evening news ") * 3
+    rows = [
+        # passes the gate; contains PII to scrub
+        (1, long_good + " contact me at bob@example.com", "en"),
+        # exact duplicate pair (one must survive)
+        (2, long_good + " unique tail alpha", "en"),
+        (3, long_good + " unique tail alpha", "en"),
+        # too short: the Gopher gate drops it
+        (4, "tiny", "en"),
+    ]
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+
+    out = tmp_path / "curated"
+    rc = curate_main(
+        [str(src), "--out", str(out), "--split", "train=0.5,val=0.5"],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["input_rows"] == 4
+    assert report["pii_rows_touched"] == 1
+    assert report["after_gate"] == 3          # the tiny doc dropped
+    assert report["after_exact_dedup"] == 2   # dup pair collapsed
+    assert sum(report["split_rows"].values()) == 2
+
+    got = spark.read.parquet(str(out))
+    texts = [r["text"] for r in got.collect()]
+    assert all("bob@example.com" not in t for t in texts)
+    assert any("<EMAIL>" in t for t in texts)
+    assert got.select("split").distinct().count() >= 1

@@ -1018,3 +1018,30 @@ def test_expectations_report_counts_violations(spark):
         ranges={"v": (0.0, 100.0)},
     ).collect()
     assert all(r["passed"] for r in rep2)
+
+
+def test_sample_weighted_probability_semantics(spark):
+    from pagerank_spark.operators.curation import sample_weighted
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.5))
+         for i in range(3000)],
+        "id long, p double",
+    )
+    kept = sample_weighted(df, "p", "id")
+    by_p = {
+        r["p"]: r["n"]
+        for r in kept.groupBy("p").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.0 not in by_p            # p=0 rows never survive
+    assert by_p[1.0] == 1000          # p=1 rows always survive
+    assert 350 < by_p[0.5] < 650      # p=0.5 concentrates near half
+    # Deterministic across reruns and repartitioning.
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in sample_weighted(df.repartition(9), "p", "id").collect()}
+    assert a == b
+    # Out-of-range probabilities clamp instead of corrupting the coin.
+    weird = spark.createDataFrame([(1, 7.0), (2, -3.0)], "id long, p double")
+    got = {r["id"] for r in sample_weighted(weird, "p", "id").collect()}
+    assert got == {1}
