@@ -2586,6 +2586,36 @@ def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "quality")
 
 
+def q132_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (operators/sketch.py hll_registers /
+    hll_estimate): q50's engine HLL can't cross-verify by
+    construction, so this one derives bucket and rho from the portable
+    md5 family with integer-only arithmetic — the DuckDB twin rebuilds
+    the IDENTICAL 256 registers and the estimate itself hash-matches.
+    Output: the estimate, the exact NDV, and the relative error
+    asserted inside the standard ~1.04/√256 envelope (×3)."""
+    from pagerank_spark.operators.sketch import hll_estimate, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(orders, "o_custkey")
+    est = hll_estimate(regs)
+    exact = orders.agg(
+        F.count_distinct("o_custkey").alias("exact_ndv")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "hll_estimate",
+            "exact_ndv",
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_ndv"))
+                / F.col("exact_ndv")
+                <= F.lit(3 * 1.04 / 16.0)
+            ).alias("within_bound"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2726,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_multi_source_bfs": q129_multi_source_bfs,
         "q130_harmonic_centrality": q130_harmonic_centrality,
         "q131_weighted_sample": q131_weighted_sample,
+        "q132_portable_hll": q132_portable_hll,
     }
 
 
@@ -5876,5 +5907,59 @@ WHERE CAST(('0x' || substr(
       )) AS BIGINT) % 1000000
       < CAST(FLOOR(GREATEST(0.0, LEAST(1.0, quality)) * 1000000)
              AS BIGINT)
+""",
+)
+
+# q132 twin: rebuild the identical HLL registers (top-8-bit bucket,
+# rho from bin() bit length — integer-only) and the same estimate
+# fold, small-range linear counting included.
+_oracle(
+    "q132_portable_hll",
+    """
+WITH h AS (
+  SELECT CAST(('0x' || substr(
+           md5(CAST(o_custkey AS VARCHAR) || ':hll'), 1, 15
+         )) AS BIGINT) AS hv
+  FROM orders
+),
+parts AS (
+  SELECT CAST(hv // 4503599627370496 AS INT) AS bucket,
+         hv % 4503599627370496 AS w
+  FROM h
+),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS max_rho
+  FROM parts GROUP BY bucket
+),
+agg AS (
+  SELECT SUM(POWER(2.0, -max_rho)) AS s_used,
+         COUNT(*) AS nb
+  FROM regs
+),
+folded AS (
+  SELECT COALESCE(s_used, 0.0) + (256 - nb) AS s,
+         256 - nb AS zeros
+  FROM agg
+),
+est AS (
+  SELECT CASE
+           WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / s
+                  <= 2.5 * 256
+                AND zeros > 0
+           THEN 256.0 * ln(256.0 / zeros)
+           ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / s
+         END AS e
+  FROM folded
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv
+  FROM orders
+)
+SELECT ROUND(est.e, 4) AS hll_estimate, exact.exact_ndv,
+       ABS(ROUND(est.e, 4) - exact_ndv) / exact_ndv <= 3 * 1.04 / 16.0
+         AS within_bound
+FROM est, exact
 """,
 )

@@ -126,4 +126,85 @@ def cms_estimate(
     )
 
 
-__all__ = ["cms_build", "cms_estimate"]
+# Portable HLL geometry: 2^HLL_BUCKET_BITS registers, rho measured in
+# the remaining bits of the 60-bit portable hash.
+HLL_BUCKET_BITS = 8
+HLL_M = 1 << HLL_BUCKET_BITS
+HLL_W_BITS = 60 - HLL_BUCKET_BITS  # 52
+# Standard bias constant alpha_m for m = 256.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, salt: str = "hll"
+) -> DataFrame:
+    """Portable HyperLogLog BUILD: the register relation
+    ``(bucket INT, max_rho INT)`` — at most 256 rows regardless of
+    input size.
+
+    Spark's own ``approx_count_distinct`` sketch cannot be
+    cross-verified (its hash and register layout are engine-private —
+    the one unavoidable rows-only gate in the declared surface, q50).
+    This HLL derives everything from the portable md5 family: bucket =
+    the hash's top 8 bits, rho = leading-zero count of the remaining
+    52 bits + 1, computed via integer/string ops ONLY (``bin()``
+    length — both engines have it; no log2 float at the boundaries).
+    DuckDB rebuilds the identical registers, so the ESTIMATE itself is
+    deterministic and hash-checkable; only its relation to the true
+    NDV is approximate. Mergeable across shards by
+    ``union → groupBy(bucket).max(max_rho)``; one explode-free scan
+    with partial-combined max aggregation.
+    """
+    h = portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+    bucket = F.shiftright(h, HLL_W_BITS).cast("int")
+    w = h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    # rho = leading zeros in the 52-bit window + 1; bin() drops leading
+    # zeros, so len(bin(w)) is the bit-length of w. w = 0 -> all 52
+    # bits zero -> rho = 53.
+    rho = F.when(
+        w == 0, F.lit(HLL_W_BITS + 1)
+    ).otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+    return (
+        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Fold the register relation into the HLL cardinality estimate
+    (one row: ``hll_estimate DOUBLE`` rounded to 4dp).
+
+    The raw estimate ``alpha·m²/Σ2^-rho`` (absent buckets contribute
+    2⁰) switches to linear counting ``m·ln(m/zeros)`` below 2.5m with
+    empty registers — the standard small-range correction. All
+    arithmetic is reproducible: 2^-rho is exact in binary floating
+    point, the Σ is over ≤256 terms, and the result rounds to 4dp.
+    """
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+        F.count("*").alias("__nb"),
+    )
+    s = F.coalesce(F.col("__s"), F.lit(0.0)) + (
+        F.lit(HLL_M) - F.col("__nb")
+    )  # absent buckets: rho 0 -> 2^0 = 1 each
+    zeros = F.lit(HLL_M) - F.col("__nb")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("hll_estimate"))
+
+
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "hll_registers",
+    "hll_estimate",
+    "HLL_BUCKET_BITS",
+    "HLL_M",
+    "HLL_ALPHA",
+]

@@ -1045,3 +1045,38 @@ def test_sample_weighted_probability_semantics(spark):
     weird = spark.createDataFrame([(1, 7.0), (2, -3.0)], "id long, p double")
     got = {r["id"] for r in sample_weighted(weird, "p", "id").collect()}
     assert got == {1}
+
+
+def test_portable_hll_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import hll_estimate, hll_registers
+
+    for n in (100, 5000, 50000):
+        df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+        est = hll_estimate(hll_registers(df, "k")).collect()[0][
+            "hll_estimate"
+        ]
+        # 256 registers: standard error ~1.04/16 = 6.5%; allow 3 sigma.
+        assert abs(est - n) / n < 0.2, (n, est)
+    # Duplicates don't move the estimate (distinct semantics).
+    base = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_estimate(hll_registers(base, "k")).collect()[0][0]
+    b = hll_estimate(hll_registers(dup, "k")).collect()[0][0]
+    assert a == b
+    # Mergeability: register-wise MAX of two shards == whole build.
+    h1 = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    h2 = spark.range(2000, 6000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    merged = (
+        hll_registers(h1, "k")
+        .unionAll(hll_registers(h2, "k"))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_registers(h1.unionAll(h2), "k")
+    assert {
+        (r["bucket"], r["max_rho"]) for r in merged.collect()
+    } == {(r["bucket"], r["max_rho"]) for r in whole.collect()}
