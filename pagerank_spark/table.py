@@ -122,17 +122,36 @@ def append_table(spark: SparkSession, df: DataFrame, root: str) -> int:
 
 
 def upsert_table(
-    spark: SparkSession, updates: DataFrame, root: str, keys: list[str]
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    keys: list[str],
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE: replace current rows whose key appears in ``updates``,
     insert the rest of ``updates``. NULL-safe on key equality (anti
-    join semantics use <=> so a NULL key updates a NULL key)."""
+    join semantics use <=> so a NULL key updates a NULL key).
+
+    ``evolve_schema``: accept updates that ADD columns (the Delta
+    ``mergeSchema`` analogue) — existing rows take NULL for the new
+    columns, and the committed snapshot carries the widened schema.
+    Updates missing existing columns are widened the same way. Off by
+    default: silent schema drift is usually an upstream bug, and the
+    default mirrors a strict MERGE.
+    """
     if _read_pointer(root) is None:
         return write_table(updates, root)
     current = read_table(spark, root)
+    if not evolve_schema:
+        updates = updates.select(*current.columns)
     cond = [current[k].eqNullSafe(updates[k]) for k in keys]
-    kept = current.join(updates, cond, "left_anti")
-    merged = kept.unionByName(updates.select(*current.columns))
+    kept = current.join(updates, cond, "left_anti").select(
+        *current.columns
+    )
+    if evolve_schema:
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = kept.unionByName(updates)
     return write_table(merged, root)
 
 

@@ -212,3 +212,26 @@ def test_compact_zorder_clusters_both_dims(spark, tmp_path):
     # Z-order: average span well under the full 63 range in BOTH dims.
     assert sum(spans_x) / len(spans_x) <= 40
     assert sum(spans_y) / len(spans_y) <= 40
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    from pagerank_spark import table as T
+
+    root = str(tmp_path / "evo")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    T.write_table(base, root)
+    delta = spark.createDataFrame(
+        [(2, "B", 0.9), (3, "c", 0.5)], "id long, v string, score double"
+    )
+    # Strict mode drops the unknown column (no silent drift).
+    T.upsert_table(spark, delta, root, keys=["id"])
+    assert "score" not in T.read_table(spark, root).columns
+    # Evolved mode widens: old rows read NULL for the new column.
+    T.upsert_table(spark, delta, root, keys=["id"], evolve_schema=True)
+    snap = {r["id"]: r for r in T.read_table(spark, root).collect()}
+    assert set(T.read_table(spark, root).columns) == {"id", "v", "score"}
+    assert snap[1]["score"] is None and snap[1]["v"] == "a"
+    assert snap[2]["score"] == 0.9 and snap[2]["v"] == "B"
+    assert snap[3]["score"] == 0.5
