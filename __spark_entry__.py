@@ -2616,6 +2616,77 @@ def q132_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join semantics: per-nation customer counts (nations
+    < 15) full-outer-joined to per-nation supplier counts (nations
+    ≥ 10) — left-only, right-only, and overlapping keys all present,
+    the unmatched sides carrying NULL counts. The only outer-join
+    flavor not yet declared (left/right/semi/anti all are)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = (
+        cust.where(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        supp.where(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, on="nationkey", how="full").select(
+        "nationkey", "n_cust", "n_supp"
+    )
+
+
+def q134_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL bag semantics (q58's EXCEPT ALL complement): the
+    multiset intersection keeps each value min(multiplicity-left,
+    multiplicity-right) times — part keys appearing in both order
+    slices, duplicates preserved."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 4 == 0).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    b = li.where(F.col("l_orderkey") % 6 == 0).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return a.intersectAll(b)
+
+
+def q135_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function zoo over nation: string
+    (translate/lpad/reverse/repeat/left/ascii), conditional
+    (nullif/greatest/least), numeric (sign/abs/bit_count) — each
+    portable and hash-checked against the identical DuckDB
+    expression."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.translate(F.lower("n_name"), "aeiou", "AEIOU").alias(
+            "vowels_up"
+        ),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias(
+            "padded"
+        ),
+        F.reverse(F.lower("n_name")).alias("reversed"),
+        F.repeat(F.lit("ab"), (F.col("n_nationkey") % 3 + 1).cast("int"))
+        .alias("repeated"),
+        F.substring(F.lower("n_name"), 1, 3).alias("prefix3"),
+        F.ascii(F.upper("n_name")).alias("first_ascii"),
+        F.nullif(F.col("n_regionkey"), F.lit(2)).alias("region_not2"),
+        F.greatest(
+            F.col("n_nationkey"), F.col("n_regionkey") * 5
+        ).alias("greater"),
+        F.least(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias(
+            "lesser"
+        ),
+        F.sign(F.col("n_nationkey") - 12).cast("int").alias("sgn"),
+        F.abs(F.col("n_nationkey") - 12).alias("absdiff"),
+        F.bit_count(F.col("n_nationkey")).cast("int").alias("popcount"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2757,6 +2828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_harmonic_centrality": q130_harmonic_centrality,
         "q131_weighted_sample": q131_weighted_sample,
         "q132_portable_hll": q132_portable_hll,
+        "q133_full_outer_join": q133_full_outer_join,
+        "q134_intersect_all": q134_intersect_all,
+        "q135_scalar_functions": q135_scalar_functions,
     }
 
 
@@ -5961,5 +6035,50 @@ SELECT ROUND(est.e, 4) AS hll_estimate, exact.exact_ndv,
        ABS(ROUND(est.e, 4) - exact_ndv) / exact_ndv <= 3 * 1.04 / 16.0
          AS within_bound
 FROM est, exact
+""",
+)
+
+_oracle(
+    "q133_full_outer_join",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey
+)
+SELECT nationkey, n_cust, n_supp
+FROM c FULL OUTER JOIN s USING (nationkey)
+""",
+)
+
+_oracle(
+    "q134_intersect_all",
+    """
+SELECT l_partkey AS partkey FROM lineitem WHERE l_orderkey % 4 = 0
+INTERSECT ALL
+SELECT l_partkey AS partkey FROM lineitem WHERE l_orderkey % 6 = 0
+""",
+)
+
+_oracle(
+    "q135_scalar_functions",
+    """
+SELECT n_nationkey,
+       translate(lower(n_name), 'aeiou', 'AEIOU') AS vowels_up,
+       lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+       reverse(lower(n_name)) AS reversed,
+       repeat('ab', CAST(n_nationkey % 3 + 1 AS INT)) AS repeated,
+       substr(lower(n_name), 1, 3) AS prefix3,
+       ascii(upper(n_name)) AS first_ascii,
+       nullif(n_regionkey, 2) AS region_not2,
+       greatest(n_nationkey, n_regionkey * 5) AS greater,
+       least(n_nationkey, n_regionkey * 5) AS lesser,
+       CAST(sign(n_nationkey - 12) AS INT) AS sgn,
+       abs(n_nationkey - 12) AS absdiff,
+       CAST(bit_count(n_nationkey) AS INT) AS popcount
+FROM nation
 """,
 )
