@@ -310,3 +310,49 @@ def test_q111_boilerplate_no_window(spark):
     p = plan(ENTRY.queries()["q111_boilerplate_lines"](spark, SF_DIR))
     assert "Window" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_q117_bloom_bits_broadcast(spark):
+    # The set-bit relation is bounded by k*|eval shingles| and must
+    # reach the corpus probes as a broadcast join — a shuffle here
+    # would defeat the whole point of the filter.
+    p = plan(ENTRY.queries()["q117_bloom_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_q118_pack_no_global_single_partition_window(spark):
+    # The token offsets must come from the two-level prefix sum: the
+    # only SinglePartition exchange allowed is the block-totals table
+    # (bounded by the block count), never the data-sized window.
+    p = plan(ENTRY.queries()["q118_pack_sequences"](spark, SF_DIR))
+    assert "Window" in p  # per-block local cumsum + tiny offsets window
+    # the data-sized side partitions by block, so a hash exchange must
+    # exist alongside the bounded SinglePartition one
+    assert "hashpartitioning(__blk" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_q127_chunking_is_shuffle_free(spark):
+    # Chunking is a per-row explode: any exchange in this plan is a
+    # regression (it would serialize an embarrassingly parallel op).
+    p = plan(ENTRY.queries()["q127_chunk_documents"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_q122_adamic_adar_no_cartesian(spark):
+    # Pair enumeration must route through the shared-neighbor equi-join
+    # (hub-capped), never a cross product; top-k must be TakeOrdered.
+    p = plan(ENTRY.queries()["q122_adamic_adar"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q132_hll_fuses_to_bounded_aggregate(spark):
+    # The register build is one partial-combined aggregation; no
+    # Python, no cartesian beyond the scalar estimate attachment.
+    p = plan(ENTRY.queries()["q132_portable_hll"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final register agg
