@@ -2687,6 +2687,27 @@ def q135_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q136_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup.py
+    minhash_neardup_against): an incoming batch — synthetic near-
+    copies of every 25th corpus document with a 3-token suffix
+    appended — is checked against the EXISTING corpus by MinHash+LSH
+    across the batch×corpus boundary only, never re-pairing the
+    corpus. The twin runs the self-join pipeline over the unioned
+    docs and keeps only cross-boundary pairs, so the hash proves the
+    asymmetric path finds exactly the pairs the symmetric one would."""
+    from pagerank_spark.operators.dedup import minhash_neardup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup marker")).alias("text"),
+    )
+    return minhash_neardup_against(
+        new_batch, docs, n=3, threshold=0.5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2831,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_full_outer_join": q133_full_outer_join,
         "q134_intersect_all": q134_intersect_all,
         "q135_scalar_functions": q135_scalar_functions,
+        "q136_incremental_neardup": q136_incremental_neardup,
     }
 
 
@@ -6080,5 +6102,78 @@ SELECT n_nationkey,
        abs(n_nationkey - 12) AS absdiff,
        CAST(bit_count(n_nationkey) AS INT) AS popcount
 FROM nation
+""",
+)
+
+# q136 twin: the q27 self-join pipeline over corpus ∪ synthesized
+# batch, keeping only cross-boundary pairs — identical mathematics to
+# the asymmetric operator (cross-side band buckets + exact verify).
+_oracle(
+    "q136_incremental_neardup",
+    r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near dup marker' AS text
+  FROM documents WHERE doc_id % 25 = 7
+),
+toks AS (
+  SELECT doc_id, tok, idx FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+             AS idx
+    FROM docs
+  )
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+  WHERE a.tok || ' ' || b.tok || ' ' || c.tok <> ''
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+           % 2147483647 AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+    """
+    + _MH_COLS
+    + r"""
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+"""
+    + _BAND_SIGS
+    + r"""
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig
+   AND a.doc_id < 1000000 AND b.doc_id >= 1000000
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.new_id, c.corpus_id, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN shingles a ON a.doc_id = c.corpus_id
+  JOIN shingles b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+  GROUP BY c.new_id, c.corpus_id
+)
+SELECT i.new_id, i.corpus_id,
+       ROUND(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.corpus_id
+JOIN sizes sb ON sb.doc_id = i.new_id
+WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
 """,
 )

@@ -130,12 +130,9 @@ def minhash_signatures(shingled: DataFrame, id_col: str) -> DataFrame:
     return per_doc
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of any band become a pair.
-
-    Band signature is a single string key so the self-join shuffles on
-    (band_id, band_sig) — the classic LSH bucket join.
-    """
+def _banded_signatures(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, sig): one row per (doc, band), the band's rows
+    concatenated into a single string bucket key."""
     bands = []
     for b in range(N_BANDS):
         cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -151,6 +148,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionAll(b)
+    return banded
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a pair.
+
+    Band signature is a single string key so the self-join shuffles on
+    (band_id, band_sig) — the classic LSH bucket join.
+    """
+    banded = _banded_signatures(signatures, id_col)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -263,6 +270,81 @@ def minhash_neardup_pairs(
     sigs = minhash_signatures(shingled, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(shingled, id_col, threshold, candidates=cands)
+
+
+def minhash_neardup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: MinHash+LSH candidates and exact
+    verification ONLY across the (new × corpus) boundary — the
+    streaming-ingest dedup shape. A nightly batch checks itself
+    against the accumulated corpus WITHOUT re-pairing the corpus
+    against itself: the work is |new|'s signatures plus the
+    bucket-matched corpus rows, never O(|corpus|²) and never a
+    recomputation of existing pairs. Returns
+    ``(new_id, corpus_id, jaccard)`` for pairs at or above
+    ``threshold`` (jaccard rounded to 6dp).
+
+    At true scale the corpus side's banded signatures are computed
+    once and PERSISTED (e.g. in the versioned table layer) and only
+    the join runs per batch; this function recomputes them so the
+    operator is self-contained — swap the ``corpus`` argument for a
+    stored signature read to get the incremental form.
+    """
+    sh_new = word_shingles(new, id_col, text_col, n)
+    sh_cor = word_shingles(corpus, id_col, text_col, n)
+    band_new = _banded_signatures(
+        minhash_signatures(sh_new, id_col), id_col
+    ).select(F.col(id_col).alias("new_id"), "band", "sig")
+    band_cor = _banded_signatures(
+        minhash_signatures(sh_cor, id_col), id_col
+    ).select(F.col(id_col).alias("corpus_id"), "band", "sig")
+    cands = (
+        band_new.join(band_cor, on=["band", "sig"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_a"))
+    sizes_cor = sh_cor.groupBy(id_col).agg(F.count("*").alias("n_b"))
+    inter = (
+        cands.join(
+            sh_new.select(F.col(id_col).alias("new_id"), "shingle"),
+            on="new_id",
+        )
+        .join(
+            sh_cor.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            on=["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes_new.select(F.col(id_col).alias("new_id"), "n_a"),
+            on="new_id",
+        )
+        .join(
+            sizes_cor.select(F.col(id_col).alias("corpus_id"), "n_b"),
+            on="corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1080,3 +1080,34 @@ def test_portable_hll_accuracy_and_merge(spark):
     assert {
         (r["bucket"], r["max_rho"]) for r in merged.collect()
     } == {(r["bucket"], r["max_rho"]) for r in whole.collect()}
+
+
+def test_minhash_neardup_against_is_cross_boundary_only(spark):
+    from pagerank_spark.operators.dedup import minhash_neardup_against
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    corpus = spark.createDataFrame(
+        [(1, body + "ending one"),
+         (2, body + "ending two"),
+         (3, "completely different words about other topics entirely "
+             "nothing shared here at all with anything else")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, body + "ending one extra"),   # near-copy of corpus 1 (and 2)
+         (101, "unique fresh content with no overlap whatsoever in any "
+               "shingle of any document previously seen")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_neardup_against(
+            new, corpus, threshold=0.5
+        ).collect()
+    }
+    assert (100, 1) in got and got[(100, 1)] > 0.8
+    assert all(nid != 101 for nid, _ in got)       # fresh doc clean
+    # corpus-internal near-dup pair (1,2) must NOT appear: the operator
+    # only ever pairs across the boundary.
+    assert all(nid >= 100 for nid, _ in got)
