@@ -810,10 +810,17 @@ def weighted_pagerank(
     return state.select("node", "rank")
 
 
-def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    *,
+    delta: float | None = None,
+    max_iterations: int | None = None,
+    mode: str = "auto",
+) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999): the other classic
     link-analysis fixed point beside PageRank. Returns
-    ``(node, hub, auth)`` after ``iterations`` synchronous rounds of
+    ``(node, hub, auth)`` after synchronous rounds of
 
         a[v] ∝ Σ_{u→v} h[u]        (authority: pointed to by good hubs)
         h[u] ∝ Σ_{u→v} a[v]        (hub: points at good authorities)
@@ -822,22 +829,51 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     algebra rational, so a declared k-step query has an exact SQL
     twin; the classical L2 norm only rescales the ranking).
 
+    Two execution shapes, selected by ``mode``:
+
+    - ``"dag"``: the whole k-step computation is ONE lazy DAG — per
+      half-step one equi-join against the edge table + one
+      partial-combined aggregation, normalization constants riding
+      broadcast single-row cross joins; nothing collects to the
+      driver. The edge and vertex relations are deliberately NOT
+      cached: the DAG references each ~2k times, but Catalyst's size
+      estimates on the raw plan keep every half-step join a
+      broadcast — caching replaces them with InMemoryRelations whose
+      stats flip the joins to sort-merge, which A/B-measured 3×
+      SLOWER (17s vs 5s at sf0.1, k=2) despite the repeated upstream
+      scans. Only shape with a pure-SQL oracle twin (q124).
+    - ``"loop"``: the ``pagerank`` checkpoint pattern for large k or
+      ``delta``-convergence — edges cached once, per-iteration lazy
+      localCheckpoint truncating lineage, per-iteration scalar aggs
+      for the two L1-normalization constants and the convergence
+      metric ``L1(auth)+L1(hub)``. Cost is linear in k (the DAG shape
+      re-scans edges ~2k times and its analyzed plan grows per step).
+    - ``"auto"``: loop when ``delta`` is set or ``iterations > 4``,
+      else dag.
+
+    With ``delta`` set, iterates until the combined L1 change of both
+    vectors is ≤ delta (capped by ``max_iterations``, default 100).
+
     Extension tier: same family as the reference's PageRank loop
     (``pageRank.py:116-145``) but the two-sided mutual-reinforcement
-    recursion. Scale shape mirrors ``weighted_pagerank``: the whole
-    k-step computation is ONE lazy DAG — per half-step one equi-join
-    against the edge table + one partial-combined aggregation, with
-    the normalization constants riding broadcast single-row cross
-    joins; nothing collects to the driver. The edge and vertex
-    relations are deliberately NOT cached: the DAG references each
-    ~2k times, but Catalyst's size estimates on the raw plan keep
-    every half-step join a broadcast — caching replaces them with
-    InMemoryRelations whose stats flip the joins to sort-merge, which
-    A/B-measured 3× SLOWER (17s vs 5s at sf0.1, k=2) despite the
-    repeated upstream scans. For large k (where rescans would
-    dominate), restructure into the checkpointed convergence loop
-    like ``pagerank``.
+    recursion.
     """
+    if delta is None and iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    if mode not in ("auto", "dag", "loop"):
+        raise ValueError(f"hits: unknown mode {mode!r}")
+    if mode == "auto":
+        mode = "loop" if (delta is not None or iterations > 4) else "dag"
+    if mode == "loop":
+        return _hits_loop(
+            edges,
+            delta=0.0 if delta is None else delta,
+            max_iterations=(
+                max_iterations
+                if max_iterations is not None
+                else (iterations if delta is None else 100)
+            ),
+        )
     verts = vertices(edges)
     n = F.broadcast(verts.agg(F.count("*").alias("__n")))
     state = verts.crossJoin(n).select(
@@ -880,25 +916,151 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     )
 
 
+def _hits_loop(
+    edges: DataFrame, *, delta: float, max_iterations: int
+) -> DataFrame:
+    """Convergence-loop HITS on the ``pagerank`` checkpoint pattern.
+
+    Edges cached once; per iteration two equi-join + partial-agg jobs
+    (authority half-step, hub half-step) over a lazy-localCheckpointed
+    vertex-sized state — lineage never grows, edges scan from cache.
+    Normalization constants come back as per-job scalars; the
+    convergence metric is ``L1(auth_t - auth_{t-1}) + L1(hub_t -
+    hub_{t-1})`` (delta=0 → run exactly ``max_iterations`` rounds,
+    bit-compatible with the unrolled DAG up to float summation order).
+
+    Hub contributions aggregate the UNNORMALIZED authority vector: the
+    hub normalization divides by the sum anyway, so the s_a factor
+    cancels and each half-step needs only one scalar.
+    """
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        return verts.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    state = verts.select(
+        "node",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(1.0 / n).alias("auth"),
+    )
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        contrib_a = (
+            e.join(state.select(F.col("node").alias("src"), "hub"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__ca"))
+        )
+        mid = (
+            state.select(
+                "node",
+                F.col("hub").alias("old_hub"),
+                F.col("auth").alias("old_auth"),
+            )
+            .join(contrib_a, on="node", how="left")
+            .select(
+                "node",
+                "old_hub",
+                "old_auth",
+                F.coalesce(F.col("__ca"), F.lit(0.0)).alias("va"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        s_a = mid.agg(F.sum("va").alias("s")).collect()[0]["s"] or 1.0
+        contrib_h = (
+            e.join(mid.select(F.col("node").alias("dst"), "va"), on="dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("va").alias("__ch"))
+        )
+        nxt = (
+            mid.join(contrib_h, on="node", how="left")
+            .select(
+                "node",
+                "old_hub",
+                "old_auth",
+                (F.col("va") / F.lit(float(s_a))).alias("auth"),
+                F.coalesce(F.col("__ch"), F.lit(0.0)).alias("vh"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = nxt.agg(
+            F.sum("vh").alias("s"),
+            F.sum(F.abs(F.col("auth") - F.col("old_auth"))).alias("l1a"),
+        ).collect()[0]
+        s_h = row["s"] or 1.0
+        scored = nxt.select(
+            "node",
+            (F.col("vh") / F.lit(float(s_h))).alias("hub"),
+            "auth",
+            "old_hub",
+        )
+        if delta > 0:
+            # Cheap scan of the checkpointed vertex-sized relation.
+            l1h = scored.agg(
+                F.sum(F.abs(F.col("hub") - F.col("old_hub"))).alias("l1")
+            ).collect()[0]["l1"]
+        state = scored.select("node", "hub", "auth")
+        if delta > 0 and (row["l1a"] or 0.0) + (l1h or 0.0) <= delta:
+            break
+    out = state.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
 def katz_centrality(
-    edges: DataFrame, alpha: float = 0.1, iterations: int = 3
+    edges: DataFrame,
+    alpha: float = 0.1,
+    iterations: int = 3,
+    *,
+    delta: float | None = None,
+    max_iterations: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Katz centrality, fixed-iteration form: counts in-paths of every
     length, geometrically damped —
 
         x_{t+1}[v] = 1 + α · Σ_{u→v} x_t[u],   x_0 = 0
 
-    so after k rounds ``x_k[v] = Σ_{j<=k} α^j · (#paths of length j
-    ending at v)`` (the truncated Katz series; converges for α below
-    the inverse spectral radius). Returns (node, katz).
+    so after k rounds ``x_k[v] = Σ_{j<=k-1} α^j · (#paths of length j
+    ending at v)`` — the truncated Katz series over path lengths
+    0..k-1 (x_1 = 1 is the j=0 term; converges for α below the
+    inverse spectral radius). Returns (node, katz).
 
     Extension tier — the damped-path cousin of PageRank that does NOT
     divide by out-degree, so prolific linkers transfer full weight.
-    Same one-DAG scale shape as ``hits``: per round one edge join +
-    one partial-combined aggregation, no driver collects, no
-    normalization scalars at all; edges and vertices uncached for
-    the same broadcast-preserving reason as ``hits``.
+    ``mode="dag"`` (default for small k): one-DAG scale shape like
+    ``hits`` — per round one edge join + one partial-combined
+    aggregation, no driver collects, no normalization scalars at all;
+    edges and vertices uncached for the same broadcast-preserving
+    reason as ``hits``. ``mode="loop"`` (auto for ``delta`` set or
+    ``iterations > 4``): cached edges + lazy localCheckpoint per
+    round + one scalar agg driving the ``L1(x_t - x_{t-1}) <= delta``
+    stop — linear in k where the DAG re-scans edges per round.
     """
+    if delta is None and iterations < 1:
+        raise ValueError(
+            f"katz_centrality: iterations must be >= 1, got {iterations}"
+        )
+    if mode not in ("auto", "dag", "loop"):
+        raise ValueError(f"katz_centrality: unknown mode {mode!r}")
+    if mode == "auto":
+        mode = "loop" if (delta is not None or iterations > 4) else "dag"
+    if mode == "loop":
+        return _katz_loop(
+            edges,
+            alpha,
+            delta=0.0 if delta is None else delta,
+            max_iterations=(
+                max_iterations
+                if max_iterations is not None
+                else (iterations if delta is None else 100)
+            ),
+        )
     verts = vertices(edges)
     state = verts.select("node", F.lit(0.0).alias("katz"))
     for _ in range(iterations):
@@ -917,3 +1079,52 @@ def katz_centrality(
             ).alias("katz"),
         )
     return state
+
+
+def _katz_loop(
+    edges: DataFrame,
+    alpha: float,
+    *,
+    delta: float,
+    max_iterations: int,
+) -> DataFrame:
+    """Convergence-loop Katz on the ``pagerank`` checkpoint pattern:
+    cached edges, per round ONE job (edge join + partial agg + the L1
+    scalar, materializing the lazy localCheckpoint), lineage truncated
+    every round. delta=0 → exactly ``max_iterations`` rounds,
+    matching the unrolled DAG up to float summation order."""
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    state = verts.select("node", F.lit(0.0).alias("katz"))
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        raw = (
+            e.join(state.select(F.col("node").alias("src"), "katz"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("katz").alias("__v"))
+        )
+        nxt = (
+            state.select("node", F.col("katz").alias("__old"))
+            .join(raw, on="node", how="left")
+            .select(
+                "node",
+                "__old",
+                (
+                    F.lit(1.0)
+                    + F.lit(alpha) * F.coalesce(F.col("__v"), F.lit(0.0))
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        l1 = nxt.agg(
+            F.sum(F.abs(F.col("katz") - F.col("__old"))).alias("l1")
+        ).collect()[0]["l1"]
+        state = nxt.select("node", "katz")
+        if delta > 0 and (l1 or 0.0) <= delta:
+            break
+    out = state.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist()
+    verts.unpersist()
+    return out

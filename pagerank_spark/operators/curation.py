@@ -298,13 +298,13 @@ def bloom_might_contain(
     ≈ ``(set_bits/m)^k`` by the standard bound.
 
     Plan: explode the ``k`` probe positions, broadcast-left-join the
-    set-bit table, and regroup on the probe's own columns counting
-    hits (duplicate positions from colliding hash functions match
-    identically, so ``count == k`` is exact). Probe rows must be
-    unique (the regroup is on all probe columns); pass a ``.distinct()``
-    projection if not. One broadcast join + one partial-combined
-    aggregation per probe scan — the decontamination / seen-URL gate
-    shape at 100 TB.
+    set-bit table, and regroup on the probe's own columns requiring
+    EVERY exploded row to find its bit (``count(hit) == count(*)`` —
+    exact under colliding hash positions AND under duplicate probe
+    rows, which collapse to one output row with the correct flag; the
+    old ``count == k`` form silently false-negatived on duplicates).
+    One broadcast join + one partial-combined aggregation per probe
+    scan — the decontamination / seen-URL gate shape at 100 TB.
     """
     key = F.col(key_col).cast("string")
     exploded = probes.select(
@@ -321,7 +321,7 @@ def bloom_might_contain(
     return (
         exploded.join(bit_side, on="__pos", how="left")
         .groupBy(*probes.columns)
-        .agg((F.count("__hit") == F.lit(k)).alias("might_contain"))
+        .agg((F.count("__hit") == F.count(F.lit(1))).alias("might_contain"))
     )
 
 

@@ -335,15 +335,21 @@ def minhash_neardup_against(
         .select(
             "new_id",
             "corpus_id",
-            F.round(
+            (
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
                     "double"
-                ),
-                6,
-            ).alias("jaccard"),
+                )
+            ).alias("__jaccard_raw"),
         )
-        .where(F.col("jaccard") >= threshold)
+        # Threshold the UNROUNDED ratio (matching jaccard_pairs and the
+        # q136 oracle); round only for output.
+        .where(F.col("__jaccard_raw") >= threshold)
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(F.col("__jaccard_raw"), 6).alias("jaccard"),
+        )
     )
 
 

@@ -97,8 +97,10 @@ def cms_estimate(
 
     Plan: explode the ``depth`` probe positions, broadcast-join the
     (bounded) sketch relation, regroup on the probe's own columns
-    taking the min. Probe rows must be unique — pass ``.distinct()``
-    first if not.
+    taking the min. Duplicate probe rows collapse to one output row
+    (the min over a duplicated cell set is unchanged, so the estimate
+    stays exact) — pass a ``.distinct()`` projection if per-duplicate
+    multiplicity matters downstream.
     """
     key = F.col(key_col).cast("string")
     exploded = keys.select(

@@ -183,10 +183,23 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     once (single-column sort clusters only its prefix). Pure Catalyst
     column expressions (shift/and chain, whole-stage codegen'd); one
     tiny min/max aggregation for the normalization."""
+    # The interleaved key must fit in a signed BIGINT: auto-scale the
+    # per-column bit width so bits * len(cols) <= 63 (4 cols -> 15 bits
+    # each at the default 16). Below 1 bit per column there is no key.
+    if cols and bits * len(cols) > 63:
+        bits = 63 // len(cols)
+    if bits < 1:
+        raise ValueError(
+            f"_zorder_key: {len(cols)} columns cannot share 63 key bits"
+        )
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
     ).collect()[0]
+    # Empty or all-NULL snapshot: min/max are NULL; any constant key
+    # clusters trivially, so short-circuit instead of float(None).
+    if any(stats[f"__mn_{c}"] is None or stats[f"__mx_{c}"] is None for c in cols):
+        return F.lit(0).cast("long")
     top = (1 << bits) - 1
     scaled = []
     for c in cols:

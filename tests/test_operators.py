@@ -1111,3 +1111,56 @@ def test_minhash_neardup_against_is_cross_boundary_only(spark):
     # corpus-internal near-dup pair (1,2) must NOT appear: the operator
     # only ever pairs across the boundary.
     assert all(nid >= 100 for nid, _ in got)
+
+
+def test_bloom_duplicate_probes_no_false_negative(spark):
+    # Duplicate probe rows collapse to one output row but must still
+    # report might_contain=True for inserted keys (the old count==k
+    # regroup silently false-negatived on duplicates).
+    from pagerank_spark.operators.curation import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(50)], ["k"])
+    bits = bloom_bits(keys, "k", m=1 << 14, k=3)
+    dup_probes = keys.union(keys)  # every probe twice
+    out = bloom_might_contain(dup_probes, "k", bits, m=1 << 14, k=3)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["might_contain"] for r in rows)
+
+
+def test_neardup_against_thresholds_unrounded_jaccard(spark):
+    # A pair whose true jaccard is exactly at the threshold must be
+    # kept, and the 6dp rounding applies to OUTPUT only: jaccard
+    # 2/3 = 0.666667 rounded UP must not sneak past a 0.6666665+
+    # threshold it does not truly meet.
+    from pagerank_spark.operators.dedup import minhash_neardup_against
+
+    # Word sets chosen so the deterministic minhash DOES bucket the
+    # pair (LSH recall is probabilistic in content, fixed per text).
+    new = spark.createDataFrame(
+        [(1, "w0x0 w0x1 w0x2 w0x3")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(100, "w0x0 w0x1 w0x2 w0x3 e0")], ["doc_id", "text"]
+    )
+    # 4 unigram shingles shared + 1 extra: inter=4, union=5 -> 0.8
+    kept = minhash_neardup_against(
+        new, corpus, "doc_id", "text", threshold=0.8, n=1
+    ).collect()
+    assert len(kept) == 1 and kept[0]["jaccard"] == 0.8
+    # Case where 6dp rounding flips the comparison: jaccard 2/3.
+    new2 = spark.createDataFrame([(1, "a0b0 a0b1")], ["doc_id", "text"])
+    cor2 = spark.createDataFrame([(100, "a0b0 a0b1 c0")], ["doc_id", "text"])
+    # jaccard = 2/3 = 0.6666666...; round6 = 0.666667 > true value.
+    out = minhash_neardup_against(
+        new2, cor2, "doc_id", "text", threshold=0.6666668, n=1
+    ).collect()
+    assert out == []  # rounded 0.666667 >= 0.6666668 is ALSO false...
+    out2 = minhash_neardup_against(
+        new2, cor2, "doc_id", "text", threshold=0.66666665, n=1
+    ).collect()
+    # true 0.6666666... >= 0.66666665 is TRUE; rounding must not matter
+    assert len(out2) == 1

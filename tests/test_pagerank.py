@@ -300,7 +300,8 @@ def test_hits_hand_graph(spark):
 
 
 def test_katz_truncated_series(spark):
-    # Chain 1->2->3: x3[3] counts paths of length 0..3 ending at 3.
+    # Chain 1->2->3: x3[3] counts paths of length 0..2 ending at 3
+    # (x1 = 1 is the j=0 term, so k rounds cover lengths 0..k-1).
     from pagerank_spark.graph.pagerank import katz_centrality
 
     e = _edges_df(spark, [(1, 2), (2, 3)])
@@ -312,3 +313,74 @@ def test_katz_truncated_series(spark):
     assert out[1] == 1.0                      # nothing points at 1
     assert out[2] == 1.0 + a                  # one in-path of length 1
     assert out[3] == 1.0 + a * (1.0 + a)      # length-1 and length-2
+
+
+def test_hits_loop_matches_dag(spark):
+    # Loop engine == unrolled DAG at the same iteration count, and the
+    # auto cut flips to the loop past 4 iterations.
+    from pagerank_spark.graph.pagerank import hits
+
+    random.seed(7)
+    edges = list({(random.randrange(30), random.randrange(30))
+                  for _ in range(80)})
+    e = _edges_df(spark, edges)
+    dag = {r["node"]: r for r in hits(e, iterations=3, mode="dag").collect()}
+    loop = hits(e, iterations=3, mode="loop")
+    got = {r["node"]: r for r in loop.collect()}
+    assert set(got) == set(dag)
+    for node in dag:
+        assert got[node]["hub"] == pytest.approx(dag[node]["hub"], abs=1e-9)
+        assert got[node]["auth"] == pytest.approx(dag[node]["auth"], abs=1e-9)
+    loop.unpersist()
+
+
+def test_hits_loop_converges(spark):
+    # delta-driven loop reaches the star graph's fixed point: all auth
+    # on 4 (only in-edges target), hubs equal on 1,2,3... plus 4->5.
+    from pagerank_spark.graph.pagerank import hits
+
+    e = _edges_df(spark, [(1, 4), (2, 4), (3, 4), (4, 5)])
+    out = hits(e, delta=1e-12, max_iterations=100)
+    got = {r["node"]: r for r in out.collect()}
+    assert sum(r["hub"] for r in got.values()) == pytest.approx(1.0)
+    assert sum(r["auth"] for r in got.values()) == pytest.approx(1.0)
+    assert got[4]["auth"] == max(r["auth"] for r in got.values())
+    assert got[1]["hub"] == pytest.approx(got[2]["hub"], abs=1e-12)
+    out.unpersist()
+
+
+def test_katz_loop_matches_dag_and_converges(spark):
+    from pagerank_spark.graph.pagerank import katz_centrality
+
+    random.seed(11)
+    edges = list({(random.randrange(25), random.randrange(25))
+                  for _ in range(60)})
+    e = _edges_df(spark, edges)
+    a = 0.05
+    dag = {r["node"]: r["katz"]
+           for r in katz_centrality(e, alpha=a, iterations=4, mode="dag").collect()}
+    loop = katz_centrality(e, alpha=a, iterations=4, mode="loop")
+    got = {r["node"]: r["katz"] for r in loop.collect()}
+    assert set(got) == set(dag)
+    for node in dag:
+        assert got[node] == pytest.approx(dag[node], abs=1e-12)
+    loop.unpersist()
+    # Convergence mode: the truncated series approaches the closed
+    # form on a chain, where the geometric tail vanishes below delta.
+    chain = _edges_df(spark, [(1, 2), (2, 3)])
+    conv = katz_centrality(chain, alpha=0.1, delta=1e-10)
+    vals = {r["node"]: r["katz"] for r in conv.collect()}
+    assert vals[3] == pytest.approx(1.0 + 0.1 * (1.0 + 0.1), abs=1e-9)
+    conv.unpersist()
+
+
+def test_hits_katz_validate_iterations(spark):
+    from pagerank_spark.graph.pagerank import hits, katz_centrality
+
+    e = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        katz_centrality(e, iterations=-1)
+    with pytest.raises(ValueError, match="mode"):
+        hits(e, iterations=2, mode="nope")

@@ -235,3 +235,28 @@ def test_upsert_schema_evolution(spark, tmp_path):
     assert snap[1]["score"] is None and snap[1]["v"] == "a"
     assert snap[2]["score"] == 0.9 and snap[2]["v"] == "B"
     assert snap[3]["score"] == 0.5
+
+
+def test_zorder_key_bit_budget_and_null_guard(spark):
+    from pagerank_spark.table import _zorder_key
+
+    # 4 columns at the default 16 bits would need 64 key bits — the
+    # key must auto-scale to 15 bits/col and stay non-negative.
+    rows = [(i, i * 2, i * 3, i * 5) for i in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    vals = [
+        r["z"]
+        for r in df.withColumn("z", _zorder_key(df, ["a", "b", "c", "d"])).collect()
+    ]
+    assert all(v >= 0 for v in vals)
+    assert len(set(vals)) > 1  # still discriminates
+
+    # All-NULL / empty snapshot: constant key, no crash.
+    empty = spark.createDataFrame([], "a long, b long")
+    assert [
+        r["z"]
+        for r in empty.withColumn("z", _zorder_key(empty, ["a", "b"])).collect()
+    ] == []
+    nulls = spark.createDataFrame([(None, None)], "a long, b long")
+    got = nulls.withColumn("z", _zorder_key(nulls, ["a", "b"])).collect()
+    assert got[0]["z"] == 0
