@@ -1471,17 +1471,20 @@ def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q84_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Groupwise feature standardization via the Arrow ``applyInPandas``
-    engine — the oracle twin is the plain SQL window form, so the
-    driver hash-checks the Pandas path itself (same pattern as q32's
-    mapInPandas digest). Stats are computed over FULL segments; the
-    output is then bounded to a deterministic customer subset.
-    Round 6 absorbs the numpy-vs-DuckDB reduction-order noise."""
+    """Groupwise feature standardization via the Catalyst WINDOW
+    engine — the scale-default plan (one hash exchange, aggregates and
+    the division in whole-stage codegen, no per-group memory cliff),
+    so the driver hashes the plan you'd run at 100 TB. The Arrow
+    ``applyInPandas`` engine stays covered by the
+    ``test_groupwise_zscore_engines_agree`` pytest parity twin, and a
+    plan test pins this query to one exchange with no ArrowEvalPython.
+    Stats are computed over FULL segments; the output is then bounded
+    to a deterministic customer subset."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     z = relational.groupwise_zscore(
-        c, ["c_mktsegment"], "c_acctbal", engine="pandas"
+        c, ["c_mktsegment"], "c_acctbal", engine="window"
     )
     return z.where(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",

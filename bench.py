@@ -37,6 +37,13 @@ WIKIDATA = "/root/reference/WikiData.txt"
 # slowdown can't land silently. Only meaningful at sf0.1. The factor
 # is 1.5 (not 1.3) because baselines are now best-of-2 minima — the
 # guard should fire on real plan regressions, not host noise.
+#
+# Round 6: the three r05 warnings (pagerank_full, q63, q84) were
+# adjudicated with an interleaved same-host A/B vs the baseline-setting
+# commit (AB_BENCH_r6.json): current code matches or beats that commit
+# on today's host for all three, and the OLD code also runs ~1.8x its
+# own recorded best — the historical minima reflect a faster host
+# window, kept here as best-ever marks rather than reachable targets.
 R02_BASELINE = {
     "q03_out_degree_top20": 0.242,
     "q08_induced_subgraph": 0.438,
@@ -185,6 +192,24 @@ def main() -> None:
         )
         res.ranks.unpersist()
         assert len(top) > 0
+        release_session_state()
+
+    # Convergence-loop HITS at k=10 — the unrolled DAG DNFs here
+    # (>560s single run, GRAPH_LOOP_AB.json); this entry tracks the
+    # loop engine itself. Not a queries() entry: the loop's per-round
+    # scalar collects have no pure-SQL twin (the fixed-k q124 dag
+    # keeps the oracle row).
+    from pagerank_spark.graph.pagerank import hits as _hits
+
+    for _ in range(max(passes, 1)):
+        t0 = time.perf_counter()
+        hdf = _hits(entry_mod._edges(spark, SF_DIR), iterations=10, mode="loop")
+        hdf.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        timings["hits_loop_k10"] = min(
+            timings.get("hits_loop_k10", elapsed), elapsed
+        )
+        hdf.unpersist()
         release_session_state()
 
     # Reference dataset end-to-end (BASELINE.md: 6.349s single-node).

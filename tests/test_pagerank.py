@@ -316,8 +316,8 @@ def test_katz_truncated_series(spark):
 
 
 def test_hits_loop_matches_dag(spark):
-    # Loop engine == unrolled DAG at the same iteration count, and the
-    # auto cut flips to the loop past 4 iterations.
+    # Loop engine == unrolled DAG at the same iteration count (the
+    # auto cut flips hits to the loop past 2 iterations).
     from pagerank_spark.graph.pagerank import hits
 
     random.seed(7)

@@ -356,3 +356,20 @@ def test_q132_hll_fuses_to_bounded_aggregate(spark):
     p = plan(ENTRY.queries()["q132_portable_hll"](spark, SF_DIR))
     assert "BatchEvalPython" not in p
     assert p.count("HashAggregate") >= 2  # partial + final register agg
+
+
+def test_q84_declared_engine_is_catalyst_window(spark):
+    # The driver-hashed q84 path must be the scale-default Catalyst
+    # window engine: exactly one hash exchange (on the group key) and
+    # no Arrow/Python evaluation anywhere in the plan. The Arrow
+    # applyInPandas engine is covered by the engines-agree pytest.
+    p = plan(ENTRY.queries()["q84_groupwise_zscore"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert "BatchEvalPython" not in p
+    assert "Window" in p
+    # one exchange for the window partitioning; formatted explain
+    # prints each node in tree + details, so count node ids instead.
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges == 1, p
