@@ -45,13 +45,18 @@ except ImportError:  # pragma: no cover - older Spark
     StatefulProcessorHandle = None  # type: ignore[assignment,misc]
     HAS_TWS = False
 
-try:  # The typed-state API client speaks protobuf to the JVM; some
-    # environments ship pyspark without the protobuf wheel. The batch
-    # twin below needs neither.
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# The typed-state API client speaks protobuf to the JVM. When the
+# google.protobuf runtime is absent, install the wire-compatible
+# pure-Python shim (state_pb.py) under the generated module's import
+# name — at THIS module's import time, which covers both the driver
+# and the Python workers: the worker unpickles the StatefulProcessor
+# (importing this module by reference) before the state client's first
+# lazy `import ...StateMessage_pb2`.
+if HAS_TWS:
+    from pagerank_spark.streaming import state_pb as _state_pb
 
-    HAS_TWS_RUNTIME = HAS_TWS
-except ImportError:  # pragma: no cover - env without protobuf
+    HAS_TWS_RUNTIME = _state_pb.install()
+else:  # pragma: no cover - older Spark
     HAS_TWS_RUNTIME = False
 
 TOP_K = 3

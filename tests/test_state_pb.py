@@ -1,0 +1,145 @@
+"""Wire-format tests for the pure-Python StateMessage shim.
+
+The shim (pagerank_spark/streaming/state_pb.py) stands in for the
+generated StateMessage_pb2 when the google.protobuf runtime is absent;
+the end-to-end proof is test_stateful2.py's streaming test (full
+protocol against the JVM state server). These tests pin the wire
+format and presence semantics in isolation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_spark.streaming import state_pb as pb
+
+
+def _walk(buf):
+    """Independent minimal decoder: [(field, wiretype, value), ...]."""
+    out, i = [], 0
+    while i < len(buf):
+        tag, s = 0, 0
+        while True:
+            c = buf[i]; i += 1
+            tag |= (c & 0x7F) << s
+            if not c & 0x80:
+                break
+            s += 7
+        fn, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, s = 0, 0
+            while True:
+                c = buf[i]; i += 1
+                v |= (c & 0x7F) << s
+                if not c & 0x80:
+                    break
+                s += 7
+        elif wt == 2:
+            ln, s = 0, 0
+            while True:
+                c = buf[i]; i += 1
+                ln |= (c & 0x7F) << s
+                if not c & 0x80:
+                    break
+                s += 7
+            v = buf[i:i + ln]; i += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+        out.append((fn, wt, v))
+    return out
+
+
+def test_nested_request_wire_layout():
+    cmd = pb.StateCallCommand()
+    cmd.stateName = "n"
+    cmd.schema = "s"
+    cmd.ttl.durationMs = 5000
+    msg = pb.StateRequest(
+        statefulProcessorCall=pb.StatefulProcessorCall(getValueState=cmd)
+    )
+    top = _walk(msg.SerializeToString())
+    assert [f for f, _, _ in top] == [2]          # statefulProcessorCall
+    call = _walk(top[0][2])
+    assert [f for f, _, _ in call] == [2]         # getValueState
+    inner = {f: v for f, _, v in _walk(call[0][2])}
+    assert inner[1] == b"n" and inner[2] == b"s"
+    assert _walk(inner[4]) == [(1, 0, 5000)]      # ttl.durationMs
+
+
+def test_submessage_attach_on_write_only():
+    cmd = pb.StateCallCommand(stateName="x")
+    _ = cmd.ttl                      # read must NOT mark ttl present
+    assert not cmd.HasField("ttl")
+    assert b"\x22" not in cmd.SerializeToString()[:1]  # no field-4 tag
+    cmd.ttl.durationMs = 1
+    assert cmd.HasField("ttl")
+
+
+def test_oneof_last_set_wins_and_empty_member_presence():
+    call = pb.ValueStateCall(stateName="v", get=pb.Get())
+    assert call.WhichOneof("method") == "get"
+    # empty oneof member still serializes a presence tag (field 3, len 0)
+    assert (3, 2, b"") in _walk(call.SerializeToString())
+    call2 = pb.ValueStateCall(stateName="v")
+    call2.valueStateUpdate.value = b"x"  # attach flips the oneof
+    assert call2.WhichOneof("method") == "valueStateUpdate"
+
+
+def test_negative_int64_ten_byte_roundtrip():
+    m = pb.RegisterTimer(expiryTimestampMs=-5)
+    enc = m.SerializeToString()
+    (fn, wt, v), = _walk(enc)
+    assert v == (1 << 64) - 5        # two's complement varint
+    m2 = pb.RegisterTimer()
+    m2.ParseFromString(enc)
+    assert m2.expiryTimestampMs == -5
+
+
+def test_response_parse_with_repeated_and_defaults():
+    t1 = pb.TimerInfo(); t1.key = b"k1"; t1.timestampMs = 123456789
+    t2 = pb.TimerInfo(); t2.timestampMs = 42
+    raw = bytearray()
+    for t in (t1, t2):
+        p = t.SerializeToString()
+        raw += bytes([3 << 3 | 2, len(p)]) + p
+    raw += bytes([4 << 3 | 0, 1])
+    r = pb.StateResponseWithTimer()
+    r.ParseFromString(bytes(raw))
+    assert r.statusCode == 0 and r.errorMessage == ""   # absent -> defaults
+    assert [t.timestampMs for t in r.timer] == [123456789, 42]
+    assert r.timer[0].HasField("key") and not r.timer[1].HasField("key")
+    assert r.requireNextFetch is True
+
+
+def test_repeated_bytes_and_unknown_field_skip():
+    enc = pb.ListStatePut(value=[b"a", b"bb"]).SerializeToString()
+    m = pb.ListStatePut(); m.ParseFromString(enc)
+    assert list(m.value) == [b"a", b"bb"]
+    # unknown field 15 (varint) must be skipped, known ones kept
+    extra = bytes([15 << 3 | 0, 7]) + enc
+    m2 = pb.ListStatePut(); m2.ParseFromString(extra)
+    assert list(m2.value) == [b"a", b"bb"]
+
+
+def test_unknown_attribute_rejected():
+    with pytest.raises(AttributeError):
+        pb.StateCallCommand().nope = 1
+    with pytest.raises(AttributeError):
+        _ = pb.StateCallCommand().nope
+
+
+def test_install_is_idempotent_and_effective():
+    import sys
+
+    assert pb.install() is True
+    target = "pyspark.sql.streaming.proto.StateMessage_pb2"
+    mod = sys.modules.get(target)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        real = True
+    except ImportError:
+        real = False
+    if not real:
+        assert mod is pb
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+        assert sm is pb
