@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""ANN scale probe: measured recall and candidate-growth evidence for
+the bucketed ANN paths (``ann_lsh``, ``ann_ivf``) against the exact
+brute-force baseline — the artifact the dedup tier already has
+(DEDUP_PROBE.json), applied to similarity search.
+
+Corpus: deterministic clustered vectors (no RNG) — ``N_CLUSTERS``
+hash-formula centers in [-1,1]^DIM, each corpus vector = its cluster
+center + 0.15-amplitude hash noise. Queries are ``N_QUERIES`` fresh
+vectors from the same cluster process (disjoint ids), so each query's
+true neighbors concentrate in its own cluster — the structure real
+embedding corpora have and the one bucketing must exploit.
+
+Measures, at two corpus sizes (default 100k and 200k):
+- recall@10 of ann_lsh and ann_ivf vs ann_topk_bruteforce;
+- candidate-pair counts per method (the work the bucketing admits)
+  and their growth ratio across the 2x corpus step;
+- wall time per method.
+
+Asserts: recall >= 0.9 for both methods at both sizes; candidate
+growth across 2x corpus <= 2.4x (linear-with-corpus for a fixed query
+set, never quadratic); candidates a small fraction of the brute-force
+|Q|x|C| pair space. Prints ONE JSON line and writes ANN_PROBE.json.
+Capacity evidence, not a latency headline — not part of bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DIM = 32
+N_CLUSTERS = 64
+N_QUERIES = 100
+BASE_VECS = int(os.environ.get("SPARK_GRAFT_ANN_PROBE_VECS", 100_000))
+K = 10
+# LSH operating point: 18 planes in 3 bands of 6 bits -> 64 buckets
+# per band; clustered vectors agree on most hyperplane signs, so true
+# neighbors collide in >=1 band with high probability.
+N_PLANES, N_BANDS = 18, 3
+# IVF operating point: one list per true cluster count, probe 8.
+N_CENTROIDS, N_PROBE, REFINE = 64, 8, 2
+
+
+def synth_vectors(spark, n: int, id_offset: int = 0):
+    """(vec_id, embedding): cluster center + hash noise, deterministic."""
+    from pyspark.sql import functions as F
+
+    cid = F.pmod(F.col("id"), F.lit(N_CLUSTERS))
+    comps = []
+    for d in range(DIM):
+        center = F.pmod(F.hash(cid, F.lit(d), F.lit("c")), F.lit(2000)) / 1000.0 - 1.0
+        noise = (
+            F.pmod(F.hash(F.col("id"), F.lit(d), F.lit("n")), F.lit(2000)) / 1000.0
+            - 1.0
+        ) * 0.15
+        comps.append(center + noise)
+    return spark.range(id_offset, id_offset + n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+def recall_at_k(exact, approx) -> float:
+    inter = exact.join(approx, on=["query_id", "nb_id"]).count()
+    total = exact.count()
+    return inter / total if total else 0.0
+
+
+def lsh_candidates(corpus, queries) -> int:
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.similarity import lsh_bucket
+
+    cb = lsh_bucket(corpus, "vec_id", "embedding", DIM, N_PLANES, N_BANDS)
+    qb = lsh_bucket(queries, "vec_id", "embedding", DIM, N_PLANES, N_BANDS)
+    return (
+        qb.select(F.col("id").alias("q"), "band", "bucket")
+        .join(cb.select(F.col("id").alias("n"), "band", "bucket"), on=["band", "bucket"])
+        .where(F.col("q") != F.col("n"))
+        .select("q", "n")
+        .distinct()
+        .count()
+    )
+
+
+def ivf_candidates(spark, corpus, queries) -> int:
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.similarity import _assign_nearest, _centroids
+
+    codebook = spark.createDataFrame(
+        _centroids(corpus, "vec_id", "embedding", N_CENTROIDS, refine=REFINE),
+        "cid INT, cvec ARRAY<DOUBLE>",
+    )
+    v = F.col("embedding").cast("array<double>")
+    ca = _assign_nearest(
+        corpus.select(F.col("vec_id").alias("id"), v.alias("vec")), codebook, 1
+    ).select(F.col("id").alias("n"), "cid")
+    qa = _assign_nearest(
+        queries.select(F.col("vec_id").alias("id"), v.alias("vec")), codebook, N_PROBE
+    ).select(F.col("id").alias("q"), "cid")
+    return qa.join(ca, on="cid").where(F.col("q") != F.col("n")).count()
+
+
+def main() -> None:
+    from pagerank_spark.operators.similarity import (
+        ann_ivf,
+        ann_lsh,
+        ann_topk_bruteforce,
+    )
+    from pagerank_spark.session import get_spark
+
+    spark = get_spark(app_name="pagerank_spark-ann-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result = {
+        "dim": DIM,
+        "n_clusters": N_CLUSTERS,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "lsh": {"n_planes": N_PLANES, "n_bands": N_BANDS},
+        "ivf": {"n_centroids": N_CENTROIDS, "n_probe": N_PROBE, "refine": REFINE},
+        "sizes": {},
+    }
+    queries = synth_vectors(spark, N_QUERIES, id_offset=10_000_000).cache()
+    queries.count()
+
+    for n in (BASE_VECS, BASE_VECS * 2):
+        corpus = synth_vectors(spark, n).cache()
+        corpus.count()
+
+        t0 = time.perf_counter()
+        exact = ann_topk_bruteforce(corpus, queries, K).cache()
+        exact.count()
+        t_exact = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        lsh = ann_lsh(corpus, queries, DIM, K, n_planes=N_PLANES, n_bands=N_BANDS)
+        lsh = lsh.cache()
+        lsh.count()
+        t_lsh = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        ivf = ann_ivf(
+            corpus, queries, K, n_centroids=N_CENTROIDS, n_probe=N_PROBE, refine=REFINE
+        ).cache()
+        ivf.count()
+        t_ivf = round(time.perf_counter() - t0, 3)
+
+        r_lsh = round(recall_at_k(exact, lsh), 4)
+        r_ivf = round(recall_at_k(exact, ivf), 4)
+        c_lsh = lsh_candidates(corpus, queries)
+        c_ivf = ivf_candidates(spark, corpus, queries)
+        pair_space = n * N_QUERIES
+
+        result["sizes"][str(n)] = {
+            "recall_lsh": r_lsh,
+            "recall_ivf": r_ivf,
+            "candidates_lsh": c_lsh,
+            "candidates_ivf": c_ivf,
+            "pair_space": pair_space,
+            "candidate_fraction_lsh": round(c_lsh / pair_space, 4),
+            "candidate_fraction_ivf": round(c_ivf / pair_space, 4),
+            "sec_bruteforce": t_exact,
+            "sec_lsh": t_lsh,
+            "sec_ivf": t_ivf,
+        }
+        for df in (exact, lsh, ivf, corpus):
+            df.unpersist()
+
+    lo = result["sizes"][str(BASE_VECS)]
+    hi = result["sizes"][str(BASE_VECS * 2)]
+    result["candidate_growth_lsh"] = round(
+        hi["candidates_lsh"] / max(lo["candidates_lsh"], 1), 3
+    )
+    result["candidate_growth_ivf"] = round(
+        hi["candidates_ivf"] / max(lo["candidates_ivf"], 1), 3
+    )
+
+    checks = {
+        "recall_lsh_low": lo["recall_lsh"] >= 0.9,
+        "recall_lsh_high": hi["recall_lsh"] >= 0.9,
+        "recall_ivf_low": lo["recall_ivf"] >= 0.9,
+        "recall_ivf_high": hi["recall_ivf"] >= 0.9,
+        # fixed query set, 2x corpus -> candidates grow ~2x, never 4x
+        "subquadratic_lsh": result["candidate_growth_lsh"] <= 2.4,
+        "subquadratic_ivf": result["candidate_growth_ivf"] <= 2.4,
+        # the bucketing must prune most of the pair space
+        "prunes_lsh": hi["candidate_fraction_lsh"] <= 0.5,
+        "prunes_ivf": hi["candidate_fraction_ivf"] <= 0.5,
+    }
+    result["checks"] = checks
+    result["ok"] = all(checks.values())
+
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, "ANN_PROBE.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+    if not result["ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
