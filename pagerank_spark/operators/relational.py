@@ -45,6 +45,28 @@ def _bucket_epoch(c: Column, dtype) -> Column:
     return F.floor(c.cast("double")).cast("long")
 
 
+def _bucket_epoch_ms(c: Column, dtype) -> Column:
+    """Epoch MILLISECONDS for sub-second width bucketing, with the same
+    type-aware tz-free semantics as ``_bucket_epoch``: ``unix_millis``
+    for TIMESTAMP (physical epoch), naive wall-clock millis for
+    TIMESTAMP_NTZ (``extract(second)`` keeps the fractional part —
+    ``F.second`` truncates), floored double×1000 for numeric epochs."""
+    if isinstance(dtype, TimestampNTZType):
+        return (
+            (
+                F.unix_date(F.to_date(c)) * F.lit(86400).cast("long")
+                + F.hour(c) * 3600
+                + F.minute(c) * 60
+            )
+            * F.lit(1000).cast("long")
+            # extract(SECOND) keeps the fraction (decimal seconds)
+            + F.floor(F.extract(F.lit("SECOND"), c) * 1000).cast("long")
+        )
+    if isinstance(dtype, TimestampType):
+        return F.unix_millis(c)
+    return F.floor(c.cast("double") * 1000).cast("long")
+
+
 def adjacency_lists(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -372,23 +394,22 @@ def interval_join(
     semantics so bucket adjacency still covers every qualifying pair
     even in a DST session timezone.
 
-    ``interval_seconds`` must be an integer ≥ 1 (validated): bucket
-    epochs are second-floored, and the b/b+1 adjacency argument only
-    holds when the bucket width is a whole number of seconds — with a
-    fractional width (e.g. 0.5 s) two timestamps within the interval
-    can land two floored-second buckets apart and the explode would
-    miss the pair. Sub-second *timestamps* are fine (a pair within an
-    integer interval is at floored-second distance ≤ interval, hence
-    same-or-adjacent bucket); sub-second interval *widths* are not.
+    ``interval_seconds`` may be fractional down to 1 millisecond:
+    buckets are MILLISECOND-floored epochs divided by the width in
+    whole millis, so the b/b+1 adjacency argument holds for any width
+    that is an integer number of milliseconds (two timestamps within
+    the interval are at floored-millis distance ≤ width, hence same or
+    adjacent bucket). Widths that are not a whole number of millis
+    (e.g. 1e-4 s) are rejected — the bucket arithmetic cannot
+    represent them, and neither can the engine's timestamps.
     """
-    if int(interval_seconds) != interval_seconds or interval_seconds < 1:
+    interval_ms = round(float(interval_seconds) * 1000)
+    if interval_ms < 1 or abs(interval_ms - float(interval_seconds) * 1000) > 1e-6:
         raise ValueError(
-            "interval_seconds must be an integer >= 1 (second-floored "
-            "bucketing cannot express fractional widths); got "
-            f"{interval_seconds!r}"
+            "interval_seconds must be a positive whole number of "
+            f"milliseconds (>= 0.001); got {interval_seconds!r}"
         )
-    interval_seconds = int(interval_seconds)
-    w = F.lit(interval_seconds)
+    w = F.lit(int(interval_ms))
     l_dtype = left.schema[left_ts].dataType
     r_dtype = right.schema[right_ts].dataType
     rename = {
@@ -402,18 +423,18 @@ def interval_join(
     )
     r_ts_out = rename.get(right_ts, right_ts)
     l = left.withColumn(
-        "__b", F.floor(_bucket_epoch(F.col(left_ts), l_dtype) / w)
+        "__b", F.floor(_bucket_epoch_ms(F.col(left_ts), l_dtype) / w)
     )
-    r_bucket = F.floor(_bucket_epoch(F.col(r_ts_out), r_dtype) / w)
+    r_bucket = F.floor(_bucket_epoch_ms(F.col(r_ts_out), r_dtype) / w)
     r = r.withColumn("__b", F.explode(F.array(r_bucket, r_bucket + 1)))
     if _is_timestamp(l_dtype):
         lo_pred = F.col(r_ts_out) >= F.col(left_ts) - _seconds_interval(
-            interval_seconds
+            interval_ms / 1000.0
         )
     else:
         lo_pred = (
             F.col(r_ts_out).cast("double")
-            >= F.col(left_ts).cast("double") - interval_seconds
+            >= F.col(left_ts).cast("double") - interval_ms / 1000.0
         )
     return (
         l.join(r, on=on + ["__b"])

@@ -615,23 +615,75 @@ def test_asof_join_ntz_tolerance_matches_pandas(spark):
             assert got[lid] == pytest.approx(want[lid], abs=1e-9)
 
 
-def test_interval_join_rejects_fractional_width(spark):
-    # Second-floored bucketing cannot express fractional widths (two
-    # timestamps within 0.5s can land two floored-second buckets
-    # apart); the operator must refuse rather than silently drop pairs.
+def test_interval_join_subsecond_widths(spark):
+    # Millisecond bucketing supports fractional widths down to 1ms;
+    # only sub-millisecond widths (unrepresentable) are refused.
+    import duckdb
     import pytest as _pytest
 
     from pagerank_spark.operators.relational import interval_join
 
-    df = spark.createDataFrame(
-        [(1, 10.0)], "k LONG, ts DOUBLE"
-    )
-    with _pytest.raises(ValueError, match="integer"):
-        interval_join(df, df, on=["k"], interval_seconds=0.5)
-    with _pytest.raises(ValueError, match="integer"):
+    df = spark.createDataFrame([(1, 10.0)], "k LONG, ts DOUBLE")
+    with _pytest.raises(ValueError, match="millisecond"):
+        interval_join(df, df, on=["k"], interval_seconds=0.0001)
+    with _pytest.raises(ValueError, match="millisecond"):
         interval_join(df, df, on=["k"], interval_seconds=0)
-    # Integral floats are accepted (2.0 == 2).
     assert interval_join(df, df, on=["k"], interval_seconds=2.0).count() == 1
+
+    # 0.5s width on sub-second numeric epochs vs a DuckDB twin.
+    lrows = [(1, round(0.1 * i, 3)) for i in range(40)]
+    rrows = [(1, round(0.07 * i, 3)) for i in range(60)]
+    ldf = spark.createDataFrame(lrows, "k LONG, ts DOUBLE")
+    rdf = spark.createDataFrame(
+        [(k, t) for k, t in rrows], "k LONG, rts DOUBLE"
+    )
+    got = sorted(
+        (r["ts"], r["rts"])
+        for r in interval_join(
+            ldf, rdf, on=["k"], interval_seconds=0.5, right_ts="rts"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, ts DOUBLE)")
+    con.execute("CREATE TABLE r(k BIGINT, rts DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?, ?)", rrows)
+    want = sorted(
+        (row[0], row[1])
+        for row in con.execute(
+            "SELECT l.ts, r.rts FROM l JOIN r ON l.k = r.k "
+            "AND r.rts >= l.ts - 0.5 AND r.rts <= l.ts"
+        ).fetchall()
+    )
+    assert got == want and len(want) > 50
+
+    # 0.5s width on TIMESTAMP columns: same pairs via interval bounds.
+    lts = spark.createDataFrame(
+        [(1, f"2024-01-01 00:00:{s:06.3f}") for s in
+         (0.0, 0.25, 0.5, 1.0, 1.499, 1.5)],
+        "k LONG, raw STRING",
+    ).selectExpr("k", "CAST(raw AS TIMESTAMP) AS ts")
+    rts = spark.createDataFrame(
+        [(1, f"2024-01-01 00:00:{s:06.3f}") for s in
+         (0.0, 0.3, 0.999, 1.0, 1.2)],
+        "k LONG, raw STRING",
+    ).selectExpr("k", "CAST(raw AS TIMESTAMP) AS rts")
+    got_ts = {
+        (str(r["ts"]), str(r["rts"]))
+        for r in interval_join(
+            lts, rts, on=["k"], interval_seconds=0.5, right_ts="rts"
+        ).collect()
+    }
+    # naive cross check in integer millis (timestamp arithmetic is
+    # exact microseconds; a float check misses lv-0.5 == rv edges)
+    import itertools
+    lvals = [0, 250, 500, 1000, 1499, 1500]
+    rvals = [0, 300, 999, 1000, 1200]
+    want_n = sum(
+        1 for lv, rv in itertools.product(lvals, rvals)
+        if lv - 500 <= rv <= lv
+    )
+    assert len(got_ts) == want_n == 11
 
 
 def test_gopher_quality_gates(spark):
