@@ -2711,6 +2711,39 @@ def q136_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decoding under the oracle (operators/multimodal.py
+    _decode_png): the same closed-form pixel formula as q114, but the
+    payload is a genuine PNG — zlib-deflated filtered scanlines built
+    by encode_png — so the hash match proves chunk walk + inflate +
+    scanline unfiltering, not just raster reshaping. Oracle is q114's
+    closed-form integration with format='png'."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_png_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_png_media(ids, "media_id", width=64, height=48)
+    return decode_image(media, thumb_size=2).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.col("thumb")[0].alias("t00"),
+        F.col("thumb")[1].alias("t01"),
+        F.col("thumb")[2].alias("t10"),
+        F.col("thumb")[3].alias("t11"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2856,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_intersect_all": q134_intersect_all,
         "q135_scalar_functions": q135_scalar_functions,
         "q136_incremental_neardup": q136_incremental_neardup,
+        "q137_png_decode": q137_png_decode,
     }
 
 
@@ -5526,6 +5560,14 @@ FROM agg
 # the star algorithm must produce the same (node, min-id component)
 # mapping as label propagation.
 _oracle("q116_star_components", _ORACLES["q41_connected_components"])
+
+# q137 twin: q114's closed-form pixel integration with format='png' —
+# the payload side is a genuine zlib-deflated PNG, so the match proves
+# the chunk walk + inflate + scanline unfiltering, byte-free.
+_oracle(
+    "q137_png_decode",
+    _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
 
 # q117 twin: q110's 5-gram shingle construction, then the identical
 # Bloom bit arithmetic — k=3 md5 positions mod 65536, a shingle is a

@@ -7,17 +7,20 @@ Arrow-batched Pandas functions over ``mapInPandas`` — the only sane
 shape at 100 TB (no driver materialization, vectorized Python batches,
 schema declared up front so Catalyst can prune around the UDF).
 
-Codec status: ``decode_image`` is a REAL decoder for the two
-header+raster image formats numpy alone can handle — binary P6 PPM and
-uncompressed 24-bit BMP — with per-channel stats and nearest-neighbor
-thumbnailing (q114 verifies the decoder against a closed-form SQL
-oracle over synthetic images). Compressed formats (JPEG/PNG) and
-audio/video remain stubbed behind ``decode_media`` /
-``extract_features`` (deterministic payload statistics and
-pseudo-embeddings): their codec libraries are not in this environment,
-and swapping PIL/ffmpeg in is a local change inside the batch loop.
-The Spark-side plumbing — binary schema, Arrow batch iteration, output
-schema, partition preservation — is real and tested throughout.
+Codec status: ``decode_image`` is a REAL decoder for three formats
+with no codec libraries — binary P6 PPM and uncompressed 24-bit BMP
+(pure header+raster, numpy) and 8-bit gray/RGB/RGBA non-interlaced
+PNG (stdlib ``zlib`` inflate + per-row reverse of the five scanline
+filters) — with per-channel stats and nearest-neighbor thumbnailing
+(q114/q137 verify the decoders against a closed-form SQL oracle over
+synthetic images; the PNG path round-trips the same pixels through
+``encode_png``). Lossy/container formats (JPEG/MP3/video) remain
+stubbed behind ``decode_media`` / ``extract_features`` (deterministic
+payload statistics and pseudo-embeddings): their codec libraries are
+not in this environment, and swapping PIL/ffmpeg in is a local change
+inside the batch loop. The Spark-side plumbing — binary schema, Arrow
+batch iteration, output schema, partition preservation — is real and
+tested throughout.
 """
 
 from __future__ import annotations
@@ -152,6 +155,113 @@ def _decode_bmp(buf: bytes):
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def _decode_png(buf: bytes):
+    """Real PNG decoder for the common cases — 8-bit grayscale (color
+    type 0), RGB (2), and RGBA (6), non-interlaced — using only stdlib
+    ``zlib`` and numpy: chunk walk, IDAT inflate, then per-row reverse
+    of the five scanline filters (None/Sub/Up/Average/Paeth). Alpha is
+    dropped and grayscale replicated so the output is always an
+    (H, W, 3) uint8 array like the PPM/BMP decoders. Palette,
+    16-bit, and Adam7-interlaced images are rejected (ValueError) and
+    surface as format="error" rows."""
+    import numpy as np
+    import struct
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, w = 8, None
+    idat = bytearray()
+    while i + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[i : i + 4])
+        ctype = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if color not in (0, 2, 6):
+                raise ValueError("palette/alpha-gray PNG not supported")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    raw = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y].copy()
+        if f == 0:  # None
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left pixel
+            line = cur
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line
+        prev = out[y]
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]  # RGBA -> RGB
+
+
+def encode_png(arr, compress_level: int = 6) -> bytes:
+    """Minimal RGB PNG encoder (filter 0 rows + one zlib stream) — the
+    synthesis side for round-tripping the decoder on closed-form
+    pixels; stdlib-only like the decoder."""
+    import numpy as np
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, compress_level))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
     """REAL image decode over ``mapInPandas`` (no codec libraries
     needed: P6 PPM and uncompressed 24-bit BMP are pure header+raster
@@ -169,6 +279,9 @@ def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
+
+        import struct as _struct
+        import zlib as _zlib
 
         import numpy as np
 
@@ -191,9 +304,12 @@ def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
                         arr, fmt = _decode_ppm(b), "ppm"
                     elif b[:2] == b"BM":
                         arr, fmt = _decode_bmp(b), "bmp"
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr, fmt = _decode_png(b), "png"
                     else:
                         raise ValueError("unknown magic")
-                except ValueError:
+                except (ValueError, _zlib.error, _struct.error):
+                    # poison payload -> error row, never a dead job
                     out["media_id"].append(mid)
                     out["format"].append("error")
                     for k in ("width", "height", "mean_r", "mean_g",
@@ -244,6 +360,37 @@ def synthesize_ppm_media(
             for mid in pdf[id_col]:
                 arr = ((7 * int(mid) + base) % 256).astype("uint8")
                 payloads.append(b"P6" + header_tail + arr.tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
+def synthesize_png_media(
+    ids: DataFrame, id_col: str = "media_id",
+    width: int = 64, height: int = 48,
+) -> DataFrame:
+    """Deterministic synthetic RGB PNG per id — the SAME pixel formula
+    as ``synthesize_ppm_media`` (``(7·id + 3·x + 5·y + 11·c) mod
+    256``), so the identical closed-form oracle verifies the PNG
+    decode path end-to-end through a real zlib stream (q137)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3),
+            indexing="ij",
+        )
+        base = 3 * x + 5 * y + 11 * c
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                arr = ((7 * int(mid) + base) % 256).astype("uint8")
+                payloads.append(encode_png(arr))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )

@@ -203,3 +203,76 @@ def test_synthesize_wav_roundtrips_through_decoder(spark):
     out = multimodal.decode_audio(media).collect()[0]
     assert out["format"] == "wav"
     assert (out["n_samples"], out["duration_s"]) == (100, 0.1)
+
+
+def test_png_decode_roundtrip_all_filters_and_poison(spark):
+    # encode_png/_decode_png round-trip inside the Spark pipeline, a
+    # hand-built PNG exercising all five scanline filters, grayscale
+    # replication, RGBA alpha drop, and poison payloads -> error rows.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def raw_png(px, color, ch):
+        h, w = px.shape[:2]
+        raster = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b"")
+        )
+
+    rgb = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (4, 4, 1), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (3, 3, 4), dtype=np.uint8)
+    rows = [
+        (1, bytearray(multimodal.encode_png(rgb))),
+        (2, bytearray(raw_png(gray, 0, 1))),
+        (3, bytearray(raw_png(rgba, 6, 4))),
+        (4, bytearray(b"\x89PNG\r\n\x1a\ngarbage")),
+        (5, bytearray(multimodal.encode_png(rgb)[:40])),  # truncated
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+    assert out[1]["format"] == "png"
+    assert (out[1]["width"], out[1]["height"]) == (5, 6)
+    assert out[1]["mean_r"] == pytest.approx(
+        float(rgb[:, :, 0].mean()), abs=1e-6
+    )
+    assert out[2]["format"] == "png"
+    # grayscale replicates across channels
+    assert out[2]["mean_r"] == out[2]["mean_g"] == out[2]["mean_b"]
+    assert out[3]["format"] == "png"
+    assert out[3]["mean_b"] == pytest.approx(
+        float(rgba[:, :, 2].mean()), abs=1e-6
+    )
+    assert out[4]["format"] == "error" and out[4]["width"] is None
+    assert out[5]["format"] == "error"
+
+
+def test_synthesize_png_matches_ppm_pixels(spark):
+    # Same formula, different container: the PNG path must produce
+    # byte-identical decode stats to the PPM path.
+    ids = spark.createDataFrame([(7,), (30,)], "media_id LONG")
+    ppm = multimodal.decode_image(
+        multimodal.synthesize_ppm_media(ids, width=16, height=12)
+    ).collect()
+    png = multimodal.decode_image(
+        multimodal.synthesize_png_media(ids, width=16, height=12)
+    ).collect()
+    p = {r["media_id"]: r for r in ppm}
+    g = {r["media_id"]: r for r in png}
+    for mid in (7, 30):
+        assert g[mid]["format"] == "png" and p[mid]["format"] == "ppm"
+        for col in ("width", "height", "mean_r", "mean_g", "mean_b", "thumb"):
+            assert g[mid][col] == p[mid][col], col
