@@ -42,6 +42,14 @@ LOOP_PARTS_FLOOR = 4
 # and the joins shuffle — correct at cluster scale.
 BROADCAST_STATE_ROW_LIMIT = 5_000_000
 
+# connected_components auto mode: label-propagation round budget before
+# falling back to star contraction. Real web/social graphs propagate
+# min labels in well under 30 rounds (CC_PROBE.json: attachment-tree
+# topology converges in ~log2 V ≈ 22 at 3M vertices); only
+# pathological long-chain components exhaust this and trigger the
+# diameter-independent fallback.
+LABEL_FALLBACK_ROUNDS = 30
+
 
 def _bc(df: DataFrame, broadcast_state: bool) -> DataFrame:
     return F.broadcast(df) if broadcast_state else df
@@ -156,9 +164,20 @@ def connected_components(
       diameter — the cluster-scale choice, and the only one that
       terminates usefully on long-path/chain components (near-dup
       chains produce exactly those).
-    - ``"auto"`` — "label" below ``BROADCAST_STATE_ROW_LIMIT`` state
-      rows (where per-round cost is tiny and real-world diameters are
-      small), "star" above it.
+    - ``"auto"`` — HYBRID, validated by ``CC_PROBE.json``: run label
+      propagation with a bounded round budget
+      (``min(LABEL_FALLBACK_ROUNDS, max_iterations)``) and fall back
+      to star contraction on non-convergence. Measured at local[32]:
+      label beats star on low-diameter graphs at BOTH probe sizes
+      (1M edges: 7.7s vs 12.5s; 10M edges: 20.4s vs 34.9s — the old
+      size-based cut wrongly picked star above 5M state rows), while
+      on a 100k-diameter chain graph label cannot converge in any
+      usable budget (~100k rounds needed) and star finishes in
+      O(log²) rounds. Diameter is unknowable a priori, so the budget
+      IS the detector: real web/social graphs propagate min labels in
+      well under ``LABEL_FALLBACK_ROUNDS`` rounds; pathological
+      long-chain components (e.g. near-dup pair chains) exhaust it
+      and pay one label-budget's cost before the star restart.
 
     Small-graph loops run under ``_iterative_loop_conf`` (AQE off,
     right-sized shuffle) — the same measured tuning the PageRank loop
@@ -172,10 +191,20 @@ def connected_components(
     spark = edges.sparkSession
     approx = 2 * edges.count()
     small = approx <= BROADCAST_STATE_ROW_LIMIT
-    if algorithm == "auto":
-        algorithm = "label" if small else "star"
     ctx = _iterative_loop_conf(spark, approx) if tune else nullcontext()
     with ctx:
+        if algorithm == "auto":
+            budget = min(LABEL_FALLBACK_ROUNDS, max_iterations)
+            try:
+                return _connected_components_impl(
+                    edges, budget, checkpoint_every, broadcast_state=small
+                )
+            except RuntimeError:
+                # label budget exhausted: high-diameter component —
+                # restart with the diameter-independent contraction
+                return _connected_components_star(
+                    edges, max_iterations, broadcast_state=small
+                )
         if algorithm == "star":
             return _connected_components_star(
                 edges, max_iterations, broadcast_state=small

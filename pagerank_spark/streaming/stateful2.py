@@ -108,6 +108,57 @@ def _profile_row(
     )
 
 
+class ShimmedProcessor(StatefulProcessor):
+    """Delegating wrapper that makes ANY StatefulProcessor safe to ship
+    to workers in a protobuf-less environment.
+
+    The wire shim installs at THIS module's import time. A processor
+    class defined at module level pickles by reference, so unpickling
+    it in the worker imports its module (and, if that module imports
+    ``stateful2``, the shim). But a processor defined in a notebook,
+    ``__main__``, or a test function pickles BY VALUE — the worker
+    never imports anything, the shim never installs, and the state
+    client's first lazy pb2 import crashes the pre-init runner. This
+    wrapper is module-level HERE, so its pickled form always imports
+    ``stateful2`` on unpickle, installing the shim before any state
+    call, while the inner processor travels by value inside it. Wrap
+    with ``ensure_state_runtime(processor)`` (a no-op passthrough when
+    the real protobuf runtime exists).
+    """
+
+    def __init__(self, inner: StatefulProcessor) -> None:
+        self._inner = inner
+
+    def init(self, handle) -> None:
+        self._inner.init(handle)
+
+    def handleInputRows(self, key, rows, timerValues):
+        return self._inner.handleInputRows(key, rows, timerValues)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return self._inner.handleExpiredTimer(
+            key, timerValues, expiredTimerInfo
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._inner.handleInitialState(key, initialState, timerValues)
+
+    def close(self) -> None:
+        self._inner.close()
+
+
+def ensure_state_runtime(processor: StatefulProcessor) -> StatefulProcessor:
+    """Wrap ``processor`` so typed-state streams run even without the
+    google.protobuf runtime (see ShimmedProcessor); passthrough when
+    the real runtime is importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return processor
+    except ImportError:
+        return ShimmedProcessor(processor)
+
+
 class UserProfileProcessor(StatefulProcessor):
     """Typed-state per-user profile (ValueState + ListState + MapState)."""
 

@@ -529,3 +529,25 @@ def test_multi_source_bfs_and_harmonic(spark):
     }
     assert h[1] == (round(1 / 1 + 1 / 2 + 1 / 3, 9), 3)
     assert h[9] == (1.0, 1)
+
+
+def test_auto_hybrid_falls_back_to_star_on_chains(spark):
+    # A 200-node path exceeds the 30-round label budget (propagation
+    # distance 199), so auto must restart with star contraction and
+    # still produce the exact min-id components (CC_PROBE.json is the
+    # at-scale version of this check).
+    from pagerank_spark.graph.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src LONG, dst LONG"
+    )
+    comp = connected_components(chain, max_iterations=60, algorithm="auto")
+    rows = comp.collect()
+    assert len(rows) == 200
+    assert all(r["component"] == 0 for r in rows)
+    comp.unpersist()
+    # explicit label with a tight budget must raise on the same graph
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        connected_components(chain, max_iterations=10, algorithm="label")

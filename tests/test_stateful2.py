@@ -12,6 +12,7 @@ from pagerank_spark.streaming.stateful2 import (
     HAS_TWS,
     HAS_TWS_RUNTIME,
     ROCKSDB_PROVIDER,
+    ensure_state_runtime,
     user_profile_batch,
     user_profile_stream,
 )
@@ -112,3 +113,117 @@ def test_tws_stream_converges_to_batch(spark, event_dir):
         assert got[1] == pytest.approx(want[1], abs=1e-2)
         assert got[2] == want[2]
         assert got[3] == want[3]
+
+
+def test_tws_full_state_api_surface(spark, tmp_path):
+    """Exercise EVERY typed-state protocol path the wire shim covers
+    against the real JVM state server: ValueState with TTL, ListState
+    put/appendValue/appendList/clear, MapState updateValue/getValue/
+    containsKey/keys/values/iterator/removeKey, and deleteIfExists.
+    The asserts run INSIDE the worker; any protocol break surfaces as
+    a stream failure."""
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _SP,
+    )
+
+    class ApiExercise(_SP):
+        def init(self, handle):
+            # TTL value state: exercises StateCallCommand.ttl.durationMs
+            self._v = handle.getValueState("v", "n BIGINT", ttlDurationMs=3_600_000)
+            self._l = handle.getListState("l", "x BIGINT")
+            self._m = handle.getMapState("m", "k STRING", "c BIGINT")
+            handle.deleteIfExists("ghost_state")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = int(self._v.get()[0]) if self._v.exists() else 0
+            self._v.update((prev + n,))
+
+            # ListState: put -> appendValue -> appendList -> read -> clear
+            self._l.put([(1,), (2,)])
+            self._l.appendValue((3,))
+            self._l.appendList([(4,), (5,)])
+            lst = [int(t[0]) for t in self._l.get()]
+            assert lst == [1, 2, 3, 4, 5], lst
+            self._l.clear()
+            assert not self._l.exists()
+
+            # MapState: full accessor set
+            self._m.updateValue(("a",), (10,))
+            self._m.updateValue(("b",), (20,))
+            assert self._m.containsKey(("a",))
+            assert not self._m.containsKey(("zz",))
+            assert int(self._m.getValue(("b",))[0]) == 20
+            ks = sorted(k[0] for k in self._m.keys())
+            vs = sorted(int(v[0]) for v in self._m.values())
+            assert ks == ["a", "b"] and vs == [10, 20], (ks, vs)
+            it = {k[0]: int(v[0]) for k, v in self._m.iterator()}
+            assert it == {"a": 10, "b": 20}, it
+            self._m.removeKey(("a",))
+            assert not self._m.containsKey(("a",))
+
+            yield _pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [prev + n]}
+            )
+
+        def close(self):
+            pass
+
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    src = str(tmp_path / "api_events")
+    events.repartition(2).write.parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                ensure_state_runtime(ApiExercise()),
+                outputStructType="user_id BIGINT, n_events BIGINT",
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+            .writeStream.format("memory")
+            .queryName("tws_api_exercise")
+            .outputMode("update")
+            .start()
+        )
+        want = {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(src).groupBy("user_id").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+
+        def _final():
+            acc = {}
+            for r in spark.sql("SELECT * FROM tws_api_exercise").collect():
+                acc[r["user_id"]] = max(
+                    acc.get(r["user_id"], 0), r["n_events"]
+                )
+            return acc
+
+        try:
+            # TTL state (ProcessingTime time mode) schedules endless
+            # "cleaning up state" maintenance triggers, so
+            # processAllAvailable never returns — poll the sink until
+            # the per-user counts converge to the batch fold instead.
+            import time as _time
+
+            deadline = _time.time() + 120
+            final = _final()
+            while final != want and _time.time() < deadline:
+                _time.sleep(2)
+                final = _final()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    assert final == want
