@@ -217,3 +217,68 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
         return _profile_row(int(pdf["user_id"].iloc[0]), n, s, topv, types)
 
     return events.groupBy("user_id").applyInPandas(fn, schema=OUTPUT_SCHEMA)
+
+
+class FlushOnTimerProcessor(StatefulProcessor):
+    """Inactivity-flush via PROCESSING-TIME TIMERS: per key, count
+    events and (re-)arm a timer ``timeout_ms`` past the current
+    processing time on every batch — deleting the previously armed
+    timer first, so exactly one timer is live per key. Output is
+    emitted ONLY from ``handleExpiredTimer`` (the key has been quiet
+    for ``timeout_ms``): the accumulated count flushes and the state
+    clears, the write-behind / session-drain shape. Exercises the
+    remaining typed-state protocol paths: RegisterTimer, DeleteTimer,
+    ListTimers (asserted to hold exactly the live timer), the
+    expiry-timer iterator, and ``getCurrentProcessingTimeInMs``.
+    """
+
+    def __init__(self, timeout_ms: int = 2_000) -> None:
+        self._timeout_ms = timeout_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._state = handle.getValueState("acc", "n BIGINT, t BIGINT")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = sum(len(pdf) for pdf in rows)
+        prev_n, prev_t = (
+            (int(self._state.get()[0]), int(self._state.get()[1]))
+            if self._state.exists()
+            else (0, -1)
+        )
+        now = timerValues.getCurrentProcessingTimeInMs()
+        new_t = now + self._timeout_ms
+        if prev_t >= 0:
+            self._handle.deleteTimer(prev_t)
+        self._handle.registerTimer(new_t)
+        live = list(self._handle.listTimers())
+        assert new_t in live, (new_t, live)
+        self._state.update((prev_n + n, new_t))
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            n = int(self._state.get()[0])
+            self._state.clear()
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [n]}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def user_event_count_flush_stream(
+    events: DataFrame, timeout_ms: int = 2_000
+) -> DataFrame:
+    """Streaming: per-user event counts flushed ONLY after
+    ``timeout_ms`` of inactivity (processing-time timers). Pair with
+    ``timeMode="ProcessingTime"`` (set here) and the RocksDB provider."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        ensure_state_runtime(FlushOnTimerProcessor(timeout_ms)),
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

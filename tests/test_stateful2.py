@@ -227,3 +227,60 @@ def test_tws_full_state_api_surface(spark, tmp_path):
             spark.conf.set(provider_key, old)
 
     assert final == want
+
+
+def test_tws_timer_flush_on_inactivity(spark, tmp_path):
+    """Processing-time timers end-to-end: counts are emitted ONLY from
+    handleExpiredTimer after the inactivity timeout, with the previous
+    timer deleted on every re-arm (one live timer per key, asserted
+    in-worker via listTimers)."""
+    from pagerank_spark.streaming.stateful2 import (
+        user_event_count_flush_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(120)
+    src = str(tmp_path / "timer_events")
+    events.repartition(2).write.parquet(src)
+    want = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(src).groupBy("user_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            user_event_count_flush_stream(stream, timeout_ms=1_500)
+            .writeStream.format("memory")
+            .queryName("tws_timer_flush")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            import time as _time
+
+            # flushes appear only after the inactivity timeout; poll
+            # (timer maintenance triggers keep the stream active, so
+            # processAllAvailable would never return)
+            deadline = _time.time() + 120
+            got = {}
+            while got != want and _time.time() < deadline:
+                _time.sleep(2)
+                got = {
+                    r["user_id"]: r["n_events"]
+                    for r in spark.sql(
+                        "SELECT * FROM tws_timer_flush"
+                    ).collect()
+                }
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    assert got == want
