@@ -2419,11 +2419,14 @@ def q124_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     reinforcement recursion on the sparse derived graph — the other
     classic link-analysis fixed point beside the reference's PageRank.
     Fixed iterations ⇒ exact unrolled-CTE twin (q92's pattern); 9dp
-    rounding absorbs summation-order ulps."""
+    rounding absorbs summation-order ulps. The declared engine is the
+    checkpointed LOOP (the scale shape per GRAPH_LOOP_AB.json, and
+    ~1.2x faster than the unrolled DAG even at k=2); the DAG engine
+    stays pinned equal by test_hits_loop_matches_dag."""
     from pagerank_spark.graph.pagerank import hits
 
     e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
-    out = hits(e, iterations=2)
+    out = hits(e, iterations=2, mode="loop")
     return out.select(
         "node",
         F.round("hub", 9).alias("hub"),

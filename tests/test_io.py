@@ -120,3 +120,65 @@ def test_csv_read_infers_without_schema(spark, tmp_path):
     back = read_csv(spark, path)
     assert back.count() == 1
     assert dict(back.dtypes)["x"] == "double"
+
+
+def test_read_edge_list_gzip_transparent(spark, tmp_path):
+    # The flagship text source must read compressed edge lists
+    # transparently (Hadoop codec inference by extension) — the
+    # standard shape for crawl/dump inputs at scale.
+    import gzip
+
+    from pagerank_spark.io import read_edge_list
+
+    raw = "1\t2\n2\t3\n3\t1\n"
+    plain = tmp_path / "edges.txt"
+    plain.write_text(raw)
+    gz = tmp_path / "edges.txt.gz"
+    gz.write_bytes(gzip.compress(raw.encode()))
+    want = sorted(
+        (r["src"], r["dst"])
+        for r in read_edge_list(spark, str(plain)).collect()
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in read_edge_list(spark, str(gz)).collect()
+    )
+    assert got == want == [(1, 2), (2, 3), (3, 1)]
+    # ragged-whitespace mode reads compressed input too
+    rag = tmp_path / "ragged.txt.gz"
+    rag.write_bytes(gzip.compress(b"1 2\n2   3\n"))
+    got2 = sorted(
+        (r["src"], r["dst"])
+        for r in read_edge_list(spark, str(rag), sep=None).collect()
+    )
+    assert got2 == [(1, 2), (2, 3)]
+
+
+def test_parquet_compression_codec_matrix(spark, tmp_path):
+    # Every bundled parquet codec round-trips bit-exact: the knob a
+    # 100 TB deployment turns (zstd for cold storage, snappy/lz4 for
+    # scan-heavy) without changing any query.
+    df = spark.range(500).selectExpr(
+        "id", "id * 1.5 AS v", "CAST(id % 7 AS STRING) AS s"
+    )
+    want = sorted((r["id"], r["v"], r["s"]) for r in df.collect())
+    for codec in ("snappy", "zstd", "gzip", "lz4"):
+        path = str(tmp_path / f"pq_{codec}")
+        df.write.option("compression", codec).parquet(path)
+        back = sorted(
+            (r["id"], r["v"], r["s"])
+            for r in spark.read.parquet(path).collect()
+        )
+        assert back == want, codec
+
+
+def test_text_sink_compression(spark, tmp_path):
+    # Formatted-text output compresses at write (gzip/bzip2) and reads
+    # back transparently.
+    df = spark.range(20).selectExpr("CAST(id AS STRING) AS value")
+    want = sorted(str(i) for i in range(20))
+    for codec in ("gzip", "bzip2"):
+        path = str(tmp_path / f"txt_{codec}")
+        df.write.option("compression", codec).text(path)
+        back = sorted(r["value"] for r in spark.read.text(path).collect())
+        assert back == want, codec

@@ -143,3 +143,84 @@ def test_install_is_idempotent_and_effective():
         assert mod is pb
         import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
         assert sm is pb
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: encode/decode symmetry over randomized messages
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    i64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+        err=st.text(max_size=40),
+        vals=st.lists(st.binary(max_size=32), max_size=8),
+        more=st.booleans(),
+    )
+    def test_fuzz_list_response_roundtrip(status, err, vals, more):
+        m = pb.StateResponseWithListGet(
+            statusCode=status, errorMessage=err, value=vals,
+            requireNextFetch=more,
+        )
+        m2 = pb.StateResponseWithListGet()
+        m2.ParseFromString(m.SerializeToString())
+        assert m2.statusCode == status
+        assert m2.errorMessage == err
+        assert list(m2.value) == vals
+        assert m2.requireNextFetch is more
+
+    @settings(max_examples=200, deadline=None)
+    @given(ts=i64, key=st.one_of(st.none(), st.binary(max_size=16)))
+    def test_fuzz_timer_info_roundtrip(ts, key):
+        t = pb.TimerInfo()
+        t.timestampMs = ts
+        if key is not None:
+            t.key = key
+        t2 = pb.TimerInfo()
+        t2.ParseFromString(t.SerializeToString())
+        assert t2.timestampMs == ts
+        assert t2.HasField("key") == (key is not None)
+        if key is not None:
+            assert t2.key == key
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        name=st.text(max_size=20),
+        schema=st.text(max_size=40),
+        ttl=st.one_of(st.none(), st.integers(min_value=0, max_value=1 << 40)),
+    )
+    def test_fuzz_state_call_command_roundtrip(name, schema, ttl):
+        c = pb.StateCallCommand()
+        c.stateName = name
+        c.schema = schema
+        if ttl is not None:
+            c.ttl.durationMs = ttl
+        c2 = pb.StateCallCommand()
+        c2.ParseFromString(c.SerializeToString())
+        assert c2.stateName == name and c2.schema == schema
+        assert c2.HasField("ttl") == (ttl is not None)
+        if ttl is not None:
+            assert c2.ttl.durationMs == ttl
+
+    @settings(max_examples=100, deadline=None)
+    @given(pairs=st.lists(
+        st.tuples(st.binary(max_size=16), st.binary(max_size=16)),
+        max_size=6,
+    ))
+    def test_fuzz_map_iterator_roundtrip(pairs):
+        m = pb.StateResponseWithMapIterator(
+            kvPair=[pb.KeyAndValuePair(key=k, value=v) for k, v in pairs]
+        )
+        m2 = pb.StateResponseWithMapIterator()
+        m2.ParseFromString(m.SerializeToString())
+        assert [(p.key, p.value) for p in m2.kvPair] == pairs
