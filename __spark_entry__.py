@@ -2747,6 +2747,68 @@ def q137_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decoding under the oracle
+    (operators/jpeg.py): every 20th doc id becomes a genuine
+    Huffman-coded 4:4:4 JPEG of a smooth closed-form ramp
+    (``clip(offset + x + y + 40c, 0, 255)``, offset = 7·id mod 100),
+    built by the numpy encoder and decoded by the independent-IDCT
+    numpy decoder. JPEG is lossy, so the oracle pins BOOLEANS: each
+    decoded channel mean must sit within 1.0 of the closed-form pixel
+    mean (which the Spark side recomputes with the same SQL formula
+    the DuckDB twin integrates — a broken decoder flips a boolean and
+    the hash). Exact fields (format/width/height) are pinned directly."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_jpeg_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    dec = decode_image(synthesize_jpeg_media(ids, "media_id"), thumb_size=2)
+    xs = spark.range(64).select(F.col("id").alias("x"))
+    ys = spark.range(48).select(F.col("id").alias("y"))
+    cs = spark.range(3).select(F.col("id").alias("c"))
+    want = (
+        ids.crossJoin(xs)
+        .crossJoin(ys)
+        .crossJoin(cs)
+        .groupBy("media_id", "c")
+        .agg(
+            F.avg(
+                F.least(
+                    F.lit(255),
+                    (F.col("media_id") * 7) % 100
+                    + F.col("x")
+                    + F.col("y")
+                    + F.lit(40) * F.col("c"),
+                )
+            ).alias("want_mean")
+        )
+        .groupBy("media_id")
+        .pivot("c", [0, 1, 2])
+        .agg(F.first("want_mean"))
+        .select(
+            "media_id",
+            F.col("0").alias("want_r"),
+            F.col("1").alias("want_g"),
+            F.col("2").alias("want_b"),
+        )
+    )
+    return dec.join(want, on="media_id").select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - F.col("want_r")) <= 1.0).alias("r_ok"),
+        (F.abs(F.col("mean_g") - F.col("want_g")) <= 1.0).alias("g_ok"),
+        (F.abs(F.col("mean_b") - F.col("want_b")) <= 1.0).alias("b_ok"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2893,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_scalar_functions": q135_scalar_functions,
         "q136_incremental_neardup": q136_incremental_neardup,
         "q137_png_decode": q137_png_decode,
+        "q138_jpeg_decode": q138_jpeg_decode,
     }
 
 
@@ -5570,6 +5633,27 @@ _oracle("q116_star_components", _ORACLES["q41_connected_components"])
 _oracle(
     "q137_png_decode",
     _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
+
+# q138 twin: JPEG is lossy, so the twin integrates the same clipped
+# ramp in closed form and pins the WITHIN-TOLERANCE booleans TRUE —
+# a decoder whose channel means drift > 1.0 flips a boolean and
+# breaks the hash; format/width/height are pinned exactly.
+_oracle(
+    "q138_jpeg_decode",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 20 = 0
+)
+SELECT media_id,
+       'jpeg' AS format,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       TRUE AS r_ok,
+       TRUE AS g_ok,
+       TRUE AS b_ok
+FROM ids
+""",
 )
 
 # q117 twin: q110's 5-gram shingle construction, then the identical

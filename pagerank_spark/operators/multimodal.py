@@ -7,20 +7,24 @@ Arrow-batched Pandas functions over ``mapInPandas`` — the only sane
 shape at 100 TB (no driver materialization, vectorized Python batches,
 schema declared up front so Catalyst can prune around the UDF).
 
-Codec status: ``decode_image`` is a REAL decoder for three formats
+Codec status: ``decode_image`` is a REAL decoder for FOUR formats
 with no codec libraries — binary P6 PPM and uncompressed 24-bit BMP
-(pure header+raster, numpy) and 8-bit gray/RGB/RGBA non-interlaced
-PNG (stdlib ``zlib`` inflate + per-row reverse of the five scanline
-filters) — with per-channel stats and nearest-neighbor thumbnailing
-(q114/q137 verify the decoders against a closed-form SQL oracle over
-synthetic images; the PNG path round-trips the same pixels through
-``encode_png``). Lossy/container formats (JPEG/MP3/video) remain
-stubbed behind ``decode_media`` / ``extract_features`` (deterministic
-payload statistics and pseudo-embeddings): their codec libraries are
-not in this environment, and swapping PIL/ffmpeg in is a local change
-inside the batch loop. The Spark-side plumbing — binary schema, Arrow
-batch iteration, output schema, partition preservation — is real and
-tested throughout.
+(pure header+raster, numpy), 8-bit gray/RGB/RGBA non-interlaced PNG
+(stdlib ``zlib`` inflate + per-row reverse of the five scanline
+filters), and baseline sequential JPEG (``operators/jpeg.py``: full
+Huffman entropy decode, dequantize, independent-formulation IDCT,
+YCbCr→RGB, restart markers; 4:4:4 and grayscale — progressive and
+subsampled chroma are rejected, they would need trusted vectors this
+environment cannot produce) — with per-channel stats and
+nearest-neighbor thumbnailing. q114/q137 verify the lossless decoders
+against a closed-form SQL oracle; q138 pins the lossy JPEG path with
+within-tolerance booleans the oracle sets TRUE. Audio/video container
+formats (MP3/MP4) remain stubbed behind ``decode_media`` /
+``extract_features`` (deterministic payload statistics and
+pseudo-embeddings): swapping ffmpeg in is a local change inside the
+batch loop. The Spark-side plumbing — binary schema, Arrow batch
+iteration, output schema, partition preservation — is real and tested
+throughout.
 """
 
 from __future__ import annotations
@@ -306,10 +310,15 @@ def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
                         arr, fmt = _decode_bmp(b), "bmp"
                     elif b[:8] == b"\x89PNG\r\n\x1a\n":
                         arr, fmt = _decode_png(b), "png"
+                    elif b[:2] == b"\xff\xd8":
+                        from pagerank_spark.operators.jpeg import decode_jpeg
+
+                        arr, fmt = decode_jpeg(b), "jpeg"
                     else:
                         raise ValueError("unknown magic")
-                except (ValueError, _zlib.error, _struct.error):
+                except (ValueError, _zlib.error, _struct.error, IndexError):
                     # poison payload -> error row, never a dead job
+                    # (IndexError: truncated JPEG entropy data)
                     out["media_id"].append(mid)
                     out["format"].append("error")
                     for k in ("width", "height", "mean_r", "mean_g",
@@ -360,6 +369,44 @@ def synthesize_ppm_media(
             for mid in pdf[id_col]:
                 arr = ((7 * int(mid) + base) % 256).astype("uint8")
                 payloads.append(b"P6" + header_tail + arr.tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
+def synthesize_jpeg_media(
+    ids: DataFrame, id_col: str = "media_id",
+    width: int = 64, height: int = 48, quality: int = 95,
+) -> DataFrame:
+    """Deterministic synthetic RGB JPEG per id — a SMOOTH per-channel
+    gradient (``(7·id + 3·x + 5·y + 11·c) mod 256`` is full of modular
+    wrap cliffs that JPEG rings on, so the JPEG fixture uses
+    ``(7·id + x + y + 40·c) mod 256`` scaled into a wrap-free ramp:
+    closed-form integrable AND compression-friendly). Decoded stats
+    land within a small tolerance of the closed form — what q138's
+    boolean oracle pins."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pagerank_spark.operators.jpeg import encode_jpeg
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3),
+            indexing="ij",
+        )
+        # wrap-free ramp: values stay inside [0, 255] per image
+        base = x + y + 40 * c
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                offset = (7 * int(mid)) % 100
+                arr = np.clip(offset + base, 0, 255).astype("uint8")
+                payloads.append(encode_jpeg(arr, quality=quality))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
