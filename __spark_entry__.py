@@ -2809,6 +2809,48 @@ def q138_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_image_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel embeddings under the oracle
+    (operators/multimodal.py image_embedding): every 10th doc id is
+    rendered as BOTH a P6 PPM and a PNG of the SAME closed-form
+    pixels, each decoded by its own real decoder and embedded
+    (grayscale 2×2 block means, L2-normalized). The declared output
+    is the embedding dimension and the 6dp-rounded cosine between the
+    two formats' embeddings — exactly 1.0 row-by-row iff both
+    decoders reproduce identical rasters AND the embedding pipeline
+    is deterministic; the DuckDB twin pins dim=4, cos=1.0 per id.
+    (Raw embedding values are float32 — hashing them would race the
+    cast against the oracle's float64; the cosine collapses that to
+    an exact invariant.)"""
+    from pagerank_spark.operators.multimodal import (
+        image_embedding,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    a = image_embedding(
+        synthesize_ppm_media(ids, "media_id", width=32, height=24), grid=2
+    ).select(F.col("media_id"), F.col("embedding").alias("ea"))
+    b = image_embedding(
+        synthesize_png_media(ids, "media_id", width=32, height=24), grid=2
+    ).select(F.col("media_id"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return a.join(b, on="media_id").select(
+        "media_id",
+        F.size("ea").alias("dim"),
+        F.round(dot, 6).alias("cross_format_cos"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2956,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_incremental_neardup": q136_incremental_neardup,
         "q137_png_decode": q137_png_decode,
         "q138_jpeg_decode": q138_jpeg_decode,
+        "q139_image_embedding": q139_image_embedding,
     }
 
 
@@ -5633,6 +5676,20 @@ _oracle("q116_star_components", _ORACLES["q41_connected_components"])
 _oracle(
     "q137_png_decode",
     _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
+
+# q139 twin: identical pixels through two different real decoders
+# embed identically, so the per-id cross-format cosine is exactly 1
+# (float32 storage keeps the 6dp-rounded dot at 1.000000: 4 dims of
+# ~6e-8 relative error sum to ~1e-7, far inside the rounding).
+_oracle(
+    "q139_image_embedding",
+    r"""
+SELECT doc_id AS media_id,
+       CAST(4 AS INT) AS dim,
+       CAST(1.0 AS DOUBLE) AS cross_format_cos
+FROM documents WHERE doc_id % 10 = 0
+""",
 )
 
 # q138 twin: JPEG is lossy, so the twin integrates the same clipped

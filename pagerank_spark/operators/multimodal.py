@@ -115,6 +115,71 @@ IMAGE_DECODE_SCHEMA = (
     "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, thumb ARRAY<DOUBLE>"
 )
 
+IMAGE_EMBED_SCHEMA = "media_id BIGINT, embedding ARRAY<FLOAT>"
+
+
+def image_embedding(media: DataFrame, grid: int = 4) -> DataFrame:
+    """REAL image embeddings from decoded pixels: each payload decodes
+    (PPM/BMP/PNG/JPEG — same dispatch as ``decode_image``), converts
+    to grayscale, block-averages onto a ``grid``×``grid`` raster, and
+    L2-normalizes the flattened vector — the classic tiny-thumbnail
+    perceptual descriptor. Output is the engine's standard
+    ``array<float>`` embedding column, directly consumable by
+    ``similarity.ann_*`` and ``dedup.embedding_neardup_pairs``, so the
+    decode → featurize → ANN/near-dup pipeline runs on actual pixels
+    end-to-end (no external vision model). Undecodable payloads are
+    dropped (poison must not kill a corpus job); block edges use the
+    same integer split as ``decode_image``'s thumbnail so a PPM/PNG
+    pair with identical pixels embeds identically.
+    """
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as np
+
+        from pagerank_spark.operators.jpeg import decode_jpeg
+
+        def decode(b: bytes):
+            if b[:2] == b"P6":
+                return _decode_ppm(b)
+            if b[:2] == b"BM":
+                return _decode_bmp(b)
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return _decode_png(b)
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg(b)
+            raise ValueError("unknown magic")
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = decode(bytes(b))
+                except (ValueError, _zlib.error, _struct.error, IndexError):
+                    continue
+                gray = arr.mean(axis=2, dtype=np.float64)
+                h, w = gray.shape
+                ye = (np.arange(grid + 1) * h) // grid
+                xe = (np.arange(grid + 1) * w) // grid
+                cells = np.empty(grid * grid)
+                for gy in range(grid):
+                    for gx in range(grid):
+                        cells[gy * grid + gx] = gray[
+                            ye[gy] : ye[gy + 1], xe[gx] : xe[gx + 1]
+                        ].mean()
+                norm = float(np.sqrt((cells * cells).sum()))
+                if norm > 0:
+                    cells = cells / norm
+                ids.append(mid)
+                vecs.append([float(v) for v in cells])
+            if ids:  # an empty frame's float64 columns break the
+                # Arrow cast to list<float>; yielding nothing is fine
+                yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return media.mapInPandas(embed, schema=IMAGE_EMBED_SCHEMA)
+
 
 def _decode_ppm(buf: bytes):
     """Real P6 (binary PPM) decoder in numpy: header parse + raster

@@ -276,3 +276,59 @@ def test_synthesize_png_matches_ppm_pixels(spark):
         assert g[mid]["format"] == "png" and p[mid]["format"] == "ppm"
         for col in ("width", "height", "mean_r", "mean_g", "mean_b", "thumb"):
             assert g[mid][col] == p[mid][col], col
+
+
+def test_image_embedding_known_values_and_ann_integration(spark):
+    import numpy as np
+
+    # 8x8 gray gradient: grid=2 block means computable by hand
+    yy, xx = np.mgrid[0:8, 0:8]
+    gray = (xx * 10 + yy).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    png = multimodal.encode_png(rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = multimodal.image_embedding(media, grid=2).collect()
+    assert len(rows) == 1  # poison dropped, not errored
+    emb = np.array(rows[0]["embedding"], dtype=np.float64)
+    assert emb.shape == (4,)
+    want = np.array(
+        [
+            gray[0:4, 0:4].mean(), gray[0:4, 4:8].mean(),
+            gray[4:8, 0:4].mean(), gray[4:8, 4:8].mean(),
+        ]
+    )
+    want = want / np.sqrt((want * want).sum())
+    assert np.abs(emb - want).max() < 1e-6
+    assert abs(float((emb * emb).sum()) - 1.0) < 1e-6  # L2-normalized
+
+    # pipeline integration: embeddings feed ANN directly
+    from pagerank_spark.operators.similarity import ann_topk_bruteforce
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "media_id LONG")
+    corpus = multimodal.image_embedding(
+        multimodal.synthesize_ppm_media(ids, width=16, height=16), grid=2
+    ).withColumnRenamed("media_id", "vec_id")
+    nn = ann_topk_bruteforce(corpus, corpus.limit(2), k=2)
+    assert nn.count() == 4  # 2 queries x top-2
+
+
+def test_image_embedding_same_pixels_all_formats_agree(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
+    raster = rgb.tobytes()
+    ppm = b"P6 16 12 255\n" + raster
+    png = multimodal.encode_png(rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(png))],
+        "media_id LONG, payload BINARY",
+    )
+    out = {
+        r["media_id"]: np.array(r["embedding"])
+        for r in multimodal.image_embedding(media, grid=3).collect()
+    }
+    assert np.array_equal(out[1], out[2])
