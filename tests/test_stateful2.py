@@ -284,3 +284,124 @@ def test_tws_timer_flush_on_inactivity(spark, tmp_path):
             spark.conf.set(provider_key, old)
 
     assert got == want
+
+
+def test_tws_event_time_timers_and_watermark(spark, tmp_path):
+    """EVENT-TIME timers through the shim: timeMode='EventTime' makes
+    the worker fetch the watermark over the wire (GetWatermark path)
+    each batch; timers registered just past the current watermark fire
+    when a later batch advances it. Counts are emitted from BOTH input
+    handling and timer expiry (tagged), so convergence is assertable
+    AND at least one timer-emitted row proves expiry delivery."""
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _SP,
+    )
+
+    class EventTimeCounter(_SP):
+        def init(self, handle):
+            self._handle = handle
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = int(self._n.get()[0]) if self._n.exists() else 0
+            self._n.update((prev + n,))
+            wm = timerValues.getCurrentWatermarkInMs()
+            if wm > 0:
+                self._handle.registerTimer(wm + 1)
+            yield _pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [prev + n],
+                    "src": ["input"],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            assert expiredTimerInfo.getExpiryTimeInMs() > 0
+            if self._n.exists():
+                yield _pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "n_events": [int(self._n.get()[0])],
+                        "src": ["timer"],
+                    }
+                )
+
+        def close(self):
+            pass
+
+    # Time-ordered micro-batches: a 0-second watermark drops any row
+    # older than the max event time already seen, so each file slice
+    # must cover a disjoint, increasing ts range (slices written
+    # sequentially — the file source replays oldest-modified first).
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events").limit(150).cache()
+    qrow = events.select(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), array(0.34, 0.67))").alias("q")
+    ).collect()[0]["q"]
+    qs = [
+        events.sparkSession.createDataFrame(
+            [(int(v),)], "us LONG"
+        ).select(F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("t"))
+        .collect()[0]["t"]
+        for v in qrow
+    ]
+    src = str(tmp_path / "et_events")
+    slices = [
+        events.where(F.col("ts") <= qs[0]),
+        events.where((F.col("ts") > qs[0]) & (F.col("ts") <= qs[1])),
+        events.where(F.col("ts") > qs[1]),
+    ]
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct file modification seconds
+    events.unpersist()
+    want = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(src).groupBy("user_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        stream = read_event_stream(
+            spark, src, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                ensure_state_runtime(EventTimeCounter()),
+                outputStructType=(
+                    "user_id BIGINT, n_events BIGINT, src STRING"
+                ),
+                outputMode="Update",
+                timeMode="EventTime",
+            )
+            .writeStream.format("memory")
+            .queryName("tws_event_time")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM tws_event_time").collect()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+    assert final == want
+    assert any(r["src"] == "timer" for r in rows), "no timer ever fired"
