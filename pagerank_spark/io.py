@@ -262,3 +262,37 @@ def read_json_lines(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in ``xml`` source — the spark-xml
+    package folded into core): one element per row under
+    ``root_tag``. The interchange format enterprise feeds still
+    arrive in; same distributed writer path as parquet/ORC."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """XML scan. As with JSON-lines, pass an explicit ``schema``
+    outside exploration — inference scans the data twice."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -182,3 +182,25 @@ def test_text_sink_compression(spark, tmp_path):
         df.write.option("compression", codec).text(path)
         back = sorted(r["value"] for r in spark.read.text(path).collect())
         assert back == want, codec
+
+
+def test_xml_roundtrip_with_schema(spark, tmp_path):
+    from pagerank_spark.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)],
+        "id LONG, name STRING, score DOUBLE",
+    )
+    path = str(tmp_path / "xml_rt")
+    write_xml(df, path, row_tag="doc", root_tag="docs")
+    back = read_xml(
+        spark, path, row_tag="doc",
+        schema="id LONG, name STRING, score DOUBLE",
+    )
+    got = sorted(
+        (r["id"], r["name"], r["score"]) for r in back.collect()
+    )
+    want = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+    assert got == want
+    # inference path also reads it
+    assert read_xml(spark, path, row_tag="doc").count() == 3

@@ -1216,3 +1216,38 @@ def test_neardup_against_thresholds_unrounded_jaccard(spark):
     ).collect()
     # true 0.6666666... >= 0.66666665 is TRUE; rounding must not matter
     assert len(out2) == 1
+
+
+def test_udtf_chunk_text_equals_catalyst_chunker(spark):
+    # The Python UDTF (LATERAL-join shape) must produce exactly the
+    # chunks the pure-Catalyst chunk_documents plan does — the
+    # twin-engine pattern: declarative wins in production, the UDTF
+    # covers the Spark 4 API surface.
+    from pagerank_spark.functions.udtf_chunks import register
+    from pagerank_spark.operators.text import chunk_documents
+
+    register(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "one two three"),
+            (3, ""),            # no tokens -> no chunks
+            (4, "   padded   tokens here   "),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_toks"], r["chunk_text"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_id, c.n_chunk_toks, c.chunk_text "
+            "FROM udtf_docs d, LATERAL chunk_text(d.text, 4, 1) c"
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_toks"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, chunk_tokens=4, overlap_tokens=1
+        ).collect()
+    )
+    assert got == want and len(want) > 4
