@@ -2851,6 +2851,22 @@ def q139_image_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q140_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (operators/text.py
+    repetition_signals): per-document duplicate-2/3-gram fractions and
+    the top-2-gram share, with the pass flag at the declared
+    thresholds — the in-document repetition signals that catch
+    machine-generated/boilerplate text before structural stats do.
+    The twin rebuilds occurrence-preserving n-grams with DuckDB list
+    slicing and reproduces the identical fraction arithmetic."""
+    from pagerank_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return repetition_signals(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -2999,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_png_decode": q137_png_decode,
         "q138_jpeg_decode": q138_jpeg_decode,
         "q139_image_embedding": q139_image_embedding,
+        "q140_repetition_filters": q140_repetition_filters,
     }
 
 
@@ -5676,6 +5693,56 @@ _oracle("q116_star_components", _ORACLES["q41_connected_components"])
 _oracle(
     "q137_png_decode",
     _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
+
+# q140 twin: occurrence-preserving n-grams via DuckDB list slicing
+# (range end is exclusive; arr[i:i+n-1] is 1-based inclusive), then
+# the identical dup/top fraction arithmetic and thresholds.
+_oracle(
+    "q140_repetition_filters",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+  FROM documents WHERE doc_id % 5 = 0
+),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(arr)), i ->
+           array_to_string(arr[i:i+1], ' '))) AS g
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, len(arr) - 1), i ->
+           array_to_string(arr[i:i+2], ' '))) AS g
+  FROM toks
+),
+per_gram AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+),
+per_doc AS (
+  SELECT doc_id, n, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+  FROM per_gram GROUP BY doc_id, n
+),
+wide AS (
+  SELECT doc_id,
+         SUM(CASE WHEN n = 2 THEN total END) AS n2_total,
+         SUM(CASE WHEN n = 2 THEN n_distinct END) AS d2,
+         SUM(CASE WHEN n = 2 THEN top END) AS t2,
+         SUM(CASE WHEN n = 3 THEN total END) AS n3,
+         SUM(CASE WHEN n = 3 THEN n_distinct END) AS d3
+  FROM per_doc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n2_total AS BIGINT) AS n2_total,
+       ROUND((n2_total - d2) / CAST(n2_total AS DOUBLE), 6) AS dup2_frac,
+       ROUND(t2 / CAST(n2_total AS DOUBLE), 6) AS top2_frac,
+       ROUND(COALESCE((n3 - d3) / CAST(n3 AS DOUBLE), 0.0), 6) AS dup3_frac,
+       ((n2_total - d2) / CAST(n2_total AS DOUBLE) <= 0.6
+        AND t2 / CAST(n2_total AS DOUBLE) <= 0.15
+        AND COALESCE((n3 - d3) / CAST(n3 AS DOUBLE), 0.0) <= 0.55
+       ) AS passes_repetition
+FROM wide WHERE n2_total IS NOT NULL
+""",
 )
 
 # q139 twin: identical pixels through two different real decoders

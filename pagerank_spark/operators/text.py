@@ -419,3 +419,97 @@ __all__ = [
     "chunk_documents",
     "portable_hash60",
 ]
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup2_max: float = 0.6,
+    top2_max: float = 0.15,
+    dup3_max: float = 0.55,
+) -> DataFrame:
+    """Gopher-style REPETITION quality filters — the in-document
+    signals the structural gates (``gopher_quality``) don't see:
+    machine-generated or boilerplate-heavy text repeats itself at the
+    n-gram level long before its length/symbol stats look wrong.
+
+    Per document and n ∈ {2, 3} (occurrence-preserving word n-grams):
+
+    - ``dup{n}_frac``: fraction of n-gram OCCURRENCES that are
+      repeats — ``(total - distinct) / total``;
+    - ``top2_frac``: the single most frequent 2-gram's share of all
+      2-gram occurrences (ties resolve identically in both engines
+      because only the max COUNT matters).
+
+    Returns ``(id, n2_total, dup2_frac, top2_frac, dup3_frac,
+    passes_repetition)`` with fractions rounded 6dp; documents with
+    fewer than 2 tokens have no 2-grams and are dropped (nothing to
+    measure). The pass flag applies the given thresholds.
+
+    Plan: one tokenize, both n-gram sizes exploded in the SAME pass
+    (tagged with ``n``), ONE partial-combined groupBy on
+    (id, n, gram) then one on (id, n), pivoted client-free via
+    conditional aggregation — two shuffles total, no window, no UDF.
+    """
+    toked = df.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+
+    def grams(n: int):
+        cnt = F.size(toks) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    grams(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))
+                ),
+                F.transform(
+                    grams(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))
+                ),
+            )
+        ).alias("__t"),
+    ).select(F.col(id_col), F.col("__t.n").alias("n"), F.col("__t.g").alias("g"))
+
+    per_gram = tagged.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col, "n").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top"),
+    )
+    wide = per_doc.groupBy(id_col).agg(
+        F.sum(F.when(F.col("n") == 2, F.col("total"))).alias("n2_total"),
+        F.sum(F.when(F.col("n") == 2, F.col("n_distinct"))).alias("__d2"),
+        F.sum(F.when(F.col("n") == 2, F.col("top"))).alias("__t2"),
+        F.sum(F.when(F.col("n") == 3, F.col("total"))).alias("__n3"),
+        F.sum(F.when(F.col("n") == 3, F.col("n_distinct"))).alias("__d3"),
+    )
+    dup2 = (F.col("n2_total") - F.col("__d2")) / F.col("n2_total")
+    top2 = F.col("__t2") / F.col("n2_total")
+    # a 2-token doc has 2-grams but no 3-grams: no repetition measurable
+    dup3 = F.coalesce(
+        (F.col("__n3") - F.col("__d3")) / F.col("__n3"), F.lit(0.0)
+    )
+    return (
+        wide.where(F.col("n2_total").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("n2_total").cast("long").alias("n2_total"),
+            F.round(dup2, 6).alias("dup2_frac"),
+            F.round(top2, 6).alias("top2_frac"),
+            F.round(dup3, 6).alias("dup3_frac"),
+            (
+                (dup2 <= dup2_max)
+                & (top2 <= top2_max)
+                & (dup3 <= dup3_max)
+            ).alias("passes_repetition"),
+        )
+    )

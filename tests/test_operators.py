@@ -1251,3 +1251,41 @@ def test_udtf_chunk_text_equals_catalyst_chunker(spark):
         ).collect()
     )
     assert got == want and len(want) > 4
+
+
+def test_repetition_signals_hand_computed(spark):
+    from pagerank_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b c": 2-grams [ab, ba, ab, bc] -> total 4,
+            # distinct 3, top 2 -> dup2 1/4, top2 1/2
+            # 3-grams [aba, bab, abc] -> all distinct -> dup3 0
+            (1, "a b a b c"),
+            # fully repetitive: "x y x y x y" 2-grams [xy,yx,xy,yx,xy]
+            # total 5, distinct 2, top 3 -> dup2 3/5, top2 3/5
+            (2, "x y x y x y"),
+            (3, "single"),   # no 2-grams -> dropped
+            (4, ""),          # no tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1["n2_total"] == 4
+    assert r1["dup2_frac"] == 0.25
+    assert r1["top2_frac"] == 0.5
+    assert r1["dup3_frac"] == 0.0
+    # dup2 0.25 <= 0.6 ok, but top2 0.5 > 0.15 -> fails
+    assert r1["passes_repetition"] is False
+    r2 = out[2]
+    assert r2["dup2_frac"] == 0.6 and r2["top2_frac"] == 0.6
+    assert r2["passes_repetition"] is False
+    # a non-repetitive doc passes
+    ok = spark.createDataFrame(
+        [(9, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    row = repetition_signals(ok).collect()[0]
+    assert row["dup2_frac"] == 0.0 and row["passes_repetition"] is True
