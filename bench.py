@@ -142,6 +142,8 @@ def main() -> None:
         "q122_adamic_adar",
         "q124_hits",
         "q125_katz_centrality",
+        # round-6 tier (no prior baseline — these SET it):
+        "q140_repetition_filters",
     ]
 
     timings: dict[str, float] = {}

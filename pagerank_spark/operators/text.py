@@ -480,17 +480,16 @@ def repetition_signals(
     ).select(F.col(id_col), F.col("__t.n").alias("n"), F.col("__t.g").alias("g"))
 
     per_gram = tagged.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
-    per_doc = per_gram.groupBy(id_col, "n").agg(
-        F.sum("c").alias("total"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top"),
-    )
-    wide = per_doc.groupBy(id_col).agg(
-        F.sum(F.when(F.col("n") == 2, F.col("total"))).alias("n2_total"),
-        F.sum(F.when(F.col("n") == 2, F.col("n_distinct"))).alias("__d2"),
-        F.sum(F.when(F.col("n") == 2, F.col("top"))).alias("__t2"),
-        F.sum(F.when(F.col("n") == 3, F.col("total"))).alias("__n3"),
-        F.sum(F.when(F.col("n") == 3, F.col("n_distinct"))).alias("__d3"),
+    # Conditional aggregation straight to the doc level — grouping via
+    # an intermediate (id, n) level would add a third exchange, since
+    # a hash partitioning on (id, n) doesn't satisfy a groupBy(id).
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    wide = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(is2, F.col("c"))).alias("n2_total"),
+        F.count(F.when(is2, F.lit(1))).alias("__d2"),
+        F.max(F.when(is2, F.col("c"))).alias("__t2"),
+        F.sum(F.when(is3, F.col("c"))).alias("__n3"),
+        F.count(F.when(is3, F.lit(1))).alias("__d3"),
     )
     dup2 = (F.col("n2_total") - F.col("__d2")) / F.col("n2_total")
     top2 = F.col("__t2") / F.col("n2_total")

@@ -373,3 +373,17 @@ def test_q84_declared_engine_is_catalyst_window(spark):
 
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges == 1, p
+
+
+def test_q140_repetition_two_shuffles_no_python(spark):
+    # one tokenize feeding both n-gram sizes, two partial-combined
+    # aggregations, nothing Python in the plan
+    import re
+
+    p = plan(ENTRY.queries()["q140_repetition_filters"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges == 2, p
+    # partial aggregation before each exchange
+    assert p.count("HashAggregate") >= 4
