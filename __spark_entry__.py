@@ -2867,6 +2867,22 @@ def q140_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+def q141_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embeddings table
+    (operators/similarity.py kmeans): k=4, exactly 2 assign→mean
+    rounds, seeds = first k vectors by id, euclidean argmin with ties
+    to the smallest centroid id — every design choice made so the
+    DuckDB twin can unroll the identical computation (the q33
+    fixed-iteration pattern) and every per-vector cluster assignment
+    hash-matches as an integer."""
+    from pagerank_spark.operators.similarity import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 == 0
+    )
+    return kmeans(emb, k=4, iterations=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3016,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_jpeg_decode": q138_jpeg_decode,
         "q139_image_embedding": q139_image_embedding,
         "q140_repetition_filters": q140_repetition_filters,
+        "q141_kmeans_clusters": q141_kmeans_clusters,
     }
 
 
@@ -5693,6 +5710,67 @@ _oracle("q116_star_components", _ORACLES["q41_connected_components"])
 _oracle(
     "q137_png_decode",
     _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
+
+# q141 twin: Lloyd's k-means unrolled exactly (k=4, 2 rounds) — seed
+# with the first k vectors by id, euclidean argmin (list_distance is
+# monotone with the squared distance Spark sums), ties to smallest
+# cid, per-dimension AVG recompute, empty clusters keep their seed.
+_oracle(
+    "q141_kmeans_clusters",
+    r"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+seeds AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+  FROM pts ORDER BY vec_id LIMIT 4
+),
+asg1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY list_distance(v, c), cid) AS rn
+    FROM pts CROSS JOIN seeds
+  ) t WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, AVG(x) AS m FROM (
+      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM asg1
+    ) u GROUP BY cid, pos
+  ) g GROUP BY cid
+),
+c1 AS (
+  SELECT s.cid, COALESCE(m1.c, s.c) AS c
+  FROM seeds s LEFT JOIN m1 ON s.cid = m1.cid
+),
+asg2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY list_distance(v, c), cid) AS rn
+    FROM pts CROSS JOIN c1
+  ) t WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, AVG(x) AS m FROM (
+      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM asg2
+    ) u GROUP BY cid, pos
+  ) g GROUP BY cid
+),
+c2 AS (
+  SELECT c1.cid, COALESCE(m2.c, c1.c) AS c
+  FROM c1 LEFT JOIN m2 ON c1.cid = m2.cid
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+  SELECT vec_id, cid, row_number() OVER (
+    PARTITION BY vec_id ORDER BY list_distance(v, c), cid) AS rn
+  FROM pts CROSS JOIN c2
+) t WHERE rn = 1
+""",
 )
 
 # q140 twin: occurrence-preserving n-grams via DuckDB list slicing

@@ -316,3 +316,81 @@ def ann_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "nb_id", "cos", "rank")
     )
+
+
+def _assign_euclidean(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, vec) × broadcast codebook → nearest centroid by EUCLIDEAN
+    distance (ties → smallest cid). One broadcast join + one
+    partial-combined min_by aggregation — no window, no shuffle of the
+    points beyond the groupBy(id) combine."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = points.join(F.broadcast(centroids)).select(
+        "id", "vec", "cid", d2.alias("d2")
+    )
+    return scored.groupBy("id").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+        F.first("vec").alias("vec"),
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the corpus-curation
+    clustering step (data mixing by cluster, diversity sampling,
+    cluster-level dedup). Returns ``(id, cluster)``.
+
+    Determinism/oracle design (the q33 fixed-iteration pattern):
+    seeds are the first ``k`` vectors by id (engine-reproducible, no
+    RNG), assignment is euclidean argmin with ties to the smallest
+    centroid id, and exactly ``iterations`` assign→mean rounds run —
+    so a bounded SQL twin reproduces every assignment (q141). A
+    cluster that loses all members keeps its previous centroid.
+
+    Scale shape: per round ONE broadcast join against the k×dim
+    codebook + one partial-combined ``min_by`` per point + one
+    posexplode mean (k×dim rows to the driver — the codebook is the
+    only driver materialization, same contract as IVF's ``_centroids``).
+    """
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(F.col(id_col).alias("id"), v.alias("vec"))
+    seeds = (
+        pts.orderBy("id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    codebook = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
+    for _ in range(iterations):
+        cb_df = spark.createDataFrame(codebook, "cid INT, cvec ARRAY<DOUBLE>")
+        assigned = _assign_euclidean(pts, cb_df)
+        means = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+            .collect()
+        )
+        new_cb = {r["cid"]: list(r["cvec"]) for r in means}
+        codebook = [
+            (cid, new_cb.get(cid, old)) for cid, old in codebook
+        ]
+    cb_df = spark.createDataFrame(codebook, "cid INT, cvec ARRAY<DOUBLE>")
+    return _assign_euclidean(pts, cb_df).select(
+        F.col("id").alias(id_col), F.col("cid").alias("cluster")
+    )

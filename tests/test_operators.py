@@ -1289,3 +1289,26 @@ def test_repetition_signals_hand_computed(spark):
     )
     row = repetition_signals(ok).collect()[0]
     assert row["dup2_frac"] == 0.0 and row["passes_repetition"] is True
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from pagerank_spark.operators.similarity import kmeans
+
+    # two tight blobs around (0,0) and (10,10); seeds = first 2 by id
+    # land one in each blob
+    pts = [
+        (0, [0.0, 0.1]), (2, [10.0, 10.1]), (3, [0.2, 0.0]),
+        (4, [9.9, 10.0]), (5, [0.1, 0.2]), (6, [10.2, 9.8]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=2, iterations=3).collect()}
+    assert out[0] == out[3] == out[5]
+    assert out[2] == out[4] == out[6]
+    assert out[0] != out[2]
+
+    # an empty cluster keeps its seed centroid (k=3 over 2 blobs: the
+    # third seed is a blob member, so one centroid may starve — the
+    # operator must not crash and must still assign every point)
+    out3 = kmeans(df, k=3, iterations=2).collect()
+    assert len(out3) == 6
+    assert {r["cluster"] for r in out3} <= {0, 1, 2}
