@@ -2883,6 +2883,33 @@ def q141_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=4, iterations=2)
 
 
+def q142_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means
+    bounds the pair work to within-cluster, then the greedy keep-first
+    rule drops any vector with an earlier same-cluster neighbor above
+    the cosine threshold. The fixture's random embeddings top out at
+    cosine ~0.48, so every 20th vector is planted back with a
+    +1M-offset id and a 1.001x scale (cosine ≈ 1 with its source) —
+    at threshold 0.99 exactly the planted copies must drop, and the
+    twin reproduces the full pipeline: 2 unrolled Lloyd rounds over
+    the augmented set, within-cluster pairs, identical keep/drop."""
+    from pagerank_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 == 0
+    )
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.001
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    return semantic_dedup(aug, k=4, iterations=2, threshold=0.99)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3033,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_image_embedding": q139_image_embedding,
         "q140_repetition_filters": q140_repetition_filters,
         "q141_kmeans_clusters": q141_kmeans_clusters,
+        "q142_semantic_dedup": q142_semantic_dedup,
     }
 
 
@@ -5710,6 +5738,89 @@ _oracle("q116_star_components", _ORACLES["q41_connected_components"])
 _oracle(
     "q137_png_decode",
     _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
+
+# q142 twin: SemDeDup over the augmented (original + 1.001x-scaled
+# planted copies) embedding set — the q141 unroll parameterized by a
+# different source CTE, then within-cluster pairs at 6dp-rounded
+# cosine >= 0.99 driving the greedy keep-first rule.
+_oracle(
+    "q142_semantic_dedup",
+    r"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+pts AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v, x -> x * 1.001) AS v
+  FROM base WHERE vec_id % 20 = 0
+),
+seeds AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+  FROM pts ORDER BY vec_id LIMIT 4
+),
+asg1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY list_distance(v, c), cid) AS rn
+    FROM pts CROSS JOIN seeds
+  ) t WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, AVG(x) AS m FROM (
+      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM asg1
+    ) u GROUP BY cid, pos
+  ) g GROUP BY cid
+),
+c1 AS (
+  SELECT s.cid, COALESCE(m1.c, s.c) AS c
+  FROM seeds s LEFT JOIN m1 ON s.cid = m1.cid
+),
+asg2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY list_distance(v, c), cid) AS rn
+    FROM pts CROSS JOIN c1
+  ) t WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, AVG(x) AS m FROM (
+      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM asg2
+    ) u GROUP BY cid, pos
+  ) g GROUP BY cid
+),
+c2 AS (
+  SELECT c1.cid, COALESCE(m2.c, c1.c) AS c
+  FROM c1 LEFT JOIN m2 ON c1.cid = m2.cid
+),
+final AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT vec_id, v, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY list_distance(v, c), cid) AS rn
+    FROM pts CROSS JOIN c2
+  ) t WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM final a JOIN final b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+)
+SELECT f.vec_id,
+       CAST(f.cluster AS INT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM final f LEFT JOIN dups d ON f.vec_id = d.vec_id
+""",
 )
 
 # q141 twin: Lloyd's k-means unrolled exactly (k=4, 2 rounds) — seed

@@ -394,3 +394,57 @@ def kmeans(
     return _assign_euclidean(pts, cb_df).select(
         F.col("id").alias(id_col), F.col("cid").alias("cluster")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    over an embedding column with the quadratic pair work BOUNDED by
+    clustering — k-means first, cosine scored only WITHIN clusters,
+    then the greedy keep-first rule: a document is dropped iff an
+    earlier (smaller-id) same-cluster document sits within the cosine
+    threshold. Returns ``(id, cluster, keep)`` covering every input
+    row.
+
+    Scale shape: the pair join is an equi-join on ``cluster`` (never
+    all-pairs — per-cluster work is (n/k)² instead of n², and k grows
+    with the corpus in practice), scored before a semi-join back; the
+    clustering itself is ``kmeans``'s broadcast-codebook loop. Fully
+    deterministic (kmeans seeds, smallest-id ties, 6dp-rounded cosine
+    thresholding), so q142's twin reproduces every keep/drop decision.
+    """
+    assigned = kmeans(df, k=k, iterations=iterations, id_col=id_col,
+                      vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(F.col(id_col), v.alias("__v")).join(assigned, on=id_col)
+    a = pts.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
+    )
+    b = pts.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cluster"
+    )
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb"))
+        / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
+        6,
+    )
+    dup_ids = (
+        a.join(b, on="cluster")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cos >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids.withColumn("__dup", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+    )

@@ -1312,3 +1312,24 @@ def test_kmeans_separates_obvious_clusters(spark):
     out3 = kmeans(df, k=3, iterations=2).collect()
     assert len(out3) == 6
     assert {r["cluster"] for r in out3} <= {0, 1, 2}
+
+
+def test_semantic_dedup_drops_planted_copies_only(spark):
+    from pagerank_spark.operators.similarity import semantic_dedup
+
+    # two blobs; 100/101 are near-copies of 0/2 (scaled 1.0005)
+    pts = [
+        (0, [1.0, 0.0, 0.2]), (2, [0.0, 1.0, 0.1]),
+        (3, [0.9, 0.1, 0.25]), (4, [0.05, 0.95, 0.12]),
+        (100, [1.0005, 0.0, 0.2001]), (101, [0.0, 1.0005, 0.10005]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, k=2, iterations=2, threshold=0.999
+    ).collect()}
+    assert len(out) == 6  # every row covered
+    assert out[100]["keep"] is False and out[101]["keep"] is False
+    assert all(out[i]["keep"] for i in (0, 2, 3, 4))
+    # duplicates landed in their source's cluster
+    assert out[100]["cluster"] == out[0]["cluster"]
+    assert out[101]["cluster"] == out[2]["cluster"]
