@@ -2910,6 +2910,27 @@ def q142_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(aug, k=4, iterations=2, threshold=0.99)
 
 
+def q143_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration
+    (operators/similarity.py pca_top_component): the covariance is a
+    (i, j, cov) relation (dim² rows after map-side partial agg —
+    corpus-size-independent shuffle), each power step one broadcast
+    matvec; exactly 2 rounds from the all-ones start so the twin
+    unrolls the identical arithmetic. 6dp rounding absorbs
+    reduction-order ulps (q33's determinism pattern)."""
+    from pagerank_spark.operators.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 == 0
+    )
+    out = pca_top_component(emb, iterations=2)
+    return out.select(
+        "pos",
+        F.round("component", 6).alias("component"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3061,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_repetition_filters": q140_repetition_filters,
         "q141_kmeans_clusters": q141_kmeans_clusters,
         "q142_semantic_dedup": q142_semantic_dedup,
+        "q143_pca_component": q143_pca_component,
     }
 
 
@@ -5738,6 +5760,58 @@ _oracle("q116_star_components", _ORACLES["q41_connected_components"])
 _oracle(
     "q137_png_decode",
     _ORACLES["q114_image_decode"].replace("'ppm' AS format", "'png' AS format"),
+)
+
+# q143 twin: the power iteration unrolled — covariance from a
+# rid-keyed component self-join, two matvec+normalize rounds from the
+# all-ones/sqrt(dim) start, Rayleigh-quotient eigenvalue.
+_oracle(
+    "q143_pca_component",
+    r"""
+WITH pts AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+nn AS (SELECT COUNT(*) AS n FROM pts),
+comp AS (
+  SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM pts
+),
+means AS (
+  SELECT i, SUM(x) / (SELECT n FROM nn) AS m FROM comp GROUP BY i
+),
+cov AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(a.x * b.x) / (SELECT n FROM nn)
+           - (SELECT m FROM means WHERE means.i = a.i)
+           * (SELECT m FROM means WHERE means.i = b.i) AS cov
+  FROM comp a JOIN comp b USING (rid)
+  GROUP BY a.i, b.i
+),
+dim AS (SELECT MAX(i) + 1 AS d FROM cov),
+y1 AS (
+  SELECT i, SUM(cov / sqrt((SELECT d FROM dim))) AS y
+  FROM cov GROUP BY i
+),
+x1 AS (
+  SELECT i, y / sqrt((SELECT SUM(y * y) FROM y1)) AS x FROM y1
+),
+y2 AS (
+  SELECT cov.i AS i, SUM(cov.cov * x1.x) AS y
+  FROM cov JOIN x1 ON cov.j = x1.i GROUP BY cov.i
+),
+x2 AS (
+  SELECT i, y / sqrt((SELECT SUM(y * y) FROM y2)) AS x FROM y2
+),
+lam AS (
+  SELECT SUM(xa.x * cov.cov * xb.x) AS l
+  FROM cov JOIN x2 xa ON cov.i = xa.i JOIN x2 xb ON cov.j = xb.i
+)
+SELECT CAST(x2.i AS INT) AS pos,
+       ROUND(x2.x, 6) AS component,
+       ROUND((SELECT l FROM lam), 6) AS eigenvalue
+FROM x2
+""",
 )
 
 # q142 twin: SemDeDup over the augmented (original + 1.001x-scaled

@@ -448,3 +448,94 @@ def semantic_dedup(
         "cluster",
         F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component by POWER ITERATION on the covariance —
+    the curation dimension-reduction/whitening primitive. Returns 64
+    (= dim) rows ``(pos, component, eigenvalue)``: the L2-normalized
+    leading eigenvector after exactly ``iterations`` matvec rounds
+    from the deterministic all-ones start, plus the Rayleigh-quotient
+    eigenvalue estimate (same value on every row for hash simplicity).
+
+    Scale shape: the covariance is computed ONCE as a (i, j, cov)
+    RELATION — per input row a dim² self-pairing of its posexploded
+    components, partially aggregated map-side, so the shuffle carries
+    at most dim² rows per partition regardless of corpus size; each
+    power step is then a broadcast of the dim-sized vector into one
+    join + one dim-row aggregation. Only dim-sized vectors ever reach
+    the driver. Fixed iterations + fixed start ⇒ an unrolled SQL twin
+    reproduces every component (q143).
+    """
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(v.alias("vec"))
+    exploded = pts.select(F.posexplode("vec").alias("i", "x"))
+    n = pts.count()
+    if n == 0:
+        raise ValueError("pca_top_component: empty input")
+    means = exploded.groupBy("i").agg((F.sum("x") / n).alias("mi"))
+    # dim² covariance relation: pair the components of each row
+    # (two chained posexplodes — one generator per projection)
+    pairs = pts.select(
+        F.posexplode("vec").alias("i", "xi"), F.col("vec")
+    ).select("i", "xi", F.posexplode("vec").alias("j", "xj"))
+    exy = (
+        pairs.groupBy("i", "j")
+        .agg((F.sum(F.col("xi") * F.col("xj")) / n).alias("exy"))
+    )
+    cov = (
+        exy.join(means.select(F.col("i"), F.col("mi")), on="i")
+        .join(
+            means.select(F.col("i").alias("j"), F.col("mi").alias("mj")),
+            on="j",
+        )
+        .select(
+            "i", "j", (F.col("exy") - F.col("mi") * F.col("mj")).alias("cov")
+        )
+        .persist()
+    )
+    dim = cov.agg(F.max("i")).collect()[0][0] + 1
+    x = [1.0 / math.sqrt(dim)] * dim
+    spark = df.sparkSession
+    for _ in range(iterations):
+        xdf = spark.createDataFrame(
+            list(enumerate(x)), "j INT, xj DOUBLE"
+        )
+        y = (
+            cov.join(F.broadcast(xdf), on="j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("xj")).alias("y"))
+            .orderBy("i")
+            .collect()
+        )
+        vec = [0.0] * dim
+        for r in y:
+            vec[r["i"]] = r["y"]
+        norm = math.sqrt(sum(c * c for c in vec))
+        x = [c / norm for c in vec] if norm > 0 else vec
+    # Rayleigh quotient: xᵀCx with the final normalized x
+    xdf = spark.createDataFrame(list(enumerate(x)), "j INT, xj DOUBLE")
+    lam = (
+        cov.join(F.broadcast(xdf), on="j")
+        .join(
+            F.broadcast(
+                spark.createDataFrame(list(enumerate(x)), "i INT, xi DOUBLE")
+            ),
+            on="i",
+        )
+        .agg(F.sum(F.col("xi") * F.col("cov") * F.col("xj")))
+        .collect()[0][0]
+    )
+    cov.unpersist()
+    out = spark.createDataFrame(
+        [(i, float(c), float(lam)) for i, c in enumerate(x)],
+        "pos INT, component DOUBLE, eigenvalue DOUBLE",
+    )
+    return out

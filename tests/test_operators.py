@@ -1333,3 +1333,29 @@ def test_semantic_dedup_drops_planted_copies_only(spark):
     # duplicates landed in their source's cluster
     assert out[100]["cluster"] == out[0]["cluster"]
     assert out[101]["cluster"] == out[2]["cluster"]
+
+
+def test_pca_top_component_recovers_known_eigenpair(spark):
+    from pagerank_spark.operators.similarity import pca_top_component
+
+    # rank-1 data along u=(0.6, 0.8): x_i = t_i * u with
+    # t = [-2,-1,0,1,2] (mean 0, var 2) => cov = 2*u*uT, so the
+    # leading eigenpair is exactly (2, ±u); power iteration from the
+    # all-ones start converges in one step with positive sign
+    # (u . 1 > 0).
+    ts = [-2.0, -1.0, 0.0, 1.0, 2.0]
+    pts = [(i, [t * 0.6, t * 0.8]) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    rows = {r["pos"]: r for r in pca_top_component(df, iterations=3).collect()}
+    assert set(rows) == {0, 1}
+    assert abs(rows[0]["component"] - 0.6) < 1e-9
+    assert abs(rows[1]["component"] - 0.8) < 1e-9
+    assert abs(rows[0]["eigenvalue"] - 2.0) < 1e-9
+    # eigenvalue replicated on every row (hash-friendly contract)
+    assert rows[0]["eigenvalue"] == rows[1]["eigenvalue"]
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError):
+        pca_top_component(empty)
