@@ -2931,6 +2931,23 @@ def q143_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D PCA whitening (operators/similarity.py pca_project): each
+    embedding's centered dot product with the q143 power-iteration
+    eigenvector. The eigenvector and the mean-offset scalar are
+    dim-sized plan LITERALS, so the projection is a single codegen
+    map over the corpus — zero shuffles, zero Python; the only
+    collects in the whole pipeline are dim-sized. 6dp rounding
+    absorbs reduction-order ulps."""
+    from pagerank_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 == 0
+    )
+    out = pca_project(emb, iterations=2)
+    return out.select("vec_id", F.round("proj", 6).alias("proj"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3083,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_kmeans_clusters": q141_kmeans_clusters,
         "q142_semantic_dedup": q142_semantic_dedup,
         "q143_pca_component": q143_pca_component,
+        "q144_pca_projection": q144_pca_projection,
     }
 
 
@@ -5811,6 +5829,60 @@ SELECT CAST(x2.i AS INT) AS pos,
        ROUND(x2.x, 6) AS component,
        ROUND((SELECT l FROM lam), 6) AS eigenvalue
 FROM x2
+""",
+)
+
+# q144 twin: the q143 unroll extended one step — per-row centered dot
+# product with the converged x2 vector. pts carries vec_id so the
+# projection can be keyed back; the centering offset is the same
+# x . u - m . u split the operator uses.
+_oracle(
+    "q144_pca_projection",
+    r"""
+WITH pts AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rid,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+nn AS (SELECT COUNT(*) AS n FROM pts),
+comp AS (
+  SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM pts
+),
+means AS (
+  SELECT i, SUM(x) / (SELECT n FROM nn) AS m FROM comp GROUP BY i
+),
+cov AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(a.x * b.x) / (SELECT n FROM nn)
+           - (SELECT m FROM means WHERE means.i = a.i)
+           * (SELECT m FROM means WHERE means.i = b.i) AS cov
+  FROM comp a JOIN comp b USING (rid)
+  GROUP BY a.i, b.i
+),
+dim AS (SELECT MAX(i) + 1 AS d FROM cov),
+y1 AS (
+  SELECT i, SUM(cov / sqrt((SELECT d FROM dim))) AS y
+  FROM cov GROUP BY i
+),
+x1 AS (
+  SELECT i, y / sqrt((SELECT SUM(y * y) FROM y1)) AS x FROM y1
+),
+y2 AS (
+  SELECT cov.i AS i, SUM(cov.cov * x1.x) AS y
+  FROM cov JOIN x1 ON cov.j = x1.i GROUP BY cov.i
+),
+x2 AS (
+  SELECT i, y / sqrt((SELECT SUM(y * y) FROM y2)) AS x FROM y2
+),
+off AS (
+  SELECT SUM(means.m * x2.x) AS o FROM means JOIN x2 ON means.i = x2.i
+),
+dots AS (
+  SELECT p.vec_id, SUM(c.x * x2.x) AS d
+  FROM comp c JOIN x2 ON c.i = x2.i JOIN pts p ON p.rid = c.rid
+  GROUP BY p.vec_id
+)
+SELECT vec_id, ROUND(d - (SELECT o FROM off), 6) AS proj FROM dots
 """,
 )
 

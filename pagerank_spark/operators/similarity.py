@@ -539,3 +539,46 @@ def pca_top_component(
         "pos INT, component DOUBLE, eigenvalue DOUBLE",
     )
     return out
+
+
+def pca_project(
+    df: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every embedding onto the leading principal component —
+    the 1-D whitening / dimension-reduction step that follows
+    ``pca_top_component``. Returns ``(id_col, proj)`` where
+    ``proj = (x - mean) . u`` for the power-iteration eigenvector
+    ``u``.
+
+    Scale shape: the eigenvector and the mean-offset scalar are
+    dim-sized DRIVER constants (the only things ``pca_top_component``
+    ever collects), folded into the plan as literals — the projection
+    itself is one whole-stage-codegen map over the corpus
+    (``zip_with`` + ``aggregate`` dot product minus a constant), ZERO
+    shuffles and zero Python. ``(x - m) . u = x . u - m . u``, so the
+    centering costs one literal subtraction, not a second array op.
+    """
+    comp = pca_top_component(
+        df, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).collect()
+    u = [0.0] * len(comp)
+    for r in comp:
+        u[r["pos"]] = r["component"]
+    v = F.col(vec_col).cast("array<double>")
+    exploded = df.select(F.posexplode(v).alias("i", "x"))
+    n = df.count()
+    mean_rows = exploded.groupBy("i").agg((F.sum("x") / n).alias("m")).collect()
+    m = [0.0] * len(u)
+    for r in mean_rows:
+        m[r["i"]] = r["m"]
+    offset = sum(mi * ui for mi, ui in zip(m, u))
+    u_lit = F.array(*[F.lit(c) for c in u])
+    proj = F.aggregate(
+        F.zip_with(v, u_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    ) - F.lit(float(offset))
+    return df.select(F.col(id_col), proj.alias("proj"))

@@ -1359,3 +1359,22 @@ def test_pca_top_component_recovers_known_eigenpair(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError):
         pca_top_component(empty)
+
+
+def test_pca_project_recovers_coordinates_shuffle_free(spark):
+    from pagerank_spark.operators.similarity import pca_project
+
+    # x_i = t_i * u (u unit, data mean 0) => centered projection onto
+    # the leading component is exactly t_i
+    ts = [-2.0, -1.0, 0.0, 1.0, 2.0]
+    pts = [(i, [t * 0.6, t * 0.8]) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = pca_project(df, iterations=3)
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    for i, t in enumerate(ts):
+        assert abs(got[i] - t) < 1e-9, (i, got[i], t)
+    # the projection itself is a pure map: eigenvector + offset are
+    # plan literals, so the returned frame must not shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
