@@ -2948,6 +2948,26 @@ def q144_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("proj", 6).alias("proj"))
 
 
+def q145_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring coverage (operators/dedup.py
+    dup_span_coverage, Lee et al. 2022 dedup signal): token 5-grams
+    occurring in >1 document, unioned into per-doc covered-position
+    counts. Inverted-index shape — gram shuffle with map-side partial
+    count-distinct, dup keys joined back, per-doc agg; corpus-linear,
+    never all-pairs. 6dp rounding on the fraction only."""
+    from pagerank_spark.operators.dedup import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dup_span_coverage(docs, n=5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_starts",
+        "covered_tokens",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3101,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_semantic_dedup": q142_semantic_dedup,
         "q143_pca_component": q143_pca_component,
         "q144_pca_projection": q144_pca_projection,
+        "q145_dup_span_coverage": q145_dup_span_coverage,
     }
 
 
@@ -5883,6 +5904,55 @@ dots AS (
   GROUP BY p.vec_id
 )
 SELECT vec_id, ROUND(d - (SELECT o FROM off), 6) AS proj FROM dots
+""",
+)
+
+# q145 twin: the inverted-index span union in SQL — grams via
+# range/unnest + list slice, dup = HAVING COUNT(DISTINCT doc) > 1,
+# coverage = COUNT(DISTINCT position) over exploded spans, zeros kept
+# by the left join.
+_oracle(
+    "q145_dup_span_coverage",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+grams AS (
+  SELECT doc_id, u.i AS s,
+         array_to_string(t[u.i + 1 : u.i + 5], ' ') AS gram
+  FROM base, UNNEST(range(0, greatest(n_tokens - 4, 0))) AS u(i)
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) > 1
+),
+cov AS (
+  SELECT g.doc_id,
+         COUNT(DISTINCT g.s) AS dup_starts,
+         COUNT(DISTINCT p.pos) AS covered_tokens
+  FROM grams g JOIN dup USING (gram),
+       UNNEST(range(g.s, g.s + 5)) AS p(pos)
+  GROUP BY g.doc_id
+),
+out AS (
+  SELECT b.doc_id,
+         b.n_tokens,
+         COALESCE(cov.dup_starts, 0) AS dup_starts,
+         COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+         CASE WHEN b.n_tokens > 0
+              THEN COALESCE(cov.covered_tokens, 0)::DOUBLE / b.n_tokens
+              ELSE 0.0 END AS dup_frac
+  FROM base b LEFT JOIN cov USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(dup_starts AS INT) AS dup_starts,
+       CAST(covered_tokens AS INT) AS covered_tokens,
+       ROUND(dup_frac, 6) AS dup_frac
+FROM out
 """,
 )
 

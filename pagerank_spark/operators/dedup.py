@@ -635,3 +635,90 @@ def neardup_clusters(
             (F.col(id_col) == F.col("canonical_id")).alias("is_kept"),
         )
     )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring coverage, the per-document signal
+    behind suffix-style training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token n-gram is DUPLICATED if it appears in more than one
+    document; each document reports how much of it is covered by
+    duplicated spans. Returns one row per input document::
+
+        (id_col, n_tokens, dup_starts, covered_tokens, dup_frac)
+
+    where ``dup_starts`` counts n-gram start positions whose gram is
+    duplicated and ``covered_tokens`` counts distinct token positions
+    inside any duplicated span (overlapping spans are unioned, not
+    summed). Documents shorter than ``n`` tokens report zeros.
+
+    Scale shape: one shuffle keyed on the gram (map-side partial agg
+    counts distinct docs per gram), one shuffle joining the duplicated
+    gram keys back to (doc, start) pairs, one per-doc aggregation.
+    Never all-pairs; the gram relation is corpus-linear (≤ one row per
+    token). At 100 TB, key the gram shuffle on a 128-bit digest of the
+    gram instead of the string to cut shuffle bytes — kept as the raw
+    string here so the DuckDB twin (q145) is value-exact.
+    """
+    if n < 1:
+        raise ValueError(f"dup_span_coverage: n must be >= 1, got {n}")
+    toks = df.select(
+        F.col(id_col),
+        F.filter(word_tokens(text_col), lambda x: x != "").alias("t"),
+    )
+    base = toks.select(id_col, F.size("t").alias("n_tokens"), "t")
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i + 1, n)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") > 1)
+        .select("gram")
+    )
+    spans = grams.join(dup, on="gram")
+    cov = (
+        spans.select(
+            F.col(id_col),
+            F.col("start"),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("start").alias("dup_starts"),
+            F.count_distinct("pos").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("dup_starts", F.lit(0)).alias("dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                   F.coalesce("covered_tokens", F.lit(0))
+                   / F.col("n_tokens"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

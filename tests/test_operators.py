@@ -1378,3 +1378,35 @@ def test_pca_project_recovers_coordinates_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_dup_span_coverage_unions_overlaps_and_keeps_zeros(spark):
+    from pagerank_spark.operators.dedup import dup_span_coverage
+
+    docs = [
+        (1, "a b c d"),      # "a b" shared with doc 2
+        (2, "x a b y"),
+        (3, "zz"),           # shorter than n -> all zeros
+        (4, "a b a b a"),    # two overlapping dup spans, union = 4 pos
+        (5, "a b"),          # fully covered
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=2).collect()}
+    assert len(out) == 5
+    assert (out[1]["dup_starts"], out[1]["covered_tokens"]) == (1, 2)
+    assert out[1]["dup_frac"] == 0.5
+    assert (out[2]["dup_starts"], out[2]["covered_tokens"]) == (1, 2)
+    # doc 3: too short, still present with zeros
+    assert (out[3]["n_tokens"], out[3]["dup_starts"], out[3]["dup_frac"]) == (
+        1, 0, 0.0,
+    )
+    # doc 4: "b a" repeats only WITHIN doc 4 -> not duplicated (cross-doc
+    # definition); "a b" at starts 0 and 2 covers positions {0,1,2,3}
+    assert (out[4]["dup_starts"], out[4]["covered_tokens"]) == (2, 4)
+    assert out[4]["dup_frac"] == 0.8
+    assert out[5]["dup_frac"] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dup_span_coverage(df, n=0)
