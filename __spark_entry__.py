@@ -2968,6 +2968,28 @@ def q145_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus
+    (operators/similarity.py quantize_embeddings): per-dimension
+    min/max grid, explicit floor(+0.5) tie-rule so both engines code
+    identically, per-vector mean-squared reconstruction error. The
+    min/max pass is the only shuffle (dim-row output); the coding is a
+    literal-folded codegen map. Codes stringified for a
+    representation-stable hash (q16's pattern); mse at 12dp — the
+    values are ~1e-6 so 6dp would erase the signal."""
+    from pagerank_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, bits=8)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+        ).alias("codes"),
+        F.round("mse", 12).alias("mse"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3122,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_pca_component": q143_pca_component,
         "q144_pca_projection": q144_pca_projection,
         "q145_dup_span_coverage": q145_dup_span_coverage,
+        "q146_quantize_embeddings": q146_quantize_embeddings,
     }
 
 
@@ -5953,6 +5976,38 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        CAST(covered_tokens AS INT) AS covered_tokens,
        ROUND(dup_frac, 6) AS dup_frac
 FROM out
+""",
+)
+
+# q146 twin: identical IEEE arithmetic — per-dim MIN/MAX, the same
+# floor(+0.5) coding with the same (mx-mn)/255 scale, string_agg codes
+# in dimension order, MSE normalized by the measured dim.
+_oracle(
+    "q146_quantize_embeddings",
+    r"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+  FROM pts
+),
+dim AS (SELECT MAX(i) + 1 AS d FROM comp),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i),
+coded AS (
+  SELECT c.vec_id, c.i, c.x, s.mn,
+         CASE WHEN s.mx > s.mn THEN (s.mx - s.mn) / 255 ELSE 0.0 END AS sc,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(least(255, floor((c.x - s.mn)
+                   / ((s.mx - s.mn) / 255) + 0.5)) AS INT)
+              ELSE 0 END AS code
+  FROM comp c JOIN stats s USING (i)
+)
+SELECT vec_id,
+       string_agg(code::VARCHAR, ',' ORDER BY i) AS codes,
+       ROUND(SUM((x - (mn + code * sc)) * (x - (mn + code * sc)))
+             / (SELECT d FROM dim), 12) AS mse
+FROM coded GROUP BY vec_id
 """,
 )
 

@@ -582,3 +582,77 @@ def pca_project(
         lambda acc, y: acc + y,
     ) - F.lit(float(offset))
     return df.select(F.col(id_col), proj.alias("proj"))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column — the
+    int8 compression step in front of large-scale ANN serving (a 4×
+    memory/shuffle cut vs float32 at ~1% recall cost). Uniform grid
+    between the per-dimension corpus min and max::
+
+        code_j  = clamp(floor((x_j - min_j) / scale_j + 0.5), 0, 2^bits - 1)
+        scale_j = (max_j - min_j) / (2^bits - 1)
+
+    (explicit ``floor(.. + 0.5)`` so ties round identically in every
+    engine; a constant dimension quantizes to code 0 and reconstructs
+    to its min). Returns ``(id_col, codes array<int>, mse double)``
+    with ``mse`` the mean squared reconstruction error per vector.
+
+    Scale shape: one corpus pass for the dim-sized min/max (map-side
+    partial agg, dim-row shuffle), collected ONLY as dim-sized arrays
+    and folded into the plan as literals; the quantization itself is a
+    single whole-stage-codegen map (indexed ``transform`` +
+    ``zip_with``) — zero shuffles, zero Python, corpus never leaves
+    the executors.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"quantize_embeddings: bits must be in [1,16], got {bits}")
+    levels = (1 << bits) - 1
+    v = F.col(vec_col).cast("array<double>")
+    stats = (
+        df.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    if not stats:
+        raise ValueError("quantize_embeddings: empty input")
+    dim = max(r["i"] for r in stats) + 1
+    mn = [0.0] * dim
+    scale = [0.0] * dim
+    for r in stats:
+        mn[r["i"]] = r["mn"]
+        scale[r["i"]] = (r["mx"] - r["mn"]) / levels if r["mx"] > r["mn"] else 0.0
+    mn_lit = F.array(*[F.lit(float(m)) for m in mn])
+    sc_lit = F.array(*[F.lit(float(s)) for s in scale])
+
+    def _code(x, i):
+        s = F.element_at(sc_lit, i + 1)
+        m = F.element_at(mn_lit, i + 1)
+        return (
+            F.when(s > 0.0,
+                   F.least(F.lit(levels),
+                           F.floor((x - m) / s + F.lit(0.5))))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    codes = F.transform(v, _code)
+    dequant = F.transform(
+        codes,
+        lambda c, i: F.element_at(mn_lit, i + 1)
+        + c.cast("double") * F.element_at(sc_lit, i + 1),
+    )
+    mse = F.aggregate(
+        F.zip_with(v, dequant, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    ) / F.lit(float(dim))
+    return df.select(
+        F.col(id_col), codes.alias("codes"), mse.alias("mse")
+    )

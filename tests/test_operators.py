@@ -1410,3 +1410,40 @@ def test_dup_span_coverage_unions_overlaps_and_keeps_zeros(spark):
 
     with _pytest.raises(ValueError):
         dup_span_coverage(df, n=0)
+
+
+def test_quantize_embeddings_grid_and_mse(spark):
+    from pagerank_spark.operators.similarity import quantize_embeddings
+
+    # 2-bit grid (levels=3): dim0 hits grid points exactly, dim1 is
+    # constant (scale 0 -> code 0, reconstructs to its min), dim2
+    # quantizes with known error
+    pts = [
+        (0, [0.0, 5.0, 0.0]),
+        (1, [1.0, 5.0, 0.4]),
+        (2, [2.0, 5.0, 0.6]),
+        (3, [3.0, 5.0, 1.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = quantize_embeddings(df, bits=2)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert got[0]["codes"] == [0, 0, 0]
+    assert got[1]["codes"] == [1, 0, 1]
+    assert got[2]["codes"] == [2, 0, 2]
+    assert got[3]["codes"] == [3, 0, 3]
+    assert got[0]["mse"] == 0.0 and got[3]["mse"] == 0.0
+    expected = ((0.4 - 1.0 / 3.0) ** 2) / 3.0
+    assert abs(got[1]["mse"] - expected) < 1e-12
+    assert abs(got[2]["mse"] - ((0.6 - 2.0 / 3.0) ** 2) / 3.0) < 1e-12
+    # coding is a literal-folded map: no shuffle, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantize_embeddings(df, bits=0)
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError):
+        quantize_embeddings(empty)
