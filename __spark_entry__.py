@@ -2990,6 +2990,24 @@ def q146_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quantized search (operators/similarity.py
+    quantized_ann_topk): int8 corpus codes, full-precision queries,
+    ADC scoring against the literal-folded reconstruction — the
+    IVFADC/ScaNN serving pattern. Same query subset and schema as the
+    exact q28 baseline so quantization recall loss is directly
+    measurable. Quantize∘dequantize is identical IEEE arithmetic in
+    both engines, so the twin is value-exact at 6dp."""
+    from pagerank_spark.operators.similarity import quantized_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = quantized_ann_topk(emb, queries_df, k=5, bits=8)
+    return out.select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3145,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_pca_projection": q144_pca_projection,
         "q145_dup_span_coverage": q145_dup_span_coverage,
         "q146_quantize_embeddings": q146_quantize_embeddings,
+        "q147_quantized_ann": q147_quantized_ann,
     }
 
 
@@ -6008,6 +6027,51 @@ SELECT vec_id,
        ROUND(SUM((x - (mn + code * sc)) * (x - (mn + code * sc)))
              / (SELECT d FROM dim), 12) AS mse
 FROM coded GROUP BY vec_id
+""",
+)
+
+# q147 twin: the q146 coding composed with dequantization, corpus
+# lists rebuilt in dimension order, then exactly the q28 rank shape
+# (list_cosine_similarity's fold matches Catalyst's under 6dp).
+_oracle(
+    "q147_quantized_ann",
+    r"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+  FROM pts
+),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i),
+hat AS (
+  SELECT c.vec_id, c.i,
+         s.mn
+         + (CASE WHEN s.mx > s.mn
+                 THEN least(255, floor((c.x - s.mn)
+                      / ((s.mx - s.mn) / 255) + 0.5))
+                 ELSE 0 END)
+         * (CASE WHEN s.mx > s.mn THEN (s.mx - s.mn) / 255
+                 ELSE 0.0 END) AS xhat
+  FROM comp c JOIN stats s USING (i)
+),
+chat AS (
+  SELECT vec_id, list(xhat ORDER BY i) AS vhat FROM hat GROUP BY vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+         ROUND(list_cosine_similarity(q.v, c.vhat), 6) AS cos
+  FROM pts q JOIN chat c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0
+),
+ranked AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, nb_id, cos, rank FROM ranked WHERE rank <= 5
 """,
 )
 

@@ -584,6 +584,32 @@ def pca_project(
     return df.select(F.col(id_col), proj.alias("proj"))
 
 
+def _grid_stats(
+    df: DataFrame, vec_col: str, levels: int
+) -> tuple[list[float], list[float]]:
+    """One corpus pass → per-dimension (min, scale) lists for a uniform
+    ``levels``-step quantization grid. Map-side partial agg, dim-row
+    shuffle, dim-sized collect — the only driver materialization in the
+    quantization tier. A constant dimension gets scale 0."""
+    stats = (
+        df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    if not stats:
+        raise ValueError("quantize_embeddings: empty input")
+    dim = max(r["i"] for r in stats) + 1
+    mn = [0.0] * dim
+    scale = [0.0] * dim
+    for r in stats:
+        mn[r["i"]] = r["mn"]
+        scale[r["i"]] = (r["mx"] - r["mn"]) / levels if r["mx"] > r["mn"] else 0.0
+    return mn, scale
+
+
 def quantize_embeddings(
     df: DataFrame,
     bits: int = 8,
@@ -614,20 +640,8 @@ def quantize_embeddings(
         raise ValueError(f"quantize_embeddings: bits must be in [1,16], got {bits}")
     levels = (1 << bits) - 1
     v = F.col(vec_col).cast("array<double>")
-    stats = (
-        df.select(F.posexplode(v).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()
-    )
-    if not stats:
-        raise ValueError("quantize_embeddings: empty input")
-    dim = max(r["i"] for r in stats) + 1
-    mn = [0.0] * dim
-    scale = [0.0] * dim
-    for r in stats:
-        mn[r["i"]] = r["mn"]
-        scale[r["i"]] = (r["mx"] - r["mn"]) / levels if r["mx"] > r["mn"] else 0.0
+    mn, scale = _grid_stats(df, vec_col, levels)
+    dim = len(mn)
     mn_lit = F.array(*[F.lit(float(m)) for m in mn])
     sc_lit = F.array(*[F.lit(float(s)) for s in scale])
 
@@ -655,4 +669,55 @@ def quantize_embeddings(
     ) / F.lit(float(dim))
     return df.select(
         F.col(id_col), codes.alias("codes"), mse.alias("mse")
+    )
+
+
+def quantized_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric quantized search — the reason you quantize: the
+    corpus is held as ``bits``-wide codes (4× less memory/shuffle than
+    float32 at 8 bits) while queries stay full-precision; distances
+    are computed query-float × reconstructed-corpus (ADC, the
+    IVFADC/ScaNN serving pattern). Same output schema as
+    ``ann_topk_bruteforce`` (query_id, nb_id, cos, rank) so recall
+    loss from quantization is directly measurable against the exact
+    baseline.
+
+    The reconstruction ``x̂_j = min_j + code_j·scale_j`` is folded into
+    the scan as a literal-indexed ``transform`` (grid stats are the
+    only shuffle + dim-sized collect); ranking reuses the broadcast
+    query-side top-k. Quantize-then-dequantize composes to the same
+    IEEE doubles in any engine, so the DuckDB twin (q147) is
+    value-exact at the shared 6dp rounding.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"quantized_ann_topk: bits must be in [1,16], got {bits}")
+    levels = (1 << bits) - 1
+    mn, scale = _grid_stats(corpus, vec_col, levels)
+    mn_lit = F.array(*[F.lit(float(m)) for m in mn])
+    sc_lit = F.array(*[F.lit(float(s)) for s in scale])
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dequant(x, i):
+        m = F.element_at(mn_lit, i + 1)
+        s = F.element_at(sc_lit, i + 1)
+        code = (
+            F.when(s > 0.0,
+                   F.least(F.lit(levels), F.floor((x - m) / s + F.lit(0.5))))
+            .otherwise(F.lit(0))
+            .cast("double")
+        )
+        return m + code * s
+
+    corpus_hat = corpus.select(
+        F.col(id_col), F.transform(v, _dequant).alias(vec_col)
+    )
+    return ann_topk_bruteforce(
+        corpus_hat, queries, k=k, id_col=id_col, vec_col=vec_col
     )

@@ -1447,3 +1447,33 @@ def test_quantize_embeddings_grid_and_mse(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError):
         quantize_embeddings(empty)
+
+
+def test_quantized_ann_matches_exact_at_8_bits(spark):
+    from pagerank_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        quantized_ann_topk,
+    )
+
+    # well-separated directions: 8-bit reconstruction error is far
+    # below the cosine gaps, so the quantized ranking must equal the
+    # exact baseline's
+    pts = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.1]),
+        (3, [0.1, 0.9, 0.0]), (4, [0.0, 0.1, 1.0]), (5, [0.0, 0.0, 0.9]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    exact = {
+        (r["query_id"], r["rank"]): r["nb_id"]
+        for r in ann_topk_bruteforce(df, df, k=2).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["nb_id"]
+        for r in quantized_ann_topk(df, df, k=2, bits=8).collect()
+    }
+    assert quant == exact and len(quant) == 12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantized_ann_topk(df, df, bits=20)
