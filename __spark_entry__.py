@@ -3008,6 +3008,25 @@ def q147_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/relational.py
+    skew_report): heaviest event users with share-of-total and the
+    global max/mean skew factor — the pre-join report that decides
+    plain-hash vs salted vs AQE-skew-hinted. One count shuffle +
+    scalar agg + TakeOrdered; nothing data-sized on the driver."""
+    from pagerank_spark.operators.relational import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    out = skew_report(ev, ["user_id"], top_n=15)
+    return out.select(
+        "user_id",
+        "cnt",
+        F.round("share", 9).alias("share"),
+        F.round("skew_factor", 6).alias("skew_factor"),
+        "rank",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3164,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_dup_span_coverage": q145_dup_span_coverage,
         "q146_quantize_embeddings": q146_quantize_embeddings,
         "q147_quantized_ann": q147_quantized_ann,
+        "q148_skew_report": q148_skew_report,
     }
 
 
@@ -6072,6 +6092,34 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, nb_id, cos, rank FROM ranked WHERE rank <= 5
+""",
+)
+
+# q148 twin: counts, scalar totals, row_number with the same
+# (cnt DESC, key ASC) tie rule, top-15 cut after ranking.
+_oracle(
+    "q148_skew_report",
+    r"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS t, COUNT(*) AS nk,
+         CAST(MAX(cnt) AS DOUBLE) AS mx
+  FROM counts
+),
+ranked AS (
+  SELECT user_id, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+  FROM counts
+)
+SELECT user_id, cnt,
+       ROUND(cnt / (SELECT t FROM tot), 9) AS share,
+       ROUND((SELECT mx FROM tot)
+             / ((SELECT t FROM tot) / (SELECT nk FROM tot)), 6)
+         AS skew_factor,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 15
 """,
 )
 

@@ -515,3 +515,56 @@ def merge_grouped_partials(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the report you run BEFORE
+    keying a 100 TB shuffle on a column, to decide between a plain
+    hash join, salting, or an AQE skew-join hint. Returns the
+    ``top_n`` heaviest keys::
+
+        (key_cols..., cnt, share, skew_factor, rank)
+
+    where ``share = cnt / total_rows`` and ``skew_factor`` is the
+    global max-key-count over mean-key-count (1.0 = perfectly uniform;
+    the same number on every row). A share near 1/parallelism on rank
+    1 means one task will straggle no matter how many executors you
+    add — the signal to salt.
+
+    Plan: one map-side-combined groupBy on the key (the same shuffle
+    the real join would do, but carrying only counts), a scalar
+    second-level aggregate over the per-key relation (broadcast back),
+    and TakeOrdered for the top-N — never a global sort, nothing
+    data-sized on the driver.
+    """
+    if not key_cols:
+        raise ValueError("skew_report: key_cols must be non-empty")
+    if top_n < 1:
+        raise ValueError(f"skew_report: top_n must be >= 1, got {top_n}")
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__tot"),
+        F.count("*").alias("__nkeys"),
+        F.max("cnt").alias("__maxc"),
+    )
+    top = counts.orderBy(
+        F.desc("cnt"), *[F.asc(c) for c in key_cols]
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols])
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "cnt",
+            (F.col("cnt") / F.col("__tot")).alias("share"),
+            (
+                F.col("__maxc")
+                / (F.col("__tot") / F.col("__nkeys"))
+            ).alias("skew_factor"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -1477,3 +1477,29 @@ def test_quantized_ann_matches_exact_at_8_bits(spark):
 
     with _pytest.raises(ValueError):
         quantized_ann_topk(df, df, bits=20)
+
+
+def test_skew_report_metrics_and_takeordered_plan(spark):
+    from pagerank_spark.operators.relational import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 1 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k STRING")
+    out = skew_report(df, ["k"], top_n=2)
+    got = {r["rank"]: r for r in out.collect()}
+    assert len(got) == 2
+    assert (got[1]["k"], got[1]["cnt"]) == ("a", 6)
+    assert abs(got[1]["share"] - 0.6) < 1e-12
+    # max 6 / mean 2.5 = 2.4, replicated on every row
+    assert abs(got[1]["skew_factor"] - 2.4) < 1e-12
+    assert got[1]["skew_factor"] == got[2]["skew_factor"]
+    assert (got[2]["k"], got[2]["cnt"]) == ("b", 2)
+    # top-N must be TakeOrdered, not a global sort of the key relation
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_report(df, [])
+    with _pytest.raises(ValueError):
+        skew_report(df, ["k"], top_n=0)
