@@ -144,6 +144,10 @@ def main() -> None:
         "q125_katz_centrality",
         # round-6 tier (no prior baseline — these SET it):
         "q140_repetition_filters",
+        # round-6b tier (no prior baseline — these SET it):
+        "q145_dup_span_coverage",
+        "q146_quantize_embeddings",
+        "q147_quantized_ann",
     ]
 
     timings: dict[str, float] = {}
