@@ -3027,6 +3027,22 @@ def q148_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring corpus rewrite (operators/dedup.py
+    remove_duplicate_spans): every token position covered by a
+    cross-document duplicated 5-gram is dropped and the remaining
+    tokens reassembled in order — the Lee et al. 2022 dedup
+    transformation itself, with the rewritten text in the value hash.
+    Same inverted-index shape as q145 plus a left-anti positional
+    join and sort_array reassembly (no window, no Python)."""
+    from pagerank_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=5).select(
+        "doc_id", "clean_text", "removed_tokens"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3184,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_quantize_embeddings": q146_quantize_embeddings,
         "q147_quantized_ann": q147_quantized_ann,
         "q148_skew_report": q148_skew_report,
+        "q149_remove_dup_spans": q149_remove_dup_spans,
     }
 
 
@@ -6120,6 +6137,57 @@ SELECT user_id, cnt,
          AS skew_factor,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 15
+""",
+)
+
+# q149 twin: q145's covered-position set driving a NOT EXISTS
+# positional anti-join, string_agg ORDER BY pos reassembly, empty
+# string (not a dropped row) for fully-covered documents.
+_oracle(
+    "q149_remove_dup_spans",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+grams AS (
+  SELECT doc_id, u.i AS s,
+         array_to_string(t[u.i + 1 : u.i + 5], ' ') AS gram
+  FROM base, UNNEST(range(0, greatest(n_tokens - 4, 0))) AS u(i)
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) > 1
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, p.pos
+  FROM grams g JOIN dup USING (gram),
+       UNNEST(range(g.s, g.s + 5)) AS p(pos)
+),
+tokens AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM base
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(b.n_tokens - COALESCE(r.kept, 0) AS BIGINT) AS removed_tokens
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """,
 )
 

@@ -722,3 +722,87 @@ def dup_span_coverage(
             .alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The transformation counterpart of ``dup_span_coverage``: drop
+    every token position covered by a cross-document duplicated
+    n-gram and reassemble the remaining tokens in order — the actual
+    corpus rewrite in exact-substring dedup (Lee et al. 2022).
+    Returns ``(id_col, clean_text, removed_tokens)``; a fully-covered
+    document survives as an empty string (downstream length gates
+    decide its fate — this operator never drops rows).
+
+    Same inverted-index scale shape as the coverage signal (gram
+    shuffle → dup keys joined back → per-doc work), plus one
+    left-anti join of token positions against covered positions and
+    an order-stable reassembly via ``sort_array`` over (pos, token)
+    structs — no window, no Python.
+    """
+    if n < 1:
+        raise ValueError(f"remove_duplicate_spans: n must be >= 1, got {n}")
+    toks = df.select(
+        F.col(id_col),
+        F.filter(word_tokens(text_col), lambda x: x != "").alias("t"),
+    )
+    base = toks.select(id_col, F.size("t").alias("n_tokens"), "t")
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i + 1, n)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, on="gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        F.col(id_col), F.posexplode("t").alias("pos", "tok")
+    )
+    kept = tokens.join(covered, on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.coalesce("__kept", F.lit(0))).alias(
+                "removed_tokens"
+            ),
+        )
+    )

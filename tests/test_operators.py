@@ -1503,3 +1503,28 @@ def test_skew_report_metrics_and_takeordered_plan(spark):
         skew_report(df, [])
     with _pytest.raises(ValueError):
         skew_report(df, ["k"], top_n=0)
+
+
+def test_remove_duplicate_spans_rewrites_and_keeps_empty_docs(spark):
+    from pagerank_spark.operators.dedup import remove_duplicate_spans
+
+    docs = [
+        (1, "a b c d"),      # "a b" shared with docs 2/4/5 -> "c d"
+        (2, "x a b y"),      # -> "x y"
+        (3, "zz"),           # too short for any gram -> untouched
+        (4, "a b a b a"),    # overlapping dup spans -> "a" survives
+        (5, "a b"),          # fully covered -> empty string, row kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=2).collect()}
+    assert len(out) == 5
+    assert (out[1]["clean_text"], out[1]["removed_tokens"]) == ("c d", 2)
+    assert (out[2]["clean_text"], out[2]["removed_tokens"]) == ("x y", 2)
+    assert (out[3]["clean_text"], out[3]["removed_tokens"]) == ("zz", 0)
+    assert (out[4]["clean_text"], out[4]["removed_tokens"]) == ("a", 4)
+    assert (out[5]["clean_text"], out[5]["removed_tokens"]) == ("", 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(df, n=0)
