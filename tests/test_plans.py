@@ -387,3 +387,41 @@ def test_q140_repetition_two_shuffles_no_python(spark):
     assert n_exchanges == 2, p
     # partial aggregation before each exchange
     assert p.count("HashAggregate") >= 4
+
+
+def test_q145_dup_spans_no_cartesian_no_python(spark):
+    # inverted-index shape: gram aggregation + join back, per-doc
+    # aggs — never an all-pairs product, nothing Python
+    p = plan(ENTRY.queries()["q145_dup_span_coverage"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the duplicated-gram filter is a partial-aggregated HAVING
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q146_quantization_is_literal_folded_map(spark):
+    # after the collected grid stats, the declared coding query is a
+    # pure projection over the scan: ZERO exchanges, nothing Python
+    import re
+
+    p = plan(ENTRY.queries()["q146_quantize_embeddings"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q147_quantized_ann_broadcasts_queries(spark):
+    # same rank shape as the exact baseline: query side broadcast,
+    # corpus one pass, per-query window rank — nothing Python
+    p = plan(ENTRY.queries()["q147_quantized_ann"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p  # the declared scan shape
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q149_rewrite_no_cartesian_no_window(spark):
+    # covered positions anti-joined out; reassembly is sort_array over
+    # collect_list structs — no Window operator, no Python
+    p = plan(ENTRY.queries()["q149_remove_dup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
