@@ -693,17 +693,21 @@ def dup_span_coverage(
         .select("gram")
     )
     spans = grams.join(dup, on="gram")
+    # Each start position carries exactly ONE gram, so after exploding
+    # its n covered positions the start count is count(*)/n — using
+    # that instead of a second count_distinct keeps the aggregation a
+    # single-distinct plan (two distincts would force an Expand that
+    # doubles the exploded span relation before the shuffle).
     cov = (
         spans.select(
             F.col(id_col),
-            F.col("start"),
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + (n - 1))
             ).alias("pos"),
         )
         .groupBy(id_col)
         .agg(
-            F.count_distinct("start").alias("dup_starts"),
+            (F.count("*") / n).cast("long").alias("dup_starts"),
             F.count_distinct("pos").alias("covered_tokens"),
         )
     )

@@ -398,6 +398,9 @@ def test_q145_dup_spans_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the duplicated-gram filter is a partial-aggregated HAVING
     assert p.count("HashAggregate") >= 2
+    # single-distinct aggregation: dup_starts comes from count(*)/n,
+    # so no multi-distinct Expand doubles the exploded span relation
+    assert "Expand" not in p
 
 
 def test_q146_quantization_is_literal_folded_map(spark):
