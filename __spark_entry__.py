@@ -3043,6 +3043,22 @@ def q149_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/text.py
+    bpe_train): 6 merge rounds over the documents vocabulary — pair
+    counts weighted by word frequency, (count DESC, lhs, rhs) argmax,
+    greedy leftmost-first rewrite as a sequential fold. The corpus
+    collapses to the (word, freq) vocabulary ONCE; each round is one
+    partial-combined pair shuffle + TakeOrdered(1) + a literal-folded
+    rewrite map; exactly one row per round reaches the driver. The
+    twin unrolls all 6 rounds with DuckDB ``list_reduce`` making the
+    same fold decisions."""
+    from pagerank_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, merges=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3201,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_quantized_ann": q147_quantized_ann,
         "q148_skew_report": q148_skew_report,
         "q149_remove_dup_spans": q149_remove_dup_spans,
+        "q150_bpe_train": q150_bpe_train,
     }
 
 
@@ -6190,6 +6207,59 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """,
 )
+
+# q150 twin: the 6-round BPE unroll, generated mechanically — per
+# round a pair-count CTE, a (cnt DESC, a, b) argmax CTE, and a
+# list_reduce rewrite whose sentinel-guarded fold makes the same
+# leftmost-first merge decisions as the Catalyst aggregate fold.
+def _bpe_sql(merges: int) -> str:
+    parts = [
+        r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+words0 AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+w0 AS (
+  SELECT word, freq,
+         [substring(word, i, 1) for i in range(1, len(word) + 1)] AS syms
+  FROM words0
+)"""
+    ]
+    for r in range(1, merges + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT u.pair[1] AS a, u.pair[2] AS b, SUM(freq) AS cnt
+  FROM w{r - 1},
+       UNNEST([[syms[i], syms[i + 1]] for i in range(1, len(syms))])
+         AS u(pair)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{r} AS (
+  SELECT word, freq,
+         list_reduce(
+           [['<s>']] || [[x] for x in syms],
+           (acc, x) -> CASE
+             WHEN len(acc) > 1 AND acc[len(acc)] = b{r}.a
+                  AND x[1] = b{r}.b
+             THEN list_append(acc[1 : len(acc) - 1], b{r}.a || b{r}.b)
+             ELSE list_append(acc, x[1]) END
+         )[2:] AS syms
+  FROM w{r - 1} CROSS JOIN b{r}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS lhs, b AS rhs, a || b AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, merges + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+_oracle("q150_bpe_train", _bpe_sql(6))
 
 # q142 twin: SemDeDup over the augmented (original + 1.001x-scaled
 # planted copies) embedding set — the q141 unroll parameterized by a

@@ -148,6 +148,7 @@ def main() -> None:
         "q145_dup_span_coverage",
         "q146_quantize_embeddings",
         "q147_quantized_ann",
+        "q150_bpe_train",
     ]
 
     timings: dict[str, float] = {}

@@ -512,3 +512,98 @@ def repetition_signals(
             ).alias("passes_repetition"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    vocabulary-learning step of an LLM data pipeline, run as ``merges``
+    rounds of: count adjacent symbol pairs weighted by word frequency →
+    take the argmax pair (ties: count DESC, left ASC, right ASC) →
+    greedily merge its leftmost-first occurrences in every word.
+    Returns one row per learned merge::
+
+        (round, lhs, rhs, merged, pair_count)
+
+    Word-internal only (no end-of-word marker — documented
+    simplification); the merge rewrite is a sequential left fold, so
+    overlapping occurrences ("aaa" + merge a+a) collapse
+    leftmost-first, and any engine that folds sequentially reproduces
+    the vocabulary exactly (q150's DuckDB twin uses ``list_reduce``).
+
+    Scale shape: the corpus collapses to the (word, freq) VOCABULARY
+    relation first (one shuffle — corpus size only matters once);
+    each round is then one partial-combined pair-count shuffle over
+    the vocabulary, a TakeOrdered(1) argmax, and a literal-folded
+    codegen rewrite map. The driver sees exactly ONE row per round;
+    the plan is re-materialized per round (localCheckpoint) so
+    lineage stays O(1) across merges like the PageRank loop.
+    """
+    if merges < 1:
+        raise ValueError(f"bpe_train: merges must be >= 1, got {merges}")
+    toks = df.select(
+        F.explode(
+            F.filter(word_tokens(text_col), lambda x: x != "")
+        ).alias("word")
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    words = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", chars.alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+    out_rows = []
+    for rnd in range(1, merges + 1):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i + 1).alias("a"),
+                    F.element_at(F.col("syms"), i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            words.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"bpe_train: no adjacent pairs left at round {rnd}"
+            )
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        out_rows.append((rnd, a, b, a + b, cnt))
+        la, lb = F.lit(a), F.lit(b)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(la, lb)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(
+            "word", "freq", folded.alias("syms")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out_rows,
+        "round INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )

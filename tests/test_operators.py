@@ -1528,3 +1528,58 @@ def test_remove_duplicate_spans_rewrites_and_keeps_empty_docs(spark):
 
     with _pytest.raises(ValueError):
         remove_duplicate_spans(df, n=0)
+
+
+def _bpe_reference(corpus: list[str], merges: int):
+    """Pure-Python BPE with the operator's exact contract: pair counts
+    weighted by word frequency (overlapping adjacent pairs all count),
+    argmax ties broken (count DESC, lhs ASC, rhs ASC), greedy
+    leftmost-first sequential-fold rewrite."""
+    from collections import Counter
+
+    freqs = Counter(w for text in corpus for w in text.split())
+    words = {w: [list(w), f] for w, f in freqs.items()}
+    out = []
+    for rnd in range(1, merges + 1):
+        pairs: Counter = Counter()
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        assert pairs, "corpus exhausted"
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rnd, a, b, a + b, cnt))
+        for w, (syms, f) in words.items():
+            acc: list = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            words[w] = [acc, f]
+    return out
+
+
+def test_bpe_train_matches_reference_on_adversarial_corpus(spark):
+    from pagerank_spark.operators.text import bpe_train
+
+    # overlapping runs (aaaa), count ties resolved by symbol order,
+    # merged symbols that re-pair in later rounds (l+o, lo+w), and a
+    # single-char word that can never pair
+    corpus = [
+        "low low low lower lower newest newest widest",
+        "aaaa aaa x ababab low",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text STRING")
+    got = [tuple(r) for r in bpe_train(df, merges=6).collect()]
+    assert got == _bpe_reference(corpus, 6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(df, merges=0)
+    # a corpus of only single-char words has no pairs to merge
+    single = spark.createDataFrame([("x y z",)], "text STRING")
+    with _pytest.raises(ValueError):
+        bpe_train(single, merges=1)
