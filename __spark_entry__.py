@@ -3059,6 +3059,27 @@ def q150_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, merges=6)
 
 
+def q151_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application (operators/text.py
+    bpe_segment_stats): encode every document with the 6-merge q150
+    vocabulary and report per-doc word/char/token counts and
+    chars-per-token — the fertility number that judges a vocabulary.
+    Encoding is a single vocab join (no per-doc re-folding); the twin
+    joins the q150 unroll's final w6 relation back to the exploded
+    corpus."""
+    from pagerank_spark.operators.text import bpe_segment_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_segment_stats(docs, merges=6)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3218,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_skew_report": q148_skew_report,
         "q149_remove_dup_spans": q149_remove_dup_spans,
         "q150_bpe_train": q150_bpe_train,
+        "q151_bpe_segment_stats": q151_bpe_segment_stats,
     }
 
 
@@ -6260,6 +6282,36 @@ w{r} AS (
 
 
 _oracle("q150_bpe_train", _bpe_sql(6))
+
+
+def _bpe_apply_sql(merges: int) -> str:
+    """q151 twin: the q150 unroll's final vocabulary joined back to
+    the exploded corpus — per-doc word/char/token sums, the same
+    single-join application shape as the operator."""
+    base = _bpe_sql(merges)
+    head = base[: base.rindex("\nSELECT 1 AS round")]
+    return (
+        head
+        + f""",
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(len(d.word)) AS DOUBLE) / SUM(len(w.syms)), 6)
+         AS chars_per_token
+FROM docw d JOIN w{merges} w USING (word)
+GROUP BY d.doc_id
+"""
+    )
+
+
+_oracle("q151_bpe_segment_stats", _bpe_apply_sql(6))
 
 # q142 twin: SemDeDup over the augmented (original + 1.001x-scaled
 # planted copies) embedding set — the q141 unroll parameterized by a

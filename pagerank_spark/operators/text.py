@@ -542,6 +542,18 @@ def bpe_train(
     the plan is re-materialized per round (localCheckpoint) so
     lineage stays O(1) across merges like the PageRank loop.
     """
+    rows, _ = _bpe_loop(df, merges, text_col)
+    return df.sparkSession.createDataFrame(
+        rows,
+        "round INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+def _bpe_loop(
+    df: DataFrame, merges: int, text_col: str
+) -> tuple[list[tuple], DataFrame]:
+    """The shared BPE training loop: returns (merge rows, the final
+    (word, freq, syms) vocabulary DataFrame). See ``bpe_train``."""
     if merges < 1:
         raise ValueError(f"bpe_train: merges must be >= 1, got {merges}")
     toks = df.select(
@@ -603,7 +615,49 @@ def bpe_train(
         words = words.select(
             "word", "freq", folded.alias("syms")
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        out_rows,
-        "round INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    return out_rows, words
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: learn ``merges`` BPE
+    merges (``bpe_train``), then encode every document with the
+    resulting vocabulary and report per-document::
+
+        (id_col, n_words, n_chars, n_tokens, chars_per_token)
+
+    — the fertility/compression numbers that decide whether a learned
+    vocabulary is good enough for a training run.
+
+    The scale trick: encoding does NOT re-fold per document. The
+    trained vocabulary already holds each word's final segmentation,
+    so application is one join of the corpus's exploded words against
+    the (word, syms) vocabulary — broadcast when the vocab fits, a
+    plain shuffle join otherwise — followed by a per-doc sum. Corpus
+    text is touched exactly twice (once to build the vocab, once to
+    encode), never once per merge round.
+    """
+    _, vocab = _bpe_loop(df, merges, text_col)
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(word_tokens(text_col), lambda x: x != "")
+        ).alias("word"),
+    )
+    seg = vocab.select("word", F.size("syms").alias("__ntok"))
+    return (
+        doc_words.join(seg, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("__ntok").alias("n_tokens"),
+            (
+                F.sum(F.length("word")) / F.sum("__ntok")
+            ).alias("chars_per_token"),
+        )
     )

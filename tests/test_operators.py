@@ -1583,3 +1583,24 @@ def test_bpe_train_matches_reference_on_adversarial_corpus(spark):
     single = spark.createDataFrame([("x y z",)], "text STRING")
     with _pytest.raises(ValueError):
         bpe_train(single, merges=1)
+
+
+def test_bpe_segment_stats_fertility_per_doc(spark):
+    from pagerank_spark.operators.text import bpe_segment_stats
+
+    # merges learned corpus-wide: (l,o) cnt 5 then (lo,w) cnt 5 ->
+    # low=[low], lower=[low,e,r], newest=[n,e,w,e,s,t]
+    docs = [
+        (1, "low low low lower"),
+        (2, "lower newest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in bpe_segment_stats(df, merges=2).collect()}
+    assert (got[1]["n_words"], got[1]["n_chars"], got[1]["n_tokens"]) == (
+        4, 14, 6,
+    )
+    assert abs(got[1]["chars_per_token"] - 14 / 6) < 1e-12
+    assert (got[2]["n_words"], got[2]["n_chars"], got[2]["n_tokens"]) == (
+        2, 11, 9,
+    )
+    assert abs(got[2]["chars_per_token"] - 11 / 9) < 1e-12
