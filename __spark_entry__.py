@@ -3080,6 +3080,87 @@ def q151_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for
+    one region-year where the customer and the supplier share a
+    nation. All three dimensions (supplier, nation-filtered customer
+    side via nation⋈region) broadcast; only orders⋈lineitem shuffles,
+    on the order key; date bounds and the region filter reach the
+    scans."""
+    lo, hi = "1996-01-01", "1997-01-01"
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select("n_name", "revenue")
+    )
+
+
+def q153_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer over one quarter, top 20. Customer and
+    nation broadcast; the fact join shuffles once on the order key;
+    TakeOrdered caps the result."""
+    lo, hi = "1997-01-01", "1997-07-01"
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3240,6 +3321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_remove_dup_spans": q149_remove_dup_spans,
         "q150_bpe_train": q150_bpe_train,
         "q151_bpe_segment_stats": q151_bpe_segment_stats,
+        "q152_tpch_q5": q152_tpch_q5,
+        "q153_tpch_q10": q153_tpch_q10,
     }
 
 
@@ -6312,6 +6395,46 @@ GROUP BY d.doc_id
 
 
 _oracle("q151_bpe_segment_stats", _bpe_apply_sql(6))
+
+_oracle(
+    "q152_tpch_q5",
+    """
+SELECT n.n_name AS n_name,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+
+_oracle(
+    "q153_tpch_q10",
+    """
+WITH agg AS (
+  SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS c_acctbal,
+         n.n_name,
+         ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+FROM agg ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+)
 
 # q142 twin: SemDeDup over the augmented (original + 1.001x-scaled
 # planted copies) embedding set — the q141 unroll parameterized by a

@@ -428,3 +428,18 @@ def test_q149_rewrite_no_cartesian_no_window(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Window" not in p
+
+
+def test_q152_tpch_q5_broadcasts_all_dimensions(spark):
+    # only the fact⋈fact join may shuffle; every dimension broadcasts
+    p = plan(ENTRY.queries()["q152_tpch_q5"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q153_tpch_q10_takeordered_and_broadcasts(spark):
+    p = plan(ENTRY.queries()["q153_tpch_q10"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    # the returnflag filter must push to the lineitem scan
+    assert "l_returnflag" in p
