@@ -3161,6 +3161,25 @@ def q153_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q154_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC serving composition (operators/similarity.py
+    ann_ivf_adc): IVF list pruning AND int8 asymmetric scoring in one
+    plan — per-query work is n_probe/n_centroids of the corpus, over
+    codes instead of floats. Same query subset as q73/q147 so the
+    recall cost of each leg (pruning, quantization, both) is directly
+    comparable across the declared ANN family."""
+    from pagerank_spark.operators.similarity import ann_ivf_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = ann_ivf_adc(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, bits=8
+    )
+    return out.select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3323,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_bpe_segment_stats": q151_bpe_segment_stats,
         "q152_tpch_q5": q152_tpch_q5,
         "q153_tpch_q10": q153_tpch_q10,
+        "q154_ivf_adc": q154_ivf_adc,
     }
 
 
@@ -6412,6 +6432,73 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
+""",
+)
+
+# q154 twin: the q36 IVF assignment CTEs composed with the q147
+# quantize∘dequantize corpus — probed lists, asymmetric cosine
+# against the reconstructed vectors, the same rank shape.
+_oracle(
+    "q154_ivf_adc",
+    r"""
+WITH emb AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM emb
+),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i),
+hat AS (
+  SELECT c.id, c.i,
+         s.mn
+         + (CASE WHEN s.mx > s.mn
+                 THEN least(255, floor((c.x - s.mn)
+                      / ((s.mx - s.mn) / 255) + 0.5))
+                 ELSE 0 END)
+         * (CASE WHEN s.mx > s.mn THEN (s.mx - s.mn) / 255
+                 ELSE 0.0 END) AS xhat
+  FROM comp c JOIN stats s USING (i)
+),
+chat AS (SELECT id, list(xhat ORDER BY i) AS vhat FROM hat GROUP BY id),
+cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS cvec
+  FROM emb ORDER BY id LIMIT 16
+),
+aff AS (
+  SELECT e.id, c.cid,
+         list_dot_product(e.v, c.cvec)
+           / sqrt(list_dot_product(c.cvec, c.cvec)) AS affinity
+  FROM emb e CROSS JOIN cb c
+),
+ranked_aff AS (
+  SELECT id, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY affinity DESC, cid ASC
+         ) AS r
+  FROM aff
+),
+c_assign AS (SELECT id AS nb_id, cid FROM ranked_aff WHERE r = 1),
+q_assign AS (
+  SELECT id AS query_id, cid
+  FROM ranked_aff WHERE r <= 4 AND id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.nb_id,
+         ROUND(list_cosine_similarity(eq.v, ch.vhat), 6) AS cos
+  FROM q_assign q
+  JOIN c_assign c ON q.cid = c.cid
+  JOIN emb eq ON q.query_id = eq.id
+  JOIN chat ch ON c.nb_id = ch.id
+  WHERE q.query_id <> c.nb_id
+),
+topk AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, nb_id, cos, rank FROM topk WHERE rank <= 5
 """,
 )
 

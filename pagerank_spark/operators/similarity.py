@@ -700,9 +700,23 @@ def quantized_ann_topk(
         raise ValueError(f"quantized_ann_topk: bits must be in [1,16], got {bits}")
     levels = (1 << bits) - 1
     mn, scale = _grid_stats(corpus, vec_col, levels)
+    v = F.col(vec_col).cast("array<double>")
+    corpus_hat = corpus.select(
+        F.col(id_col),
+        F.transform(v, _dequant_fn(mn, scale, levels)).alias(vec_col),
+    )
+    return ann_topk_bruteforce(
+        corpus_hat, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _dequant_fn(mn: list[float], scale: list[float], levels: int):
+    """Quantize-then-reconstruct as a literal-folded element transform:
+    x̂_j = min_j + clamp(floor((x_j - min_j)/scale_j + 0.5), 0, levels) ·
+    scale_j — the shared coding rule of the quantization tier (exact
+    IEEE arithmetic, reproducible by any engine)."""
     mn_lit = F.array(*[F.lit(float(m)) for m in mn])
     sc_lit = F.array(*[F.lit(float(s)) for s in scale])
-    v = F.col(vec_col).cast("array<double>")
 
     def _dequant(x, i):
         m = F.element_at(mn_lit, i + 1)
@@ -715,9 +729,73 @@ def quantized_ann_topk(
         )
         return m + code * s
 
-    corpus_hat = corpus.select(
-        F.col(id_col), F.transform(v, _dequant).alias(vec_col)
+    return _dequant
+
+
+def ann_ivf_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """IVFADC — the FAISS billion-scale serving architecture (Jégou et
+    al. 2011; Johnson et al. 2017) composed from this tier's parts:
+    the corpus is partitioned into inverted lists by nearest centroid
+    (IVF) AND held quantized (here the int8 scalar grid standing in
+    for PQ); queries probe only their ``n_probe`` closest lists and
+    score asymmetrically (float query × reconstructed corpus). Work
+    per query is |corpus| · n_probe / n_centroids pairs over codes —
+    both the candidate PRUNING and the memory/shuffle COMPRESSION at
+    once. Same output schema as every ANN variant, so recall is
+    directly comparable. Seed codebook (``refine=0``) keeps the twin
+    engine-reproducible (q36's pattern); reconstruction is the shared
+    literal-folded coding rule, so the DuckDB twin (q154) is
+    value-exact at 6dp.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"ann_ivf_adc: bits must be in [1,16], got {bits}")
+    spark = corpus.sparkSession
+    codebook = spark.createDataFrame(
+        _centroids(corpus, id_col, vec_col, n_centroids, refine=0),
+        "cid INT, cvec ARRAY<DOUBLE>",
     )
-    return ann_topk_bruteforce(
-        corpus_hat, queries, k=k, id_col=id_col, vec_col=vec_col
+    levels = (1 << bits) - 1
+    mn, scale = _grid_stats(corpus, vec_col, levels)
+    v = F.col(vec_col).cast("array<double>")
+    c_assign = _assign_nearest(
+        corpus.select(F.col(id_col).alias("id"), v.alias("vec")), codebook, 1
+    )
+    c_hat = c_assign.select(
+        F.col("id").alias("nb_id"),
+        "cid",
+        F.transform("vec", _dequant_fn(mn, scale, levels)).alias("nb_vec"),
+    ).withColumn("nb_norm", l2_norm(F.col("nb_vec")))
+    q_assign = _assign_nearest(
+        queries.select(F.col(id_col).alias("id"), v.alias("vec")),
+        codebook,
+        n_probe,
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("query_vec"),
+        "cid",
+    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+    cos = F.round(
+        dot(F.col("query_vec"), F.col("nb_vec"))
+        / (F.col("query_norm") * F.col("nb_norm")),
+        6,
+    )
+    scored = (
+        q_assign.join(c_hat, on="cid")
+        .where(F.col("query_id") != F.col("nb_id"))
+        .select("query_id", "nb_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nb_id", "cos", "rank")
     )

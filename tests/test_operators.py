@@ -1604,3 +1604,36 @@ def test_bpe_segment_stats_fertility_per_doc(spark):
         2, 11, 9,
     )
     assert abs(got[2]["chars_per_token"] - 11 / 9) < 1e-12
+
+
+def test_ann_ivf_adc_matches_exact_within_probed_lists(spark):
+    from pagerank_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_ivf_adc,
+    )
+
+    # two tight blobs; seeds (first 2 ids) land one per blob, so with
+    # n_probe=1 each query scores only its own blob — and 8-bit
+    # reconstruction error is far below the in-blob cosine gaps, so
+    # the per-blob ranking must equal the exact baseline's
+    pts = [
+        (0, [1.0, 0.05, 0.0]), (1, [0.0, 0.1, 1.0]),
+        (2, [0.9, 0.0, 0.1]), (3, [0.05, 0.0, 0.95]),
+        (4, [0.95, 0.1, 0.05]), (5, [0.1, 0.05, 1.05]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = ann_ivf_adc(df, df, k=2, n_centroids=2, n_probe=1, bits=8)
+    got = {(r["query_id"], r["rank"]): r["nb_id"] for r in out.collect()}
+    exact = {
+        (r["query_id"], r["rank"]): r["nb_id"]
+        for r in ann_topk_bruteforce(df, df, k=5).collect()
+    }
+    # every query returns its 2 in-blob neighbors, in exact order
+    assert len(got) == 12
+    for (q, rank), nb in got.items():
+        assert exact[(q, rank)] == nb, (q, rank, nb)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ann_ivf_adc(df, df, bits=0)
