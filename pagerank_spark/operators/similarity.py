@@ -474,6 +474,10 @@ def pca_top_component(
     """
     import math
 
+    if iterations < 1:
+        raise ValueError(
+            f"pca_top_component: iterations must be >= 1, got {iterations}"
+        )
     v = F.col(vec_col).cast("array<double>")
     pts = df.select(v.alias("vec"))
     exploded = pts.select(F.posexplode("vec").alias("i", "x"))

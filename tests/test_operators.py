@@ -1359,6 +1359,8 @@ def test_pca_top_component_recovers_known_eigenpair(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError):
         pca_top_component(empty)
+    with _pytest.raises(ValueError):
+        pca_top_component(df, iterations=0)
 
 
 def test_pca_project_recovers_coordinates_shuffle_free(spark):
