@@ -3180,6 +3180,24 @@ def q154_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q155_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (operators/analytics.py
+    binary_auc): Mann-Whitney rank-sum of n_chars predicting
+    lang='en' — the classifier-evaluation primitive, with the integer
+    score domain forcing heavy tie-correction. One shuffle to the
+    distinct-score relation; the rank window sees score cardinality,
+    never corpus size."""
+    from pagerank_spark.operators.analytics import binary_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = binary_auc(
+        docs.select((F.col("lang") == "en").alias("y"), "n_chars"),
+        "y",
+        "n_chars",
+    )
+    return out.select("n_pos", "n_neg", F.round("auc", 9).alias("auc"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3343,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_tpch_q5": q152_tpch_q5,
         "q153_tpch_q10": q153_tpch_q10,
         "q154_ivf_adc": q154_ivf_adc,
+        "q155_binary_auc": q155_binary_auc,
     }
 
 
@@ -6432,6 +6451,36 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
+""",
+)
+
+# q155 twin: the same rank-sum — per-score counts, a prefix-sum
+# window over distinct scores, average ranks for ties.
+_oracle(
+    "q155_binary_auc",
+    r"""
+WITH s AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM s GROUP BY s
+),
+ranked AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (
+           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+       ROUND(
+         (SUM(pos * (before + (cnt + 1) / 2.0))
+            - SUM(pos) * (SUM(pos) + 1) / 2.0)
+         / (SUM(pos) * (SUM(cnt) - SUM(pos))), 9) AS auc
+FROM ranked
 """,
 )
 

@@ -110,3 +110,56 @@ def cohort_retention(
         .groupBy(F.col("cohort").cast("long").alias("cohort"), "offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def binary_auc(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC via the Mann-Whitney rank-sum —
+    how a corpus-quality classifier gets evaluated before its scores
+    gate a training mix. Returns one row::
+
+        (n_pos, n_neg, auc)
+
+    with ``auc = (Σ_pos avg_rank − P(P+1)/2) / (P·N)`` where tied
+    scores share the average of their positional ranks (the exact
+    trapezoidal-ROC value).
+
+    Scale shape: the corpus collapses to the DISTINCT-SCORE relation
+    first (one partial-combined shuffle carrying (score, count,
+    pos_count)); the rank prefix-sum window then runs over that
+    bounded relation — scores are compared at full precision, but
+    their distinct count, not the corpus size, is what the
+    single-partition window sees (round scores upstream if the score
+    domain is genuinely unbounded). Never sorts the corpus, never a
+    pairwise O(n²) comparison.
+    """
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    g = s.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.withColumn(
+        "before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn(
+        "avg_rank", F.col("before") + (F.col("cnt") + 1) / 2.0
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        (
+            (
+                F.sum(F.col("pos") * F.col("avg_rank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos")))
+        ).alias("auc"),
+    )

@@ -1639,3 +1639,29 @@ def test_ann_ivf_adc_matches_exact_within_probed_lists(spark):
 
     with _pytest.raises(ValueError):
         ann_ivf_adc(df, df, bits=0)
+
+
+def test_binary_auc_matches_pairwise_definition(spark):
+    from pagerank_spark.operators.analytics import binary_auc
+
+    rows = [(1, 3.0), (1, 2.0), (1, 2.0), (0, 1.0), (0, 2.0), (0, 0.0)]
+    df = spark.createDataFrame(rows, "y INT, score DOUBLE")
+    got = binary_auc(df, "y", "score").collect()[0]
+    # pairwise: P(s_pos > s_neg) + 0.5 P(tie) over all 9 pairs
+    pos = [3.0, 2.0, 2.0]
+    neg = [1.0, 2.0, 0.0]
+    expected = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert (got["n_pos"], got["n_neg"]) == (3, 3)
+    assert abs(got["auc"] - expected) < 1e-12
+
+    # degenerate orderings pin the endpoints
+    perfect = spark.createDataFrame(
+        [(1, 5.0), (1, 4.0), (0, 1.0), (0, 2.0)], "y INT, score DOUBLE"
+    )
+    assert binary_auc(perfect, "y", "score").collect()[0]["auc"] == 1.0
+    random_ties = spark.createDataFrame(
+        [(1, 1.0), (0, 1.0)], "y INT, score DOUBLE"
+    )
+    assert binary_auc(random_ties, "y", "score").collect()[0]["auc"] == 0.5
