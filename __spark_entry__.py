@@ -3198,6 +3198,32 @@ def q155_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_pos", "n_neg", F.round("auc", 9).alias("auc"))
 
 
+def q156_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-threshold tuning (operators/analytics.py
+    pr_at_thresholds): precision/recall/F1 of ``n_chars >= t``
+    predicting lang='en' over a 4-point cutoff grid. One
+    distinct-score shuffle + a broadcast threshold join — the corpus
+    is scanned once for the whole grid."""
+    from pagerank_spark.operators.analytics import pr_at_thresholds
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pr_at_thresholds(
+        docs.select((F.col("lang") == "en").alias("y"), "n_chars"),
+        "y",
+        "n_chars",
+        [100.0, 150.0, 200.0, 250.0],
+    )
+    return out.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1", 9).alias("f1"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3362,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_tpch_q10": q153_tpch_q10,
         "q154_ivf_adc": q154_ivf_adc,
         "q155_binary_auc": q155_binary_auc,
+        "q156_pr_thresholds": q156_pr_thresholds,
     }
 
 
@@ -6481,6 +6508,41 @@ SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
             - SUM(pos) * (SUM(pos) + 1) / 2.0)
          / (SUM(pos) * (SUM(cnt) - SUM(pos))), 9) AS auc
 FROM ranked
+""",
+)
+
+# q156 twin: per-score counts crossed with the threshold VALUES grid,
+# conditional sums, the same NULL conventions for undefined ratios.
+_oracle(
+    "q156_pr_thresholds",
+    r"""
+WITH s AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM s GROUP BY s),
+th(threshold) AS (VALUES (100.0), (150.0), (200.0), (250.0)),
+agg AS (
+  SELECT threshold,
+         SUM(CASE WHEN s >= threshold THEN pos ELSE 0 END) AS tp,
+         SUM(CASE WHEN s >= threshold THEN cnt - pos ELSE 0 END) AS fp,
+         SUM(CASE WHEN s < threshold THEN pos ELSE 0 END) AS fn
+  FROM g CROSS JOIN th GROUP BY threshold
+),
+m AS (
+  SELECT threshold, tp, fp, fn,
+         CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+         CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS r
+  FROM agg
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(p, 9) AS precision, ROUND(r, 9) AS recall,
+       ROUND(CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+                  THEN 2 * p * r / (p + r) END, 9) AS f1
+FROM m
 """,
 )
 

@@ -163,3 +163,74 @@ def binary_auc(
             / (F.sum("pos") * (F.sum("cnt") - F.sum("pos")))
         ).alias("auc"),
     )
+
+
+def pr_at_thresholds(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision/recall/F1 of the rule ``score >= t`` at each
+    threshold — how a curation gate's cutoff is actually tuned after
+    ``binary_auc`` says the score ranks well. Returns one row per
+    threshold::
+
+        (threshold, tp, fp, fn, precision, recall, f1)
+
+    (precision is NULL when nothing is predicted positive; F1 NULL
+    when precision+recall is 0).
+
+    Scale shape: the same distinct-score collapse as ``binary_auc``
+    (one partial-combined shuffle), then a broadcast join against the
+    literal threshold grid and one |thresholds|-row aggregation — the
+    corpus is scanned once for the whole grid, not once per cutoff.
+    """
+    if not thresholds:
+        raise ValueError("pr_at_thresholds: thresholds must be non-empty")
+    spark = df.sparkSession
+    s = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    g = s.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold DOUBLE"
+    )
+    pred = F.col("s") >= F.col("threshold")
+    agg = (
+        g.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred, F.col("pos")).otherwise(0)).alias("tp"),
+            F.sum(
+                F.when(pred, F.col("cnt") - F.col("pos")).otherwise(0)
+            ).alias("fp"),
+            F.sum(F.when(~pred, F.col("pos")).otherwise(0)).alias("fn"),
+        )
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        precision.isNotNull()
+        & recall.isNotNull()
+        & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return agg.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -1665,3 +1665,30 @@ def test_binary_auc_matches_pairwise_definition(spark):
         [(1, 1.0), (0, 1.0)], "y INT, score DOUBLE"
     )
     assert binary_auc(random_ties, "y", "score").collect()[0]["auc"] == 0.5
+
+
+def test_pr_at_thresholds_confusion_and_null_conventions(spark):
+    from pagerank_spark.operators.analytics import pr_at_thresholds
+
+    rows = [(1, 5.0), (1, 3.0), (0, 4.0), (0, 1.0)]
+    df = spark.createDataFrame(rows, "y INT, score DOUBLE")
+    got = {
+        r["threshold"]: r
+        for r in pr_at_thresholds(df, "y", "score", [0.0, 4.0, 10.0]).collect()
+    }
+    # t=0: everything predicted positive
+    assert (got[0.0]["tp"], got[0.0]["fp"], got[0.0]["fn"]) == (2, 2, 0)
+    assert got[0.0]["precision"] == 0.5 and got[0.0]["recall"] == 1.0
+    # t=4: one true positive (5.0), one false positive (4.0)
+    assert (got[4.0]["tp"], got[4.0]["fp"], got[4.0]["fn"]) == (1, 1, 1)
+    assert got[4.0]["f1"] == 0.5
+    # t=10: nothing predicted positive -> precision and f1 NULL
+    assert (got[10.0]["tp"], got[10.0]["fp"], got[10.0]["fn"]) == (0, 0, 2)
+    assert got[10.0]["precision"] is None
+    assert got[10.0]["recall"] == 0.0
+    assert got[10.0]["f1"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pr_at_thresholds(df, "y", "score", [])
