@@ -775,15 +775,15 @@ def remove_duplicate_spans(
         .where(F.col("__docs") > 1)
         .select("gram")
     )
-    covered = (
-        grams.join(dup, on="gram")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # No distinct on the covered positions: a left-anti join is an
+    # existence check, so right-side duplicates (overlapping spans)
+    # are harmless — skipping the dedup saves one aggregation pass on
+    # the span relation.
+    covered = grams.join(dup, on="gram").select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (n - 1))
+        ).alias("pos"),
     )
     tokens = base.select(
         F.col(id_col), F.posexplode("t").alias("pos", "tok")
