@@ -3224,6 +3224,25 @@ def q156_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution entropy + type-token ratio
+    (operators/text.py token_entropy): the repetitiveness/diversity
+    curation signal. One explode, one partial-combined count shuffle,
+    one per-doc agg carrying Σc, vocab, and Σ c·ln c together — no
+    second pass, no window. 6dp rounding absorbs libm ln ulps."""
+    from pagerank_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_entropy(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "vocab",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("ttr", 6).alias("ttr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3389,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_ivf_adc": q154_ivf_adc,
         "q155_binary_auc": q155_binary_auc,
         "q156_pr_thresholds": q156_pr_thresholds,
+        "q157_token_entropy": q157_token_entropy,
     }
 
 
@@ -6508,6 +6528,29 @@ SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
             - SUM(pos) * (SUM(pos) + 1) / 2.0)
          / (SUM(pos) * (SUM(cnt) - SUM(pos))), 9) AS auc
 FROM ranked
+""",
+)
+
+# q157 twin: per-(doc, word) counts, the same ln n − Σ c ln c / n
+# rearrangement, 6dp rounding on the log-bearing outputs.
+_oracle(
+    "q157_token_entropy",
+    r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr
+FROM counts GROUP BY doc_id
 """,
 )
 

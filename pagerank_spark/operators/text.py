@@ -661,3 +661,52 @@ def bpe_segment_stats(
             ).alias("chars_per_token"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the repetitiveness / diversity quality signal
+    (low entropy = boilerplate or degenerate repetition, a standard
+    curation filter alongside the Gopher gates). Returns::
+
+        (id_col, n_tokens, vocab, entropy, ttr)
+
+    with ``entropy = -Σ p_w ln p_w`` over the document's word
+    frequencies and ``ttr = vocab / n_tokens``.
+
+    Plan: one explode to (doc, word), one partial-combined count
+    shuffle, one per-doc aggregation of ``-p ln p`` — all codegen, no
+    window, no Python; empty/whitespace-only documents are dropped by
+    the explode (they have no token distribution).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(word_tokens(text_col), lambda x: x != "")
+        ).alias("word"),
+    )
+    counts = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    # H = -Σ (c/n) ln(c/n) = ln n − (Σ c ln c)/n — one aggregation
+    # carries all three sums, no second pass over the counts
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "vocab",
+            (
+                F.log("n_tokens")
+                - F.col("__clogc") / F.col("n_tokens")
+            ).alias("entropy"),
+            (F.col("vocab") / F.col("n_tokens")).alias("ttr"),
+        )
+    )

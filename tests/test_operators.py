@@ -1692,3 +1692,22 @@ def test_pr_at_thresholds_confusion_and_null_conventions(spark):
 
     with _pytest.raises(ValueError):
         pr_at_thresholds(df, "y", "score", [])
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from pagerank_spark.operators.text import token_entropy
+
+    docs = [
+        (1, "a a b"),      # H = ln3 - (2 ln2)/3
+        (2, "x y z"),      # uniform: H = ln3
+        (3, "a a a a"),    # degenerate: H = 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["vocab"]) == (3, 2)
+    assert abs(got[1]["entropy"] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
+    assert abs(got[1]["ttr"] - 2 / 3) < 1e-12
+    assert abs(got[2]["entropy"] - math.log(3)) < 1e-12
+    assert got[3]["entropy"] == 0.0 and got[3]["ttr"] == 0.25
