@@ -3243,6 +3243,29 @@ def q157_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event stream (operators/analytics.py
+    ewma, α=0.25 — exactly binary-representable so 1−α is too): the
+    smoothing/anomaly-baseline recurrence as a sequential Catalyst
+    fold per key — one shuffle, per-key memory bounded by series
+    length, no window over the full table. The twin makes the same
+    fold with list_reduce, so every smoothed value matches at 6dp."""
+    from pagerank_spark.operators.analytics import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.25, id_col="event_id")
+    # explicit floor(+0.5) rounding: the folded doubles land exactly ON
+    # 5e-7 boundaries (2dp inputs x binary-exact 0.25 powers), where
+    # engine ROUND conventions disagree — the quantization tier's tie
+    # rule makes both engines break ties identically (values are >= 0)
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.floor(F.col("ewma") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3409,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_binary_auc": q155_binary_auc,
         "q156_pr_thresholds": q156_pr_thresholds,
         "q157_token_entropy": q157_token_entropy,
+        "q158_ewma": q158_ewma,
     }
 
 
@@ -6528,6 +6552,33 @@ SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
             - SUM(pos) * (SUM(pos) + 1) / 2.0)
          / (SUM(pos) * (SUM(cnt) - SUM(pos))), 9) AS auc
 FROM ranked
+""",
+)
+
+# q158 twin: the identical sequential fold via list_reduce — the
+# first element IS e_0 = x_0, each step appends α·x + (1−α)·last.
+_oracle(
+    "q158_ewma",
+    r"""
+WITH g AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT user_id, ids, vs,
+         list_reduce(
+           [[v] for v in vs],
+           (acc, x) -> list_append(acc, 0.25 * x[1] + 0.75 * acc[len(acc)])
+         ) AS es
+  FROM g
+)
+SELECT user_id,
+       ids[u.i] AS event_id,
+       vs[u.i] AS value,
+       floor(es[u.i] * 1e6 + 0.5) / 1e6 AS ewma
+FROM f, UNNEST(range(1, len(ids) + 1)) AS u(i)
 """,
 )
 

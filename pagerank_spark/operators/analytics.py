@@ -234,3 +234,71 @@ def pr_at_thresholds(
         recall.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    smoothing/anomaly-baseline primitive: ``e_i = α·x_i + (1−α)·e_{i−1}``
+    with ``e_0 = x_0`` over each key's time-ordered series. Returns
+    one row per input event::
+
+        (key_col, id_col?, ts_col, value_col, ewma)
+
+    The recurrence is a SEQUENTIAL left fold, so it is computed as
+    one: collect each key's (ts-ordered) series, fold it with a
+    Catalyst ``aggregate`` (codegen, executor-side), posexplode back
+    — one shuffle on the key, per-key memory bounded by the series
+    length (use the streaming tier's stateful ops for unbounded
+    keys). Exactly the same fold an engine with ``list_reduce``
+    makes, so the DuckDB twin (q158) is value-exact at the shared
+    rounding; pick α with an exact binary representation (0.25,
+    0.5…) to keep 1−α exact too.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    order_cols = [ts_col] + ([id_col] if id_col else [])
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    g = df.groupBy(key_col).agg(srt.alias("series"))
+    a, b = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    folded = F.aggregate(
+        F.transform(F.col("series"), lambda s: s["__v"]),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.concat(acc, F.array(a * x + b * F.element_at(acc, -1)))
+        ),
+    )
+    out_cols = [F.col("s")[c].alias(c) for c in order_cols] + [
+        F.col("s")["__v"].alias(value_col),
+        F.col("e").alias("ewma"),
+    ]
+    return (
+        g.withColumn("ewmas", folded)
+        .select(
+            key_col,
+            F.posexplode(
+                F.zip_with(
+                    "series",
+                    "ewmas",
+                    lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+                )
+            ).alias("__pos", "z"),
+        )
+        .select(key_col, F.col("z.s").alias("s"), F.col("z.e").alias("e"))
+        .select(key_col, *out_cols)
+    )

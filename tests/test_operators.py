@@ -1711,3 +1711,23 @@ def test_token_entropy_hand_values(spark):
     assert abs(got[1]["ttr"] - 2 / 3) < 1e-12
     assert abs(got[2]["entropy"] - math.log(3)) < 1e-12
     assert got[3]["entropy"] == 0.0 and got[3]["ttr"] == 0.25
+
+
+def test_ewma_recurrence_per_key(spark):
+    from pagerank_spark.operators.analytics import ewma
+
+    rows = [("u", 1, 4.0), ("u", 2, 8.0), ("u", 3, 0.0), ("v", 1, 2.0)]
+    df = spark.createDataFrame(rows, "k STRING, ts INT, x DOUBLE")
+    got = {
+        (r["k"], r["ts"]): r["ewma"]
+        for r in ewma(df, "k", "ts", "x", alpha=0.25).collect()
+    }
+    # e1=4; e2=.25*8+.75*4=5; e3=.75*5=3.75; v restarts at its own x0
+    assert got == {("u", 1): 4.0, ("u", 2): 5.0, ("u", 3): 3.75, ("v", 1): 2.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewma(df, "k", "ts", "x", alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma(df, "k", "ts", "x", alpha=1.5)
