@@ -3266,6 +3266,18 @@ def q158_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus (graph/walks.py random_walks): one
+    4-step walk per source node, each step hash-selecting a neighbor
+    from the dst-sorted adjacency — RNG-free, so the whole corpus is
+    engine-reproducible and the twin unrolls the same four joins.
+    Frontier joins only; no driver participation; dangling nodes end
+    their walk early but keep the row."""
+    from pagerank_spark.graph.walks import random_walks
+
+    return random_walks(_edges(spark, sf_dir), steps=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3433,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_pr_thresholds": q156_pr_thresholds,
         "q157_token_entropy": q157_token_entropy,
         "q158_ewma": q158_ewma,
+        "q159_random_walks": q159_random_walks,
     }
 
 
@@ -6554,6 +6567,50 @@ SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
 FROM ranked
 """,
 )
+
+# q159 twin: the walk unrolled — indexed adjacency, per-step LEFT
+# joins picking idx = md5-hash(cur#t) % deg, the same path/len
+# accumulation with dangling nodes keeping their shorter row.
+def _walks_sql(steps: int) -> str:
+    parts = [
+        SQL_EDGES.rstrip(),
+        """,
+adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM edges
+),
+s0 AS (
+  SELECT src AS start, src AS cur, CAST(src AS VARCHAR) AS path,
+         1 AS walk_len
+  FROM (SELECT DISTINCT src FROM edges)
+)""",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""",
+s{t} AS (
+  SELECT s.start,
+         a.dst AS cur,
+         CASE WHEN a.dst IS NOT NULL
+              THEN s.path || '->' || CAST(a.dst AS VARCHAR)
+              ELSE s.path END AS path,
+         CASE WHEN a.dst IS NOT NULL THEN s.walk_len + 1
+              ELSE s.walk_len END AS walk_len
+  FROM s{t - 1} s
+  LEFT JOIN deg d ON s.cur = d.src
+  LEFT JOIN adj a ON a.src = s.cur
+       AND a.idx = CAST('0x' || substr(md5(CAST(s.cur AS VARCHAR)
+                        || '#{t}'), 1, 15) AS BIGINT) % d.deg
+)"""
+        )
+    parts.append(
+        f"\nSELECT start, path, CAST(walk_len AS INT) AS walk_len FROM s{steps}"
+    )
+    return "".join(parts)
+
+
+_oracle("q159_random_walks", _walks_sql(4))
 
 # q158 twin: the identical sequential fold via list_reduce — the
 # first element IS e_0 = x_0, each step appends α·x + (1−α)·last.

@@ -1,0 +1,87 @@
+"""Deterministic random-walk corpus generation (DeepWalk / node2vec
+style, Perozzi et al. 2014) — the graph-embedding training-data step:
+emit one fixed-length walk per source node, where every step picks the
+next neighbor with a portable hash instead of an RNG, so the corpus is
+reproducible by ANY engine (and by the DuckDB twin, q159).
+
+Scale shape: the adjacency is indexed ONCE (per-src row_number — a
+per-key bounded window), then each step is one equi-join of the walk
+frontier against (degree, adjacency) on the current node — walk count
+× O(1) rows per step, the standard distributed neighbor-sampling plan
+(GraphSAGE-style). No RNG state, no driver participation; a walk that
+reaches a dangling node simply stops growing (kept, shorter path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions import portable_hash60
+
+
+def random_walks(edges: DataFrame, steps: int = 4) -> DataFrame:
+    """One walk per distinct source node: ``(start, path, walk_len)``
+    with ``path`` the '->'-joined node sequence. Step ``t`` from node
+    ``v`` picks neighbor index ``hash60(v || '#' || t) % out_deg(v)``
+    over the dst-sorted adjacency — multi-edges keep their
+    multiplicity (a doubled edge is picked twice as often), matching
+    the unnormalized sampling of the walk corpus.
+    """
+    if steps < 1:
+        raise ValueError(f"random_walks: steps must be >= 1, got {steps}")
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = edges.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    state = (
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.col("src").alias("cur"),
+            F.col("src").cast("string").alias("path"),
+            F.lit(1).alias("walk_len"),
+        )
+    )
+    for t in range(1, steps + 1):
+        pick = F.pmod(
+            portable_hash60(
+                F.concat(F.col("cur").cast("string"), F.lit(f"#{t}"))
+            ),
+            F.col("deg"),
+        )
+        step = (
+            state.join(deg, state["cur"] == deg["src"], "left")
+            .withColumn("__pick", pick)
+            .drop("src", "deg")
+        )
+        step = (
+            step.join(
+                adj,
+                (step["cur"] == adj["src"]) & (step["__pick"] == adj["idx"]),
+                "left",
+            )
+            .select(
+                "start",
+                F.col("dst").alias("cur"),
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.concat(
+                        F.col("path"),
+                        F.lit("->"),
+                        F.col("dst").cast("string"),
+                    ),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.when(
+                    F.col("dst").isNotNull(), F.col("walk_len") + 1
+                )
+                .otherwise(F.col("walk_len"))
+                .alias("walk_len"),
+            )
+        )
+        state = step
+    return state.select("start", "path", F.col("walk_len").cast("int").alias("walk_len"))

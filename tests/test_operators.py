@@ -1731,3 +1731,41 @@ def test_ewma_recurrence_per_key(spark):
         ewma(df, "k", "ts", "x", alpha=0.0)
     with _pytest.raises(ValueError):
         ewma(df, "k", "ts", "x", alpha=1.5)
+
+
+def test_random_walks_match_reference_walker(spark):
+    import hashlib
+
+    from pagerank_spark.graph.walks import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 1), (4, 3), (4, 3)]  # 3 dangling; 4->3 doubled
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {1: [2, 3], 2: [1], 4: [3, 3]}
+
+    def walk(start: int, steps: int):
+        path, cur = [start], start
+        for t in range(1, steps + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = nbrs[h60(f"{cur}#{t}") % len(nbrs)]
+            path.append(cur)
+        return "->".join(map(str, path)), len(path)
+
+    got = {r["start"]: (r["path"], r["walk_len"])
+           for r in random_walks(df, steps=3).collect()}
+    assert set(got) == {1, 2, 4}  # one walk per SOURCE node
+    for s in (1, 2, 4):
+        assert got[s] == walk(s, 3), (s, got[s])
+    # node 4's walk must reach the dangling node 3 and stop early
+    assert got[4][0].startswith("4->3")
+    assert got[4][1] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_walks(df, steps=0)
