@@ -3278,6 +3278,19 @@ def q159_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(_edges(spark, sf_dir), steps=4)
 
 
+def q160_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair counts over the q159 walk corpus
+    (graph/walks.py skipgram_pairs, window=2): the node2vec
+    training-data emission. Window pairing is an equi-join on (walk,
+    position) after a constant 2·window offset fan-out — no theta
+    join; one partial-combined count shuffle."""
+    from pagerank_spark.graph.walks import random_walks, skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3446,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_token_entropy": q157_token_entropy,
         "q158_ewma": q158_ewma,
         "q159_random_walks": q159_random_walks,
+        "q160_skipgram_pairs": q160_skipgram_pairs,
     }
 
 
@@ -6611,6 +6625,31 @@ s{t} AS (
 
 
 _oracle("q159_random_walks", _walks_sql(4))
+
+# q160 twin: positions from the unrolled walk paths, the same
+# offset-fan-out equi-join, grouped pair counts.
+_oracle(
+    "q160_skipgram_pairs",
+    _walks_sql(4).replace(
+        "\nSELECT start, path, CAST(walk_len AS INT) AS walk_len FROM s4",
+        r""",
+toks AS (
+  SELECT start AS wid, u.i - 1 AS i,
+         CAST(parts[u.i] AS BIGINT) AS node
+  FROM (SELECT start, string_split(path, '->') AS parts FROM s4),
+       UNNEST(range(1, len(parts) + 1)) AS u(i)
+),
+centers AS (
+  SELECT wid, node AS center, i + d.d AS j
+  FROM toks, UNNEST([-2, -1, 1, 2]) AS d(d)
+)
+SELECT c.center, t.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM centers c JOIN toks t ON c.wid = t.wid AND c.j = t.i
+GROUP BY c.center, t.node
+""",
+    ),
+)
 
 # q158 twin: the identical sequential fold via list_reduce — the
 # first element IS e_0 = x_0, each step appends α·x + (1−α)·last.

@@ -85,3 +85,44 @@ def random_walks(edges: DataFrame, steps: int = 4) -> DataFrame:
         )
         state = step
     return state.select("start", "path", F.col("walk_len").cast("int").alias("walk_len"))
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, path_col: str = "path"
+) -> DataFrame:
+    """Skip-gram training-pair emission over a walk corpus — the step
+    that turns DeepWalk paths into (center, context) examples for the
+    embedding model. Returns ``(center, context, cnt)`` aggregated
+    over every co-occurrence within ``window`` positions (offset 0
+    excluded).
+
+    Plan: positions are exploded once; the window pairing is an
+    EQUI-join — each position emits its 2·window candidate offsets
+    (tiny constant fan-out) and joins back on (walk, position) — so
+    no band/theta join and no per-walk quadratic blowup; one final
+    partial-combined count shuffle.
+    """
+    if window < 1:
+        raise ValueError(f"skipgram_pairs: window must be >= 1, got {window}")
+    toks = walks.select(
+        F.col("start").alias("wid"),
+        F.posexplode(
+            F.split(F.col(path_col), "->").cast("array<long>")
+        ).alias("i", "node"),
+    )
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    centers = toks.select(
+        "wid",
+        F.col("node").alias("center"),
+        F.explode(
+            F.array(*[F.col("i") + F.lit(d) for d in offsets])
+        ).alias("j"),
+    )
+    return (
+        centers.join(
+            toks.select("wid", F.col("i").alias("j"), F.col("node").alias("context")),
+            on=["wid", "j"],
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -1769,3 +1769,30 @@ def test_random_walks_match_reference_walker(spark):
 
     with _pytest.raises(ValueError):
         random_walks(df, steps=0)
+
+
+def test_skipgram_pairs_window_counts(spark):
+    from pagerank_spark.graph.walks import skipgram_pairs
+
+    # one walk 1->2->3, window 1: symmetric adjacent pairs only
+    walks = spark.createDataFrame(
+        [(1, "1->2->3", 3)], "start LONG, path STRING, walk_len INT"
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    assert got == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}
+
+    # window 2 adds the distance-2 pair both ways
+    got2 = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got2[(1, 3)] == 1 and got2[(3, 1)] == 1
+    assert sum(got2.values()) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
