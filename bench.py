@@ -149,6 +149,7 @@ def main() -> None:
         "q146_quantize_embeddings",
         "q147_quantized_ann",
         "q150_bpe_train",
+        "q159_random_walks",
     ]
 
     timings: dict[str, float] = {}
