@@ -3291,6 +3291,27 @@ def q160_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q161_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI weighting of the q160 co-occurrence relation
+    (graph/walks.py ppmi_matrix) — the count-based embedding matrix
+    skip-gram implicitly factorizes (Levy & Goldberg 2014). Two
+    node-sized marginals broadcast back onto one pass of the pair
+    table; no self-join. 6dp rounding absorbs ln ulps."""
+    from pagerank_spark.graph.walks import (
+        ppmi_matrix,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    pairs = skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+    out = ppmi_matrix(pairs)
+    return out.select(
+        "center", "context", "cnt", F.round("ppmi", 6).alias("ppmi")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3460,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_ewma": q158_ewma,
         "q159_random_walks": q159_random_walks,
         "q160_skipgram_pairs": q160_skipgram_pairs,
+        "q161_ppmi": q161_ppmi,
     }
 
 
@@ -6626,11 +6648,10 @@ s{t} AS (
 
 _oracle("q159_random_walks", _walks_sql(4))
 
-# q160 twin: positions from the unrolled walk paths, the same
-# offset-fan-out equi-join, grouped pair counts.
-_oracle(
-    "q160_skipgram_pairs",
-    _walks_sql(4).replace(
+# q160/q161 twins share the walk-position CTEs: positions from the
+# unrolled walk paths, the same offset-fan-out equi-join.
+def _skipgram_sql(final_select: str) -> str:
+    return _walks_sql(4).replace(
         "\nSELECT start, path, CAST(walk_len AS INT) AS walk_len FROM s4",
         r""",
 toks AS (
@@ -6642,12 +6663,39 @@ toks AS (
 centers AS (
   SELECT wid, node AS center, i + d.d AS j
   FROM toks, UNNEST([-2, -1, 1, 2]) AS d(d)
+),
+pairs AS (
+  SELECT c.center, t.node AS context,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM centers c JOIN toks t ON c.wid = t.wid AND c.j = t.i
+  GROUP BY c.center, t.node
 )
-SELECT c.center, t.node AS context,
-       CAST(COUNT(*) AS BIGINT) AS cnt
-FROM centers c JOIN toks t ON c.wid = t.wid AND c.j = t.i
-GROUP BY c.center, t.node
-""",
+"""
+        + final_select,
+    )
+
+
+_oracle(
+    "q160_skipgram_pairs",
+    _skipgram_sql("SELECT center, context, cnt FROM pairs"),
+)
+
+# q161 twin: the same pair relation with broadcast-shaped marginals
+# and the ln(cnt·N/(pc·px)) positive part.
+_oracle(
+    "q161_ppmi",
+    _skipgram_sql(
+        r"""
+SELECT p.center, p.context, p.cnt,
+       ROUND(greatest(0.0,
+         ln(CAST(p.cnt AS DOUBLE) * (SELECT SUM(cnt) FROM pairs)
+            / (pc.s * px.s))), 6) AS ppmi
+FROM pairs p
+JOIN (SELECT center, SUM(cnt) AS s FROM pairs GROUP BY center) pc
+  ON p.center = pc.center
+JOIN (SELECT context, SUM(cnt) AS s FROM pairs GROUP BY context) px
+  ON p.context = px.context
+"""
     ),
 )
 

@@ -126,3 +126,37 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def ppmi_matrix(pairs: DataFrame) -> DataFrame:
+    """Positive pointwise mutual information over a (center, context,
+    cnt) co-occurrence relation — the classic count-based embedding
+    matrix (Levy & Goldberg 2014 showed skip-gram factorizes exactly
+    this). ``ppmi = max(0, ln(cnt·N / (cnt_center · cnt_context)))``.
+
+    Plan: two marginal aggregations (node-sized relations, broadcast
+    back onto the pair table) and one scalar total folded in as a
+    broadcast — the pair relation is traversed once; no self-join, no
+    window. Rounding is left to the caller (ln is libm-sensitive).
+    """
+    totals = pairs.agg(F.sum("cnt").alias("__n"))
+    pc = pairs.groupBy("center").agg(F.sum("cnt").alias("__pc"))
+    px = pairs.groupBy("context").agg(F.sum("cnt").alias("__px"))
+    return (
+        pairs.join(F.broadcast(pc), on="center")
+        .join(F.broadcast(px), on="context")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "center",
+            "context",
+            "cnt",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.col("cnt").cast("double")
+                    * F.col("__n")
+                    / (F.col("__pc") * F.col("__px"))
+                ),
+            ).alias("ppmi"),
+        )
+    )

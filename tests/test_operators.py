@@ -1796,3 +1796,20 @@ def test_skipgram_pairs_window_counts(spark):
 
     with _pytest.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+def test_ppmi_hand_values(spark):
+    import math
+
+    from pagerank_spark.graph.walks import ppmi_matrix
+
+    # N=4; pc(a)=3 pc(c)=1; px(b)=2 px(d)=2
+    # (a,b): ln(2*4/(3*2)) = ln(4/3) > 0
+    # (c,d): ln(1*4/(1*2)) = ln 2 > 0
+    # (a,d): ln(1*4/(3*2)) = ln(2/3) < 0 -> clamps to 0
+    pairs = [("a", "b", 2), ("c", "d", 1), ("a", "d", 1)]
+    df = spark.createDataFrame(pairs, "center STRING, context STRING, cnt LONG")
+    got = {(r["center"], r["context"]): r["ppmi"] for r in ppmi_matrix(df).collect()}
+    assert abs(got[("a", "b")] - math.log(4 / 3)) < 1e-12
+    assert abs(got[("c", "d")] - math.log(2)) < 1e-12
+    assert got[("a", "d")] == 0.0
