@@ -3312,6 +3312,43 @@ def q161_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across three committed versions
+    (pagerank_spark/table.py table_changes — the Delta CDF analogue):
+    base snapshot → MERGE-upsert (q105's delta) → DELETE (% 16 keys),
+    then the v0→v2 diff emits insert / delete / update_preimage /
+    update_postimage rows from ONE null-safe full-outer join —
+    O(|v0| + |v2|) however many versions lie between. The twin
+    rebuilds both endpoint snapshots relationally and classifies with
+    NOT EXISTS + IS DISTINCT FROM."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pagerank_spark import table as tbl
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("tp"),
+    )
+    base = o.where(F.col("o_orderkey") % 4 == 0)
+    delta = (
+        o.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("tp", F.round(F.col("tp") * 2, 2))
+        .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "psq162_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v0 = tbl.write_table(base, root)
+    tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
+    v2 = tbl.delete_where(spark, root, F.col("o_orderkey") % 16 == 0)
+    return tbl.table_changes(spark, root, v0, v2, keys=["o_orderkey"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3482,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_random_walks": q159_random_walks,
         "q160_skipgram_pairs": q160_skipgram_pairs,
         "q161_ppmi": q161_ppmi,
+        "q162_table_changes": q162_table_changes,
     }
 
 
@@ -6571,6 +6609,44 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
+""",
+)
+
+# q162 twin: both endpoint snapshots rebuilt relationally (base;
+# MERGE as anti-join + UNION ALL; DELETE as a filter), then the CDF
+# classification via NOT EXISTS / IS DISTINCT FROM.
+_oracle(
+    "q162_table_changes",
+    r"""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS tp
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderkey % 4 = 0),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey % 8 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, ROUND(tp * 2, 2) AS tp
+  FROM o WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT * FROM o WHERE o_orderkey % 4 = 1
+),
+after AS (SELECT * FROM merged WHERE o_orderkey % 16 <> 0)
+SELECT a.o_orderkey, a.o_orderstatus, a.tp, 'insert' AS _change_type
+FROM after a
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = a.o_orderkey)
+UNION ALL
+SELECT b.o_orderkey, b.o_orderstatus, b.tp, 'delete'
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM after a WHERE a.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT b.o_orderkey, b.o_orderstatus, b.tp, 'update_preimage'
+FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
+WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
+UNION ALL
+SELECT a.o_orderkey, a.o_orderstatus, a.tp, 'update_postimage'
+FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
+WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
 """,
 )
 

@@ -288,3 +288,91 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, n_rows long, is_current boolean"
     )
+
+
+
+def delete_where(spark: SparkSession, root: str, condition) -> int:
+    """DELETE: commit a new snapshot without the rows matching
+    ``condition`` (a boolean Column). Copy-on-write like every other
+    mutation here — the old snapshot stays readable for time travel
+    and change feeds."""
+    return write_table(read_table(spark, root).where(~condition), root)
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change data feed between two committed versions — the Delta
+    CDF analogue that lets a downstream consumer (feature store,
+    search index, incremental aggregate) apply a DIFF instead of
+    re-reading the table. Emits the keyed snapshot delta with a
+    ``_change_type`` column: ``insert``, ``delete``,
+    ``update_preimage`` (old values) / ``update_postimage`` (new
+    values); unchanged rows emit nothing.
+
+    Plan: literal presence markers on both sides, ONE NULL-safe
+    full-outer join on the key (the only shuffle), change
+    classification and image emission as a codegen
+    array-of-structs explode. Cost is O(|v_from| + |v_to|) however
+    many versions lie between — the contract that makes incremental
+    consumers cheap at 100 TB.
+    """
+    old = read_table(spark, root, version=v_from)
+    new = read_table(spark, root, version=v_to)
+    cols = old.columns
+    if cols != new.columns:
+        raise ValueError(
+            f"table_changes: column set changed between v{v_from} and "
+            f"v{v_to}; the diff requires a stable schema"
+        )
+    if not keys:
+        raise ValueError("table_changes: keys must be non-empty")
+    o = old.select(
+        F.lit(1).alias("__op"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.lit(1).alias("__np"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    cond = [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    has_old = F.col("__op").isNotNull()
+    has_new = F.col("__np").isNotNull()
+    old_img = F.struct(*[F.col(f"__o_{c}").alias(c) for c in cols])
+    new_img = F.struct(*[F.col(f"__n_{c}").alias(c) for c in cols])
+    # NULL-safe struct comparison so a null field never turns an
+    # unchanged row into an update (or hides a real change)
+    changed = ~old_img.eqNullSafe(new_img)
+    # no otherwise(): an unchanged both-sides row leaves the array
+    # NULL and explode() drops it — exactly the "emit nothing" case
+    emit = (
+        F.when(
+            has_old & ~has_new,
+            F.array(F.struct(F.lit("delete").alias("ct"), old_img.alias("img"))),
+        )
+        .when(
+            ~has_old & has_new,
+            F.array(F.struct(F.lit("insert").alias("ct"), new_img.alias("img"))),
+        )
+        .when(
+            has_old & has_new & changed,
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("ct"), old_img.alias("img")
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("ct"), new_img.alias("img")
+                ),
+            ),
+        )
+    )
+    exploded = j.select(F.explode(emit).alias("e"))
+    return exploded.select(
+        *[F.col(f"e.img.{c}").alias(c) for c in cols],
+        F.col("e.ct").alias("_change_type"),
+    )

@@ -260,3 +260,36 @@ def test_zorder_key_bit_budget_and_null_guard(spark):
     nulls = spark.createDataFrame([(None, None)], "a long, b long")
     got = nulls.withColumn("z", _zorder_key(nulls, ["a", "b"])).collect()
     assert got[0]["z"] == 0
+
+
+def test_table_changes_emits_all_change_types(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "cdf")
+    v0 = T.write_table(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    T.upsert_table(spark, _df(spark, [(2, "B"), (4, "d")]), root, keys=["k"])
+    v2 = T.delete_where(spark, root, F.col("k") == 3)
+    got = sorted(
+        tuple(r) for r in T.table_changes(spark, root, v0, v2, ["k"]).collect()
+    )
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+    # unchanged row (k=1) emits nothing; identical endpoints diff empty
+    assert T.table_changes(spark, root, v2, v2, ["k"]).count() == 0
+
+    with pytest.raises(ValueError):
+        T.table_changes(spark, root, v0, v2, [])
+    # schema drift between endpoints is refused
+    T.upsert_table(
+        spark,
+        spark.createDataFrame([(9, "z", 1.0)], "k long, val string, extra double"),
+        root,
+        keys=["k"],
+        evolve_schema=True,
+    )
+    with pytest.raises(ValueError):
+        T.table_changes(spark, root, v0, T.current_version(root), ["k"])
