@@ -3349,6 +3349,55 @@ def q162_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.table_changes(spark, root, v0, v2, keys=["o_orderkey"])
 
 
+def q163_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate refresh from the change feed
+    (operators/relational.py apply_cdf_to_sums): the per-status
+    (count, revenue) aggregate materialized at v0 is refreshed with
+    the q162 CDF — and must equal a from-scratch aggregate of v2,
+    which is exactly what the twin computes over the reconstructed
+    endpoint. O(|cdf|) refresh, no join against the base table."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pagerank_spark import table as tbl
+    from pagerank_spark.operators.relational import apply_cdf_to_sums
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("tp"),
+    )
+    base = o.where(F.col("o_orderkey") % 4 == 0)
+    delta = (
+        o.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("tp", F.round(F.col("tp") * 2, 2))
+        .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "psq163_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v0 = tbl.write_table(base, root)
+    tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
+    v2 = tbl.delete_where(spark, root, F.col("o_orderkey") % 16 == 0)
+    agg0 = (
+        tbl.read_table(spark, root, version=v0)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("tp").alias("tp"))
+    )
+    cdf = tbl.table_changes(spark, root, v0, v2, keys=["o_orderkey"])
+    refreshed = apply_cdf_to_sums(
+        agg0, cdf, keys=["o_orderstatus"], sum_cols=["tp"]
+    )
+    return refreshed.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round("tp", 2).alias("revenue"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3520,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_skipgram_pairs": q160_skipgram_pairs,
         "q161_ppmi": q161_ppmi,
         "q162_table_changes": q162_table_changes,
+        "q163_cdf_refresh": q163_cdf_refresh,
     }
 
 
@@ -6647,6 +6697,32 @@ UNION ALL
 SELECT a.o_orderkey, a.o_orderstatus, a.tp, 'update_postimage'
 FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
 WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
+""",
+)
+
+# q163 twin: the ground truth the incremental refresh must equal — a
+# from-scratch aggregate over the reconstructed v2 endpoint.
+_oracle(
+    "q163_cdf_refresh",
+    r"""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS tp
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderkey % 4 = 0),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey % 8 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, ROUND(tp * 2, 2) AS tp
+  FROM o WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT * FROM o WHERE o_orderkey % 4 = 1
+),
+after AS (SELECT * FROM merged WHERE o_orderkey % 16 <> 0)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(tp), 2) AS revenue
+FROM after GROUP BY o_orderstatus
 """,
 )
 

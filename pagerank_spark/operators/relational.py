@@ -568,3 +568,45 @@ def skew_report(
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def apply_cdf_to_sums(
+    agg: DataFrame,
+    cdf: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Refresh a keyed (COUNT, SUMs) aggregate from a change data feed
+    (``table.table_changes``) instead of recomputing over the table:
+    inserts and update-postimages add, deletes and update-preimages
+    subtract; a group whose refreshed count reaches zero disappears —
+    exactly ``agg(v_to)``, at O(|cdf|) cost.
+
+    This is the CDF's consumer contract: together with
+    ``merge_grouped_partials`` it keeps a 100 TB materialized
+    aggregate fresh for the price of the delta. One union + one
+    partial-combined groupBy; no join against the base table.
+    """
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = cdf.select(
+        *keys,
+        sign.alias("__s"),
+        *[F.col(c) for c in sum_cols],
+    ).select(
+        *keys,
+        F.col("__s").alias(count_col),
+        *[(F.col(c) * F.col("__s")).alias(c) for c in sum_cols],
+    )
+    return (
+        agg.select(*keys, count_col, *sum_cols)
+        .unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        .where(F.col(count_col) > 0)
+    )

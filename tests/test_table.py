@@ -293,3 +293,40 @@ def test_table_changes_emits_all_change_types(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         T.table_changes(spark, root, v0, T.current_version(root), ["k"])
+
+
+def test_apply_cdf_to_sums_equals_recompute_and_drops_empty_groups(
+    spark, tmp_path
+):
+    from pagerank_spark.operators.relational import apply_cdf_to_sums
+
+    root = str(tmp_path / "cdf2")
+    rows0 = [(1, "g1", 10.0), (2, "g1", 5.0), (3, "g2", 7.0)]
+    df0 = spark.createDataFrame(rows0, "k long, g string, x double")
+    v0 = T.write_table(df0, root)
+    # update k=2 (g1), delete k=3 (g2 vanishes entirely), insert k=4 (g3)
+    T.upsert_table(
+        spark,
+        spark.createDataFrame([(2, "g1", 6.0), (4, "g3", 1.0)],
+                              "k long, g string, x double"),
+        root,
+        keys=["k"],
+    )
+    v2 = T.delete_where(spark, root, F.col("k") == 3)
+    agg0 = df0.groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("x").alias("x")
+    )
+    cdf = T.table_changes(spark, root, v0, v2, ["k"])
+    got = {
+        r["g"]: (r["n_rows"], r["x"])
+        for r in apply_cdf_to_sums(agg0, cdf, ["g"], ["x"]).collect()
+    }
+    expect = {
+        r["g"]: (r["n_rows"], r["x"])
+        for r in T.read_table(spark, root)
+        .groupBy("g")
+        .agg(F.count("*").alias("n_rows"), F.sum("x").alias("x"))
+        .collect()
+    }
+    assert got == expect == {"g1": (2, 16.0), "g3": (1, 1.0)}
+    assert "g2" not in got  # emptied group must disappear
