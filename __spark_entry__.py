@@ -3398,6 +3398,32 @@ def q163_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight exact join-size prediction (operators/relational.py
+    join_cardinality): |lineitem ⋈ events ON key| computed from the
+    two per-key COUNT relations — the data tables are never joined.
+    lineitem keyed by l_orderkey % 512 against events keyed by
+    user_id % 512 makes a genuinely multiplicative many-to-many, the
+    case this pre-flight exists to catch."""
+    from pagerank_spark.operators.relational import join_cardinality
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 512).alias("k")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 512).alias("k")
+    )
+    out = join_cardinality(li, ev, ["k"], top_n=10)
+    return out.select(
+        "k",
+        "pairs",
+        "total_pairs",
+        F.round("blowup_left", 6).alias("blowup_left"),
+        F.round("blowup_right", 6).alias("blowup_right"),
+        "rank",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3570,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_ppmi": q161_ppmi,
         "q162_table_changes": q162_table_changes,
         "q163_cdf_refresh": q163_cdf_refresh,
+        "q164_join_cardinality": q164_join_cardinality,
     }
 
 
@@ -6697,6 +6724,40 @@ UNION ALL
 SELECT a.o_orderkey, a.o_orderstatus, a.tp, 'update_postimage'
 FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
 WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
+""",
+)
+
+# q164 twin: the same count-relation join, scalar totals, row_number
+# with the (pairs DESC, key) tie rule.
+_oracle(
+    "q164_join_cardinality",
+    r"""
+WITH la AS (
+  SELECT l_orderkey % 512 AS k, COUNT(*) AS ca
+  FROM lineitem GROUP BY 1
+),
+rb AS (
+  SELECT user_id % 512 AS k, COUNT(*) AS cb FROM events GROUP BY 1
+),
+p AS (
+  SELECT la.k, CAST(ca * cb AS BIGINT) AS pairs FROM la JOIN rb USING (k)
+),
+tot AS (
+  SELECT CAST(SUM(pairs) AS DOUBLE) AS t FROM p
+),
+nl AS (SELECT COUNT(*) AS n FROM lineitem),
+nr AS (SELECT COUNT(*) AS n FROM events),
+ranked AS (
+  SELECT k, pairs,
+         ROW_NUMBER() OVER (ORDER BY pairs DESC, k ASC) AS rank
+  FROM p
+)
+SELECT k, pairs,
+       CAST((SELECT t FROM tot) AS BIGINT) AS total_pairs,
+       ROUND((SELECT t FROM tot) / (SELECT n FROM nl), 6) AS blowup_left,
+       ROUND((SELECT t FROM tot) / (SELECT n FROM nr), 6) AS blowup_right,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
 """,
 )
 

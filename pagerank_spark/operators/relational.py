@@ -610,3 +610,56 @@ def apply_cdf_to_sums(
         )
         .where(F.col(count_col) > 0)
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    top_n: int = 5,
+) -> DataFrame:
+    """Pre-flight EXACT join-size prediction — run this (cost: two
+    count aggregations over the inputs) before keying a 100 TB join
+    to catch multiplicative blowup: ``|A ⋈ B| = Σ_k cntA(k)·cntB(k)``.
+    Returns the ``top_n`` heaviest output keys plus the global
+    numbers replicated on every row::
+
+        (keys..., pairs, total_pairs, blowup_left, blowup_right, rank)
+
+    where ``blowup_left = total_pairs / |A|`` (how many output rows
+    each left row fans out to, on average). A single key contributing
+    most of ``total_pairs`` is the salting signal ``skew_report``
+    then quantifies per side.
+
+    Plan: per-side key counts (map-side combined), an equi-join of
+    the two COUNT relations (key-cardinality-sized, not data-sized),
+    a scalar aggregate broadcast back, TakeOrdered for the top keys.
+    The data tables are never joined.
+    """
+    if not keys:
+        raise ValueError("join_cardinality: keys must be non-empty")
+    if top_n < 1:
+        raise ValueError(f"join_cardinality: top_n must be >= 1, got {top_n}")
+    la = left.groupBy(*keys).agg(F.count("*").alias("__ca"))
+    rb = right.groupBy(*keys).agg(F.count("*").alias("__cb"))
+    pairs = la.join(rb, on=keys).select(
+        *keys, (F.col("__ca") * F.col("__cb")).alias("pairs")
+    )
+    totals = pairs.agg(F.sum("pairs").alias("__tot"))
+    n_left = left.count()
+    n_right = right.count()
+    top = pairs.orderBy(
+        F.desc("pairs"), *[F.asc(k) for k in keys]
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("pairs"), *[F.asc(k) for k in keys])
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "pairs",
+            F.col("__tot").cast("long").alias("total_pairs"),
+            (F.col("__tot") / F.lit(float(n_left))).alias("blowup_left"),
+            (F.col("__tot") / F.lit(float(n_right))).alias("blowup_right"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -1813,3 +1813,28 @@ def test_ppmi_hand_values(spark):
     assert abs(got[("a", "b")] - math.log(4 / 3)) < 1e-12
     assert abs(got[("c", "d")] - math.log(2)) < 1e-12
     assert got[("a", "d")] == 0.0
+
+
+def test_join_cardinality_predicts_exact_size(spark):
+    from pagerank_spark.operators.relational import join_cardinality
+
+    a = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 1 + [("z",)] * 2, "k STRING"
+    )
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "k STRING")
+    out = join_cardinality(a, b, ["k"], top_n=5).collect()
+    got = {r["k"]: r for r in out}
+    # x: 3*4=12, y: 1*2=2, z: no match -> absent; total 14
+    assert set(got) == {"x", "y"}
+    assert got["x"]["pairs"] == 12 and got["x"]["rank"] == 1
+    assert got["y"]["pairs"] == 2
+    assert got["x"]["total_pairs"] == 14
+    # prediction equals the real join size
+    assert a.join(b, on="k").count() == 14
+    assert abs(got["x"]["blowup_left"] - 14 / 6) < 1e-12
+    assert abs(got["x"]["blowup_right"] - 14 / 6) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        join_cardinality(a, b, [])
