@@ -3424,6 +3424,55 @@ def q164_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q165_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization (operators/relational.py winsorize):
+    events.value clipped into its event_type's [p05, p95] band. The
+    bound pass is the mergeable GK sketch (accuracy 1e6 → rank error
+    < 1 row at oracle scale, q85's trick) and the bounds relation
+    broadcasts back — one scan, no window over the raw stream."""
+    from pagerank_spark.operators.relational import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(ev, ["event_type"], "value", lower=0.05, upper=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("__lo", 2).alias("lo"),
+        F.round("__hi", 2).alias("hi"),
+        F.round("value_clipped", 2).alias("value_clipped"),
+    )
+
+
+def q166_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (operators/analytics.py psi_report):
+    PSI of events.value between even and odd user cohorts on a pinned
+    0..100 grid of 10 buckets (+under/overflow) with 0.5 additive
+    smoothing. Two aggregation passes over the data, a ≤12-row
+    full-outer join, scalar totals broadcast back. 6dp rounding
+    absorbs ln ulps."""
+    from pagerank_spark.operators.analytics import psi_report
+
+    ev = load_table(spark, sf_dir, "events")
+    out = psi_report(
+        ev.where(F.col("user_id") % 2 == 0),
+        ev.where(F.col("user_id") % 2 == 1),
+        "value",
+        0.0,
+        100.0,
+        n_buckets=10,
+    )
+    return out.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("contrib", 9).alias("contrib"),
+        F.round("psi", 9).alias("psi"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3597,6 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_table_changes": q162_table_changes,
         "q163_cdf_refresh": q163_cdf_refresh,
         "q164_join_cardinality": q164_join_cardinality,
+        "q165_winsorize": q165_winsorize,
+        "q166_psi_drift": q166_psi_drift,
     }
 
 
@@ -6724,6 +6775,65 @@ UNION ALL
 SELECT a.o_orderkey, a.o_orderstatus, a.tp, 'update_postimage'
 FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
 WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
+""",
+)
+
+# q166 twin: the same pinned-grid bucket counts, full-outer join of
+# the two count relations, identical 0.5-smoothed contributions.
+_oracle(
+    "q166_psi_drift",
+    r"""
+WITH r AS (
+  SELECT CAST(CASE WHEN value < 0 THEN 0
+              WHEN value >= 100.0 THEN 11
+              ELSE floor(value / 10.0) + 1 END AS BIGINT) AS bucket,
+         COUNT(*) AS n_ref
+  FROM events WHERE user_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT CAST(CASE WHEN value < 0 THEN 0
+              WHEN value >= 100.0 THEN 11
+              ELSE floor(value / 10.0) + 1 END AS BIGINT) AS bucket,
+         COUNT(*) AS n_cur
+  FROM events WHERE user_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         COALESCE(n_ref, 0) AS n_ref,
+         COALESCE(n_cur, 0) AS n_cur
+  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+),
+t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+s AS (
+  SELECT bucket, n_ref, n_cur,
+         ((n_cur + 0.5) / ((SELECT tc FROM t) + 6.0)
+          - (n_ref + 0.5) / ((SELECT tr FROM t) + 6.0))
+         * ln(((n_cur + 0.5) / ((SELECT tc FROM t) + 6.0))
+              / ((n_ref + 0.5) / ((SELECT tr FROM t) + 6.0))) AS contrib
+  FROM j
+)
+SELECT bucket, n_ref, n_cur,
+       ROUND(contrib, 9) AS contrib,
+       ROUND((SELECT SUM(contrib) FROM s), 9) AS psi
+FROM s
+""",
+)
+
+# q165 twin: quantile_disc bounds per group (rank-exact match for the
+# accuracy-1e6 GK sketch, q85's equivalence), clip via least/greatest.
+_oracle(
+    "q165_winsorize",
+    r"""
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(b.lo, 2) AS lo, ROUND(b.hi, 2) AS hi,
+       ROUND(least(greatest(e.value, b.lo), b.hi), 2) AS value_clipped
+FROM events e JOIN b USING (event_type)
 """,
 )
 

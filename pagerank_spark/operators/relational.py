@@ -663,3 +663,40 @@ def join_cardinality(
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Group-wise percentile capping (winsorization) — the numeric
+    outlier treatment in feature/metric curation: each value is
+    clipped into its group's ``[p_lower, p_upper]`` band. Adds
+    ``__lo``, ``__hi`` and ``{value_col}_clipped``.
+
+    The bounds come from ``approx_percentile`` (Greenwald-Khanna) —
+    the single-pass MERGEABLE sketch, so the bound pass is one
+    partial-combined aggregation however large the group; the bounds
+    relation is group-cardinality-sized and broadcasts back onto one
+    scan of the data. At oracle scale the sketch's rank error is < 1
+    row (q85's trick), making the declared query hash-exact.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"winsorize: need 0 <= lower < upper <= 1, got {lower}, {upper}"
+        )
+    q = F.expr(
+        f"approx_percentile({value_col}, array({lower}, {upper}), 1000000)"
+    )
+    bounds = df.groupBy(*keys).agg(q.alias("__q")).select(
+        *keys,
+        F.col("__q")[0].alias("__lo"),
+        F.col("__q")[1].alias("__hi"),
+    )
+    return df.join(F.broadcast(bounds), on=keys).withColumn(
+        f"{value_col}_clipped",
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    )

@@ -1838,3 +1838,49 @@ def test_join_cardinality_predicts_exact_size(spark):
 
     with _pytest.raises(ValueError):
         join_cardinality(a, b, [])
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from pagerank_spark.operators.relational import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 21)] + [("h", 1000.0)] * 3
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    out = winsorize(df, ["k"], "v", lower=0.1, upper=0.9).collect()
+    g = [r for r in out if r["k"] == "g"]
+    lo, hi = g[0]["__lo"], g[0]["__hi"]
+    assert 1.0 <= lo < hi <= 20.0
+    for r in g:
+        assert r["v_clipped"] == min(max(r["v"], lo), hi)
+    # values inside the band are untouched
+    assert any(r["v_clipped"] == r["v"] for r in g)
+    # a constant group clips to itself
+    h = [r for r in out if r["k"] == "h"]
+    assert all(r["v_clipped"] == 1000.0 for r in h)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, ["k"], "v", lower=0.9, upper=0.1)
+
+
+def test_psi_report_zero_on_identical_positive_on_shift(spark):
+    from pagerank_spark.operators.analytics import psi_report
+
+    a = spark.createDataFrame([(float(v),) for v in range(100)], "x DOUBLE")
+    same = psi_report(a, a, "x", 0.0, 100.0, n_buckets=10).collect()
+    assert all(abs(r["contrib"]) < 1e-15 for r in same)
+    assert abs(same[0]["psi"]) < 1e-15
+
+    b = spark.createDataFrame(
+        [(float(v) + 50.0,) for v in range(100)], "x DOUBLE"
+    )
+    drift = psi_report(a, b, "x", 0.0, 100.0, n_buckets=10).collect()
+    psi = drift[0]["psi"]
+    assert psi > 0.25  # half the mass moved out of range: clear drift
+    # overflow bucket (11) exists on the current side
+    assert any(r["bucket"] == 11 and r["n_cur"] > 0 for r in drift)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_report(a, b, "x", 5.0, 5.0)
