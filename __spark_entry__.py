@@ -3473,6 +3473,40 @@ def q166_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-2 shuffle of the documents corpus into 4
+    reader shards (operators/curation.py epoch_shuffle): md5(id#epoch)
+    drives both shard and within-shard order, so every epoch is a
+    fresh reproducible permutation with per-shard (parallel) windows
+    and no global sort."""
+    from pagerank_spark.operators.curation import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, epoch=2, n_shards=4)
+
+
+def q168_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SQL front door: the same engine queried through
+    ``spark.sql`` over registered temp views — a user of the
+    reference's query surface can type ANSI SQL at this engine and
+    Catalyst plans it identically to the DataFrame API (this query's
+    twin is literally the same SQL text handed to DuckDB)."""
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS n_name,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3648,6 +3682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_join_cardinality": q164_join_cardinality,
         "q165_winsorize": q165_winsorize,
         "q166_psi_drift": q166_psi_drift,
+        "q167_epoch_shuffle": q167_epoch_shuffle,
+        "q168_sql_interface": q168_sql_interface,
     }
 
 
@@ -6775,6 +6811,42 @@ UNION ALL
 SELECT a.o_orderkey, a.o_orderstatus, a.tp, 'update_postimage'
 FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
 WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
+""",
+)
+
+# q167 twin: the same md5 key (portable_hash60's DuckDB form), shard
+# by mod, per-shard row_number ordered by (key, id).
+_oracle(
+    "q167_epoch_shuffle",
+    r"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e2'),
+                             1, 15) AS BIGINT) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k % 4 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY k % 4 ORDER BY k, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM keyed
+""",
+)
+
+# q168 twin: the identical SQL text — the Spark side runs it through
+# spark.sql over temp views, DuckDB over its views.
+_oracle(
+    "q168_sql_interface",
+    """
+SELECT n.n_name AS n_name,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
 """,
 )
 

@@ -467,3 +467,47 @@ __all__ = [
     "pack_sequences",
     "sample_weighted",
 ]
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle + sharding — how a
+    training run orders its data: every epoch gets a DIFFERENT but
+    fully REPRODUCIBLE permutation (seeded by the epoch number, no
+    RNG state to checkpoint), split into ``n_shards`` reader shards.
+    Returns ``(id_col, shard, pos)`` with ``pos`` the 0-based reading
+    position within the shard.
+
+    Plan: the shuffle key is ``md5(id || '#' || epoch)`` — shard =
+    key mod n_shards (one hash partition step), position = row_number
+    ordered by the hash WITHIN the shard (per-shard window, so the
+    sort parallelizes across shards; no global ordering exists and
+    none is needed — readers consume shards independently).
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch_shuffle: epoch must be >= 0, got {epoch}")
+    if n_shards < 1:
+        raise ValueError(
+            f"epoch_shuffle: n_shards must be >= 1, got {n_shards}"
+        )
+    from pyspark.sql import Window
+
+    from pagerank_spark.functions import portable_hash60
+
+    key = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#e{epoch}"))
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("__key"),
+        )
+        .withColumn("shard", F.pmod(F.col("__key"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

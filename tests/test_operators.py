@@ -1884,3 +1884,33 @@ def test_psi_report_zero_on_identical_positive_on_shift(spark):
 
     with _pytest.raises(ValueError):
         psi_report(a, b, "x", 5.0, 5.0)
+
+
+def test_epoch_shuffle_reproducible_partition(spark):
+    from pagerank_spark.operators.curation import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id LONG")
+    e2a = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in epoch_shuffle(df, epoch=2, n_shards=4).collect()}
+    e2b = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in epoch_shuffle(df, epoch=2, n_shards=4).collect()}
+    e3 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in epoch_shuffle(df, epoch=3, n_shards=4).collect()}
+    assert e2a == e2b                      # reproducible
+    assert e2a != e3                       # epochs permute differently
+    assert len(e2a) == 100                 # exhaustive, no dup/drop
+    # positions within each shard are 0..len-1 exactly
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for shard, pos in e2a.values():
+        shards[shard].append(pos)
+    for s, ps in shards.items():
+        assert sorted(ps) == list(range(len(ps))), s
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, epoch=-1, n_shards=4)
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, epoch=0, n_shards=0)
