@@ -3507,6 +3507,20 @@ def q168_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_maximal_independent_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic Luby MIS over the derived graph
+    (graph/components.py maximal_independent_set, 3 rounds): the
+    distributed symmetry-breaking classic with hash priorities
+    instead of RNG, so the selected set is engine-reproducible and
+    the twin unrolls the identical three rounds. Per round one join +
+    one min-agg over the shrinking live subgraph."""
+    from pagerank_spark.graph.components import maximal_independent_set
+
+    return maximal_independent_set(_edges(spark, sf_dir), rounds=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3684,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_psi_drift": q166_psi_drift,
         "q167_epoch_shuffle": q167_epoch_shuffle,
         "q168_sql_interface": q168_sql_interface,
+        "q169_maximal_independent_set": q169_maximal_independent_set,
     }
 
 
@@ -6813,6 +6828,74 @@ FROM base b JOIN after a ON b.o_orderkey = a.o_orderkey
 WHERE (b.o_orderstatus, b.tp) IS DISTINCT FROM (a.o_orderstatus, a.tp)
 """,
 )
+
+# q169 twin: three Luby rounds unrolled — symmetrized live subgraph,
+# fixed-width string priorities (16-hex hash || 8-digit id), winners
+# where the priority beats every live neighbor's MIN.
+def _mis_pri_sql(expr: str, r: int) -> str:
+    return (
+        f"lpad(hex(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) "
+        f"|| '#m{r}'), 1, 15) AS BIGINT)), 16, '0') "
+        f"|| lpad(CAST({expr} AS VARCHAR), 8, '0')"
+    )
+
+
+def _mis_sql(rounds: int) -> str:
+    parts = [
+        SQL_EDGES.rstrip(),
+        """,
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+  )
+),
+alive0 AS (SELECT DISTINCT src AS node FROM und),
+live0 AS (SELECT src, dst FROM und)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+nm{r} AS (
+  SELECT src AS node, MIN({_mis_pri_sql('dst', r)}) AS mn
+  FROM live{r - 1} GROUP BY src
+),
+w{r} AS (
+  SELECT a.node FROM alive{r - 1} a
+  LEFT JOIN nm{r} m ON a.node = m.node
+  WHERE m.mn IS NULL OR {_mis_pri_sql('a.node', r)} < m.mn
+),
+d{r} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM live{r - 1} e JOIN w{r} w ON e.src = w.node
+  WHERE e.dst NOT IN (SELECT node FROM w{r})
+),
+gone{r} AS (
+  SELECT node FROM w{r} UNION ALL SELECT node FROM d{r}
+),
+live{r} AS (
+  SELECT src, dst FROM live{r - 1}
+  WHERE src NOT IN (SELECT node FROM gone{r})
+    AND dst NOT IN (SELECT node FROM gone{r})
+),
+alive{r} AS (
+  SELECT node FROM alive{r - 1}
+  WHERE node NOT IN (SELECT node FROM gone{r})
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT node, 'in_set' AS status FROM w{r}\n"
+        f"UNION ALL\nSELECT node, 'dominated' AS status FROM d{r}"
+        for r in range(1, rounds + 1)
+    )
+    final += (
+        f"\nUNION ALL\nSELECT node, 'undecided' AS status FROM alive{rounds}"
+    )
+    return "".join(parts) + "\n" + final
+
+
+_oracle("q169_maximal_independent_set", _mis_sql(3))
 
 # q167 twin: the same md5 key (portable_hash60's DuckDB form), shard
 # by mod, per-shard row_number ordered by (key, id).

@@ -1300,3 +1300,114 @@ def _scc_impl(
             "up to #SCC rounds)"
         )
     return settled
+
+
+def maximal_independent_set(
+    edges: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Deterministic Luby-style maximal independent set — the classic
+    symmetry-breaking primitive behind distributed coloring /
+    scheduling (Luby 1986), with the random priorities replaced by a
+    portable hash so every engine (and the q169 DuckDB twin) selects
+    the same set. Returns ``(node, status)`` over the undirected
+    closure of ``edges`` with status ``in_set`` / ``dominated`` /
+    ``undecided`` (nodes still alive after ``rounds``).
+
+    Per round over the ALIVE subgraph: a node joins the set iff its
+    ``hash60(node || '#' || round)`` priority is strictly smaller
+    than every alive neighbor's (ties by node id — priorities need
+    not be unique); its neighbors become dominated. Each round is one
+    join + one min-aggregation on the live edge relation — frontier
+    work shrinks geometrically, the standard O(log n)-round shape.
+    """
+    from pagerank_spark.functions import portable_hash60
+
+    if rounds < 1:
+        raise ValueError(
+            f"maximal_independent_set: rounds must be >= 1, got {rounds}"
+        )
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    live_edges = und
+    # alive nodes tracked EXPLICITLY: a node whose neighbors all died
+    # in earlier rounds has no live edges left but must still be able
+    # to join the set (min_np comes back NULL -> automatic winner)
+    live_nodes = nodes
+    decided = None  # (node, status)
+    for r in range(1, rounds + 1):
+        # fixed-width string priority: 16-hex-digit hash || 8-digit id
+        # — lexicographic order == numeric order, and a plain MIN over
+        # strings is portable to any engine (no struct-min needed)
+        pri = lambda c: F.concat(  # noqa: E731
+            F.lpad(
+                F.hex(
+                    portable_hash60(
+                        F.concat(F.col(c).cast("string"), F.lit(f"#m{r}"))
+                    )
+                ),
+                16,
+                "0",
+            ),
+            F.lpad(F.col(c).cast("string"), 8, "0"),
+        )
+        nbr_min = (
+            live_edges.select(
+                F.col("src").alias("node"), pri("dst").alias("np")
+            )
+            .groupBy("node")
+            .agg(F.min("np").alias("min_np"))
+        )
+        winners = (
+            live_nodes.join(nbr_min, on="node", how="left")
+            .where(
+                F.col("min_np").isNull()
+                | (pri("node") < F.col("min_np"))
+            )
+            .select("node")
+        )
+        dominated = (
+            live_edges.join(
+                winners.select(F.col("node").alias("src")), on="src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(winners, on="node", how="left_anti")
+        )
+        new_decided = winners.select(
+            "node", F.lit("in_set").alias("status")
+        ).unionAll(
+            dominated.select("node", F.lit("dominated").alias("status"))
+        )
+        decided = (
+            new_decided
+            if decided is None
+            else decided.unionAll(new_decided)
+        )
+        gone = winners.unionAll(dominated.select("node"))
+        live_edges = (
+            live_edges.join(
+                gone.select(F.col("node").alias("src")), on="src", how="left_anti"
+            )
+            .join(
+                gone.select(F.col("node").alias("dst")), on="dst", how="left_anti"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        live_nodes = live_nodes.join(
+            gone, on="node", how="left_anti"
+        ).localCheckpoint(eager=False)
+    undecided = (
+        nodes.join(decided.select("node"), on="node", how="left_anti")
+        .select("node", F.lit("undecided").alias("status"))
+    )
+    return decided.unionAll(undecided)

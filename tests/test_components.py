@@ -551,3 +551,34 @@ def test_auto_hybrid_falls_back_to_star_on_chains(spark):
 
     with _pt.raises(RuntimeError):
         connected_components(chain, max_iterations=10, algorithm="label")
+
+
+def test_maximal_independent_set_properties(spark):
+    from pagerank_spark.graph.components import maximal_independent_set
+
+    # path 1-2-3-4-5, isolated edge 10-11, self loop 7-7 (ignored)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (7, 7)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    out = {r["node"]: r["status"] for r in
+           maximal_independent_set(df, rounds=3).collect()}
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    participants = {n for e in und for n in e}
+    assert set(out) == participants  # every non-self-loop node decided/reported
+    inset = {n for n, s in out.items() if s == "in_set"}
+    # independence: no edge inside the set
+    assert all((a, b) not in und for a in inset for b in inset if a != b)
+    # maximality: every dominated node touches the set
+    for n, s in out.items():
+        if s == "dominated":
+            assert any((n, m) in und for m in inset), n
+    # 3 rounds fully decide this graph, deterministically
+    again = {r["node"]: r["status"] for r in
+             maximal_independent_set(df, rounds=3).collect()}
+    assert out == again
+    assert "undecided" not in out.values()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        maximal_independent_set(df, rounds=0)
