@@ -3521,6 +3521,25 @@ def q169_maximal_independent_set(
     return maximal_independent_set(_edges(spark, sf_dir), rounds=3)
 
 
+def q170_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec negative sampling over the q160 pair
+    relation (graph/walks.py negative_samples, k=2): integer
+    inverse-CDF through the context unigram distribution — hash mod
+    total mapped through cumulative count ranges, all-integer so the
+    twin reproduces every sample; collisions flagged, not resampled.
+    CDF is vocabulary-sized and broadcast."""
+    from pagerank_spark.graph.walks import (
+        negative_samples,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    pairs = skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+    return negative_samples(pairs, k=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3699,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_epoch_shuffle": q167_epoch_shuffle,
         "q168_sql_interface": q168_sql_interface,
         "q169_maximal_independent_set": q169_maximal_independent_set,
+        "q170_negative_samples": q170_negative_samples,
     }
 
 
@@ -7349,6 +7369,46 @@ SELECT c_custkey, c_name, c_acctbal, n_name, revenue
 FROM agg ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 """,
 )
+
+# q170 twin: the q160 pair CTEs + a cumulative-count CDF over the
+# context marginal and the same integer hash-mod containment lookup.
+_oracle(
+    "q170_negative_samples",
+    _skipgram_sql(
+        r"""
+,
+marg AS (
+  SELECT context, SUM(cnt) AS c FROM pairs GROUP BY context
+),
+cdf AS (
+  SELECT context AS neg,
+         COALESCE(SUM(c) OVER (
+           ORDER BY context
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS lo,
+         COALESCE(SUM(c) OVER (
+           ORDER BY context
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + c AS hi
+  FROM marg
+),
+tot AS (SELECT SUM(c) AS t FROM marg),
+draws AS (
+  SELECT p.center, p.context, s.slot,
+         CAST('0x' || substr(md5(CAST(p.center AS VARCHAR) || '#'
+              || CAST(p.context AS VARCHAR) || '#n'
+              || CAST(s.slot AS VARCHAR)), 1, 15) AS BIGINT)
+           % (SELECT t FROM tot) AS u
+  FROM pairs p, UNNEST([0, 1]) AS s(slot)
+)
+SELECT d.center, d.context, CAST(d.slot AS INT) AS slot,
+       c.neg AS negative,
+       c.neg = d.context AS is_collision
+FROM draws d JOIN cdf c ON d.u >= c.lo AND d.u < c.hi
+"""
+    ),
+)
+
 
 # q142 twin: SemDeDup over the augmented (original + 1.001x-scaled
 # planted copies) embedding set — the q141 unroll parameterized by a

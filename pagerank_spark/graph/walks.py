@@ -160,3 +160,82 @@ def ppmi_matrix(pairs: DataFrame) -> DataFrame:
             ).alias("ppmi"),
         )
     )
+
+
+def negative_samples(
+    pairs: DataFrame, k: int = 2
+) -> DataFrame:
+    """Deterministic negative sampling for skip-gram training — the
+    other half of the word2vec objective: for every (center, context)
+    pair, draw ``k`` negatives from the context unigram distribution
+    by integer inverse-CDF. The draw for slot ``s`` is
+    ``hash60(center#context#s) mod total`` mapped through the
+    cumulative count ranges — ALL-INTEGER arithmetic, so any engine
+    reproduces the exact samples (the 3/4-power variant only swaps
+    the weight column for floats). A negative colliding with the true
+    context is kept and flagged (``is_collision``) rather than
+    resampled, keeping the output closed-form.
+
+    Plan: the context-marginal CDF is a VOCABULARY-sized relation
+    (one partial-combined shuffle + a window over distinct nodes —
+    cardinality-bounded, the AUC tier's rationale); draws then join
+    it by containment against the BROADCAST cdf. At huge vocabularies
+    replace the containment join with a fixed-width bucket index over
+    the same ranges.
+    """
+    if k < 1:
+        raise ValueError(f"negative_samples: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    from pagerank_spark.functions import portable_hash60
+
+    marg = pairs.groupBy("context").agg(F.sum("cnt").alias("c"))
+    w = Window.orderBy("context").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cdf = marg.select(
+        F.col("context").alias("neg"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("lo"),
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c")).alias("hi"),
+    )
+    total = marg.agg(F.sum("c").alias("__tot"))
+    draws = (
+        pairs.select("center", "context")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(k)])
+            ).alias("slot"),
+            F.col("__tot"),
+        )
+        .withColumn(
+            "u",
+            F.pmod(
+                portable_hash60(
+                    F.concat(
+                        F.col("center").cast("string"),
+                        F.lit("#"),
+                        F.col("context").cast("string"),
+                        F.lit("#n"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                F.col("__tot"),
+            ),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(cdf),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            "center",
+            "context",
+            "slot",
+            F.col("neg").alias("negative"),
+            (F.col("neg") == F.col("context")).alias("is_collision"),
+        )
+    )

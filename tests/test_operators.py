@@ -1815,6 +1815,36 @@ def test_ppmi_hand_values(spark):
     assert got[("a", "d")] == 0.0
 
 
+def test_negative_samples_integer_cdf(spark):
+    import hashlib
+
+    from pagerank_spark.graph.walks import negative_samples
+
+    pairs = [(1, 10, 3), (2, 20, 1)]
+    df = spark.createDataFrame(pairs, "center LONG, context LONG, cnt LONG")
+    out = negative_samples(df, k=2).collect()
+    # every pair gets exactly k negatives
+    assert len(out) == 4
+    # replicate the draw: context marginal c(10)=3, c(20)=1 ->
+    # CDF (ordered by context): 10 -> [0,3), 20 -> [3,4); total 4
+    def draw(center, context, slot):
+        h = int(
+            hashlib.md5(f"{center}#{context}#n{slot}".encode())
+            .hexdigest()[:15],
+            16,
+        ) % 4
+        return 10 if h < 3 else 20
+
+    for r in out:
+        assert r["negative"] == draw(r["center"], r["context"], r["slot"])
+        assert r["is_collision"] == (r["negative"] == r["context"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_samples(df, k=0)
+
+
 def test_join_cardinality_predicts_exact_size(spark):
     from pagerank_spark.operators.relational import join_cardinality
 
