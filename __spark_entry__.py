@@ -3540,6 +3540,31 @@ def q170_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(pairs, k=2)
 
 
+def q171_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval (operators/text.py bm25_rank): top-20 docs for
+    the query {spark, window, dup} under Lucene-variant BM25 — the
+    query-term tf relation is filtered BEFORE its shuffle, df/N/avgdl
+    ride broadcast scalars, and the rounded-6dp score drives the
+    ranking (id asc tie-break) for cross-libm reproducibility."""
+    from pagerank_spark.operators.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["spark", "window", "dup"], top_k=20)
+
+
+def q172_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM fluency (operators/text.py
+    bigram_logprob): per-doc mean ln(0.75·c12/c1 + 0.25·c2/T) over
+    adjacent word pairs — the word-ORDER-aware quality score one step
+    up from q119's unigram model. Output bounded to doc_id % 7 == 0
+    to keep the driver compare cheap; the model itself is trained on
+    the FULL corpus."""
+    from pagerank_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs).where(F.col("doc_id") % 7 == 0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3719,6 +3744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_sql_interface": q168_sql_interface,
         "q169_maximal_independent_set": q169_maximal_independent_set,
         "q170_negative_samples": q170_negative_samples,
+        "q171_bm25_search": q171_bm25_search,
+        "q172_bigram_logprob": q172_bigram_logprob,
     }
 
 
@@ -8290,5 +8317,94 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.corpus_id
 JOIN sizes sb ON sb.doc_id = i.new_id
 WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+""",
+)
+
+# q171 twin: Lucene-variant BM25 with constants written as the SAME
+# float expressions Spark folds ((1.2 + 1.0), 1.0 - 0.75 + ...) so
+# both engines score with bit-identical doubles; rank on the ROUNDED
+# score, doc_id asc tie-break.
+_oracle(
+    "q171_bm25_search",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+),
+avgdl AS (SELECT AVG(dl) AS a FROM doclen),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+qtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN ('spark', 'window', 'dup')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY term
+),
+scored AS (
+  SELECT q.doc_id,
+         ROUND(SUM(
+           ln(1.0 + ((SELECT n FROM n) - f.df + 0.5) / (f.df + 0.5))
+           * (q.tf * (1.2 + 1.0))
+           / (q.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * d.dl / (SELECT a FROM avgdl)))
+         ), 6) AS score
+  FROM qtf q
+  JOIN dfreq f USING (term)
+  JOIN doclen d USING (doc_id)
+  GROUP BY q.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, score FROM ranked WHERE rk <= 20
+""",
+)
+
+# q172 twin: adjacent word pairs via generate_subscripts alignment,
+# interpolated p = 0.75*c12/c1 + 0.25*c2/T, per-doc mean ln rounded
+# to 6dp, bounded to doc_id % 7 == 0 like the Spark side.
+_oracle(
+    "q172_bigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  )
+),
+bigrams AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY w
+),
+total AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t FROM uni),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams GROUP BY w1, w2
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(
+         0.75 * c.c12 / u1.c1
+         + (1.0 - 0.75) * u2.c1 / (SELECT t FROM total)
+       )), 6) AS avg_logprob
+FROM bigrams g
+JOIN bi c ON g.w1 = c.w1 AND g.w2 = c.w2
+JOIN uni u1 ON g.w1 = u1.w
+JOIN uni u2 ON g.w2 = u2.w
+WHERE g.doc_id % 7 = 0
+GROUP BY g.doc_id
 """,
 )

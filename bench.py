@@ -150,6 +150,8 @@ def main() -> None:
         "q147_quantized_ann",
         "q150_bpe_train",
         "q159_random_walks",
+        # round-6c tier (no prior baseline — these SET it):
+        "q171_bm25_search",
     ]
 
     timings: dict[str, float] = {}

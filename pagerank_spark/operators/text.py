@@ -710,3 +710,145 @@ def token_entropy(
             (F.col("vocab") / F.col("n_tokens")).alias("ttr"),
         )
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Ranked retrieval: top-``top_k`` documents for a bag-of-words
+    query under BM25 (the Lucene/Okapi variant with the non-negative
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` IDF). Returns
+    ``(id, rk, score)`` with the score rounded to 6dp and the ROUNDED
+    score driving the ranking (ties break by id asc) — the same
+    cross-engine libm discipline as ``tfidf_top_terms``.
+
+    Plan: one explode feeds BOTH the per-doc length relation (full
+    corpus, partial-combined count) and the query-term tf relation
+    (filtered to the query terms BEFORE the shuffle, so the expensive
+    (doc, term) aggregation only sees matching postings). df(t) and
+    N ride tiny broadcast relations (≤ |query| rows and one scalar);
+    avgdl is a broadcast scalar cross join. The final top-k is a
+    TakeOrderedAndProject — no global sort. No Python anywhere.
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = doclen.agg(F.avg("dl").alias("__avgdl"))
+    n = df.agg(F.count("*").alias("__n"))
+    qtf = (
+        toks.where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # (id, term) is the grain of qtf, so df(t) is a plain count
+    dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), on="term")
+        .join(doclen, on=id_col)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1.0
+                        + (F.col("__n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select(id_col, "rk", "score")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    language model trained on the corpus itself — the step up from
+    ``unigram_logprob`` that penalizes improbable word ORDER, not just
+    rare words::
+
+        p(w2 | w1) = lam · c(w1,w2)/c(w1) + (1-lam) · c(w2)/T
+
+    with unigram counts c(·) and corpus token total T. Returns
+    ``(id, n_bigrams, avg_logprob)`` rounded to 6dp; documents with
+    fewer than two tokens have no bigram and are dropped.
+
+    Plan: one posexplode to (doc, pos, word); adjacent pairs come
+    from a per-doc window ``lead`` (partition by doc — bounded state,
+    no self-join); bigram and unigram counts are partial-combined
+    aggregations; both count relations join back by key (Catalyst
+    picks broadcast vs shuffle from stats — a 100 TB corpus bigram
+    table can exceed broadcast limits); T rides one broadcast scalar.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(word_tokens(text_col), lambda x: x != "")
+        ).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    uni = toks.groupBy(F.col("w1").alias("w")).agg(
+        F.count("*").alias("c1")
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("__t"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    return (
+        bigrams.select(id_col, "w1", "w2")
+        .join(bi, on=["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), on="w1")
+        .join(
+            uni.select(
+                F.col("w").alias("w2"), F.col("c1").alias("c2")
+            ),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        lam * F.col("c12") / F.col("c1")
+                        + (1.0 - lam) * F.col("c2") / F.col("__t")
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

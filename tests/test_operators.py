@@ -1944,3 +1944,79 @@ def test_epoch_shuffle_reproducible_partition(spark):
         epoch_shuffle(df, epoch=-1, n_shards=4)
     with _pytest.raises(ValueError):
         epoch_shuffle(df, epoch=0, n_shards=0)
+
+
+def test_bm25_hand_values(spark):
+    import math
+
+    from pagerank_spark.operators.text import bm25_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog dog dog"),
+            (3, "bird bird bird bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bm25_rank(df, ["cat"], top_k=10).collect()
+    }
+    # Only docs containing 'cat' score; doc 1 (tf=3) beats doc 2 (tf=1).
+    assert set(rows) == {1, 2}
+    assert rows[1]["rk"] == 1 and rows[2]["rk"] == 2
+    # Closed form: N=3, df=2, dl=4=avgdl for every doc.
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf):
+        return round(
+            idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * 1.0)), 6
+        )
+
+    assert rows[1]["score"] == pytest.approx(s(3), abs=1e-9)
+    assert rows[2]["score"] == pytest.approx(s(1), abs=1e-9)
+
+
+def test_bm25_requires_terms(spark):
+    from pagerank_spark.operators.text import bm25_rank
+
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_rank(spark.range(1).withColumn("text", F.lit("x")), [])
+
+
+def test_bigram_logprob_hand_values(spark):
+    import math
+
+    from pagerank_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # Corpus: tokens a,b,a,a -> c(a)=3, c(b)=1, T=4.
+    # Bigrams: (a,b) x1, (a,a) x1.
+    lam = 0.75
+    p_ab = lam * 1 / 3 + (1 - lam) * 1 / 4
+    p_aa = lam * 1 / 3 + (1 - lam) * 3 / 4
+    assert out[1]["n_bigrams"] == 1 and out[2]["n_bigrams"] == 1
+    assert out[1]["avg_logprob"] == pytest.approx(
+        round(math.log(p_ab), 6), abs=1e-9
+    )
+    assert out[2]["avg_logprob"] == pytest.approx(
+        round(math.log(p_aa), 6), abs=1e-9
+    )
+    # Word order matters: the likelier continuation scores higher.
+    assert out[2]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_bigram_logprob_drops_short_docs(spark):
+    from pagerank_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        ["doc_id", "text"],
+    )
+    assert [r["doc_id"] for r in bigram_logprob(df).collect()] == [3]
