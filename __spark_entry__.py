@@ -3565,6 +3565,29 @@ def q172_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs).where(F.col("doc_id") % 7 == 0)
 
 
+def q173_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/analytics.py longest_streaks): each
+    user's longest consecutive-active-day run via the day−row_number
+    island key. The distinct (user, day) collapse runs BEFORE any
+    window, so per-user window state is calendar-bounded, never
+    event-volume-bounded."""
+    from pagerank_spark.operators.analytics import longest_streaks
+
+    return longest_streaks(load_table(spark, sf_dir, "events"))
+
+
+def q174_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build (operators/analytics.py scd2_runs): collapse
+    each user's event sequence into versioned runs of equal
+    event_type with whole-second validity epochs — the two-row_number
+    island difference shares one exchange+sort across both windows,
+    and version ties under same-second starts break on the run's
+    first event id (deterministic across engines)."""
+    from pagerank_spark.operators.analytics import scd2_runs
+
+    return scd2_runs(load_table(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3746,6 +3769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_negative_samples": q170_negative_samples,
         "q171_bm25_search": q171_bm25_search,
         "q172_bigram_logprob": q172_bigram_logprob,
+        "q173_longest_streaks": q173_longest_streaks,
+        "q174_scd2_dimension": q174_scd2_dimension,
     }
 
 
@@ -8406,5 +8431,86 @@ JOIN uni u1 ON g.w1 = u1.w
 JOIN uni u2 ON g.w2 = u2.w
 WHERE g.doc_id % 7 = 0
 GROUP BY g.doc_id
+""",
+)
+
+# q173 twin: identical day - row_number island key over the distinct
+# (user, day) relation; best run picked on (streak DESC, start ASC).
+_oracle(
+    "q173_longest_streaks",
+    r"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day
+         ) AS INTEGER) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp,
+         CAST(COUNT(*) AS BIGINT) AS streak,
+         MIN(day) AS start
+  FROM islands GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id, streak, start,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY streak DESC, start ASC
+         ) AS rk
+  FROM runs
+)
+SELECT user_id,
+       CAST(SUM(streak) AS BIGINT) AS n_active_days,
+       CAST(MAX(CASE WHEN rk = 1 THEN streak END) AS BIGINT)
+         AS best_streak,
+       strftime(MAX(CASE WHEN rk = 1 THEN start END), '%Y-%m-%d')
+         AS best_start
+FROM best GROUP BY user_id
+""",
+)
+
+# q174 twin: the same two-row_number island difference over the
+# (epoch-second, event_id) total order; version tie-break on the
+# run's first event id.
+_oracle(
+    "q174_scd2_dimension",
+    r"""
+WITH pre AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id AS id
+  FROM events
+),
+numbered AS (
+  SELECT user_id, event_type, ep, id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ep, id
+         )
+         - ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ep, id
+         ) AS grp
+  FROM pre
+),
+runs AS (
+  SELECT user_id, event_type, grp,
+         MIN(ep) AS valid_from,
+         MAX(ep) AS valid_to,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(id) AS first_id
+  FROM numbered GROUP BY user_id, event_type, grp
+),
+versioned AS (
+  SELECT user_id, event_type, valid_from, valid_to, n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY valid_from, first_id
+         ) AS INTEGER) AS version
+  FROM runs
+)
+SELECT user_id, version, event_type, valid_from, valid_to, n_events,
+       version = MAX(version) OVER (PARTITION BY user_id) AS is_current
+FROM versioned
 """,
 )

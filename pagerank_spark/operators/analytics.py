@@ -369,3 +369,130 @@ def psi_report(
     return scored.crossJoin(F.broadcast(psi)).select(
         "bucket", "n_ref", "n_cur", "contrib", "psi"
     )
+
+
+def longest_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    calendar days. Returns::
+
+        (user_col, n_active_days, best_streak, best_start)
+
+    where ``best_streak`` is the length in days of the longest
+    consecutive-day run, ``best_start`` its first day (``yyyy-MM-dd``
+    string for cross-engine hashing), ties broken by earliest start.
+
+    Plan: distinct (user, day) first — the only full-fact shuffle,
+    partial-combined, and it collapses the input to at most
+    |users|·|days| rows before any window runs. The classic
+    ``day - row_number()`` island key then needs two per-user window
+    passes over that small relation plus one aggregation; per-user
+    state is bounded by the calendar, never by event volume.
+    """
+    from pyspark.sql import Window
+
+    days = df.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = islands.groupBy(user_col, "grp").agg(
+        F.count("*").alias("streak"),
+        F.min("day").alias("start"),
+    )
+    pick = Window.partitionBy(user_col).orderBy(
+        F.desc("streak"), F.asc("start")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(pick))
+        .groupBy(user_col)
+        .agg(
+            F.sum("streak").alias("n_active_days"),
+            F.max(F.when(F.col("rk") == 1, F.col("streak"))).alias(
+                "best_streak"
+            ),
+            F.date_format(
+                F.max(F.when(F.col("rk") == 1, F.col("start"))),
+                "yyyy-MM-dd",
+            ).alias("best_start"),
+        )
+    )
+
+
+def scd2_runs(
+    df: DataFrame,
+    user_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log:
+    collapse each user's event sequence into versioned runs of equal
+    ``attr_col``, one row per run::
+
+        (user_col, version, attr_col, valid_from, valid_to,
+         n_events, is_current)
+
+    ``valid_from``/``valid_to`` are whole-second epochs (the
+    sessionize convention — reproducible in engines without
+    sub-second timestamps), ``version`` numbers runs per user from 1,
+    ``is_current`` marks the last run. Ordering is total —
+    ``(epoch, id_col)`` — so run boundaries are deterministic even
+    under same-second events.
+
+    Plan: the two-row_number gaps-and-islands difference (``rn`` over
+    the user minus ``rn`` over (user, attr)) plus the version and
+    is_current windows all run behind ONE hash exchange on the user
+    key — HashPartitioning(user) satisfies every (user, ...) window's
+    clustering, so only local re-sorts separate them (plan-asserted).
+    Per-user window state is one row; nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    pre = df.select(
+        F.col(user_col),
+        F.col(attr_col),
+        F.unix_timestamp(F.col(ts_col)).alias("ep"),
+        F.col(id_col).alias("__id"),
+    )
+    w_all = Window.partitionBy(user_col).orderBy("ep", "__id")
+    w_attr = Window.partitionBy(user_col, attr_col).orderBy("ep", "__id")
+    numbered = pre.select(
+        user_col,
+        attr_col,
+        "ep",
+        F.col("__id").alias("__first"),
+        (F.row_number().over(w_all) - F.row_number().over(w_attr)).alias(
+            "grp"
+        ),
+    )
+    runs = numbered.groupBy(user_col, attr_col, "grp").agg(
+        F.min("ep").alias("valid_from"),
+        F.max("ep").alias("valid_to"),
+        F.count("*").alias("n_events"),
+        F.min("__first").alias("__first"),
+    )
+    # Tie-break on the run's first event id: two runs can share a
+    # whole-second valid_from, and row_number over a tie is
+    # nondeterministic across engines.
+    w_ver = Window.partitionBy(user_col).orderBy("valid_from", "__first")
+    return runs.withColumn(
+        "version", F.row_number().over(w_ver)
+    ).withColumn(
+        "is_current",
+        F.col("version")
+        == F.max("version").over(Window.partitionBy(user_col)),
+    ).select(
+        user_col,
+        "version",
+        attr_col,
+        "valid_from",
+        "valid_to",
+        "n_events",
+        "is_current",
+    )

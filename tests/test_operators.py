@@ -2020,3 +2020,77 @@ def test_bigram_logprob_drops_short_docs(spark):
         ["doc_id", "text"],
     )
     assert [r["doc_id"] for r in bigram_logprob(df).collect()] == [3]
+
+
+def test_longest_streaks_hand_values(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.analytics import longest_streaks
+
+    rows = [
+        # user 1: days 1,2,3 then 5 -> best streak 3 starting Jan 1
+        (1, datetime(2024, 1, 1, 9)),
+        (1, datetime(2024, 1, 1, 17)),  # same day, deduped
+        (1, datetime(2024, 1, 2, 1)),
+        (1, datetime(2024, 1, 3, 23)),
+        (1, datetime(2024, 1, 5, 12)),
+        # user 2: two 2-day streaks -> tie broken by EARLIEST start
+        (2, datetime(2024, 2, 1)),
+        (2, datetime(2024, 2, 2)),
+        (2, datetime(2024, 2, 10)),
+        (2, datetime(2024, 2, 11)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["user_id"]: r for r in longest_streaks(df).collect()}
+    assert got[1]["n_active_days"] == 4
+    assert got[1]["best_streak"] == 3
+    assert got[1]["best_start"] == "2024-01-01"
+    assert got[2]["best_streak"] == 2
+    assert got[2]["best_start"] == "2024-02-01"
+
+
+def test_scd2_runs_hand_values(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.analytics import scd2_runs
+
+    rows = [
+        # user 1: A A B A -> three runs, versions 1..3
+        (10, datetime(2024, 1, 1, 0, 0, 0), 1, "A", 0.0, ""),
+        (11, datetime(2024, 1, 1, 0, 1, 0), 1, "A", 0.0, ""),
+        (12, datetime(2024, 1, 1, 0, 2, 0), 1, "B", 0.0, ""),
+        (13, datetime(2024, 1, 1, 0, 3, 0), 1, "A", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = sorted(scd2_runs(df).collect(), key=lambda r: r["version"])
+    assert [r["event_type"] for r in out] == ["A", "B", "A"]
+    assert [r["n_events"] for r in out] == [2, 1, 1]
+    assert [r["is_current"] for r in out] == [False, False, True]
+    # Runs tile the timeline in order with whole-second epochs.
+    assert out[0]["valid_to"] - out[0]["valid_from"] == 60
+    assert out[0]["valid_to"] < out[1]["valid_from"] < out[2]["valid_from"]
+
+
+def test_scd2_runs_same_second_ties_are_deterministic(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.analytics import scd2_runs
+
+    # Both runs start inside the SAME second: version order must come
+    # from event_id, not from partition luck.
+    t = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (100, t, 7, "X", 0.0, ""),
+        (101, t, 7, "Y", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    for _ in range(3):
+        out = sorted(
+            scd2_runs(df.repartition(8)).collect(),
+            key=lambda r: r["version"],
+        )
+        assert [r["event_type"] for r in out] == ["X", "Y"]

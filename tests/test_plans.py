@@ -443,3 +443,22 @@ def test_q153_tpch_q10_takeordered_and_broadcasts(spark):
     assert p.count("BroadcastHashJoin") >= 2
     # the returnflag filter must push to the lineitem scan
     assert "l_returnflag" in p
+
+
+def test_q174_scd2_single_exchange(spark):
+    # All four (user, ...) windows must sit behind ONE hash exchange:
+    # HashPartitioning(user_id) satisfies every window's clustering,
+    # so only local sorts may separate them. A second exchange means
+    # the (user, event_type) window re-shuffled the fact.
+    df = ENTRY.queries()["q174_scd2_dimension"](spark, SF_DIR)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Exchange") == 1
+    assert "BatchEvalPython" not in executed
+
+
+def test_q171_bm25_no_cartesian_no_python(spark):
+    p = plan(ENTRY.queries()["q171_bm25_search"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # df(t)/N/avgdl must ride broadcasts, not shuffled joins.
+    assert "BroadcastExchange" in p
