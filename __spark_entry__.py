@@ -3588,6 +3588,31 @@ def q174_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_runs(load_table(spark, sf_dir, "events"))
 
 
+def q175_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs (operators/dedup.py
+    fuzzy_blocked_pairs): distinct p_name values, blocked on the last
+    token, in-block levenshtein ≤ 2 with the early-exit threshold —
+    the collapse-then-block-then-verify ER shape (no cartesian,
+    plan-asserted)."""
+    from pagerank_spark.operators.dedup import fuzzy_blocked_pairs
+
+    return fuzzy_blocked_pairs(
+        load_table(spark, sf_dir, "part"), "p_name", max_dist=2
+    )
+
+
+def q176_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (operators/validate.py profile_columns) over
+    the orders fact: per-column rows/nulls/exact-distincts plus typed
+    min/max (numerics and epoch-second timestamps in min_num/max_num,
+    strings in min_str/max_str). One pruned single-column scan per
+    branch, no Expand; approx_count_distinct is the documented 100 TB
+    default, exact kept for the oracle."""
+    from pagerank_spark.operators.validate import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "orders"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3771,6 +3796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_bigram_logprob": q172_bigram_logprob,
         "q173_longest_streaks": q173_longest_streaks,
         "q174_scd2_dimension": q174_scd2_dimension,
+        "q175_fuzzy_pairs": q175_fuzzy_pairs,
+        "q176_profile_columns": q176_profile_columns,
     }
 
 
@@ -8512,5 +8539,75 @@ versioned AS (
 SELECT user_id, version, event_type, valid_from, valid_to, n_events,
        version = MAX(version) OVER (PARTITION BY user_id) AS is_current
 FROM versioned
+""",
+)
+
+# q175 twin: same collapse-block-verify shape — distinct names,
+# last-token block via regexp, in-block levenshtein <= 2, a < b.
+_oracle(
+    "q175_fuzzy_pairs",
+    r"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+),
+b AS (
+  SELECT name, regexp_extract(name, '(\S+)$', 1) AS blk FROM names
+)
+SELECT a.name AS name_a, c.name AS name_b,
+       CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+WHERE levenshtein(a.name, c.name) <= 2
+""",
+)
+
+# q176 twin: one UNION ALL branch per orders column with the exact
+# same typed min/max routing (numerics+timestamp -> min_num/max_num
+# as DOUBLE, strings -> min_str/max_str).
+_oracle(
+    "q176_profile_columns",
+    r"""
+SELECT 'o_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(floor(epoch(MIN(o_orderdate))) AS DOUBLE),
+       CAST(floor(epoch(MAX(o_orderdate))) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
 """,
 )

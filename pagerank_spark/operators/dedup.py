@@ -22,7 +22,7 @@ codegen and each operator has a line-for-line DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import HASH_PRIME, portable_hash60, word_tokens
@@ -809,4 +809,59 @@ def remove_duplicate_spans(
                 "removed_tokens"
             ),
         )
+    )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: blocked fuzzy self-match on
+    a string column. Returns ``(name_a, name_b, dist)`` with
+    ``name_a < name_b`` and ``dist = levenshtein ≤ max_dist``.
+
+    The two scale moves that make ER tractable at corpus size:
+
+    1. **Collapse to the DISTINCT value relation first** — pairs are
+       a property of the value space, not the row space; a 100 TB
+       fact with 10^6 distinct names pairs over 10^6 rows, and
+       matched pairs join back to rows by equality afterwards.
+    2. **Block before pairing** — the self-join runs inside blocking
+       keys only (default: the value's last whitespace token, the
+       classic "same surname/suffix" block; pass ``block`` to
+       override). No block, no cartesian — asserted by plan test.
+
+    The in-block filter is JVM-side ``levenshtein`` with its
+    early-exit threshold argument (Spark ≥ 3.5) so non-matches cost
+    O(max_dist·len), not O(len²).
+    """
+    if max_dist < 0:
+        raise ValueError(f"fuzzy_blocked_pairs: max_dist >= 0, got {max_dist}")
+    blk = (
+        block
+        if block is not None
+        else F.substring_index(F.col("name"), " ", -1)
+    )
+    names = (
+        df.select(F.col(col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+        .withColumn("blk", blk)
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, on="blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b", max_dist).cast("long").alias(
+                "dist"
+            ),
+        )
+        .where(F.col("dist") >= 0)
+        .where(F.col("dist") <= max_dist)
     )

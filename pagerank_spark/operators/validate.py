@@ -135,3 +135,75 @@ def expectations_report(
 
 
 __all__ = ["expectations_report"]
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Column profiler: one row per column with the ingest-triage
+    stats every new 100 TB table gets asked for first::
+
+        (column, n_rows, n_null, n_distinct,
+         min_num, max_num, min_str, max_str)
+
+    Numeric and timestamp columns populate ``min_num``/``max_num``
+    (timestamps as whole-second epochs — the sessionize convention);
+    string columns populate ``min_str``/``max_str``; ``n_distinct``
+    counts non-NULL distincts.
+
+    Plan: one UNION branch per column, each scanning ONLY its column
+    (parquet column pruning makes n single-column scans ≈ one
+    all-column scan in bytes) with a single partial-combined
+    aggregation — no Expand, unlike a fused multi-count_distinct
+    SELECT whose Expand multiplies the row stream by the column
+    count. With ``exact_distinct=False`` the distinct count switches
+    to ``approx_count_distinct`` (HLL, mergeable) — the true 100 TB
+    default when exactness isn't contractual; the exact form is kept
+    for oracle parity.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    dtypes = dict(df.dtypes)
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    branches = []
+    for c in cols:
+        dt = dtypes[c]
+        col = F.col(c)
+        if dt.startswith("decimal") or dt in numeric:
+            num = col.cast("double")
+        elif dt == "timestamp":
+            num = F.unix_timestamp(col).cast("double")
+        else:
+            num = None
+        n_distinct = (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        branches.append(
+            df.select(col).agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+                n_distinct.cast("long").alias("n_distinct"),
+                (F.min(num) if num is not None else F.lit(None))
+                .cast("double")
+                .alias("min_num"),
+                (F.max(num) if num is not None else F.lit(None))
+                .cast("double")
+                .alias("max_num"),
+                (F.min(col) if dt == "string" else F.lit(None))
+                .cast("string")
+                .alias("min_str"),
+                (F.max(col) if dt == "string" else F.lit(None))
+                .cast("string")
+                .alias("max_str"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
