@@ -178,10 +178,17 @@ def negative_samples(
 
     Plan: the context-marginal CDF is a VOCABULARY-sized relation
     (one partial-combined shuffle + a window over distinct nodes —
-    cardinality-bounded, the AUC tier's rationale); draws then join
-    it by containment against the BROADCAST cdf. At huge vocabularies
-    replace the containment join with a fixed-width bucket index over
-    the same ranges.
+    cardinality-bounded, the AUC tier's rationale). Draws reach it
+    through a FIXED-WIDTH BUCKET INDEX, not range containment: with
+    bucket width ``W = ceil(total/vocab)``, each CDF range [lo, hi)
+    is exploded to the buckets it spans (≤ vocab + vocab extra rows
+    in total, still vocabulary-sized) and each draw computes
+    ``bucket = u div W`` — a hashable equi-join key, so Catalyst
+    plans a BroadcastHashJoin with the range check as a residual
+    filter. The old containment-only form was a
+    BroadcastNestedLoopJoin, O(draws × vocab) — a scale-killer at
+    web-corpus vocabularies (round-6 verdict #4); this form is
+    O(draws) with a vocab-sized build side.
     """
     if k < 1:
         raise ValueError(f"negative_samples: k must be >= 1, got {k}")
@@ -189,7 +196,11 @@ def negative_samples(
 
     from pagerank_spark.functions import portable_hash60
 
-    marg = pairs.groupBy("context").agg(F.sum("cnt").alias("c"))
+    marg = (
+        pairs.groupBy("context")
+        .agg(F.sum("cnt").alias("c"))
+        .filter(F.col("c") > 0)
+    )
     w = Window.orderBy("context").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -198,7 +209,31 @@ def negative_samples(
         F.coalesce(F.sum("c").over(w), F.lit(0)).alias("lo"),
         (F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c")).alias("hi"),
     )
-    total = marg.agg(F.sum("c").alias("__tot"))
+    # total mass + vocab size in ONE scalar relation; bucket width
+    # W = ceil(total/vocab) keeps the exploded index vocabulary-sized
+    # (each range adds at most range/W + 1 buckets; the sum telescopes
+    # to <= 2 * vocab rows).
+    total = marg.agg(
+        F.sum("c").alias("__tot"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.sum("c") / F.count(F.lit(1))).cast("long"),
+        ).alias("__w"),
+    )
+    cdf_idx = (
+        cdf.crossJoin(F.broadcast(total))
+        .select(
+            "neg",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.col("__w")),
+                    F.floor((F.col("hi") - 1) / F.col("__w")),
+                )
+            ).alias("bkt"),
+        )
+    )
     draws = (
         pairs.select("center", "context")
         .crossJoin(F.broadcast(total))
@@ -209,6 +244,7 @@ def negative_samples(
                 F.array(*[F.lit(s) for s in range(k)])
             ).alias("slot"),
             F.col("__tot"),
+            F.col("__w"),
         )
         .withColumn(
             "u",
@@ -225,11 +261,14 @@ def negative_samples(
                 F.col("__tot"),
             ),
         )
+        .withColumn("bkt", F.floor(F.col("u") / F.col("__w")))
     )
     return (
         draws.join(
-            F.broadcast(cdf),
-            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+            F.broadcast(cdf_idx),
+            (draws["bkt"] == cdf_idx["bkt"])
+            & (F.col("u") >= F.col("lo"))
+            & (F.col("u") < F.col("hi")),
         )
         .select(
             "center",

@@ -176,6 +176,22 @@ def profile_columns(
             num = col.cast("double")
         elif dt == "timestamp":
             num = F.unix_timestamp(col).cast("double")
+        elif dt == "timestamp_ntz":
+            # Parquet fixture timestamps read as TIMESTAMP_NTZ; route
+            # through the tz-free naive epoch (days since 1970 × 86400
+            # + time of day) like relational._bucket_epoch —
+            # unix_timestamp on NTZ would apply the session tz and
+            # diverge from DuckDB's epoch() on naive timestamps.
+            num = (
+                F.unix_date(F.to_date(col)) * F.lit(86400).cast("long")
+                + F.hour(col) * 3600
+                + F.minute(col) * 60
+                + F.second(col)
+            ).cast("double")
+        elif dt == "date":
+            num = (
+                F.unix_date(col) * F.lit(86400).cast("long")
+            ).cast("double")
         else:
             num = None
         n_distinct = (

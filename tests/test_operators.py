@@ -2094,3 +2094,29 @@ def test_scd2_runs_same_second_ties_are_deterministic(spark):
             key=lambda r: r["version"],
         )
         assert [r["event_type"] for r in out] == ["X", "Y"]
+
+
+def test_profile_columns_timestamp_ntz_and_date(spark):
+    """min_num/max_num for TIMESTAMP_NTZ and DATE columns must be the
+    tz-free naive epoch DuckDB's epoch() gives on naive timestamps —
+    the round-6 q176 bug was timestamp_ntz falling through to the
+    no-numeric branch and returning NULLs."""
+    from datetime import date, datetime
+
+    from pagerank_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2001, 8, 1, 0, 0, 0), date(2001, 8, 1), "a"),
+            (datetime(2001, 8, 2, 12, 30, 5), date(2001, 8, 3), "b"),
+        ],
+        "ts timestamp_ntz, d date, s string",
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    # 2001-08-01 00:00:00 naive epoch = 996624000
+    assert out["ts"]["min_num"] == 996624000.0
+    assert out["ts"]["max_num"] == 996624000.0 + 86400 + 12 * 3600 + 30 * 60 + 5
+    assert out["d"]["min_num"] == 996624000.0
+    assert out["d"]["max_num"] == 996624000.0 + 2 * 86400
+    assert out["s"]["min_num"] is None and out["s"]["min_str"] == "a"

@@ -81,3 +81,34 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"page", "score"}
+
+
+def test_parity_artifact_covers_all_declared():
+    """Closing gate (round-6 verdict #2): the newest committed
+    PARITY_r*.json must cover every declared queries() entry and be
+    all hash-green — declaring a query after the last parity refresh
+    ships unproven code (that's exactly how the q176 bug escaped)."""
+    import glob
+    import json
+    import re
+
+    paths = glob.glob(os.path.join(REPO, "PARITY_r*.json"))
+    assert paths, "no parity artifact committed"
+    newest = max(
+        paths, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))
+    )
+    art = json.load(open(newest))
+    declared = set(QUERIES)
+    covered = set(art["queries"])
+    missing = sorted(declared - covered)
+    assert not missing, (
+        f"{os.path.basename(newest)} missing {len(missing)} declared "
+        f"queries: {missing[:10]} — rerun parity.py before closing"
+    )
+    not_green = sorted(
+        k
+        for k, v in art["queries"].items()
+        if k in declared
+        and not (v.get("hash_match") or v.get("err") == "no_oracle")
+    )
+    assert not not_green, f"parity artifact not hash-green for: {not_green}"

@@ -462,3 +462,31 @@ def test_q171_bm25_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in p
     # df(t)/N/avgdl must ride broadcasts, not shuffled joins.
     assert "BroadcastExchange" in p
+
+
+def test_negative_samples_bucket_equi_join_no_vocab_bnl(spark):
+    """Round-6 verdict #3: the draws↔CDF lookup must be a
+    BroadcastHashJoin on the fixed-width bucket key (range check as
+    residual), NOT a range-containment BroadcastNestedLoopJoin over
+    the vocabulary — that was O(draws × vocab). The only BNLs allowed
+    are the two one-row scalar (total, width) cross joins, whose
+    build sides are global HashAggregates with keys=[]."""
+    from pagerank_spark.graph.walks import negative_samples
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 5)],
+        "center int, context int, cnt long",
+    )
+    out = negative_samples(pairs, k=2)
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [bkt" in simple
+    # every BNL in the plan is a Cross build of a 1-row global agg —
+    # the vocabulary relation (keys=[context]) never feeds one
+    import re
+
+    bnl_lines = [
+        ln for ln in simple.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert len(bnl_lines) <= 2
+    for ln in bnl_lines:
+        assert "Cross" in ln
