@@ -3613,6 +3613,113 @@ def q176_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "orders"))
 
 
+def q177_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/dedup.py er_resolve):
+    q175's blocked fuzzy pairs closed transitively, one canonical
+    (minimum) name per entity cluster over the distinct p_name values.
+    The oracle embeds q175's pair SQL as a CTE and closes it with the
+    q90-pattern recursive CTE — the whole resolve pipeline is
+    hash-checked, not just the pair list."""
+    from pagerank_spark.operators.dedup import er_resolve
+
+    return er_resolve(load_table(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+def q178_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/dedup.py ngram_novelty):
+    share of each doc's distinct word trigrams whose first corpus
+    appearance (min doc_id) is this doc — the staleness/memorization
+    curation signal. Inverted-index shape: one shingle explode, one
+    min-per-shingle combine, one equality join back; no windows, no
+    self-join."""
+    from pagerank_spark.operators.dedup import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+def q179_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit (operators/text.py zipf_slope): least-squares
+    slope/intercept of ln(freq) ~ ln(rank) over the top-500 unigram
+    terms — the one-row corpus-health gate. (term,freq) in one
+    partial-combined shuffle; top-N via TakeOrderedAndProject; the
+    rank window runs AFTER the limit (the q171 lesson)."""
+    from pagerank_spark.operators.text import zipf_slope
+
+    return zipf_slope(
+        load_table(spark, sf_dir, "documents"), "text", top_n=500
+    )
+
+
+def q180_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-market opportunity): customers from a
+    set of nations with above-average positive balances who have never
+    ordered — the classic TWO-decorrelation query: a global scalar
+    aggregate inside the filter (broadcast one-row cross join, never a
+    per-row subquery) plus a NOT EXISTS anti join. Per-nation count +
+    total balance. (q152/q153 cover Q5/Q10; this adds the
+    scalar-subquery-in-filter + anti-join pattern. No c_phone in the
+    fixture, so nation keys stand in for country codes.)"""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+def q181_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): period revenue per supplier,
+    then the supplier(s) whose revenue EQUALS the global maximum — the
+    argmax-by-scalar-subquery pattern (equality against a broadcast
+    one-row max, not a top-k: ties all return). The revenue relation
+    is supplier-sized, so the max and the equality join are both
+    cheap regardless of fact size."""
+    lo, hi = "1996-01-01", "1996-04-01"
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ),
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(
+            F.broadcast(s), F.col("supplier_no") == s["s_suppkey"]
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3798,6 +3905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_scd2_dimension": q174_scd2_dimension,
         "q175_fuzzy_pairs": q175_fuzzy_pairs,
         "q176_profile_columns": q176_profile_columns,
+        "q177_er_resolve": q177_er_resolve,
+        "q178_ngram_novelty": q178_ngram_novelty,
+        "q179_zipf_slope": q179_zipf_slope,
+        "q180_tpch_q22": q180_tpch_q22,
+        "q181_tpch_q15": q181_tpch_q15,
     }
 
 
@@ -8609,5 +8721,160 @@ SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        MIN(o_orderpriority), MAX(o_orderpriority)
 FROM orders
+""",
+)
+
+# q177 twin: q175's blocked-pair SQL as a CTE, closed transitively with
+# the q90-pattern recursive CTE; canonical = MIN name per component,
+# singletons restored by the LEFT JOIN coalesce.
+_oracle(
+    "q177_er_resolve",
+    r"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+),
+b AS (
+  SELECT name, regexp_extract(name, '(\S+)$', 1) AS blk FROM names
+),
+pairs AS (
+  SELECT a.name AS name_a, c.name AS name_b
+  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+  WHERE levenshtein(a.name, c.name) <= 2
+),
+und AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b AS src, name_a AS dst FROM pairs
+),
+pnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, label) AS (
+  SELECT node, node FROM pnodes
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON r.node = u.src
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+canon AS (
+  SELECT n.name, COALESCE(c.component, n.name) AS canonical_name
+  FROM names n LEFT JOIN comp c ON n.name = c.node
+),
+sizes AS (
+  SELECT canonical_name AS cname, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM canon GROUP BY canonical_name
+)
+SELECT name, canonical_name, cluster_size,
+       name = canonical_name AS is_canonical
+FROM canon JOIN sizes ON canonical_name = cname
+""",
+)
+
+# q178 twin: trigram variant of q110's shingle SQL; first-owner = MIN
+# doc_id per shingle; per-doc counts over the DISTINCT (doc, shingle)
+# relation; short/empty docs restored with 0 shingles, novelty 0.0.
+_oracle(
+    "q178_ngram_novelty",
+    r"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+toks AS (
+  SELECT doc_id, tok, idx FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok,
+           unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+             AS idx
+    FROM docs
+  )
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+  WHERE a.tok || ' ' || b.tok || ' ' || c.tok <> ''
+),
+fst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel_shingles
+  FROM sh s JOIN fst f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.novel_shingles, 0) AS novel_shingles,
+       ROUND(COALESCE(CAST(p.novel_shingles AS DOUBLE) / p.n_shingles,
+                      0.0), 6) AS novelty
+FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN per p USING (doc_id)
+""",
+)
+
+# q179 twin: same top-500 cut (freq desc, term asc) and the same
+# regr_slope/regr_intercept moments over ln(freq) ~ ln(rank).
+_oracle(
+    "q179_zipf_slope",
+    r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE term <> '' GROUP BY term
+),
+top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term ASC LIMIT 500),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rk
+  FROM top
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(freq), ln(rk)), 6) AS slope,
+       ROUND(regr_intercept(ln(freq), ln(rk)), 6) AS intercept
+FROM ranked
+""",
+)
+
+# q180 twin: canonical TPC-H Q22 text adapted to nation keys (scalar
+# avg subquery + NOT EXISTS).
+_oracle(
+    "q180_tpch_q22",
+    """
+SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+GROUP BY c_nationkey
+ORDER BY cntry
+""",
+)
+
+# q181 twin: canonical TPC-H Q15 text (revenue view + scalar max;
+# 2dp-rounded revenue on BOTH sides so the equality is cross-engine
+# exact).
+_oracle(
+    "q181_tpch_q15",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
 """,
 )

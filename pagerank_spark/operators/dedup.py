@@ -865,3 +865,97 @@ def fuzzy_blocked_pairs(
         .where(F.col("dist") >= 0)
         .where(F.col("dist") <= max_dist)
     )
+
+
+def er_resolve(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Entity resolution end-to-end: ``fuzzy_blocked_pairs`` →
+    transitive closure → one canonical value per entity cluster
+    (minimum string — deterministic). Returns one row per DISTINCT
+    input value: ``(name, canonical_name, cluster_size,
+    is_canonical)`` — the lookup relation a pipeline joins back to the
+    fact table by equality to normalize free-text entities.
+
+    Scale shape: identical to ``neardup_clusters`` — the match graph
+    is value-space-sized (distinct names, not rows) and residual
+    (only fuzzy matches), so the adaptive components cut
+    (driver union-find ≤1M pairs, star contraction above) applies
+    unchanged; the canonical map then joins back broadcastable.
+    """
+    pairs = fuzzy_blocked_pairs(df, col, max_dist=max_dist, block=block)
+    edges = pairs.select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    comp = _components_adaptive(edges)
+    names = (
+        df.select(F.col(col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    canon = names.join(comp, names["name"] == comp["node"], "left").select(
+        "name",
+        F.coalesce("component", F.col("name")).alias("canonical_name"),
+    )
+    sizes = canon.groupBy(F.col("canonical_name").alias("__c")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return canon.join(sizes, canon["canonical_name"] == sizes["__c"]).select(
+        "name",
+        "canonical_name",
+        "cluster_size",
+        (F.col("name") == F.col("canonical_name")).alias("is_canonical"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word n-gram shingles whose FIRST corpus appearance (minimum id) is
+    this document — the memorization/staleness signal a training-data
+    pipeline uses to rank late-crawled documents (novelty ~0 = the
+    document restates earlier content; the deduplicated-corpus
+    complement of ``dup_span_coverage``). Returns
+    ``(id, n_shingles, novel_shingles, novelty)``; docs shorter than
+    ``n`` tokens report 0 shingles and novelty 0.0.
+
+    Scale shape: one shingle explode (``word_shingles``, distinct per
+    doc), ONE partial-combined min per shingle key (the first-owner
+    relation, shingle-space-sized), one equality join back on the
+    shingle, one per-doc count — no windows, no self-join, corpus-
+    linear. The min-per-shingle aggregation is the same inverted-
+    index shuffle the span-coverage operator runs.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        sh.join(first, on="shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+            ).alias("novel_shingles"),
+        )
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("novel_shingles", F.lit(0))
+        .cast("long")
+        .alias("novel_shingles"),
+        F.round(
+            F.coalesce(
+                F.col("novel_shingles") / F.col("n_shingles"), F.lit(0.0)
+            ),
+            6,
+        ).alias("novelty"),
+    )

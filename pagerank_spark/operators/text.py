@@ -734,7 +734,12 @@ def bm25_rank(
     (doc, term) aggregation only sees matching postings). df(t) and
     N ride tiny broadcast relations (≤ |query| rows and one scalar);
     avgdl is a broadcast scalar cross join. The final top-k is a
-    TakeOrderedAndProject — no global sort. No Python anywhere.
+    TakeOrderedAndProject — no global sort — and the rank window runs
+    AFTER the limit, over at most ``top_k`` rows: Spark's
+    InferWindowGroupLimit rule skips empty-partition windows
+    (verified on 4.1.2), so the round-6 form (row_number over all
+    scored docs, then filter) would funnel the whole scored relation
+    into one partition at corpus scale. No Python anywhere.
     """
     if not query_terms:
         raise ValueError("bm25_rank: query_terms must be non-empty")
@@ -778,10 +783,10 @@ def bm25_rank(
     )
     from pyspark.sql import Window
 
+    topped = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
+        topped.withColumn("rk", F.row_number().over(w))
         .select(id_col, "rk", "score")
     )
 
@@ -851,4 +856,46 @@ def bigram_logprob(
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: the
+    least-squares slope of ``ln(freq) ~ ln(rank)`` across the top
+    ``top_n`` terms (natural text sits near -1; a slope far off is
+    the classic synthetic/spam corpus tell — a one-row corpus health
+    gate). Returns ONE row ``(n_terms, slope, intercept)`` rounded to
+    6dp.
+
+    Scale shape: the corpus collapses to the (term, freq) relation in
+    one partial-combined shuffle; the top-N cut is a
+    TakeOrderedAndProject (never a global sort — and never a global
+    row_number window over the full vocabulary: InferWindowGroupLimit
+    skips empty-partition windows, the q171 lesson); ranking and the
+    ``regr_slope``/``regr_intercept`` fit then run over ≤ top_n rows.
+    Ranks tie-break by term asc, so the fit is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rk))"), 6
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(ln(freq), ln(rk))"), 6
+        ).alias("intercept"),
     )

@@ -2120,3 +2120,76 @@ def test_profile_columns_timestamp_ntz_and_date(spark):
     assert out["d"]["min_num"] == 996624000.0
     assert out["d"]["max_num"] == 996624000.0 + 2 * 86400
     assert out["s"]["min_num"] is None and out["s"]["min_str"] == "a"
+
+
+def test_er_resolve_clusters_and_canonicalizes(spark):
+    from pagerank_spark.operators.dedup import er_resolve
+
+    df = spark.createDataFrame(
+        [
+            ("acme corp",),
+            ("acme corq",),   # dist 1 from "acme corp", same block "corq"? no
+            ("acme borp",),   # blocked with corp? block = last token "borp"
+            ("zeta inc",),
+            (None,),
+        ],
+        "p_name string",
+    )
+    # blocks: corp / corq / borp / inc — defaults block on last token,
+    # so nothing pairs; use a constant block to exercise the closure.
+    import pyspark.sql.functions as F
+
+    out = {
+        r["name"]: r
+        for r in er_resolve(
+            df, "p_name", max_dist=2, block=F.lit("all")
+        ).collect()
+    }
+    # "acme corp" ~ "acme corq" (1) and "acme corp" ~ "acme borp" (1):
+    # transitive closure puts all three in one cluster, canonical = min
+    assert out["acme corp"]["canonical_name"] == "acme borp"
+    assert out["acme corq"]["canonical_name"] == "acme borp"
+    assert out["acme borp"]["is_canonical"]
+    assert out["acme corp"]["cluster_size"] == 3
+    assert out["zeta inc"]["cluster_size"] == 1
+    assert out["zeta inc"]["is_canonical"]
+    assert None not in out  # NULLs dropped from the value relation
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    from pagerank_spark.operators.dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d" — all novel
+            (2, "a b c x"),        # "a b c" seen in doc 1, "b c x" novel
+            (3, "a b"),            # too short: 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["novelty"] == 1.0
+    assert out[2]["n_shingles"] == 2 and out[2]["novel_shingles"] == 1
+    assert out[2]["novelty"] == 0.5
+    assert out[3]["n_shingles"] == 0 and out[3]["novelty"] == 0.0
+
+
+def test_zipf_slope_on_power_law_corpus(spark):
+    """A corpus with freq(term_r) = 2^(10-r) has ln f = const - r·ln2;
+    against ln(rank) that's not exactly linear, but the slope must be
+    strongly negative and the fit deterministic."""
+    import pyspark.sql.functions as F
+
+    from pagerank_spark.operators.text import zipf_slope
+
+    rows = []
+    for r in range(1, 9):
+        rows.extend([(f"t{r:02d}",)] * (2 ** (9 - r)))
+    df = spark.createDataFrame(rows, "text string")
+    out = zipf_slope(df, "text", top_n=8).collect()[0]
+    assert out["n_terms"] == 8
+    assert out["slope"] < -1.0
+    # repeated runs give the identical rounded fit
+    out2 = zipf_slope(df.repartition(7), "text", top_n=8).collect()[0]
+    assert out["slope"] == out2["slope"]
+    assert out["intercept"] == out2["intercept"]

@@ -464,6 +464,24 @@ def test_q171_bm25_no_cartesian_no_python(spark):
     assert "BroadcastExchange" in p
 
 
+def test_q171_bm25_topk_bounded_before_rank_window(spark):
+    """Round-6 verdict #6: InferWindowGroupLimit does NOT fire for
+    empty-partition windows on Spark 4.x, so the top-k must be a
+    TakeOrderedAndProject with the rank window running AFTER the
+    limit (over <= top_k rows) — never a row_number over the full
+    scored corpus in one partition."""
+    p = plan(ENTRY.queries()["q171_bm25_search"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    # the single-partition sort feeding the window sits above the
+    # bounded limit, so no global Sort node over the scored relation
+    take_pos = p.find("TakeOrderedAndProject")
+    win_pos = p.find("Window")
+    assert win_pos != -1 and take_pos != -1
+    # formatted plans list downstream operators first: the Window
+    # (consumer of the bounded rows) prints before the TakeOrdered
+    assert win_pos < take_pos
+
+
 def test_negative_samples_bucket_equi_join_no_vocab_bnl(spark):
     """Round-6 verdict #3: the draws↔CDF lookup must be a
     BroadcastHashJoin on the fixed-width bucket key (range check as
@@ -490,3 +508,33 @@ def test_negative_samples_bucket_equi_join_no_vocab_bnl(spark):
     assert len(bnl_lines) <= 2
     for ln in bnl_lines:
         assert "Cross" in ln
+
+
+def test_q180_tpch_q22_anti_join_scalar_broadcast(spark):
+    # Q22's two decorrelations: the global-avg filter is a one-row
+    # broadcast (BNL against a scalar agg), never a per-row subquery,
+    # and NOT EXISTS is a hash anti join, never a nested loop over
+    # orders.
+    p = plan(ENTRY.queries()["q180_tpch_q22"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q181_tpch_q15_scalar_max_pushdown(spark):
+    p = plan(ENTRY.queries()["q181_tpch_q15"](spark, SF_DIR))
+    # the shipdate window reaches the lineitem scan
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q177_er_resolve_no_cartesian(spark):
+    p = plan(ENTRY.queries()["q177_er_resolve"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_q178_novelty_no_window_no_python(spark):
+    p = plan(ENTRY.queries()["q178_ngram_novelty"](spark, SF_DIR))
+    assert "Window" not in p  # inverted-index min, not a window
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
