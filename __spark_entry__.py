@@ -3720,6 +3720,143 @@ def q181_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q182_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class profile: latin / digit / space /
+    other counts plus the dominant class — the script-detection
+    curation signal (mixed-script documents are the classic spam /
+    mojibake tell). Pure fused codegen projection (regexp_replace
+    length deltas), no shuffle beyond none: one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_latin = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(text, "[^ \t\n]", ""))
+    n_other = F.length(text) - n_latin - n_digit - n_space
+    dominant = (
+        F.when(
+            (n_latin >= n_digit) & (n_latin >= n_other), F.lit("latin")
+        )
+        .when(n_digit >= n_other, F.lit("digit"))
+        .otherwise(F.lit("other"))
+    )
+    return docs.select(
+        "doc_id",
+        n_latin.cast("long").alias("n_latin"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        n_other.cast("long").alias("n_other"),
+        dominant.alias("dominant"),
+    )
+
+
+def q183_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization via Spark's ``parse_url`` (crawl-pipeline
+    front door: host/path/query extraction before per-domain policy).
+    The fixture has no URL column, so one is synthesized
+    deterministically from (source, lang, doc_id) — the q111
+    augmentation pattern; the parse itself is what's hashed. DuckDB
+    twin parses with anchored regexps."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )
+
+
+def q184_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (operators/analytics.py
+    equidepth_histogram) of lineitem extended prices into 8
+    quantile-bounded bins: exact percentile cutpoints as a broadcast
+    one-row relation, bucket assignment as a scan-side fold — never
+    ntile over a global window. Complements q100's equi-width form."""
+    from pagerank_spark.operators.analytics import equidepth_histogram
+
+    return equidepth_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", buckets=8
+    )
+
+
+def q185_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss edge peeling, 2 fixed rounds (graph/components.py
+    ktruss): per-edge triangle support via the canonical two-join
+    wedge closure, edges below support 2 dropped, support recomputed
+    on the survivors. The oracle unrolls both rounds. Community-core
+    mining one notch stronger than k-core (q88)."""
+    from pagerank_spark.graph.components import ktruss
+
+    edges = _edges(spark, sf_dir).where(F.col("src") % 4 == 0)
+    return ktruss(edges, k=4, rounds=2)
+
+
+def q186_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (operators/analytics.py groupwise_ols) of
+    extendedprice ~ quantity per (returnflag, linestatus) — the
+    distributed per-key model fit, ``applyInPandas`` over Arrow
+    batches (the q84 pattern: the Pandas path itself is what the
+    driver hashes). The DuckDB twin is the algebraic
+    regr_slope/regr_intercept/regr_r2 triple, so the closed-form
+    numpy fit is value-checked against exact SQL regression
+    aggregates."""
+    from pagerank_spark.operators.analytics import groupwise_ols
+
+    return groupwise_ols(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q187_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py
+    containment_pairs): quote/sub-document detection — pairs where
+    either direction's containment |A∩B|/|A| reaches 0.8 on unigram
+    shingles. The inverted-index plan of q26 with direction-aware
+    normalization."""
+    from pagerank_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    return containment_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.8, max_doc_freq=None
+    )
+
+
+def q188_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (operators/dedup.py
+    leakage_safe_split): the md5 split coin is tossed on the near-dup
+    CLUSTER canonical id so near-copies land in the same split — the
+    leakage guard q120's per-doc split lacks. Oracle: q90's
+    recursive-CTE clustering composed with q120's coin SQL on the
+    canonical id."""
+    from pagerank_spark.operators.dedup import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return leakage_safe_split(
+        docs, "doc_id", "text", n=1, threshold=0.9,
+        val_frac=0.1, test_frac=0.1, seed="split-v1",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -3910,6 +4047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_zipf_slope": q179_zipf_slope,
         "q180_tpch_q22": q180_tpch_q22,
         "q181_tpch_q15": q181_tpch_q15,
+        "q182_script_mix": q182_script_mix,
+        "q183_url_parse": q183_url_parse,
+        "q184_equidepth_hist": q184_equidepth_hist,
+        "q185_ktruss": q185_ktruss,
+        "q186_groupwise_ols": q186_groupwise_ols,
+        "q187_containment_pairs": q187_containment_pairs,
+        "q188_leakage_safe_split": q188_leakage_safe_split,
     }
 
 
@@ -8876,5 +9020,234 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
+""",
+)
+
+# q182 twin: identical regexp_replace length deltas ('g' flag — DuckDB
+# defaults to first-match-only) and the same dominance tie-break
+# (latin >= digit >= other).
+_oracle(
+    "q182_script_mix",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+         CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g'))
+              AS BIGINT) AS n_space,
+         CAST(length(text) AS BIGINT) AS n_all
+  FROM documents
+)
+SELECT doc_id, n_latin, n_digit, n_space,
+       n_all - n_latin - n_digit - n_space AS n_other,
+       CASE
+         WHEN n_latin >= n_digit
+              AND n_latin >= n_all - n_latin - n_digit - n_space
+           THEN 'latin'
+         WHEN n_digit >= n_all - n_latin - n_digit - n_space
+           THEN 'digit'
+         ELSE 'other'
+       END AS dominant
+FROM m
+""",
+)
+
+# q183 twin: the same deterministic URL synthesis, parsed with
+# anchored regexps (host = authority, path = first '/'-rooted segment
+# after the authority, query = after '?').
+_oracle(
+    "q183_url_parse",
+    r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc-'
+           || CAST(doc_id AS VARCHAR) || '?ref=r'
+           || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\?([^#]*)', 1) AS query
+FROM u
+""",
+)
+
+# q184 twin: quantile_cont cutpoints (≡ Spark exact percentile, the
+# q78 equivalence) applied through the same ">" fold.
+_oracle(
+    "q184_equidepth_hist",
+    """
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+           AS qs
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+assigned AS (
+  SELECT CAST(1
+         + (CASE WHEN l_extendedprice > ROUND(qs[1], 6) THEN 1 ELSE 0 END)
+         + (CASE WHEN l_extendedprice > ROUND(qs[2], 6) THEN 1 ELSE 0 END)
+         + (CASE WHEN l_extendedprice > ROUND(qs[3], 6) THEN 1 ELSE 0 END)
+         + (CASE WHEN l_extendedprice > ROUND(qs[4], 6) THEN 1 ELSE 0 END)
+         + (CASE WHEN l_extendedprice > ROUND(qs[5], 6) THEN 1 ELSE 0 END)
+         + (CASE WHEN l_extendedprice > ROUND(qs[6], 6) THEN 1 ELSE 0 END)
+         + (CASE WHEN l_extendedprice > ROUND(qs[7], 6) THEN 1 ELSE 0 END)
+           AS BIGINT) AS bucket,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem, cuts WHERE l_extendedprice IS NOT NULL
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(v), 6) AS min_v, ROUND(MAX(v), 6) AS max_v
+FROM assigned GROUP BY bucket ORDER BY bucket
+""",
+)
+
+# q185 twin: both peeling rounds unrolled — per-edge support is the
+# count over the three role projections of the closed wedges, edges
+# below k-2=2 dropped between rounds.
+_oracle(
+    "q185_ktruss",
+    f"""
+WITH edges AS (
+  SELECT CAST(l_orderkey % {EDGE_MOD} AS BIGINT) AS src,
+         CAST(l_partkey % {EDGE_MOD} AS BIGINT) AS dst
+  FROM lineitem
+  WHERE (l_orderkey % {EDGE_MOD}) % 4 = 0
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+tri0 AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e1.dst = e2.src
+  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup0 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT a AS src, b AS dst FROM tri0
+    UNION ALL SELECT b AS src, c AS dst FROM tri0
+    UNION ALL SELECT a AS src, c AS dst FROM tri0
+  ) GROUP BY src, dst
+),
+s0 AS (
+  SELECT e0.src, e0.dst
+  FROM e0 LEFT JOIN sup0 USING (src, dst)
+  WHERE COALESCE(sup0.support, 0) >= 2
+),
+tri1 AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM s0 e1
+  JOIN s0 e2 ON e1.dst = e2.src
+  JOIN s0 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup1 AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT a AS src, b AS dst FROM tri1
+    UNION ALL SELECT b AS src, c AS dst FROM tri1
+    UNION ALL SELECT a AS src, c AS dst FROM tri1
+  ) GROUP BY src, dst
+)
+SELECT s0.src, s0.dst, COALESCE(sup1.support, 0) AS support
+FROM s0 LEFT JOIN sup1 USING (src, dst)
+WHERE COALESCE(sup1.support, 0) >= 2
+""",
+)
+
+# q186 twin: exact algebraic regression aggregates per group; the
+# Pandas closed form rounds to 6dp, so ROUND here too. DuckDB's
+# regr_r2 returns NULL for zero x-variance groups, matching the
+# operator's degenerate-group NULLs.
+_oracle(
+    "q186_groupwise_ols",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+         AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+# q187 twin: unigram shingle inverted-index join with direction-aware
+# normalization; the ROUNDED containments drive the threshold, like
+# the Spark side.
+_oracle(
+    "q187_containment_pairs",
+    r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, tok AS shingle FROM toks WHERE tok <> ''
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS cont_ab,
+       ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS cont_ba
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
+   OR ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) >= 0.8
+""",
+)
+
+# q188 twin: q90's recursive clustering CTE + q120's md5 coin on the
+# CANONICAL id (test < 0.1, val < 0.2, else train).
+_oracle(
+    "q188_leakage_safe_split",
+    "WITH RECURSIVE pairs AS (\n"
+    + _minhash_pair_sql(1, 0.9)
+    + """
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+pnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, label) AS (
+  SELECT node, node FROM pnodes
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON r.node = u.src
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+subset AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+canon AS (
+  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS canonical_id
+  FROM subset s LEFT JOIN comp c ON s.doc_id = c.node
+)
+SELECT doc_id, canonical_id,
+       CASE
+         WHEN CAST(('0x' || substr(
+                md5('split-v1#' || CAST(canonical_id AS VARCHAR)), 1, 15
+              )) AS BIGINT) % 1000000 < 100000 THEN 'test'
+         WHEN CAST(('0x' || substr(
+                md5('split-v1#' || CAST(canonical_id AS VARCHAR)), 1, 15
+              )) AS BIGINT) % 1000000 < 200000 THEN 'val'
+         ELSE 'train'
+       END AS split
+FROM canon
 """,
 )

@@ -1411,3 +1411,74 @@ def maximal_independent_set(
         .select("node", F.lit("undecided").alias("status"))
     )
     return decided.unionAll(undecided)
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 2,
+) -> DataFrame:
+    """k-truss edge peeling, ``rounds`` FIXED iterations (the SURVEY
+    §5.3 determinism rule — an exact SQL twin can unroll fixed
+    rounds; pass more rounds for a tighter fixpoint). Each round
+    computes per-edge triangle support on the surviving subgraph via
+    the canonical two-join wedge closure (``triangle_count``'s plan,
+    kept per-edge instead of globally summed) and drops edges with
+    support < k-2. Returns the surviving canonical undirected edges
+    ``(src, dst, support)`` with the LAST round's support.
+
+    The community-core primitive one notch stronger than k-core:
+    every surviving edge participates in ≥ k-2 triangles among
+    survivors. Scale shape: per round three equi-joins on node keys +
+    one partial-combined count per edge — no wedge materialization
+    beyond the joins, no windows; edge relation shrinks monotonically
+    so later rounds are cheaper. Support counting mirrors the
+    triangle plan: each triangle (a<b<c) contributes to all three of
+    its edges via a union of the three role projections.
+    """
+    if k < 2:
+        raise ValueError(f"ktruss: k must be >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"ktruss: rounds must be >= 1, got {rounds}")
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    surv = und
+    out = None
+    for r in range(rounds):
+        e1 = surv.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = surv.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        e3 = surv.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = e1.join(e2, on="b").join(e3, on=["a", "c"])
+        # each triangle supports its three edges
+        sup = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(
+                tri.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+            )
+            .unionAll(
+                tri.select(F.col("a").alias("src"), F.col("c").alias("dst"))
+            )
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("support"))
+        )
+        out = (
+            surv.join(sup, on=["src", "dst"], how="left")
+            .select(
+                "src",
+                "dst",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            .where(F.col("support") >= k - 2)
+        )
+        if r < rounds - 1:
+            # lazy lineage cut, the graph-loop discipline: the next
+            # round re-reads the survivor relation twice per join leg
+            out = out.localCheckpoint(eager=False)
+        surv = out.select("src", "dst")
+    return out

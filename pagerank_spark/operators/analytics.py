@@ -496,3 +496,119 @@ def scd2_runs(
         "n_events",
         "is_current",
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``buckets`` quantile-bounded bins with
+    per-bin counts and value ranges — the optimizer-statistics /
+    distribution-audit complement of the equi-width ``width_bucket``
+    histogram (q100). Returns ``(bucket, n, min_v, max_v)``.
+
+    Scale shape: the ``buckets-1`` interior cutpoints come from ONE
+    exact ``percentile`` aggregation (a one-row relation — swap in the
+    mergeable GK sketch for the approximate 100 TB default, exact kept
+    for the oracle), broadcast-cross-joined back so bucket assignment
+    is a pure scan-side expression: bucket = 1 + Σ 1[v > cut_i], a
+    fold over a ``buckets-1``-element literal-sized array. NEVER
+    ``ntile`` over a global window — that funnels the full table into
+    one partition (the q171 lesson applies to every unpartitioned
+    window).
+    """
+    if buckets < 2:
+        raise ValueError(f"equidepth_histogram: buckets >= 2, got {buckets}")
+    fracs = [i / buckets for i in range(1, buckets)]
+    v = F.col(col).cast("double")
+    cuts = df.where(v.isNotNull()).agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(str(f) for f in fracs)}))"
+        ).alias("__cuts")
+    )
+    # cutpoints rounded to 6dp BEFORE comparison, both engines: a value
+    # exactly on an interpolated cutpoint must bucket identically even
+    # if the engines' interpolations differ by 1 ulp
+    bucket = F.lit(1) + F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(v > F.round(c, 6), 1).otherwise(0),
+    )
+    return (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .select(bucket.cast("long").alias("bucket"), v.alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("__v"), 6).alias("min_v"),
+            F.round(F.max("__v"), 6).alias("max_v"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x`` — the
+    distributed per-key model-fitting pattern (one regression per
+    segment/device/nation) that genuinely needs ``applyInPandas``:
+    the per-group closed form is a vectorized numpy computation over
+    the group's Arrow batch, not a Catalyst expression. Returns
+    ``(*group_cols, n, slope, intercept, r2)`` rounded to 6dp, NULLs
+    where the group is degenerate (var(x)=0 or var(y)=0) — matching
+    SQL ``regr_slope``/``regr_intercept``/``regr_r2`` semantics, which
+    is exactly what the DuckDB twin checks.
+
+    Scale shape: ONE shuffle on the group key; each group reduces to a
+    single output row inside its Arrow batch (moments, not row
+    transfer); group count bounds the result. For billions of rows per
+    group, swap in the pure-SQL moment aggregation (regr_* are
+    algebraic); the Pandas form is the template for fits SQL can't
+    express (robust/iterative)."""
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*group_cols).schema.fields
+    )
+    schema = (
+        f"{out_fields}, n long, slope double, intercept double, r2 double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf[x_col].to_numpy(dtype=float)
+        y = pdf[y_col].to_numpy(dtype=float)
+        keep = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[keep], y[keep]
+        n = len(x)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["n"] = [n]
+        sxx = float(((x - x.mean()) ** 2).sum()) if n else 0.0
+        syy = float(((y - y.mean()) ** 2).sum()) if n else 0.0
+        if n == 0 or sxx == 0.0:
+            row["slope"] = [None]
+            row["intercept"] = [None]
+            row["r2"] = [None]
+        else:
+            sxy = float(((x - x.mean()) * (y - y.mean())).sum())
+            slope = sxy / sxx
+            row["slope"] = [round(slope, 6)]
+            row["intercept"] = [round(float(y.mean() - slope * x.mean()), 6)]
+            row["r2"] = [
+                None if syy == 0.0 else round(sxy * sxy / (sxx * syy), 6)
+            ]
+        return pd.DataFrame(row)
+
+    return (
+        df.select(*group_cols, x_col, y_col)
+        .groupBy(*group_cols)
+        .applyInPandas(fit, schema=schema)
+    )

@@ -959,3 +959,126 @@ def ngram_novelty(
             6,
         ).alias("novelty"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment per candidate pair —
+    ``c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the quote / sub-document
+    detector Jaccard misses: a tweet fully quoted inside a long
+    article has tiny Jaccard but containment 1.0 in one direction.
+    Returns ``(id_a, id_b, n_inter, n_a, n_b, cont_ab, cont_ba)`` for
+    ``id_a < id_b`` where EITHER direction reaches ``threshold``
+    (containments rounded to 6dp, the rounded value thresholded).
+
+    Scale shape: the same inverted-index self-join as
+    ``jaccard_pairs`` (shuffle on the shingle key, ``max_doc_freq``
+    stopword-shingle cap applies identically — sizes computed after
+    the cap so containment stays a true containment over the retained
+    set); at LSH scale feed the banded candidates instead of the
+    self-join, exactly like the Jaccard verification path.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n)
+    if max_doc_freq is not None:
+        df_per = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        sh = sh.join(
+            df_per.where(F.col("__df") <= max_doc_freq),
+            on="shingle",
+            how="left_semi",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    cont_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            cont_ab.alias("cont_ab"),
+            cont_ba.alias("cont_ba"),
+        )
+        .where(
+            (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.9,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split coin is tossed
+    on the near-dup CLUSTER's canonical id, not the document id, so a
+    document and its near-duplicates land in the SAME split — the
+    leakage guard a plain per-doc split (q120) lacks (a train doc's
+    near-copy in test silently inflates eval). Returns
+    ``(id, canonical_id, split)``, covering every input row.
+
+    Deterministic: ``neardup_clusters`` (LSH → components → min-id
+    canonical) then the md5-coin assignment on
+    ``seed # canonical_id`` — the q120/q131 portable-coin discipline,
+    so any engine reproduces every assignment. One extra broadcast-
+    size join over the plain split; the cluster relation is residual-
+    graph-sized.
+    """
+    if not (0.0 <= val_frac and 0.0 <= test_frac
+            and val_frac + test_frac < 1.0):
+        raise ValueError("leakage_safe_split: fracs must sum below 1")
+    from pagerank_spark.functions import portable_hash60
+
+    clusters = neardup_clusters(
+        df, id_col, text_col, n=n, threshold=threshold
+    )
+    coin = (
+        F.pmod(
+            portable_hash60(
+                F.concat(
+                    F.lit(seed),
+                    F.lit("#"),
+                    F.col("canonical_id").cast("string"),
+                )
+            ),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
+    split = (
+        F.when(coin < test_frac, F.lit("test"))
+        .when(coin < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return clusters.select(id_col, "canonical_id", split.alias("split"))

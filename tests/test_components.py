@@ -582,3 +582,33 @@ def test_maximal_independent_set_properties(spark):
 
     with pytest.raises(ValueError):
         maximal_independent_set(df, rounds=0)
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant(spark):
+    from pagerank_spark.graph.components import ktruss
+
+    # K4 on {1,2,3,4} + pendant edge (4,9): every K4 edge sits in 2
+    # triangles (support 2 >= k-2), the pendant in none.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(k4 + [(4, 9)], "src long, dst long")
+    out = sorted(
+        (r["src"], r["dst"], r["support"])
+        for r in ktruss(edges, k=4, rounds=2).collect()
+    )
+    assert out == [(a, b, 2) for a, b in k4]
+
+
+def test_ktruss_triangle_dissolves_at_k4(spark):
+    from pagerank_spark.graph.components import ktruss
+
+    # a lone triangle has per-edge support 1 < k-2=2: fully peeled
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert ktruss(edges, k=4, rounds=1).count() == 0
+    # but survives k=3 (support >= 1)
+    out = ktruss(edges, k=3, rounds=2).collect()
+    assert sorted((r["src"], r["dst"]) for r in out) == [
+        (1, 2), (1, 3), (2, 3)
+    ]
+    assert all(r["support"] == 1 for r in out)

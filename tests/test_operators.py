@@ -2193,3 +2193,75 @@ def test_zipf_slope_on_power_law_corpus(spark):
     out2 = zipf_slope(df.repartition(7), "text", top_n=8).collect()[0]
     assert out["slope"] == out2["slope"]
     assert out["intercept"] == out2["intercept"]
+
+
+def test_equidepth_histogram_counts_and_ranges(spark):
+    from pagerank_spark.operators.analytics import equidepth_histogram
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    out = {r["bucket"]: r for r in equidepth_histogram(df, "v", 4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert [out[b]["n"] for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
+    assert out[1]["min_v"] == 1.0 and out[4]["max_v"] == 100.0
+    # bins tile: each bucket's min is the previous max + 1 on integers
+    assert out[2]["min_v"] == out[1]["max_v"] + 1
+
+
+def test_containment_pairs_detects_quote_jaccard_misses(spark):
+    from pagerank_spark.operators.dedup import containment_pairs
+
+    # doc 2 is fully contained in doc 1 (a "quote"): containment 1.0
+    # one way, Jaccard only 3/10.
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "w4 w5 w6"),
+            (3, "x1 x2 x3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(df, n=1, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_ba"] == 1.0 and r["cont_ab"] == 0.3
+    assert r["n_inter"] == 3 and r["n_a"] == 10 and r["n_b"] == 3
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    from pagerank_spark.operators.dedup import leakage_safe_split
+
+    # 40 singleton docs + one near-dup pair (identical text): the pair
+    # must share a split; every doc gets exactly one split.
+    rows = [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(40)]
+    rows += [(100, "same text here please"), (101, "same text here please")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, n=1, threshold=0.9, val_frac=0.25, test_frac=0.25
+    ).collect()
+    assert len(out) == 42
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[100]["split"] == by_id[101]["split"]
+    assert by_id[100]["canonical_id"] == by_id[101]["canonical_id"] == 100
+    splits = {r["split"] for r in out}
+    assert splits <= {"train", "val", "test"}
+    assert len(splits) >= 2  # 42 docs at 50/25/25: all-one-split ~impossible
+
+
+def test_groupwise_ols_matches_closed_form_and_degenerates(spark):
+    from pagerank_spark.operators.analytics import groupwise_ols
+
+    rows = [
+        # group g1: perfect line y = 2x + 1 -> r2 = 1
+        ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+        # group g2: constant x -> slope NULL
+        ("g2", 4.0, 1.0), ("g2", 4.0, 2.0),
+        # group g3: constant y -> slope 0, r2 NULL
+        ("g3", 1.0, 5.0), ("g3", 2.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in groupwise_ols(df, ["g"], "x", "y").collect()}
+    assert out["g1"]["slope"] == 2.0 and out["g1"]["intercept"] == 1.0
+    assert out["g1"]["r2"] == 1.0 and out["g1"]["n"] == 3
+    assert out["g2"]["slope"] is None
+    assert out["g3"]["slope"] == 0.0 and out["g3"]["r2"] is None

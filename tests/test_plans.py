@@ -538,3 +538,22 @@ def test_q178_novelty_no_window_no_python(spark):
     assert "Window" not in p  # inverted-index min, not a window
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q186_ols_single_shuffle_arrow_path(spark):
+    # the per-key fit is the legitimate Arrow path: ONE exchange on the
+    # group key feeding FlatMapGroupsInPandas — and never a row-at-a-
+    # time BatchEvalPython.
+    df = ENTRY.queries()["q186_groupwise_ols"](spark, SF_DIR)
+    p = plan(df)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    # the formatted plan names each node twice (tree + detail): one
+    # Exchange node == one "Exchange (" tree entry
+    assert p.count("Exchange (") == 1
+
+
+def test_q187_containment_no_cartesian(spark):
+    p = plan(ENTRY.queries()["q187_containment_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
