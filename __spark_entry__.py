@@ -3857,6 +3857,60 @@ def q188_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_quality_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-curriculum resampling: bucket documents by quality
+    score (fixed grid, deterministic), then ``sample_to_mix`` toward a
+    quality-weighted target mix (keep more high-quality) — the
+    composition a data-curriculum pipeline actually runs. All
+    md5-coin, no RNG; the twin replays the same score, bucket, plan
+    and coin arithmetic."""
+    from pagerank_spark.operators.curation import sample_to_mix
+    from pagerank_spark.operators.text import quality_score
+
+    docs = quality_score(
+        load_table(spark, sf_dir, "documents"), "text"
+    ).select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality") * 4).cast("int"), F.lit(3)
+        ).cast("string").alias("qb"),
+    )
+    out = sample_to_mix(
+        docs,
+        group_col="qb",
+        weights={"0": 0.1, "1": 0.2, "2": 0.3, "3": 0.4},
+        id_col="doc_id",
+        salt="quality-mix",
+    )
+    return out.select("doc_id", "qb")
+
+
+def q190_daily_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 event types by count with a PARTITIONED rank
+    window — the shape where Spark's rank-limit pushdown
+    (InferWindowGroupLimit → WindowGroupLimit) DOES fire, asserted by
+    plan test: partial per-partition top-k before the exchange, the
+    complement of the q171 empty-partition lesson."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.unix_date(F.to_date("ts")).cast("long")
+    counts = (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("day", "event_type", "n", "rk")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4054,6 +4108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_groupwise_ols": q186_groupwise_ols,
         "q187_containment_pairs": q187_containment_pairs,
         "q188_leakage_safe_split": q188_leakage_safe_split,
+        "q189_quality_stratified_sample": q189_quality_stratified_sample,
+        "q190_daily_top_events": q190_daily_top_events,
     }
 
 
@@ -9249,5 +9305,85 @@ SELECT doc_id, canonical_id,
          ELSE 'train'
        END AS split
 FROM canon
+""",
+)
+
+# q189 twin: q23's quality SQL -> fixed 4-bucket grid -> q109's
+# max-feasible-total plan arithmetic -> the md5 coin with salt
+# ':quality-mix' on doc_id.
+_oracle(
+    "q189_quality_stratified_sample",
+    r"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS len_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+           AS stop_hits
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id,
+         n_punct / greatest(len_chars, 1) AS punct_ratio,
+         stop_hits / greatest(n_tokens, 1) AS stop_ratio,
+         len_chars
+  FROM feats
+),
+q AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(len_chars / 500.0, 1.0)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(stop_ratio, 1.0), 9) AS quality
+  FROM ratios
+),
+b AS (
+  SELECT doc_id,
+         CAST(LEAST(CAST(FLOOR(quality * 4) AS BIGINT), 3) AS VARCHAR)
+           AS qb
+  FROM q
+),
+w(qb, wt) AS (
+  VALUES ('0', CAST(0.1 AS DOUBLE)), ('1', CAST(0.2 AS DOUBLE)),
+         ('2', CAST(0.3 AS DOUBLE)), ('3', CAST(0.4 AS DOUBLE))
+),
+counts AS (SELECT qb, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY qb),
+caps AS (SELECT c.qb, c.n, w.wt FROM counts c JOIN w USING (qb)),
+t AS (SELECT MIN(n / wt) AS t FROM caps),
+plan AS (
+  SELECT qb,
+         CAST(FLOOR(
+           LEAST(1.0, ROUND(wt * (SELECT t FROM t) / n, 12)) * 1000000
+         ) AS BIGINT) AS thresh
+  FROM caps
+)
+SELECT b.doc_id, b.qb
+FROM b JOIN plan p USING (qb)
+WHERE CAST(('0x' || substr(
+        md5(CAST(b.doc_id AS VARCHAR) || ':quality-mix'), 1, 15
+      )) AS BIGINT) % 1000000 < p.thresh
+""",
+)
+
+# q190 twin: epoch-day buckets (NTZ-safe: CAST to DATE then day
+# difference), per-day rank with the same (n desc, type asc)
+# tie-break.
+_oracle(
+    "q190_daily_top_events",
+    """
+WITH counts AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY day ORDER BY n DESC, event_type ASC
+         ) AS rk
+  FROM counts
+)
+SELECT day, event_type, n, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
 """,
 )

@@ -557,3 +557,12 @@ def test_q187_containment_no_cartesian(spark):
     p = plan(ENTRY.queries()["q187_containment_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q190_partitioned_window_group_limit_fires(spark):
+    # The PARTITIONED rank window must get the rank-limit pushdown
+    # (WindowGroupLimit: partial per-partition top-k BEFORE the
+    # exchange) — the complement of q171's empty-partition lesson.
+    p = plan(ENTRY.queries()["q190_daily_top_events"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
