@@ -3911,6 +3911,28 @@ def q190_daily_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py
+    pq_adc_topk, Jegou et al. 2011): corpus compressed to 4x4-bit
+    subspace codes, queries full-precision, scores via per-query
+    inner-product tables — n_subspaces lookups per pair instead of a
+    dim-length dot. Declared refine-free (seed codebooks, the
+    q36/q73 engine-reproducibility pattern; production uses
+    refine>=1, pytest-verified at topic precision 1.0 on structured
+    embeddings). Same schema/queries as q28/q147 so the
+    compression-recall trade is directly comparable."""
+    from pagerank_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = pq_adc_topk(
+        emb, queries_df, k=5, n_subspaces=4, n_codes=16, refine=0
+    )
+    return out.select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4110,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_leakage_safe_split": q188_leakage_safe_split,
         "q189_quality_stratified_sample": q189_quality_stratified_sample,
         "q190_daily_top_events": q190_daily_top_events,
+        "q191_pq_ann": q191_pq_ann,
     }
 
 
@@ -9385,5 +9408,84 @@ ranked AS (
 )
 SELECT day, event_type, n, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= 3
+""",
+)
+
+# q191 twin: the full PQ pipeline in SQL — seed codebooks per
+# subspace (1-based inclusive list slicing), euclidean-argmin
+# encoding (list_distance; tie -> smallest cid), per-query
+# inner-product tables (list_inner_product), reconstructed-norm
+# cosine, per-query top-5.
+_oracle(
+    "q191_pq_ann",
+    """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+subs AS (SELECT unnest(range(0, 4)) AS sub),
+seeds AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+  FROM emb ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT s.sub, seeds.cid,
+         seeds.v[s.sub * 16 + 1 : s.sub * 16 + 16] AS cvec
+  FROM subs s CROSS JOIN seeds
+),
+slices AS (
+  SELECT e.vec_id, s.sub,
+         e.v[s.sub * 16 + 1 : s.sub * 16 + 16] AS svec
+  FROM emb e CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT sl.vec_id, sl.sub, cb.cid,
+           row_number() OVER (
+             PARTITION BY sl.vec_id, sl.sub
+             ORDER BY list_distance(sl.svec, cb.cvec), cb.cid
+           ) AS rn
+    FROM slices sl JOIN cb ON sl.sub = cb.sub
+  ) t WHERE rn = 1
+),
+cbn AS (
+  SELECT sub, cid AS code, list_inner_product(cvec, cvec) AS c2 FROM cb
+),
+rnorm AS (
+  SELECT vec_id, sqrt(SUM(c2)) AS nb_norm
+  FROM enc JOIN cbn USING (sub, code) GROUP BY vec_id
+),
+q AS (SELECT vec_id, v FROM emb WHERE vec_id % 50 = 0),
+qsl AS (
+  SELECT qq.vec_id AS query_id, s.sub,
+         qq.v[s.sub * 16 + 1 : s.sub * 16 + 16] AS svec
+  FROM q qq CROSS JOIN subs s
+),
+qtab AS (
+  SELECT query_id, qsl.sub, cb.cid AS code,
+         list_inner_product(qsl.svec, cb.cvec) AS ip
+  FROM qsl JOIN cb ON qsl.sub = cb.sub
+),
+qnorm AS (
+  SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS query_norm
+  FROM q
+),
+scored AS (
+  SELECT t.query_id, t.nb_id,
+         ROUND(t.ip / (qn.query_norm * rn2.nb_norm), 6) AS cos
+  FROM (
+    SELECT qt.query_id, e.vec_id AS nb_id, SUM(qt.ip) AS ip
+    FROM enc e JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
+    GROUP BY qt.query_id, e.vec_id
+  ) t
+  JOIN qnorm qn USING (query_id)
+  JOIN rnorm rn2 ON t.nb_id = rn2.vec_id
+  WHERE t.query_id <> t.nb_id
+)
+SELECT query_id, nb_id, cos, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT query_id, nb_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+  ) AS rk
+  FROM scored
+) t WHERE rk <= 5
 """,
 )

@@ -803,3 +803,219 @@ def ann_ivf_adc(
         .where(F.col("rank") <= k)
         .select("query_id", "nb_id", "cos", "rank")
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    refine: int = 0,
+) -> DataFrame:
+    """Product-quantization SEED codebooks: the vector space is split
+    into ``n_subspaces`` contiguous slices and each subspace gets
+    ``n_codes`` codewords — the first ``n_codes`` corpus vectors' own
+    slices, optionally Lloyd-refined ``refine`` rounds PER SUBSPACE in
+    one shared pass (all subspaces assign and re-mean in the same two
+    shuffles per round — the ``kmeans`` loop's shape with (sub, cid)
+    keys). ``refine=0`` keeps the q36/q73 engine-reproducible seed
+    form for oracles; refined codebooks are what production recall
+    needs (PQ at B bits/vector is only as good as its training). Returns the
+    ``(sub, cid, cvec)`` relation — subspaces × codes × subdim values,
+    driver-materialized like every codebook in this tier (the IVF
+    ``_centroids`` contract)."""
+    if n_subspaces < 1 or n_codes < 1:
+        raise ValueError("pq_codebooks: n_subspaces and n_codes must be >= 1")
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"pq_codebooks: dim {dim} not divisible by {n_subspaces}"
+        )
+    w = dim // n_subspaces
+    data = [
+        (s, cid, [float(x) for x in r["v"][s * w:(s + 1) * w]])
+        for s in range(n_subspaces)
+        for cid, r in enumerate(rows)
+    ]
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(data, "sub INT, cid INT, cvec ARRAY<DOUBLE>")
+    for _ in range(refine):
+        sl = _pq_slices(corpus, id_col, "id", vec_col, n_subspaces)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            sl.join(F.broadcast(cb), on="sub")
+            .select("id", "sub", "svec", "cid", d2.alias("d2"))
+            .groupBy("id", "sub")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("svec").alias("svec"),
+            )
+        )
+        means = (
+            assigned.select(
+                "sub", "cid", F.posexplode("svec").alias("pos", "x")
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "sub", "cid",
+                F.transform("pm", lambda s: s["m"]).alias("cvec"),
+            )
+            .collect()
+        )
+        new_cb = {(r["sub"], r["cid"]): list(r["cvec"]) for r in means}
+        data = [
+            (s, cid, new_cb.get((s, cid), old_vec))
+            for s, cid, old_vec in data
+        ]
+        cb = spark.createDataFrame(
+            data, "sub INT, cid INT, cvec ARRAY<DOUBLE>"
+        )
+    return cb
+
+
+def _pq_slices(
+    df: DataFrame, id_col: str, id_alias: str, vec_col: str,
+    n_subspaces: int,
+) -> DataFrame:
+    """(id, sub, svec): vectors exploded into their subspace slices —
+    one inline array-of-structs explode per row, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    w = (F.size(v) / n_subspaces).cast("int")
+    slices = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(v, F.lit(s) * w + 1, w).alias("svec"),
+        )
+        for s in range(n_subspaces)
+    ])
+    return df.select(
+        F.col(id_col).alias(id_alias), F.explode(slices).alias("__sl")
+    ).select(id_alias, F.col("__sl.sub").alias("sub"),
+             F.col("__sl.svec").alias("svec"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """PQ ENCODING: each vector compresses to ``n_subspaces`` small
+    code ids — ``(id, sub, code)``, the n_subspaces·log2(n_codes)-bit
+    representation that makes billion-scale ANN fit in RAM. Per
+    (point, subspace): euclidean argmin over the subspace's codebook
+    (ties → smallest cid), via one broadcast join + one
+    partial-combined ``min_by`` — the ``_assign_euclidean`` shape per
+    subspace, never a window over the corpus."""
+    sl = _pq_slices(corpus, id_col, "id", vec_col, n_subspaces)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sl.join(F.broadcast(codebooks), on="sub").select(
+        "id", "sub", "cid", d2.alias("d2")
+    )
+    return scored.groupBy("id", "sub").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    refine: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. 2011): queries stay
+    full-precision, the corpus is its PQ codes, and each query
+    pre-computes a ``n_subspaces × n_codes`` inner-product TABLE
+    against the codebooks; a document's score is then ``n_subspaces``
+    table lookups summed — never a dim-length dot per pair. Cosine is
+    approximated against the RECONSTRUCTED document norm (sum of its
+    codewords' squared norms), so scores are comparable with the
+    exact q28 baseline. Same output schema as every ANN variant.
+
+    Scale shape: the per-query table is (queries × subspaces × codes)
+    — broadcast-sized for a bounded query set; the corpus-side work is
+    one equi-join of (id, sub, code) against that broadcast plus one
+    partial-combined sum per (query, doc). Seed codebooks keep the
+    DuckDB twin engine-reproducible (q36's pattern)."""
+    cb = pq_codebooks(corpus, id_col, vec_col, n_subspaces, n_codes,
+                      refine=refine)
+    enc = pq_encode(corpus, cb, id_col, vec_col, n_subspaces)
+    # reconstructed doc norm² = Σ_sub |cvec(code)|²
+    cb_norm = cb.select(
+        "sub", F.col("cid").alias("code"),
+        F.aggregate(
+            "cvec", F.lit(0.0), lambda a, x: a + x * x
+        ).alias("c2"),
+    )
+    rnorm = (
+        enc.join(F.broadcast(cb_norm), on=["sub", "code"])
+        .groupBy("id")
+        .agg(F.sqrt(F.sum("c2")).alias("nb_norm"))
+    )
+    qsl = _pq_slices(queries, id_col, "query_id", vec_col, n_subspaces)
+    qtab = (
+        qsl.join(F.broadcast(cb), on="sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cid").alias("code"),
+            dot(F.col("svec"), F.col("cvec")).alias("ip"),
+        )
+    )
+    qnorm = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("query_norm"),
+    )
+    scored = (
+        enc.join(F.broadcast(qtab), on=["sub", "code"])
+        .groupBy("query_id", F.col("id").alias("nb_id"))
+        .agg(F.sum("ip").alias("ip"))
+        .where(F.col("query_id") != F.col("nb_id"))
+        .join(rnorm.select(F.col("id").alias("nb_id"), "nb_norm"),
+              on="nb_id")
+        .join(F.broadcast(qnorm), on="query_id")
+        .select(
+            "query_id",
+            "nb_id",
+            F.round(
+                F.col("ip") / (F.col("query_norm") * F.col("nb_norm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nb_id", "cos", "rank")
+    )

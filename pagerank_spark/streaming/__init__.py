@@ -266,8 +266,9 @@ def stream_stream_interval_join(
     watermark: str = "2 hours",
     left_ts: str = "ts",
     right_ts: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right rows within
+    """Stream-stream join: right rows within
     ``[left_ts - interval, left_ts]`` on the same key.
 
     Both inputs carry watermarks, and the join condition bounds the
@@ -276,12 +277,25 @@ def stream_stream_interval_join(
     state store, so state is bounded (without the time bound a
     stream-stream join would buffer both streams forever).
 
-    The batch twin is ``operators.relational.interval_join`` (bucketed
-    equi-join, driver-oracled as a declared query); the parity test
-    feeds the same events through both.
+    ``how`` supports ``"inner"`` and ``"left_outer"``: the outer form
+    additionally emits an unmatched left row (right columns NULL) once
+    the watermark passes the point where a match could still arrive —
+    i.e. the null verdict is itself watermark-delayed, which is why
+    outer stream-stream joins REQUIRE both the watermark and the time
+    bound (Spark rejects them otherwise). The batch twin is the same
+    join with ``how="left"``.
+
+    The inner batch twin is ``operators.relational.interval_join``
+    (bucketed equi-join, driver-oracled as a declared query); the
+    parity tests feed the same events through both.
 
     Right columns are prefixed ``r_`` to avoid ambiguity.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"stream_stream_interval_join: how must be inner|left_outer, "
+            f"got {how!r}"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
@@ -290,7 +304,7 @@ def stream_stream_interval_join(
         & (F.col(f"r_{right_ts}") >= F.col(left_ts) - F.expr(f"INTERVAL {interval}"))
         & (F.col(f"r_{right_ts}") <= F.col(left_ts))
     )
-    return l.join(r, on=cond, how="inner").drop(f"r_{on}")
+    return l.join(r, on=cond, how=how).drop(f"r_{on}")
 
 
 def stream_to_parquet_foreachbatch(

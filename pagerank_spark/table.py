@@ -376,3 +376,129 @@ def table_changes(
         *[F.col(f"e.img.{c}").alias(c) for c in cols],
         F.col("e.ct").alias("_change_type"),
     )
+
+
+def build_file_bloom(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    m: int = 1 << 16,
+    k: int = 3,
+    version: int | None = None,
+) -> str:
+    """Per-FILE Bloom-filter sidecar for point-lookup file skipping —
+    the pruning tier min/max stats can't provide: range clustering
+    skips files for RANGE predicates on the sort prefix, but an
+    equality probe on a high-cardinality key (doc id, user id, URL)
+    hits every file's min/max span once the table has churned. A
+    per-file Bloom answers "could file F contain key v?" with no
+    false negatives and ~(set_bits/m)^k false positives.
+
+    Build: ONE distributed pass over the snapshot reading only
+    ``col`` + the ``_metadata.file_path`` virtual column, exploding
+    the k md5 positions per key and collapsing duplicates
+    map-side — the sidecar relation is ≤ files × min(m, k·keys/file)
+    rows, written under the snapshot as ``_bloom_<col>`` (the
+    underscore prefix keeps it invisible to the snapshot's own
+    parquet listing, the _SUCCESS convention). Uses the portable md5
+    arithmetic of ``curation.bloom_bits``, so the sidecar is
+    engine-checkable. Returns the sidecar path. Snapshots are
+    immutable, so a sidecar never goes stale — a new version just
+    needs its own build (cheap: same scan the compaction already
+    does).
+    """
+    latest = _read_pointer(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    v = latest if version is None else version
+    snap = _snap_dir(root, v)
+    from pagerank_spark.operators.curation import _bloom_pos
+
+    key = F.col(col).cast("string")
+    bits = (
+        spark.read.parquet(snap)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.explode(
+                F.array(*[_bloom_pos(key, i, m, f"fb_{col}") for i in range(k)])
+            ).alias("bit_pos"),
+        )
+        .distinct()
+    )
+    out = os.path.join(snap, f"_bloom_{col}")
+    bits.write.mode("overwrite").parquet(out)
+    return out
+
+
+def _bloom_positions_py(value, col: str, m: int, k: int) -> set[int]:
+    """Driver-side twin of ``_bloom_pos`` (same md5 arithmetic) for a
+    single probe value."""
+    import hashlib
+
+    s = str(value)
+    return {
+        int(
+            hashlib.md5(f"{s}:fb_{col}{i}".encode()).hexdigest()[:15], 16
+        ) % m
+        for i in range(k)
+    }
+
+
+def bloom_candidate_files(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    m: int = 1 << 16,
+    k: int = 3,
+    version: int | None = None,
+) -> list[str]:
+    """Files of the snapshot that MIGHT contain ``col = value``
+    according to the ``build_file_bloom`` sidecar: a file is a
+    candidate iff ALL k probe positions are set in its filter. The
+    probe positions are computed driver-side (k md5 calls); the
+    sidecar scan is pushed down to exactly those positions. No false
+    negatives by Bloom construction."""
+    latest = _read_pointer(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    v = latest if version is None else version
+    sidecar = os.path.join(_snap_dir(root, v), f"_bloom_{col}")
+    pos = _bloom_positions_py(value, col, m, k)
+    rows = (
+        spark.read.parquet(sidecar)
+        .where(F.col("bit_pos").isin([int(p) for p in pos]))
+        .groupBy("file_path")
+        .agg(F.count_distinct("bit_pos").alias("nb"))
+        .where(F.col("nb") == len(pos))
+        .collect()
+    )
+    return sorted(r["file_path"] for r in rows)
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    m: int = 1 << 16,
+    k: int = 3,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup through the Bloom sidecar: read ONLY the candidate
+    files, then apply the equality filter (parquet row-group stats
+    prune further inside each file). Zero candidates → an empty
+    DataFrame with the snapshot schema. Results are EXACTLY the full
+    scan's — Bloom false positives only cost extra file reads, never
+    wrong rows."""
+    latest = _read_pointer(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    v = latest if version is None else version
+    files = bloom_candidate_files(spark, root, col, value, m, k, version=v)
+    snap = _snap_dir(root, v)
+    if not files:
+        return (
+            spark.read.parquet(snap).where(F.lit(False))
+        )
+    return spark.read.parquet(*files).where(F.col(col) == F.lit(value))

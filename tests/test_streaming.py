@@ -467,3 +467,73 @@ def test_cms_stream_matches_batch_sketch(spark, tmp_path):
     }
     exact = 3000 // 37 + (1 if 0 < 3000 % 37 else 0)
     assert est["k0"] >= exact
+
+
+def test_stream_stream_left_outer_interval_join(spark, event_dir):
+    """Outer stream-stream semantics: the matched rows equal the inner
+    join, and unmatched left rows ARRIVE with NULL right columns once
+    the watermark passes their eligibility window — never a duplicate,
+    never a row the batch left join wouldn't produce."""
+    from pagerank_spark.streaming import stream_stream_interval_join
+
+    batch = spark.read.parquet(event_dir)
+    clicks_b = batch.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_b = batch.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    # batch left-join twin
+    r = views_b.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (clicks_b["user_id"] == r["r_user_id"])
+        & (r["r_ts"] >= clicks_b["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (r["r_ts"] <= clicks_b["ts"])
+    )
+    twin = clicks_b.join(r, on=cond, how="left").drop("r_user_id")
+    expected_matched = {
+        (x["event_id"], x["r_ts"], x["r_value"])
+        for x in twin.collect()
+        if x["r_ts"] is not None
+    }
+    unmatched_ids = {
+        x["event_id"] for x in twin.collect() if x["r_ts"] is None
+    }
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    clicks_s = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_s = stream.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = stream_stream_interval_join(
+        clicks_s, views_s, on="user_id", interval="1 hour",
+        watermark="2 hours", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_louter_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ss_louter_test").collect()
+    finally:
+        q.stop()
+
+    got_matched = {
+        (x["event_id"], x["r_ts"], x["r_value"])
+        for x in rows
+        if x["r_ts"] is not None
+    }
+    got_null_ids = [x["event_id"] for x in rows if x["r_ts"] is None]
+    assert got_matched == expected_matched and len(got_matched) > 0
+    # every emitted NULL row is a genuinely unmatched left, at most once
+    assert set(got_null_ids) <= unmatched_ids
+    assert len(got_null_ids) == len(set(got_null_ids))

@@ -330,3 +330,45 @@ def test_apply_cdf_to_sums_equals_recompute_and_drops_empty_groups(
     }
     assert got == expect == {"g1": (2, 16.0), "g3": (1, 1.0)}
     assert "g2" not in got  # emptied group must disappear
+
+
+def test_bloom_file_skipping_point_lookup(spark, tmp_path):
+    """Per-file Bloom sidecar: a point lookup reads a strict subset of
+    files, returns exactly the full-scan answer, and an absent key
+    returns empty — no false negatives by construction."""
+    from pagerank_spark.table import (
+        bloom_candidate_files,
+        build_file_bloom,
+        compact_table,
+        read_point_lookup,
+        read_table,
+        write_table,
+    )
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "btab")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    write_table(df.repartition(8), root)
+    # range-cluster on k so each key lives in one file
+    compact_table(spark, root, target_files=8, sort_by=["k"])
+    build_file_bloom(spark, root, "k")
+
+    n_files = (
+        read_table(spark, root)
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .count()
+    )
+    assert n_files == 8
+
+    cand = bloom_candidate_files(spark, root, "k", 1234)
+    assert 1 <= len(cand) < n_files  # real skipping happened
+    got = read_point_lookup(spark, root, "k", 1234).collect()
+    assert len(got) == 1 and got[0]["v"] == 1234 * 7 % 1000
+
+    # absent key: may touch FP files but returns nothing
+    assert read_point_lookup(spark, root, "k", 999_999).count() == 0
+    # sidecar is invisible to the snapshot scan
+    assert read_table(spark, root).count() == 4000
