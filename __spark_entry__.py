@@ -3933,6 +3933,127 @@ def q191_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (the classic alternative to
+    q175's key blocking): distinct names ranked in lexicographic
+    order, pairs generated within a rank window of 3, verified by
+    thresholded levenshtein. The rank window runs over the DISTINCT
+    VALUE relation (value-space cardinality, the AUC-tier rationale
+    for a bounded global window) and pairing is an equi-join on rank
+    offsets — no self-cartesian. Catches near-dups key blocking
+    splits (typos in the blocking key itself)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("name")
+    ranked = names.withColumn("rk", F.row_number().over(w))
+    b = ranked.select(
+        F.col("name").alias("name_b"), F.col("rk").alias("rk_b")
+    )
+    offsets = F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)]))
+    return (
+        ranked.select("name", "rk", offsets.alias("off"))
+        .join(b, F.col("rk") + F.col("off") == F.col("rk_b"))
+        .select(
+            F.col("name").alias("name_a"),
+            "name_b",
+            F.levenshtein("name", "name_b", 2).cast("long").alias("dist"),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= 2))
+    )
+
+
+def q193_event_type_cooccurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent event-type pair mining (market-basket over user
+    baskets): distinct (user, type) relation self-joined on the user
+    with type_a < type_b, support-thresholded — the association
+    primitive for feature co-occurrence audits. Type-space is tiny so
+    the pair relation is bounded; the only corpus-sized work is the
+    distinct collapse (one partial-combined shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    users = ut.agg(
+        F.count_distinct("user_id").cast("double").alias("__users")
+    )
+    return (
+        a.join(b, on="user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 10)
+        .crossJoin(F.broadcast(users))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support") / F.col("__users"), 6).alias(
+                "lift_base"
+            ),
+        )
+    )
+
+
+def q194_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature correlation matrix (operators/relational.py
+    corr_matrix): pairwise Pearson corr of four lineitem numerics in
+    ONE aggregation pass (k² algebraic corr expressions, one scan —
+    never k² scans). Upper triangle, 6dp, SQL corr NULL semantics."""
+    from pagerank_spark.operators.relational import corr_matrix
+
+    return corr_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q195_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (public formula: 206.835 - 1.015·words/sentences -
+    84.6·syllables/words), with syllables approximated by VOWEL RUNS
+    (the standard regex proxy) and sentences by terminator runs, both
+    floored at 1. Pure fused-codegen projection; deterministic, so
+    the twin replays the identical regexp arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.size(
+        F.regexp_extract_all(text, F.lit("[A-Za-z]+"), F.lit(0))
+    )
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    sylls = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(text), F.lit("[aeiouy]+"), F.lit(0)
+            )
+        ),
+        F.lit(1),
+    )
+    w = F.greatest(words, F.lit(1))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sents)
+        - F.lit(84.6) * (sylls / w)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        sylls.cast("long").alias("n_sylls"),
+        F.round(score, 6).alias("flesch"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4133,6 +4254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_quality_stratified_sample": q189_quality_stratified_sample,
         "q190_daily_top_events": q190_daily_top_events,
         "q191_pq_ann": q191_pq_ann,
+        "q192_sorted_neighborhood": q192_sorted_neighborhood,
+        "q193_event_type_cooccurrence": q193_event_type_cooccurrence,
+        "q194_corr_matrix": q194_corr_matrix,
+        "q195_readability": q195_readability,
     }
 
 
@@ -9487,5 +9612,92 @@ SELECT query_id, nb_id, cos, CAST(rk AS BIGINT) AS rank FROM (
   ) AS rk
   FROM scored
 ) t WHERE rk <= 5
+""",
+)
+
+# q192 twin: the same rank-offset pairing over the distinct name
+# relation (offsets 1..3, early-exit levenshtein <= 2).
+_oracle(
+    "q192_sorted_neighborhood",
+    """
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+),
+ranked AS (
+  SELECT name, row_number() OVER (ORDER BY name) AS rk FROM names
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+  FROM ranked a
+  JOIN ranked b ON b.rk - a.rk IN (1, 2, 3)
+)
+SELECT name_a, name_b, dist FROM pairs WHERE dist <= 2
+""",
+)
+
+# q193 twin: identical distinct-collapse + self-join + support floor,
+# lift base against the distinct user count.
+_oracle(
+    "q193_event_type_cooccurrence",
+    """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users FROM ut)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       ROUND(COUNT(*) / (SELECT users FROM u), 6) AS lift_base
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+HAVING COUNT(*) >= 10
+""",
+)
+
+# q194 twin: the same four corr cells, one per UNION branch (DuckDB
+# computes all in one scan too — the twin checks values, the plan
+# test checks the one-pass shape Spark-side).
+_oracle(
+    "q194_corr_matrix",
+    """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_tax',
+       ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_tax',
+       ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_tax',
+       ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+""",
+)
+
+# q195 twin: identical regexp counts ('g' flag) and the public Flesch
+# constants.
+_oracle(
+    "q195_readability",
+    r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS sylls
+  FROM documents
+)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sents AS BIGINT) AS n_sents,
+       CAST(sylls AS BIGINT) AS n_sylls,
+       ROUND(206.835 - 1.015 * (greatest(words, 1) / sents)
+             - 84.6 * (sylls / greatest(words, 1)), 6) AS flesch
+FROM f
 """,
 )

@@ -158,6 +158,10 @@ def main() -> None:
         # round-7 tier (no prior baseline — these SET it):
         "q175_fuzzy_pairs",
         "q176_profile_columns",
+        "q184_equidepth_hist",
+        "q186_groupwise_ols",
+        "q187_containment_pairs",
+        "q191_pq_ann",
     ]
 
     timings: dict[str, float] = {}

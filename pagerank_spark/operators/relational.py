@@ -700,3 +700,39 @@ def winsorize(
         f"{value_col}_clipped",
         F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix of ``cols`` in ONE
+    aggregation pass — the feature-audit primitive before model
+    training (k² algebraic ``corr`` expressions over a single scan;
+    never k² scans, never a driver loop over pairs). Returns the
+    upper triangle ``(col_a, col_b, corr)`` rounded to 6dp, NULL for
+    degenerate (zero-variance) columns — SQL ``corr`` semantics,
+    which is what the twin checks."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    pairs = [
+        (i, j, a, b)
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if i < j
+    ]
+    aggs = [
+        F.round(
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6
+        ).alias(f"__c_{i}_{j}")
+        for i, j, a, b in pairs
+    ]
+    wide = df.agg(*aggs)
+    # unpivot the one-row wide aggregate with stack — a UNION of
+    # per-cell selects would re-evaluate the aggregation per branch
+    # (k² scans), exactly what this operator exists to avoid
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{i}_{j}" for i, j, a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )

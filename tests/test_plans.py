@@ -566,3 +566,15 @@ def test_q190_partitioned_window_group_limit_fires(spark):
     p = plan(ENTRY.queries()["q190_daily_top_events"](spark, SF_DIR))
     assert "WindowGroupLimit" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q194_corr_matrix_single_scan(spark):
+    # k^2 corr cells, ONE scan + ONE aggregation: the stack unpivot
+    # must not replay the aggregate per cell.
+    import re
+
+    p = plan(ENTRY.queries()["q194_corr_matrix"](spark, SF_DIR))
+    # formatted plans name each node in the tree AND the detail
+    # section — count detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Generate" in p  # the stack unpivot, not a union replay
