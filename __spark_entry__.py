@@ -4054,6 +4054,394 @@ def q195_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between lang and source
+    (operators/stats.py mutual_information) — the is-this-metadata-
+    column-informative audit before using it as a training feature.
+    One corpus groupBy to the joint-count relation; marginals and MI
+    arithmetic over that tiny relation only."""
+    from pagerank_spark.operators.stats import mutual_information
+
+    return mutual_information(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+def q197_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix of per-user event
+    sequences (operators/stats.py markov_transitions): lag window
+    partitioned by user (total order: ts, event_id), collapse to the
+    type×type relation, row-normalize with a window over THAT."""
+    from pagerank_spark.operators.stats import markov_transitions
+
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q198_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of event value between the
+    click and purchase arms (operators/stats.py welch_ttest): six
+    conditional aggregates in ONE pruned scan, then scalar algebra —
+    the did-the-metric-move readout for curation experiments."""
+    from pagerank_spark.operators.stats import welch_ttest
+
+    return welch_ttest(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+    )
+
+
+def q199_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier summary of order totals
+    (operators/stats.py mad_outliers): robust z = 0.6745·(x−med)/MAD,
+    outliers past 3.5 (Iglewicz–Hoaglin). Exact percentiles keep the
+    twin byte-comparable; at 100 TB the same plan runs on
+    approx_percentile with a pinned accuracy."""
+    from pagerank_spark.operators.stats import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q200_ab_assign_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-md5 A/B assignment of users + the
+    sample-ratio-mismatch χ² (operators/stats.py ab_assign_srm):
+    per-unit collapse, two-cell arm relation, χ² window over it. The
+    first check any experiment readout runs — a big χ² voids the
+    experiment before anyone reads the means."""
+    from pagerank_spark.operators.stats import ab_assign_srm
+
+    return ab_assign_srm(
+        load_table(spark, sf_dir, "events"), "user_id", "value"
+    )
+
+
+def q201_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife 95% CI for the mean event value
+    (operators/stats.py jackknife_ci): md5-bucketed pseudo-replicates
+    (RNG-free, twin-replayable), leave-one-out means from ONE
+    corpus pass — the distributed substitute for the R-pass
+    bootstrap."""
+    from pagerank_spark.operators.stats import jackknife_ci
+
+    return jackknife_ci(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        buckets=50,
+        id_expr="CAST(event_id AS STRING)",
+    )
+
+
+def q202_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price
+    (operators/stats.py spearman_corr): average-rank ties computed
+    from the DISTINCT-VALUE relations (never a global row_number over
+    the corpus), one Pearson corr over the ranked pairs."""
+    from pagerank_spark.operators.stats import spearman_corr
+
+    return spearman_corr(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q203_chi2_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """χ² test of independence between order status and priority
+    (operators/stats.py chi2_independence): full marginal-cross
+    expected grid (zero joint cells included), one corpus pass."""
+    from pagerank_spark.operators.stats import chi2_independence
+
+    return chi2_independence(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+def q204_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators/validate.py benford_audit): digit from the integer
+    part's decimal string (bit-identical across engines, no log10
+    ulp hazard), 9-row digit relation + χ² window."""
+    from pagerank_spark.operators.validate import benford_audit
+
+    return benford_audit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def q205_source_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus concentration by source, char-weighted
+    (operators/analytics.py concentration_report): HHI, Gini
+    (sorted-rank formula over the GROUP relation), top share — the
+    is-one-domain-dominating check before a training mix is frozen."""
+    from pagerank_spark.operators.analytics import concentration_report
+
+    return concentration_report(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+def q206_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customers over the quasi-identifier pair
+    (nation, market segment) at k=5 (operators/validate.py
+    k_anonymity): group-size relation + one summary aggregate."""
+    from pagerank_spark.operators.validate import k_anonymity
+
+    return k_anonymity(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
+def q207_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM change-point over the daily mean event value
+    (operators/stats.py cusum_changepoint): day relation from one
+    corpus pass, running Σ(mean_d − grand_mean) and argmax as windows
+    over days — Page's drift test for pipeline telemetry."""
+    from pagerank_spark.operators.stats import cusum_changepoint
+
+    return cusum_changepoint(load_table(spark, sf_dir, "events"), "value")
+
+
+def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.py
+    rfm_segments): per-customer recency/frequency/monetary from one
+    orders pass, quintile scores via deterministic-tiebreak ntile
+    over the customer relation, grid summarized per segment code."""
+    from pagerank_spark.operators.analytics import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+def q209_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter +
+    aggregate over lineitem — every predicate (date year, discount
+    band, quantity cap) reaches the parquet scan as a pushed filter;
+    the whole query is one partial-agg scan, zero joins, zero
+    shuffles beyond the final scalar combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    return (
+        li.where(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q210_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem ⋈
+    broadcast part, promo share as a conditional-aggregate ratio —
+    the date filter prunes the fact scan, the dimension broadcasts,
+    and the ratio needs no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = F.to_date("l_shipdate")
+    price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.where(
+            (d >= F.lit("1997-03-01").cast("date"))
+            & (d < F.lit("1997-04-01").cast("date"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", price).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(price),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q211_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue), adapted to the
+    fixture's part columns (brand + size band instead of brand +
+    container): for Brand#9 parts of size < 10, revenue from lines
+    whose quantity is below 20% of that part's average. The per-part
+    average is a window over the ALREADY part-filtered join — a
+    key-partitioned window on the reduced subset, never a second
+    corpus scan (the classic correlated subquery becomes one
+    shuffle)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#9") & (F.col("p_size") < 10)
+    )
+    joined = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = F.avg("l_quantity").over(Window.partitionBy("p_partkey"))
+    return (
+        joined.withColumn("avg_q", avg_q)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q212_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brackets),
+    adapted to the fixture's part columns: an equi-join on partkey
+    whose residual predicate is an OR of three (brand, size band,
+    quantity band) brackets. Catalyst keeps the equi-join hashable
+    and pushes the brand IN-list + max size bound to the part scan —
+    the OR never degenerates into a nested-loop join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#20")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(b1 | b2 | b3)
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q213_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): ECONOMY-type parts
+    ordered 1996–1997 by customers in region 2, per-year share of
+    volume supplied by NATION_7. Six-table topology: the two facts
+    shuffle once on their join keys; part, customer-side nation ⋈
+    region, and the supplier-side nation map all broadcast. The share
+    is a conditional-aggregate ratio per year — no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust_nat = c.join(
+        F.broadcast(
+            n.join(
+                F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nat = s.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    )
+    od = F.to_date("o_orderdate")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            o.where(
+                (od >= F.lit("1996-01-01").cast("date"))
+                & (od <= F.lit("1997-12-31").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp_nat),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_7", vol
+                    ).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q214_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to the
+    fixture's date columns (ship-lag instead of commit/receipt): per
+    priority, orders from one quarter having at least one line
+    shipped more than 60 days after the order date. LEFT SEMI join
+    with a mixed equi + non-equi condition — the fact pair shuffles
+    once on orderkey; EXISTS never materializes duplicates."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = F.to_date("o_orderdate")
+    orders_q = o.where(
+        (od >= F.lit("1996-07-01").cast("date"))
+        & (od < F.lit("1996-10-01").cast("date"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    )
+    return (
+        orders_q.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4258,6 +4646,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_event_type_cooccurrence": q193_event_type_cooccurrence,
         "q194_corr_matrix": q194_corr_matrix,
         "q195_readability": q195_readability,
+        "q196_lang_source_mi": q196_lang_source_mi,
+        "q197_markov_transitions": q197_markov_transitions,
+        "q198_welch_ttest": q198_welch_ttest,
+        "q199_mad_outliers": q199_mad_outliers,
+        "q200_ab_assign_srm": q200_ab_assign_srm,
+        "q201_jackknife_ci": q201_jackknife_ci,
+        "q202_spearman_corr": q202_spearman_corr,
+        "q203_chi2_independence": q203_chi2_independence,
+        "q204_benford_audit": q204_benford_audit,
+        "q205_source_concentration": q205_source_concentration,
+        "q206_k_anonymity": q206_k_anonymity,
+        "q207_cusum_changepoint": q207_cusum_changepoint,
+        "q208_rfm_segments": q208_rfm_segments,
+        "q209_tpch_q6": q209_tpch_q6,
+        "q210_tpch_q14": q210_tpch_q14,
+        "q211_tpch_q17": q211_tpch_q17,
+        "q212_tpch_q19": q212_tpch_q19,
+        "q213_tpch_q8": q213_tpch_q8,
+        "q214_tpch_q4": q214_tpch_q4,
     }
 
 
@@ -9699,5 +10106,477 @@ SELECT doc_id,
        ROUND(206.835 - 1.015 * (greatest(words, 1) / sents)
              - 84.6 * (sylls / greatest(words, 1)), 6) AS flesch
 FROM f
+""",
+)
+
+# q196 twin: identical joint-count relation, window marginals, ln.
+_oracle(
+    "q196_lang_source_mi",
+    """
+WITH joint AS (
+  SELECT lang AS x, source AS y, COUNT(*) AS c FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(c AS DOUBLE) AS c,
+         CAST(SUM(c) OVER (PARTITION BY x) AS DOUBLE) AS cx,
+         CAST(SUM(c) OVER (PARTITION BY y) AS DOUBLE) AS cy,
+         CAST(SUM(c) OVER () AS DOUBLE) AS n
+  FROM joint
+)
+SELECT ROUND(SUM((c / n) * LN((c * n) / (cx * cy))), 6) AS mi_nats,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM m
+""",
+)
+
+# q197 twin: same lag window (total order ts, event_id), same
+# type-space row normalization.
+_oracle(
+    "q197_markov_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS type_to,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS type_from
+  FROM events
+),
+t AS (
+  SELECT type_from, type_to, COUNT(*) AS cnt FROM seq
+  WHERE type_from IS NOT NULL GROUP BY 1, 2
+)
+SELECT type_from, type_to, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE)
+             / SUM(cnt) OVER (PARTITION BY type_from), 6) AS prob
+FROM t
+""",
+)
+
+# q198 twin: the same six conditional aggregates and
+# Welch–Satterthwaite algebra (df at 4dp — it lives in the thousands).
+_oracle(
+    "q198_welch_ttest",
+    """
+WITH s AS (
+  SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b,
+         AVG(CASE WHEN event_type = 'click' THEN value END) AS m_a,
+         AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m_b,
+         VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS v_a,
+         VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS v_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       ROUND(POWER(v_a / n_a + v_b / n_b, 2)
+             / (POWER(v_a / n_a, 2) / (n_a - 1)
+                + POWER(v_b / n_b, 2) / (n_b - 1)), 4) AS df_welch
+FROM s
+""",
+)
+
+# q199 twin: quantile_cont is the same exact interpolated percentile;
+# identical Iglewicz–Hoaglin z arithmetic.
+_oracle(
+    "q199_mad_outliers",
+    """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+m AS (SELECT quantile_cont(x, 0.5) AS med FROM base),
+d AS (
+  SELECT quantile_cont(ABS(x - (SELECT med FROM m)), 0.5) AS mad
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((SELECT med FROM m), 6) AS med,
+       ROUND((SELECT mad FROM d), 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(0.6745 * (x - (SELECT med FROM m))
+                              / (SELECT mad FROM d)) > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(ABS(0.6745 * (x - (SELECT med FROM m))
+                     / (SELECT mad FROM d))), 6) AS max_abs_z
+FROM base
+""",
+)
+
+# q200 twin: same salted-md5 arm, per-unit collapse, and two-cell χ².
+_oracle(
+    "q200_ab_assign_srm",
+    """
+WITH per_unit AS (
+  SELECT CAST('0x' || substr(md5('exp1#' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         SUM(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n_units, ROUND(AVG(v), 6) AS mean_value
+  FROM per_unit GROUP BY arm
+),
+tot AS (SELECT CAST(SUM(n_units) AS DOUBLE) AS t FROM arms)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(n_units AS BIGINT) AS n_units,
+       mean_value,
+       ROUND(SUM((n_units - t / 2.0) * (n_units - t / 2.0) / (t / 2.0))
+             OVER (), 6) AS srm_chi2
+FROM arms, tot
+""",
+)
+
+# q201 twin: identical md5 bucketing, leave-one-out means, jackknife
+# variance, normal-approx CI.
+_oracle(
+    "q201_jackknife_ci",
+    """
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('jk#' || CAST(event_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 50 AS b,
+         SUM(CAST(value AS DOUBLE)) AS s, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT SUM(s) AS ts, CAST(SUM(c) AS DOUBLE) AS tn,
+         CAST(COUNT(*) AS DOUBLE) AS nb
+  FROM per
+),
+loo AS (
+  SELECT (t.ts - p.s) / (t.tn - p.c) AS m_i,
+         t.ts / t.tn AS mean, t.tn AS n, t.nb AS nb
+  FROM per p, tot t
+),
+st AS (
+  SELECT AVG(m_i) AS mbar, ANY_VALUE(mean) AS mean,
+         ANY_VALUE(n) AS n, ANY_VALUE(nb) AS nb
+  FROM loo
+),
+var_j AS (
+  SELECT (s.nb - 1.0) / s.nb
+         * SUM((l.m_i - s.mbar) * (l.m_i - s.mbar)) AS vj,
+         ANY_VALUE(s.mean) AS mean, ANY_VALUE(s.n) AS n,
+         ANY_VALUE(s.nb) AS nb
+  FROM loo l, st s GROUP BY s.nb
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(mean, 6) AS mean,
+       ROUND(SQRT(vj), 6) AS se_jack,
+       ROUND(mean - 1.96 * SQRT(vj), 6) AS ci_lo,
+       ROUND(mean + 1.96 * SQRT(vj), 6) AS ci_hi,
+       CAST(nb AS BIGINT) AS n_buckets
+FROM var_j
+""",
+)
+
+# q202 twin: identical joint-count relation, value-relation average
+# ranks (cumsum − (cnt−1)/2), exact-mean centering, count-weighted
+# moment correlation.
+_oracle(
+    "q202_spearman_corr",
+    """
+WITH joint AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y, COUNT(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+rx AS (
+  SELECT x, SUM(cnt) OVER (ORDER BY x) - (cnt - 1) / 2.0 AS r_x
+  FROM (SELECT x, SUM(c) AS cnt FROM joint GROUP BY x)
+),
+ry AS (
+  SELECT y, SUM(cnt) OVER (ORDER BY y) - (cnt - 1) / 2.0 AS r_y
+  FROM (SELECT y, SUM(c) AS cnt FROM joint GROUP BY y)
+),
+cells AS (
+  SELECT CAST(j.c AS DOUBLE) AS c,
+         rx.r_x, ry.r_y,
+         CAST(SUM(j.c) OVER () AS DOUBLE) AS n
+  FROM joint j JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT ROUND(
+         SUM(c * (r_x - (n + 1.0) / 2.0) * (r_y - (n + 1.0) / 2.0))
+         / SQRT(SUM(c * (r_x - (n + 1.0) / 2.0)
+                      * (r_x - (n + 1.0) / 2.0))
+                * SUM(c * (r_y - (n + 1.0) / 2.0)
+                        * (r_y - (n + 1.0) / 2.0))), 6
+       ) AS rho_spearman,
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM cells
+""",
+)
+
+# q203 twin: same full marginal-cross expected grid with zero cells.
+_oracle(
+    "q203_chi2_independence",
+    """
+WITH base AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+joint AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
+mx AS (SELECT x, SUM(c) AS cx FROM joint GROUP BY x),
+my AS (SELECT y, SUM(c) AS cy FROM joint GROUP BY y),
+grid AS (
+  SELECT mx.x, my.y, CAST(COALESCE(j.c, 0) AS DOUBLE) AS c,
+         CAST(mx.cx AS DOUBLE) AS cx, CAST(my.cy AS DOUBLE) AS cy
+  FROM mx CROSS JOIN my
+  LEFT JOIN joint j ON j.x = mx.x AND j.y = my.y
+),
+t AS (SELECT *, SUM(c) OVER () AS n FROM grid)
+SELECT ROUND(SUM((c - cx * cy / n) * (c - cx * cy / n)
+              / (cx * cy / n)), 6) AS chi2,
+       CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1)
+            AS BIGINT) AS dof,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM t
+""",
+)
+
+# q204 twin: digit from the integer part's decimal string (identical
+# in every engine), same Benford expectation and χ² window.
+_oracle(
+    "q204_benford_audit",
+    """
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE))
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 1 GROUP BY 1
+),
+t AS (
+  SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS DOUBLE) AS n
+  FROM obs
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(n_obs / n, 6) AS p_obs,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford,
+       ROUND(SUM((n_obs - n * LOG10(1.0 + 1.0 / digit))
+                 * (n_obs - n * LOG10(1.0 + 1.0 / digit))
+                 / (n * LOG10(1.0 + 1.0 / digit))) OVER (), 6) AS chi2
+FROM t
+""",
+)
+
+# q205 twin: char-weighted group relation, sorted-rank Gini, HHI.
+_oracle(
+    "q205_source_concentration",
+    """
+WITH g AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS w
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT w, row_number() OVER (ORDER BY w, source NULLS FIRST) AS i
+  FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(SUM(w * w) / (SUM(w) * SUM(w)), 6) AS hhi,
+       ROUND(2.0 * SUM(i * w) / (COUNT(*) * SUM(w))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+       ROUND(MAX(w) / SUM(w), 6) AS top_share
+FROM r
+""",
+)
+
+# q206 twin: quasi-identifier group sizes + the same k=5 summary.
+_oracle(
+    "q206_k_anonymity",
+    """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS g
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(SUM(g) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(g) AS BIGINT) AS min_group,
+       CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS DOUBLE)
+             / SUM(g), 6) AS frac_at_risk
+FROM g
+""",
+)
+
+# q207 twin: same day relation, grand mean, ordered running CUSUM,
+# |S| argmax with day tiebreak.
+_oracle(
+    "q207_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DOUBLE)) / COUNT(*) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+c AS (SELECT day, m, AVG(m) OVER () AS gm FROM daily),
+cs AS (
+  SELECT day,
+         SUM(m - gm) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs
+  FROM c
+),
+x AS (
+  SELECT day, cs,
+         row_number() OVER (ORDER BY ABS(cs) DESC, day ASC) AS rk,
+         MAX(ABS(cs)) OVER () AS max_abs_s,
+         COUNT(*) OVER () AS n_days
+  FROM cs
+)
+SELECT CAST(day AS VARCHAR) AS cp_day, ROUND(cs, 6) AS s_at_cp,
+       ROUND(max_abs_s, 6) AS max_abs_s,
+       CAST(n_days AS BIGINT) AS n_days
+FROM x WHERE rk = 1
+""",
+)
+
+# q208 twin: same per-customer RFM relation, anchor-date recency,
+# deterministic-tiebreak ntile quintiles, per-segment summary.
+_oracle(
+    "q208_rfm_segments",
+    """
+WITH per AS (
+  SELECT o_custkey AS cust, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         COUNT(*) AS freq, SUM(CAST(o_totalprice AS DOUBLE)) AS mon
+  FROM orders GROUP BY 1
+),
+a AS (SELECT MAX(last_d) AS maxd FROM per),
+s AS (
+  SELECT cust, date_diff('day', last_d, (SELECT maxd FROM a)) AS rec,
+         freq, mon
+  FROM per
+),
+t AS (
+  SELECT rec, freq, mon,
+         CAST(ntile(5) OVER (ORDER BY rec DESC, cust) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY freq, cust) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY mon, cust) AS VARCHAR)
+           AS segment
+  FROM s
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(rec), 6) AS avg_recency_days,
+       ROUND(AVG(freq), 6) AS avg_frequency,
+       ROUND(AVG(mon), 6) AS avg_monetary
+FROM t GROUP BY segment
+""",
+)
+
+# q209 twin: TPC-H Q6, pushed filters + one aggregate.
+_oracle(
+    "q209_tpch_q6",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+
+# q210 twin: TPC-H Q14 promo-share conditional ratio.
+_oracle(
+    "q210_tpch_q14",
+    """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1.0 - l_discount)
+                         ELSE 0.0 END)
+             / SUM(l_extendedprice * (1.0 - l_discount)), 6)
+         AS promo_share_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+""",
+)
+
+# q211 twin: TPC-H Q17 (adapted) — per-part average via window over
+# the filtered join, same 20% threshold.
+_oracle(
+    "q211_tpch_q17",
+    """
+WITH j AS (
+  SELECT l.l_quantity, l.l_extendedprice,
+         AVG(l.l_quantity) OVER (PARTITION BY p.p_partkey) AS avg_q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#9' AND p.p_size < 10
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM j WHERE l_quantity < 0.2 * avg_q
+""",
+)
+
+# q212 twin: TPC-H Q19 (adapted) disjunctive brackets on the
+# partkey equi-join.
+_oracle(
+    "q212_tpch_q19",
+    """
+SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+# q213 twin: TPC-H Q8 market share, same six-table topology.
+_oracle(
+    "q213_tpch_q8",
+    """
+WITH cust_asia AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+supp AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_7'
+                 THEN l_extendedprice * (1.0 - l_discount)
+                 ELSE 0.0 END)
+             / SUM(l_extendedprice * (1.0 - l_discount)), 6)
+         AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust_asia ON o_custkey = c_custkey
+JOIN supp ON l_suppkey = s_suppkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'
+GROUP BY 1
+""",
+)
+
+# q214 twin: TPC-H Q4 (adapted) EXISTS with the same ship-lag
+# correlated predicate.
+_oracle(
+    "q214_tpch_q4",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+  )
+GROUP BY o_orderpriority
 """,
 )

@@ -162,6 +162,13 @@ def main() -> None:
         "q186_groupwise_ols",
         "q187_containment_pairs",
         "q191_pq_ann",
+        "q197_markov_transitions",
+        "q199_mad_outliers",
+        "q201_jackknife_ci",
+        "q202_spearman_corr",
+        "q208_rfm_segments",
+        "q209_tpch_q6",
+        "q213_tpch_q8",
     ]
 
     timings: dict[str, float] = {}

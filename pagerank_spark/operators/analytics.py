@@ -14,7 +14,7 @@ and nothing ever materializes per-event state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -611,4 +611,99 @@ def groupwise_ols(
         df.select(*group_cols, x_col, y_col)
         .groupBy(*group_cols)
         .applyInPandas(fit, schema=schema)
+    )
+
+
+def concentration_report(
+    df: DataFrame, group_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Source-concentration audit: Herfindahl–Hirschman index, Gini
+    coefficient, and top-group share over a grouping column — the
+    "is this corpus dominated by one domain?" check a data-mix review
+    runs before training. Returns one row
+    ``(n_groups, hhi, gini, top_share)``.
+
+    One corpus pass to the group relation (count or weighted sum);
+    HHI is a plain aggregate over it, Gini uses the sorted-rank
+    formula ``2·Σ i·w_i / (n·Σw) − (n+1)/n`` via a row_number window
+    over the group relation (group-space sort, never the corpus).
+    """
+    w_expr = (
+        F.count("*")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
+    groups = df.groupBy(group_col).agg(
+        w_expr.cast("double").alias("w")
+    )
+    rk = F.row_number().over(Window.orderBy("w", group_col))
+    g = groups.select("w", rk.alias("i"))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.round(
+            F.sum(F.col("w") * F.col("w"))
+            / (F.sum("w") * F.sum("w")),
+            6,
+        ).alias("hhi"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("w"))
+            / (F.count("*") * F.sum("w"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.round(F.max("w") / F.sum("w"), 6).alias("top_share"),
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    customer, Recency (days since last order, against the corpus max
+    date), Frequency (order count), Monetary (total spend), each
+    scored into ``n_tiles`` quintiles (5 = best), concatenated into a
+    segment code ('555' = recent, frequent, high-spend). Returns
+    ``(segment, n_customers, avg_recency_days, avg_frequency,
+    avg_monetary)`` per occupied segment.
+
+    One corpus pass to the per-customer relation; the anchor date is
+    a broadcast scalar; ntile windows run over customers (dimension-
+    sized, orderable), and ties break on the customer key so the
+    quantile edges are deterministic across engines.
+    """
+    per = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("last_d"),
+        F.count("*").alias("freq"),
+        F.sum(F.col(amount_col).cast("double")).alias("mon"),
+    )
+    anchor = per.agg(F.max("last_d").alias("maxd"))
+    scored = per.crossJoin(F.broadcast(anchor)).select(
+        "cust",
+        F.datediff(F.col("maxd"), F.col("last_d")).alias("rec"),
+        "freq",
+        "mon",
+    )
+    r = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("rec").desc(), F.col("cust"))
+    )
+    fq = F.ntile(n_tiles).over(Window.orderBy("freq", "cust"))
+    m = F.ntile(n_tiles).over(Window.orderBy("mon", "cust"))
+    seg = scored.select(
+        "rec",
+        "freq",
+        "mon",
+        F.concat(
+            r.cast("string"), fq.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("rec"), 6).alias("avg_recency_days"),
+        F.round(F.avg("freq"), 6).alias("avg_frequency"),
+        F.round(F.avg("mon"), 6).alias("avg_monetary"),
     )

@@ -20,7 +20,7 @@ Extension tier: the reference has no constraint surface (SURVEY §2.13).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -223,3 +223,75 @@ def profile_columns(
     for b in branches[1:]:
         out = out.unionAll(b)
     return out
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit Benford's-law audit of a positive numeric column —
+    the classic fabricated-data / broken-generator detector for
+    financial-shaped values. Returns one row per leading digit
+    ``(digit, n_obs, p_obs, p_benford, chi2)`` with the 8-dof χ²
+    repeated on every row (the reader's verdict column).
+
+    The leading digit comes from the INTEGER part's decimal string
+    (``substr(cast(floor(x) as string), 1, 1)``) — floor and bigint
+    formatting are bit-identical in every engine, where a
+    ``log10``-based extraction can flip a digit on a ulp. Values < 1
+    are excluded (their first significant digit needs log10). One
+    pruned scan to the 9-row digit relation; χ² is a window over it.
+    """
+    x = F.col(value_col).cast("double")
+    digit = F.substring(
+        F.floor(x).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        df.where(x >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    n = F.sum("n_obs").over(w).cast("double")
+    p_obs = F.col("n_obs").cast("double") / n
+    p_ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    dev = F.col("n_obs").cast("double") - n * p_ben
+    chi2 = F.sum(dev * dev / (n * p_ben)).over(w)
+    return obs.select(
+        "digit",
+        "n_obs",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the privacy
+    gate a dataset release runs: every row must share its
+    quasi-identifier combination with at least ``k−1`` others.
+    Returns one row ``(n_rows, n_groups, min_group, n_violating_groups,
+    rows_at_risk, frac_at_risk)``.
+
+    One corpus groupBy to the quasi-identifier relation; the summary
+    is a second aggregate over THAT (group-space, tiny). At 100 TB
+    the quasi-identifier relation is the only shuffle and it partial-
+    aggregates map-side.
+    """
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("g"))
+    return groups.agg(
+        F.sum("g").cast("long").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("g").alias("min_group"),
+        F.sum(F.when(F.col("g") < k, 1).otherwise(0)).alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(0))
+            / F.sum("g"),
+            6,
+        ).alias("frac_at_risk"),
+    )

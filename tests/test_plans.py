@@ -578,3 +578,93 @@ def test_q194_corr_matrix_single_scan(spark):
     # section — count detail entries
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Generate" in p  # the stack unpivot, not a union replay
+
+
+def test_stats_tier_single_scan_no_python(spark):
+    # Every stats operator collapses the corpus in ONE pruned scan —
+    # a second scan means the tiny-relation arithmetic re-read the
+    # fact table; Python eval means the statistic left codegen.
+    import re
+
+    for q in (
+        "q196_lang_source_mi",
+        "q197_markov_transitions",
+        "q198_welch_ttest",
+        "q200_ab_assign_srm",
+        "q201_jackknife_ci",
+    ):
+        p = plan(ENTRY.queries()[q](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, q
+        assert "BatchEvalPython" not in p, q
+        assert "ArrowEvalPython" not in p, q
+
+
+def test_q198_welch_one_pass_conditional_agg(spark):
+    # six per-arm aggregates as ONE HashAggregate pass, never a scan
+    # (or aggregate) per arm
+    p = plan(ENTRY.queries()["q198_welch_ttest"](spark, SF_DIR))
+    assert "Union" not in p
+
+
+def test_stats_batch2_single_scan_no_python(spark):
+    import re
+
+    for q in (
+        "q204_benford_audit",
+        "q205_source_concentration",
+        "q206_k_anonymity",
+        "q207_cusum_changepoint",
+    ):
+        p = plan(ENTRY.queries()[q](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, q
+        assert "BatchEvalPython" not in p, q
+        assert "ArrowEvalPython" not in p, q
+
+
+def test_q202_q203_runtime_exchange_reuse(spark):
+    # spearman/chi2 reference the joint-count relation from several
+    # branches; the static plan shows one scan per branch but the
+    # identical exchange must be computed ONCE at runtime — a missing
+    # ReusedExchange means the corpus is actually scanned per branch.
+    import re
+
+    for q in ("q202_spearman_corr", "q203_chi2_independence"):
+        df = ENTRY.queries()[q](spark, SF_DIR)
+        df.collect()
+        p = plan(df)
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+        n_reused = len(re.findall(r"ReusedExchange", p))
+        assert n_reused >= n_scans - 1, (q, n_scans, n_reused)
+
+
+def test_q209_filters_pushed_to_scan(spark):
+    p = plan(ENTRY.queries()["q209_tpch_q6"](spark, SF_DIR))
+    # quantity/discount bands must reach the parquet reader
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters")[1][:400]
+    assert "Exchange" in p  # only the scalar combine
+    assert "Join" not in p
+
+
+def test_q212_disjunctive_brackets_stay_hash_join(spark):
+    # the OR-of-brackets residual must NOT demote the partkey
+    # equi-join to a nested loop
+    p = plan(ENTRY.queries()["q212_tpch_q19"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q213_dimensions_broadcast(spark):
+    p = plan(ENTRY.queries()["q213_tpch_q8"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q214_semi_join_with_range_residual(spark):
+    # mixed equi + non-equi EXISTS: still a hash/merge semi join on
+    # orderkey, never a nested loop over the fact pair
+    p = plan(ENTRY.queries()["q214_tpch_q4"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
