@@ -4442,6 +4442,41 @@ def q214_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q215_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve over user lifetimes
+    (operators/stats.py kaplan_meier): each user is a unit with
+    duration = active hours (hour-bucket span between first and last
+    event) and observed = the user's final event (by ts, event_id) is
+    a purchase — i.e. the "death" is a terminal conversion; everyone
+    else is right-censored at their last sighting. One corpus pass
+    collapses units to the distinct-time relation; at-risk counts and
+    the running survival product are windows over event TIMES (a few
+    dozen rows), never over units."""
+    from pagerank_spark.operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    per_user = (
+        ev.select("user_id", h.alias("h"), "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            (F.max("h") - F.min("h")).alias("duration"),
+            (
+                F.max_by(
+                    "event_type",
+                    F.format_string(
+                        "%012d-%012d",
+                        F.unix_timestamp("ts"),
+                        F.col("event_id"),
+                    ),
+                )
+                == F.lit("purchase")
+            ).alias("observed"),
+        )
+    )
+    return kaplan_meier(per_user, "duration", "observed")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4665,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_tpch_q19": q212_tpch_q19,
         "q213_tpch_q8": q213_tpch_q8,
         "q214_tpch_q4": q214_tpch_q4,
+        "q215_kaplan_meier": q215_kaplan_meier,
     }
 
 
@@ -9770,14 +9806,14 @@ WHERE COALESCE(sup1.support, 0) >= 2
 )
 
 # q186 twin: exact algebraic regression aggregates per group; the
-# Pandas closed form rounds to 6dp, so ROUND here too. DuckDB's
-# regr_r2 returns NULL for zero x-variance groups, matching the
-# operator's degenerate-group NULLs.
+# Pandas closed form rounds to 6dp, so ROUND here too. Degenerate
+# groups match regr_* exactly: n is regr_count (non-null pairs),
+# var(x)=0 -> NULLs, var(y)=0 -> r2 = 1.
 _oracle(
     "q186_groupwise_ols",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
        ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
        ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
          AS intercept,
@@ -10578,5 +10614,52 @@ WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
       AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
   )
 GROUP BY o_orderpriority
+""",
+)
+
+# q215 twin: identical per-user (duration, observed) construction
+# (hour-bucket span; last event by (ts, event_id) is a purchase),
+# then the textbook KM product-limit over distinct event times.
+# PRODUCT() OVER handles the d == n final-event case exactly (factor
+# 0 → survival 0), matching the engine's -inf log-sum guard.
+_oracle(
+    "q215_kaplan_meier",
+    """
+WITH per AS (
+  SELECT user_id,
+         MAX(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT))
+           - MIN(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)) AS duration,
+         CASE WHEN arg_max(event_type,
+                           printf('%012d-%012d',
+                                  CAST(epoch(ts) AS BIGINT), event_id))
+                   = 'purchase'
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT duration AS t,
+         CAST(SUM(observed) AS BIGINT) AS n_events,
+         CAST(SUM(1 - observed) AS BIGINT) AS n_censored
+  FROM per GROUP BY duration
+),
+r AS (
+  SELECT *,
+         SUM(n_events + n_censored) OVER ()
+           - COALESCE(SUM(n_events + n_censored) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM d
+)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       n_events,
+       n_censored,
+       ROUND(PRODUCT(CASE WHEN n_events = 0 THEN 1.0
+                          ELSE 1.0 - n_events * 1.0 / n_risk END)
+             OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS survival
+FROM r
 """,
 )

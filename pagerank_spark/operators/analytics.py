@@ -570,7 +570,12 @@ def groupwise_ols(
     transfer); group count bounds the result. For billions of rows per
     group, swap in the pure-SQL moment aggregation (regr_* are
     algebraic); the Pandas form is the template for fits SQL can't
-    express (robust/iterative)."""
+    express (robust/iterative).
+
+    Degenerate-group semantics follow SQL regr_*: ``n`` is the
+    non-null-PAIR count (regr_count); var(x)=0 → slope/intercept/r2
+    all NULL; var(y)=0 with var(x)≠0 → r2 = 1 (regr_r2's horizontal
+    perfect fit), not NULL."""
     import pandas as pd
 
     out_fields = ", ".join(
@@ -602,8 +607,10 @@ def groupwise_ols(
             slope = sxy / sxx
             row["slope"] = [round(slope, 6)]
             row["intercept"] = [round(float(y.mean() - slope * x.mean()), 6)]
+            # SQL regr_r2: NULL when var(x)=0 (handled above), exactly
+            # 1 when var(y)=0 with var(x)!=0 (a perfect horizontal fit)
             row["r2"] = [
-                None if syy == 0.0 else round(sxy * sxy / (sxx * syy), 6)
+                1.0 if syy == 0.0 else round(sxy * sxy / (sxx * syy), 6)
             ]
         return pd.DataFrame(row)
 

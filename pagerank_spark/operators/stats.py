@@ -220,8 +220,6 @@ def ab_assign_srm(
     per-event), one tiny groupBy over ``n_arms`` cells; χ² is a window
     over those cells.
     """
-    unit_s = f"CAST({unit_col} AS STRING)"
-    arm = F.pmod(_hash60(f"concat('{salt}#', {unit_s})"), F.lit(n_arms))
     per_unit = (
         df.groupBy(F.col(unit_col).alias("unit"))
         .agg(F.sum(F.col(value_col).cast("double")).alias("v"))
@@ -233,7 +231,6 @@ def ab_assign_srm(
             "v",
         )
     )
-    del arm
     arms = per_unit.groupBy("arm").agg(
         F.count("*").alias("n_units"),
         F.round(F.avg("v"), 6).alias("mean_value"),
@@ -254,9 +251,9 @@ def ab_assign_srm(
 def jackknife_ci(
     df: DataFrame,
     value_col: str,
+    id_expr: str,
     buckets: int = 50,
     salt: str = "jk",
-    id_expr: str | None = None,
 ) -> DataFrame:
     """Delete-one-bucket jackknife confidence interval for the mean —
     the deterministic, one-pass answer to "what's the error bar on
@@ -264,6 +261,12 @@ def jackknife_ci(
     (md5 coin — no RNG, reproducible anywhere); the leave-one-out
     means ``m_i = (S − s_i)/(N − n_i)`` give the jackknife variance
     ``(B−1)/B · Σ(m_i − m̄)²`` and a normal-approx 95% CI.
+
+    ``id_expr`` (a SQL string over ``df``, e.g. a row/event id) drives
+    the bucket hash and is REQUIRED: hashing the value itself would
+    put all equal values in the same pseudo-replicate, correlating
+    buckets with the metric and biasing the SE (badly for
+    low-cardinality or skewed values).
 
     ONE corpus pass (groupBy bucket: sum+count); everything after runs
     over B rows. This is how error bars work at 100 TB — the classic
@@ -273,8 +276,7 @@ def jackknife_ci(
     Returns one row ``(n, mean, se_jack, ci_lo, ci_hi, n_buckets)``.
     """
     v = F.col(value_col).cast("double")
-    key = id_expr if id_expr is not None else f"CAST({value_col} AS STRING)"
-    b = F.pmod(_hash60(f"concat('{salt}#', {key})"), F.lit(buckets))
+    b = F.pmod(_hash60(f"concat('{salt}#', {id_expr})"), F.lit(buckets))
     per = (
         df.where(v.isNotNull())
         .select(b.alias("b"), v.alias("x"))
@@ -492,7 +494,6 @@ def two_proportion_ztest(
     arithmetic after. Returns one row
     ``(n_0, n_1, p_0, p_1, z_stat)``.
     """
-    unit_s = f"CAST({unit_col} AS STRING)"
     per_unit = df.groupBy(F.col(unit_col).alias("unit")).agg(
         F.expr(success_expr).alias("ok")
     )
@@ -508,7 +509,6 @@ def two_proportion_ztest(
         F.sum(F.when(F.col("arm") == 0, F.col("ok"))).alias("s_0"),
         F.sum(F.when(F.col("arm") == 1, F.col("ok"))).alias("s_1"),
     )
-    del unit_s
     n0, n1 = F.col("n_0").cast("double"), F.col("n_1").cast("double")
     s0, s1 = F.col("s_0").cast("double"), F.col("s_1").cast("double")
     p0, p1 = s0 / n0, s1 / n1
@@ -565,11 +565,22 @@ def kaplan_meier(
     )
     at_risk = (total - left_before).cast("double")
     risk = t.withColumn("n_risk", at_risk)
-    # survival only steps down at event times; factor 1 when d=0
-    step = F.log(
-        1.0 - F.col("n_events").cast("double") / F.col("n_risk")
+    # survival only steps down at event times; factor 1 when d=0.
+    # When every at-risk unit dies (d == n, the normal case at the
+    # largest observed event time) the factor is exactly 0 — log(0)
+    # would be NULL under Spark's non-ANSI math and F.sum would skip
+    # it, so pin that step to -inf: the running log-sum propagates
+    # -inf and exp gives survival 0.0 from that time onward.
+    step = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(1.0 - F.col("n_events").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(float("-inf")))
+    log_run = F.sum(
+        F.when(F.col("n_events") > 0, step).otherwise(0.0)
+    ).over(w_run)
+    surv = F.when(log_run == F.lit(float("-inf")), 0.0).otherwise(
+        F.exp(log_run)
     )
-    surv = F.exp(F.sum(F.when(F.col("n_events") > 0, step).otherwise(0.0)).over(w_run))
     return risk.select(
         F.col("t").cast("long").alias("t"),
         F.col("n_risk").cast("long").alias("n_risk"),

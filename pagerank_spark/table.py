@@ -427,7 +427,27 @@ def build_file_bloom(
     )
     out = os.path.join(snap, f"_bloom_{col}")
     bits.write.mode("overwrite").parquet(out)
+    # Persist the build parameters WITH the sidecar: a probe computed
+    # with different (m, k) silently yields false negatives (dropped
+    # real rows), so probes must derive m/k from here, never trust
+    # caller defaults. Underscore-prefixed -> invisible to the
+    # parquet reader, like _SUCCESS.
+    import json
+
+    with open(os.path.join(out, "_params.json"), "w") as f:
+        json.dump({"m": m, "k": k, "col": col}, f)
     return out
+
+
+def _read_bloom_params(sidecar: str) -> dict | None:
+    """Stored (m, k) of a sidecar, or None for a pre-params sidecar."""
+    import json
+
+    try:
+        with open(os.path.join(sidecar, "_params.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
 
 
 def _bloom_positions_py(value, col: str, m: int, k: int) -> set[int]:
@@ -449,8 +469,8 @@ def bloom_candidate_files(
     root: str,
     col: str,
     value,
-    m: int = 1 << 16,
-    k: int = 3,
+    m: int | None = None,
+    k: int | None = None,
     version: int | None = None,
 ) -> list[str]:
     """Files of the snapshot that MIGHT contain ``col = value``
@@ -458,12 +478,35 @@ def bloom_candidate_files(
     candidate iff ALL k probe positions are set in its filter. The
     probe positions are computed driver-side (k md5 calls); the
     sidecar scan is pushed down to exactly those positions. No false
-    negatives by Bloom construction."""
+    negatives by Bloom construction.
+
+    (m, k) are read from the sidecar's persisted ``_params.json`` —
+    probing with parameters other than the build's would produce
+    false NEGATIVES, so explicit arguments are validated against the
+    stored values and a mismatch raises instead of dropping rows.
+    Explicit m/k are only trusted for legacy sidecars without a
+    params file."""
     latest = _read_pointer(root)
     if latest is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     v = latest if version is None else version
     sidecar = os.path.join(_snap_dir(root, v), f"_bloom_{col}")
+    params = _read_bloom_params(sidecar)
+    if params is not None:
+        if m is not None and m != params["m"]:
+            raise ValueError(
+                f"bloom sidecar {sidecar} was built with m={params['m']}, "
+                f"probe requested m={m}"
+            )
+        if k is not None and k != params["k"]:
+            raise ValueError(
+                f"bloom sidecar {sidecar} was built with k={params['k']}, "
+                f"probe requested k={k}"
+            )
+        m, k = params["m"], params["k"]
+    else:
+        m = (1 << 16) if m is None else m
+        k = 3 if k is None else k
     pos = _bloom_positions_py(value, col, m, k)
     rows = (
         spark.read.parquet(sidecar)
@@ -481,8 +524,8 @@ def read_point_lookup(
     root: str,
     col: str,
     value,
-    m: int = 1 << 16,
-    k: int = 3,
+    m: int | None = None,
+    k: int | None = None,
     version: int | None = None,
 ) -> DataFrame:
     """Point lookup through the Bloom sidecar: read ONLY the candidate
@@ -490,7 +533,8 @@ def read_point_lookup(
     prune further inside each file). Zero candidates → an empty
     DataFrame with the snapshot schema. Results are EXACTLY the full
     scan's — Bloom false positives only cost extra file reads, never
-    wrong rows."""
+    wrong rows. (m, k) default to the sidecar's persisted build
+    parameters (see ``bloom_candidate_files``)."""
     latest = _read_pointer(root)
     if latest is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")

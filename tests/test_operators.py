@@ -2256,15 +2256,19 @@ def test_groupwise_ols_matches_closed_form_and_degenerates(spark):
         ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
         # group g2: constant x -> slope NULL
         ("g2", 4.0, 1.0), ("g2", 4.0, 2.0),
-        # group g3: constant y -> slope 0, r2 NULL
+        # group g3: constant y, varying x -> slope 0, r2 = 1
+        # (SQL regr_r2's horizontal perfect fit, NOT NULL)
         ("g3", 1.0, 5.0), ("g3", 2.0, 5.0),
+        # group g4: NULL pairs dropped before counting (regr_count)
+        ("g4", 1.0, 2.0), ("g4", 2.0, 4.0), ("g4", None, 9.0),
     ]
     df = spark.createDataFrame(rows, "g string, x double, y double")
     out = {r["g"]: r for r in groupwise_ols(df, ["g"], "x", "y").collect()}
     assert out["g1"]["slope"] == 2.0 and out["g1"]["intercept"] == 1.0
     assert out["g1"]["r2"] == 1.0 and out["g1"]["n"] == 3
     assert out["g2"]["slope"] is None
-    assert out["g3"]["slope"] == 0.0 and out["g3"]["r2"] is None
+    assert out["g3"]["slope"] == 0.0 and out["g3"]["r2"] == 1.0
+    assert out["g4"]["n"] == 2 and out["g4"]["slope"] == 2.0
 
 
 def test_pq_adc_refined_topic_precision(spark):

@@ -318,3 +318,44 @@ def test_rfm_segments_grid_sums_and_extremes(spark):
     best = {r["segment"]: r for r in out}["555"]
     assert best["n_customers"] == 2
     assert best["avg_recency_days"] == 0.5
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Hand-computed product-limit estimator, mixed censoring, with the
+    longest duration an OBSERVED event (d == n at the last time point)
+    so survival must drop to exactly 0 there — the Spark log(0)→NULL
+    trap this operator guards against."""
+    from pagerank_spark.operators.stats import kaplan_meier
+
+    # units: t=1 death, t=2 censored, t=3 death, t=3 death, t=5 death
+    rows = [(1, True), (2, False), (3, True), (3, True), (5, True)]
+    df = spark.createDataFrame(rows, ["duration", "observed"])
+    out = {r["t"]: r for r in kaplan_meier(df).collect()}
+
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == pytest.approx(4 / 5, abs=1e-6)
+    # censoring at t=2 leaves survival unchanged
+    assert out[2]["n_censored"] == 1
+    assert out[2]["survival"] == pytest.approx(4 / 5, abs=1e-6)
+    # t=3: 3 at risk, 2 die -> S = 4/5 * 1/3
+    assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 2
+    assert out[3]["survival"] == pytest.approx(4 / 15, abs=1e-6)
+    # t=5: last unit dies (d == n): survival is exactly 0, not a
+    # silently-skipped NULL step leaving it at 4/15
+    assert out[5]["n_risk"] == 1 and out[5]["n_events"] == 1
+    assert out[5]["survival"] == 0.0
+
+
+def test_kaplan_meier_all_censored_stays_at_one(spark):
+    from pagerank_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (4, False)], ["duration", "observed"]
+    )
+    out = kaplan_meier(df).collect()
+    assert all(r["survival"] == 1.0 for r in out)
+    assert [r["n_risk"] for r in sorted(out, key=lambda r: r["t"])] == [
+        3,
+        2,
+        1,
+    ]

@@ -372,3 +372,43 @@ def test_bloom_file_skipping_point_lookup(spark, tmp_path):
     assert read_point_lookup(spark, root, "k", 999_999).count() == 0
     # sidecar is invisible to the snapshot scan
     assert read_table(spark, root).count() == 4000
+
+
+def test_bloom_params_persisted_and_mismatch_rejected(spark, tmp_path):
+    """The sidecar stores its (m, k); probes derive them from the
+    sidecar (so a caller can't silently probe with the wrong
+    parameters and get false negatives), matching explicit values
+    pass, and a conflicting explicit value raises."""
+    import pytest
+
+    from pagerank_spark.table import (
+        bloom_candidate_files,
+        build_file_bloom,
+        compact_table,
+        read_point_lookup,
+        write_table,
+    )
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "btab2")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("v")
+    )
+    write_table(df.repartition(4), root)
+    compact_table(spark, root, target_files=4, sort_by=["k"])
+    build_file_bloom(spark, root, "k", m=1 << 12, k=5)
+
+    # probe with NO m/k: derived from the persisted params — the
+    # pre-fix behavior would have probed with the (1<<16, 3) defaults
+    # and found zero candidate files for a PRESENT key
+    assert len(bloom_candidate_files(spark, root, "k", 77)) >= 1
+    got = read_point_lookup(spark, root, "k", 77).collect()
+    assert len(got) == 1 and got[0]["v"] == 7
+
+    # matching explicit params are fine
+    assert bloom_candidate_files(spark, root, "k", 77, m=1 << 12, k=5)
+    # conflicting explicit params raise instead of dropping rows
+    with pytest.raises(ValueError, match="m="):
+        bloom_candidate_files(spark, root, "k", 77, m=1 << 16)
+    with pytest.raises(ValueError, match="k="):
+        read_point_lookup(spark, root, "k", 77, k=3)
