@@ -3782,9 +3782,11 @@ def q183_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q184_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram (operators/analytics.py
     equidepth_histogram) of lineitem extended prices into 8
-    quantile-bounded bins: exact percentile cutpoints as a broadcast
-    one-row relation, bucket assignment as a scan-side fold — never
-    ntile over a global window. Complements q100's equi-width form."""
+    quantile-bounded bins: GK-sketch (approx_percentile) cutpoints as
+    a broadcast one-row relation — the mergeable bounded-memory
+    default, hash-exact vs quantile_disc at accuracy ≥ n (the q85
+    equivalence) — bucket assignment as a scan-side fold; never ntile
+    over a global window. Complements q100's equi-width form."""
     from pagerank_spark.operators.analytics import equidepth_histogram
 
     return equidepth_histogram(
@@ -9722,13 +9724,13 @@ FROM u
 """,
 )
 
-# q184 twin: quantile_cont cutpoints (≡ Spark exact percentile, the
-# q78 equivalence) applied through the same ">" fold.
+# q184 twin: quantile_disc cutpoints (≡ the GK sketch at rank error
+# < 1, the q85 equivalence) applied through the same ">" fold.
 _oracle(
     "q184_equidepth_hist",
     """
 WITH cuts AS (
-  SELECT quantile_cont(l_extendedprice,
+  SELECT quantile_disc(l_extendedprice,
                        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
            AS qs
   FROM lineitem WHERE l_extendedprice IS NOT NULL

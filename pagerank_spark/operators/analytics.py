@@ -502,31 +502,43 @@ def equidepth_histogram(
     df: DataFrame,
     col: str,
     buckets: int = 8,
+    exact: bool = False,
+    accuracy: int = 1_000_000,
 ) -> DataFrame:
     """Equi-DEPTH histogram: ``buckets`` quantile-bounded bins with
     per-bin counts and value ranges — the optimizer-statistics /
     distribution-audit complement of the equi-width ``width_bucket``
     histogram (q100). Returns ``(bucket, n, min_v, max_v)``.
 
-    Scale shape: the ``buckets-1`` interior cutpoints come from ONE
-    exact ``percentile`` aggregation (a one-row relation — swap in the
-    mergeable GK sketch for the approximate 100 TB default, exact kept
-    for the oracle), broadcast-cross-joined back so bucket assignment
-    is a pure scan-side expression: bucket = 1 + Σ 1[v > cut_i], a
-    fold over a ``buckets-1``-element literal-sized array. NEVER
-    ``ntile`` over a global window — that funnels the full table into
-    one partition (the q171 lesson applies to every unpartitioned
-    window).
+    Scale shape: the ``buckets-1`` interior cutpoints come by DEFAULT
+    from ONE ``approx_percentile`` aggregation — the mergeable
+    Greenwald–Khanna sketch whose buffer is bounded by ``accuracy``
+    (O(accuracy·log n)), the only cutpoint source that survives 100 TB.
+    At ``accuracy`` ≥ n the sketch's rank error ``n/accuracy`` is < 1,
+    so it returns exactly the discrete quantile (DuckDB
+    ``quantile_disc``) — the q85 equivalence that keeps the oracle
+    hash-exact while pinning the SKETCH code path; real scale drops
+    ``accuracy`` to ~1e4 for a bounded-error histogram on the same
+    plan. ``exact=True`` keeps the interpolated ``percentile``
+    (a full-column aggregation buffer — audit/oracle use only). Either
+    way the one-row cutpoint relation is broadcast-cross-joined back
+    so bucket assignment is a pure scan-side expression:
+    bucket = 1 + Σ 1[v > cut_i], a fold over a ``buckets-1``-element
+    literal-sized array. NEVER ``ntile`` over a global window — that
+    funnels the full table into one partition (the q171 lesson applies
+    to every unpartitioned window).
     """
     if buckets < 2:
         raise ValueError(f"equidepth_histogram: buckets >= 2, got {buckets}")
     fracs = [i / buckets for i in range(1, buckets)]
     v = F.col(col).cast("double")
-    cuts = df.where(v.isNotNull()).agg(
-        F.expr(
-            f"percentile({col}, array({', '.join(str(f) for f in fracs)}))"
-        ).alias("__cuts")
+    frac_array = f"array({', '.join(str(f) for f in fracs)})"
+    cut_expr = (
+        f"percentile({col}, {frac_array})"
+        if exact
+        else f"approx_percentile({col}, {frac_array}, {accuracy})"
     )
+    cuts = df.where(v.isNotNull()).agg(F.expr(cut_expr).alias("__cuts"))
     # cutpoints rounded to 6dp BEFORE comparison, both engines: a value
     # exactly on an interpolated cutpoint must bucket identically even
     # if the engines' interpolations differ by 1 ulp

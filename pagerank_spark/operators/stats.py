@@ -318,64 +318,117 @@ def jackknife_ci(
     )
 
 
-def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    blocks: int | None = None,
+) -> DataFrame:
     """Spearman rank correlation (average ranks for ties) — the
     monotone-dependence complement of Pearson ``corr_matrix``; what a
     feature audit uses when the relationship is nonlinear.
 
     Scale shape: ONE corpus pass collapses to the JOINT (x, y) count
     relation; per-value average ranks (``cumsum(cnt) − (cnt−1)/2``)
-    come from value-space windows over marginals of that relation,
-    and the correlation is the count-weighted moment formula over the
-    joint cells — never a per-row rank join, never a global
+    come from a distributed two-level prefix sum over each marginal:
+    values are grouped into order-preserving blocks by integer-
+    dividing the [min, max] value range into ``blocks`` slices
+    (deterministic — no sampled range partitioner), per-block windows
+    compute local cumsums in parallel, and the block totals (a
+    ``blocks``-row relation, the only single-partition window) give
+    the exclusive offsets. For CONTINUOUS columns the distinct-value
+    relation is corpus-sized, so an unpartitioned value-space window
+    would degenerate to a single-partition sort of the corpus — the
+    blocked form keeps rank work partitioned at any cardinality. The
+    correlation is then the count-weighted moment formula over the
+    joint cells (n arrives as a broadcast one-row relation, never a
+    cells-sized window) — never a per-row rank join, never a global
     row_number over the corpus. Ranks are centered by their exact
     mean ``(N+1)/2`` before the moments so the sums stay well inside
     double precision at any N. The identical joint-relation exchange
-    feeds all three branches, so runtime exchange reuse makes this
-    one physical corpus scan (plan-asserted). Returns one row
+    feeds all branches, so runtime exchange reuse makes this one
+    physical corpus scan (plan-asserted). Returns one row
     ``(rho_spearman, n_rows)``.
     """
-    joint = (
-        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .select(
-            F.col(x_col).cast("double").alias("x"),
-            F.col(y_col).cast("double").alias("y"),
-        )
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("c"))
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
     )
-
-    def value_ranks(col: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+    b = base.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    ).collect()[0]
+    if b["xlo"] is None:
+        return spark.sql(
+            "SELECT CAST(NULL AS DOUBLE) AS rho_spearman, "
+            "CAST(NULL AS BIGINT) AS n_rows"
         )
-        return (
+    joint = base.groupBy("x", "y").agg(F.count("*").alias("c"))
+
+    def value_ranks(col: str, lo: float, hi: float) -> DataFrame:
+        span = (hi - lo) / blocks
+        if span > 0.0:
+            blk = F.least(
+                F.lit(blocks - 1),
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(span)),
+            )
+        else:  # constant column: one block
+            blk = F.lit(0)
+        local_w = (
+            Window.partitionBy("__blk")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        marg = (
             joint.groupBy(col)
             .agg(F.sum("c").alias("cnt"))
+            .withColumn("__blk", blk)
+        )
+        local = marg.withColumn("__cum", F.sum("cnt").over(local_w))
+        tot_w = Window.orderBy("__blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            local.groupBy("__blk")
+            .agg(F.sum("cnt").alias("__tot"))
             .select(
-                col,
-                (
-                    F.sum("cnt").over(w)
-                    - (F.col("cnt") - 1) / 2.0
-                ).alias(f"r_{col}"),
+                "__blk",
+                F.coalesce(F.sum("__tot").over(tot_w), F.lit(0)).alias(
+                    "__off"
+                ),
             )
         )
-
-    cells = (
-        joint.join(value_ranks("x"), on="x")
-        .join(value_ranks("y"), on="y")
-        .withColumn(
-            "n",
-            F.sum("c").over(Window.partitionBy(F.lit(1))).cast("double"),
+        return local.join(F.broadcast(offsets), on="__blk").select(
+            col,
+            (
+                F.col("__off") + F.col("__cum") - (F.col("cnt") - 1) / 2.0
+            ).alias(f"r_{col}"),
         )
+
+    n_rel = joint.agg(F.sum("c").cast("double").alias("n"))
+    cells = (
+        joint.join(value_ranks("x", b["xlo"], b["xhi"]), on="x")
+        .join(value_ranks("y", b["ylo"], b["yhi"]), on="y")
+        .crossJoin(F.broadcast(n_rel))
     )
     c = F.col("c").cast("double")
     rx = F.col("r_x") - (F.col("n") + 1.0) / 2.0
     ry = F.col("r_y") - (F.col("n") + 1.0) / 2.0
     return cells.agg(
         F.round(
-            F.sum(c * rx * ry)
-            / F.sqrt(F.sum(c * rx * rx) * F.sum(c * ry * ry)),
+            # try_divide: zero variance (constant column) -> NULL rho,
+            # not an ANSI DIVIDE_BY_ZERO error
+            F.try_divide(
+                F.sum(c * rx * ry),
+                F.sqrt(F.sum(c * rx * rx) * F.sum(c * ry * ry)),
+            ),
             6,
         ).alias("rho_spearman"),
         F.max("n").cast("long").alias("n_rows"),

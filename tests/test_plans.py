@@ -668,3 +668,28 @@ def test_q214_semi_join_with_range_residual(spark):
     assert "LeftSemi" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q184_equidepth_uses_sketch_not_exact_percentile(spark):
+    # cutpoints must come from the mergeable GK sketch
+    # (approx_percentile), never the exact `percentile` whose
+    # aggregation buffer holds EVERY value — the 100 TB killer this
+    # operator used to carry. Bucket assignment stays a scan-side
+    # fold over the broadcast one-row cutpoint relation.
+    p = plan(ENTRY.queries()["q184_equidepth_hist"](spark, SF_DIR))
+    assert "approx_percentile" in p
+    assert "percentile(" not in p.replace("approx_percentile(", "")
+    assert "BroadcastExchange" in p
+    assert "Window" not in p  # never ntile over a global window
+    assert "BatchEvalPython" not in p
+
+
+def test_q215_kaplan_meier_windows_over_times_not_units(spark):
+    # at-risk counts and the survival product are windows over the
+    # DISTINCT EVENT TIME relation (post-aggregation), so the single
+    # unpartitioned window sorts dozens of rows, not the corpus; the
+    # corpus-side work is plain hash aggregation.
+    p = plan(ENTRY.queries()["q215_kaplan_meier"](spark, SF_DIR))
+    assert "Window" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

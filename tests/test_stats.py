@@ -359,3 +359,50 @@ def test_kaplan_meier_all_censored_stays_at_one(spark):
         2,
         1,
     ]
+
+
+def test_spearman_continuous_matches_pandas_and_partitions_ranks(spark):
+    """Continuous (all-distinct) columns: values exact vs a pandas
+    average-rank replay, and the rank windows are PARTITIONED by the
+    value-range block — not one unpartitioned sort of the whole
+    distinct-value relation (which is corpus-sized when values are
+    continuous)."""
+    import pandas as pd
+
+    from pagerank_spark.operators.stats import spearman_corr
+
+    # deterministic non-monotone continuous pairs, all distinct
+    rows = [
+        (math.sin(i * 0.7) * 100 + i * 0.01, (i * i % 89) + i * 1e-4)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_corr(df, "x", "y", blocks=8)
+    got = out.collect()[0]
+
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    rx, ry = pdf["x"].rank(), pdf["y"].rank()
+    expect = rx.corr(ry)  # Pearson over average ranks == Spearman
+    assert got["n_rows"] == 500
+    assert got["rho_spearman"] == pytest.approx(expect, abs=1e-6)
+
+    # plan: every Window node must be partitioned on the block key —
+    # the formatted plan renders an unpartitioned spec as
+    # "Window [...], [col ASC ...]" with no partition list; the
+    # blocked spec mentions __blk
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__blk" in line or "__tot" in line, line
+
+
+def test_spearman_constant_column_single_block(spark):
+    from pagerank_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(5.0, float(i)) for i in range(20)], "x double, y double"
+    )
+    got = spearman_corr(df, "x", "y").collect()[0]
+    # zero x-variance: rho is NULL (0/0), n still counted
+    assert got["rho_spearman"] is None
+    assert got["n_rows"] == 20
