@@ -1,0 +1,29 @@
+# Round hygiene targets. VERDICT r7 #1: the last two rounds ended with a
+# parity artifact lagging the declared query surface (q176 in r6,
+# q209-q214 in r7) because the refresh was a memory-dependent chore.
+# `make close-round` IS the closing procedure now: refresh the artifact
+# over the full declared surface, then run the committed-evidence gate.
+
+PY ?= python
+
+.PHONY: close-round parity gate test bench
+
+# Full parity refresh (every declared query vs its DuckDB twin at
+# sf0.01) followed by the closing gate test. Run this after the LAST
+# queries()/oracle_sql() declaration of the round, before the final
+# commit. ~6 min.
+close-round: parity gate
+
+parity:
+	$(PY) parity.py
+
+# The committed-evidence gate: newest PARITY_r*.json must cover every
+# declared query and be all hash-green.
+gate:
+	$(PY) -m pytest tests/test_oracle_parity.py -q -k artifact
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py

@@ -65,7 +65,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -930,23 +930,66 @@ def _hits_loop(
     Edges cached once; per iteration two equi-join + partial-agg jobs
     (authority half-step, hub half-step) over a lazy-localCheckpointed
     vertex-sized state — lineage never grows, edges scan from cache.
-    Normalization constants come back as per-job scalars; the
-    convergence metric is ``L1(auth_t - auth_{t-1}) + L1(hub_t -
-    hub_{t-1})`` (delta=0 → run exactly ``max_iterations`` rounds,
-    bit-compatible with the unrolled DAG up to float summation order).
+    Normalization constants stay PLAN-SIDE as broadcast one-row
+    relations (never per-round driver collects): for fixed-k runs the
+    whole loop is then a single final action — zero driver round trips
+    per iteration — and for delta-convergence runs the authority and
+    hub L1 deltas fold into ONE scalar action per round (the previous
+    shape paid three: s_a collect, s_h+l1a collect, l1h collect).
+    Measured A/B in GRAPH_LOOP_AB.json. The convergence metric is
+    ``L1(auth_t - auth_{t-1}) + L1(hub_t - hub_{t-1})`` (delta=0 → run
+    exactly ``max_iterations`` rounds, bit-compatible with the
+    unrolled DAG up to float summation order).
 
     Hub contributions aggregate the UNNORMALIZED authority vector: the
     hub normalization divides by the sum anyway, so the s_a factor
     cancels and each half-step needs only one scalar.
+
+    Join strategy: HITS joins edges on BOTH ends (src for the
+    authority step, dst for the hub step), so the loop caches TWO
+    pre-partitioned edge layouts and aligns the vertex-sized state to
+    each — every per-round exchange moves only the state vector, never
+    the edge table (without this, Catalyst sees the checkpointed state
+    with unknown stats and broadcasts the EDGES each half-step — fine
+    at 10 MB, fatal at cluster scale). The 2× edge cache is the price
+    of zero per-round edge movement; a memory-tight cluster can keep
+    one layout and accept one edge shuffle per round.
     """
-    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst")
     verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     if n == 0:
-        e.unpersist()
         return verts.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
         )
+    # Same per-iteration tuning as the PageRank loop: AQE's runtime
+    # coalescing re-plans every round (breaking reuse of the cached
+    # edge partitioning) and the session's shuffle sizing is far too
+    # wide for a small graph's vertex-sized exchanges — flip both for
+    # the loop's duration, restore after.
+    aqe_key = "spark.sql.adaptive.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
+    aqe_before = spark.conf.get(aqe_key)
+    parts_before = spark.conf.get(parts_key)
+    tuned = n <= TINY_VERTEX_LIMIT
+    parts = shuffle_parts
+    if tuned:
+        spark.conf.set(aqe_key, "false")
+        parts = max(
+            LOOP_PARTS_FLOOR, min(shuffle_parts, -(-n // 2_000_000))
+        )
+        spark.conf.set(parts_key, str(parts))
+    e_src = e.repartition(parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst = e.repartition(parts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _norm(col: str) -> Column:
+        # empty/zero sum -> divide by 1 (keeps the all-zero vector),
+        # matching the old `collect()[0][col] or 1.0` driver guard
+        s = F.col(col)
+        return F.when(F.coalesce(s, F.lit(0.0)) == 0.0, 1.0).otherwise(s)
+
     state = verts.select(
         "node",
         F.lit(1.0 / n).alias("hub"),
@@ -956,7 +999,12 @@ def _hits_loop(
     while iteration < max_iterations:
         iteration += 1
         contrib_a = (
-            e.join(state.select(F.col("node").alias("src"), "hub"), on="src")
+            e_src.join(
+                state.select(F.col("node").alias("src"), "hub").repartition(
+                    parts, "src"
+                ),
+                on="src",
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("__ca"))
         )
@@ -975,45 +1023,56 @@ def _hits_loop(
             )
             .localCheckpoint(eager=False)
         )
-        s_a = mid.agg(F.sum("va").alias("s")).collect()[0]["s"] or 1.0
+        s_a = F.broadcast(mid.agg(F.sum("va").alias("__sa")))
         contrib_h = (
-            e.join(mid.select(F.col("node").alias("dst"), "va"), on="dst")
+            e_dst.join(
+                mid.select(F.col("node").alias("dst"), "va").repartition(
+                    parts, "dst"
+                ),
+                on="dst",
+            )
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("va").alias("__ch"))
         )
         nxt = (
             mid.join(contrib_h, on="node", how="left")
+            .crossJoin(s_a)
             .select(
                 "node",
                 "old_hub",
                 "old_auth",
-                (F.col("va") / F.lit(float(s_a))).alias("auth"),
+                (F.col("va") / _norm("__sa")).alias("auth"),
                 F.coalesce(F.col("__ch"), F.lit(0.0)).alias("vh"),
             )
             .localCheckpoint(eager=False)
         )
-        row = nxt.agg(
-            F.sum("vh").alias("s"),
-            F.sum(F.abs(F.col("auth") - F.col("old_auth"))).alias("l1a"),
-        ).collect()[0]
-        s_h = row["s"] or 1.0
-        scored = nxt.select(
+        s_h = F.broadcast(nxt.agg(F.sum("vh").alias("__sh")))
+        scored = nxt.crossJoin(s_h).select(
             "node",
-            (F.col("vh") / F.lit(float(s_h))).alias("hub"),
+            (F.col("vh") / _norm("__sh")).alias("hub"),
             "auth",
             "old_hub",
+            "old_auth",
         )
         if delta > 0:
-            # Cheap scan of the checkpointed vertex-sized relation.
-            l1h = scored.agg(
-                F.sum(F.abs(F.col("hub") - F.col("old_hub"))).alias("l1")
-            ).collect()[0]["l1"]
+            # The ONE driver action per round: both L1 deltas in a
+            # single scan of the checkpointed vertex-sized relation.
+            row = scored.agg(
+                F.sum(F.abs(F.col("auth") - F.col("old_auth"))).alias(
+                    "l1a"
+                ),
+                F.sum(F.abs(F.col("hub") - F.col("old_hub"))).alias("l1h"),
+            ).collect()[0]
         state = scored.select("node", "hub", "auth")
-        if delta > 0 and (row["l1a"] or 0.0) + (l1h or 0.0) <= delta:
+        if delta > 0 and (row["l1a"] or 0.0) + (row["l1h"] or 0.0) <= delta:
             break
     out = state.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    e.unpersist()
+    if tuned:
+        spark.conf.set(aqe_key, aqe_before)
+        spark.conf.set(parts_key, parts_before)
+    e_src.unpersist()
+    e_dst.unpersist()
     verts.unpersist()
     return out
 
@@ -1104,18 +1163,44 @@ def _katz_loop(
     max_iterations: int,
 ) -> DataFrame:
     """Convergence-loop Katz on the ``pagerank`` checkpoint pattern:
-    cached edges, per round ONE job (edge join + partial agg + the L1
-    scalar, materializing the lazy localCheckpoint), lineage truncated
-    every round. delta=0 → exactly ``max_iterations`` rounds,
-    matching the unrolled DAG up to float summation order."""
-    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    cached SRC-PARTITIONED edges (per-round exchanges move only the
+    vertex-sized state, never the edge table — Catalyst would
+    otherwise broadcast the edges each round, since the checkpointed
+    state has unknown stats), per round ONE job (edge join + partial
+    agg + the L1 scalar, materializing the lazy localCheckpoint),
+    lineage truncated every round; small graphs get the PageRank
+    loop's AQE-off + vertex-sized partition tuning. delta=0 → exactly
+    ``max_iterations`` rounds, matching the unrolled DAG up to float
+    summation order."""
+    spark = edges.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = edges.select("src", "dst")
+    verts = vertices(base).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    aqe_key = "spark.sql.adaptive.enabled"
+    parts_key = "spark.sql.shuffle.partitions"
+    aqe_before = spark.conf.get(aqe_key)
+    parts_before = spark.conf.get(parts_key)
+    tuned = 0 < n <= TINY_VERTEX_LIMIT
+    parts = shuffle_parts
+    if tuned:
+        spark.conf.set(aqe_key, "false")
+        parts = max(
+            LOOP_PARTS_FLOOR, min(shuffle_parts, -(-n // 2_000_000))
+        )
+        spark.conf.set(parts_key, str(parts))
+    e = base.repartition(parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     state = verts.select("node", F.lit(0.0).alias("katz"))
     iteration = 0
     while iteration < max_iterations:
         iteration += 1
         raw = (
-            e.join(state.select(F.col("node").alias("src"), "katz"), on="src")
+            e.join(
+                state.select(F.col("node").alias("src"), "katz").repartition(
+                    parts, "src"
+                ),
+                on="src",
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("katz").alias("__v"))
         )
@@ -1140,6 +1225,9 @@ def _katz_loop(
             break
     out = state.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    if tuned:
+        spark.conf.set(aqe_key, aqe_before)
+        spark.conf.set(parts_key, parts_before)
     e.unpersist()
     verts.unpersist()
     return out
