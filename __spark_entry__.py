@@ -3939,34 +3939,21 @@ def q192_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood ER blocking (the classic alternative to
     q175's key blocking): distinct names ranked in lexicographic
     order, pairs generated within a rank window of 3, verified by
-    thresholded levenshtein. The rank window runs over the DISTINCT
-    VALUE relation (value-space cardinality, the AUC-tier rationale
-    for a bounded global window) and pairing is an equi-join on rank
-    offsets — no self-cartesian. Catches near-dups key blocking
-    splits (typos in the blocking key itself)."""
-    names = (
-        load_table(spark, sf_dir, "part")
-        .select(F.col("p_name").alias("name"))
-        .where(F.col("name").isNotNull())
-        .distinct()
-    )
-    from pyspark.sql import Window
+    thresholded levenshtein (operators/dedup.py
+    sorted_neighborhood_pairs). The global rank is a distributed
+    two-level prefix sum over order-preserving string-prefix blocks —
+    never an unpartitioned row_number window — and pairing is an
+    equi-join on rank offsets, no self-cartesian. Catches near-dups
+    key blocking splits (typos in the blocking key itself)."""
+    from pagerank_spark.operators.dedup import sorted_neighborhood_pairs
 
-    w = Window.orderBy("name")
-    ranked = names.withColumn("rk", F.row_number().over(w))
-    b = ranked.select(
-        F.col("name").alias("name_b"), F.col("rk").alias("rk_b")
-    )
-    offsets = F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)]))
-    return (
-        ranked.select("name", "rk", offsets.alias("off"))
-        .join(b, F.col("rk") + F.col("off") == F.col("rk_b"))
-        .select(
-            F.col("name").alias("name_a"),
-            "name_b",
-            F.levenshtein("name", "name_b", 2).cast("long").alias("dist"),
-        )
-        .where((F.col("dist") >= 0) & (F.col("dist") <= 2))
+    return sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "part").select(
+            F.col("p_name").alias("name")
+        ),
+        "name",
+        window=3,
+        max_dist=2,
     )
 
 

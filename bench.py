@@ -31,63 +31,94 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WIKIDATA = "/root/reference/WikiData.txt"
 
-# Best observed per-query seconds on the CURRENT host window (min across
-# BENCH_r05 / BENCH_r06 / BENCH_local_r6) — the regression baseline.
-# Round 7 re-baselined away from the round-2 minima: AB_BENCH_r6.json
-# proved those unreachable on today's host for ANY commit (the
-# baseline-setting commit itself runs ~1.8x its recorded best), so
-# warnings against them were noise. Any query >1.5x its current-window
-# baseline gets a stderr warning so a real plan regression can't land
-# silently. Only meaningful at sf0.1.
+# Best observed per-query seconds on the CURRENT host window — the
+# regression baseline, refreshed round 8 with the min of the r7 values
+# and a full quiet-host r8 run (which also seeded the round-7/8 tail
+# entries and folded in the loop-rework wins: hits_loop_k10 13.1→7.1,
+# pagerank_wikidata 4.3→3.7, q184 equidepth 5.3→1.9). Round 7 had
+# re-baselined away from the round-2 minima: AB_BENCH_r6.json proved
+# those unreachable on today's host for ANY commit. Any query >1.5x its
+# current-window baseline gets a stderr warning so a real plan
+# regression can't land silently. Only meaningful at sf0.1.
 HOST_BASELINE = {
-    "hits_loop_k10": 13.128,
-    "pagerank_full": 2.999,
-    "pagerank_wikidata": 4.258,
-    "q03_out_degree_top20": 0.28,
-    "q08_induced_subgraph": 0.488,
-    "q107_gopher_quality": 0.434,
-    "q109_sample_to_mix": 0.616,
+    "hits_loop_k10": 7.136,
+    "pagerank_full": 2.68,
+    "pagerank_wikidata": 3.718,
+    "q03_out_degree_top20": 0.277,
+    "q08_induced_subgraph": 0.459,
+    "q107_gopher_quality": 0.433,
+    "q109_sample_to_mix": 0.598,
     "q110_decontamination": 1.224,
     "q112_tfidf_top_terms": 1.026,
     "q117_bloom_decontaminate": 1.787,
-    "q118_pack_sequences": 0.566,
+    "q118_pack_sequences": 0.558,
     "q119_unigram_logprob": 0.59,
     "q11_lineitem_agg": 0.373,
     "q121_cms_heavy_hitters": 1.402,
     "q122_adamic_adar": 0.924,
-    "q124_hits": 3.464,
-    "q125_katz_centrality": 1.262,
-    "q12_customer_nation_region": 0.423,
-    "q140_repetition_filters": 0.893,
+    "q124_hits": 2.65,
+    "q125_katz_centrality": 1.169,
+    "q12_customer_nation_region": 0.387,
+    "q140_repetition_filters": 0.865,
     "q145_dup_span_coverage": 2.537,
     "q146_quantize_embeddings": 0.544,
     "q147_quantized_ann": 1.194,
-    "q150_bpe_train": 1.894,
-    "q159_random_walks": 1.532,
-    "q16_adjacency_lists": 0.688,
-    "q171_bm25_search": 0.822,
-    "q18_top_customers": 0.497,
-    "q21_fingerprint": 0.649,
-    "q22_language_id": 0.437,
-    "q27_minhash_lsh": 1.468,
+    "q150_bpe_train": 1.814,
+    "q159_random_walks": 1.35,
+    "q16_adjacency_lists": 0.666,
+    "q171_bm25_search": 0.712,
+    "q175_fuzzy_pairs": 0.333,
+    "q176_profile_columns": 0.867,
+    "q184_equidepth_hist": 1.882,
+    "q186_groupwise_ols": 1.505,
+    "q187_containment_pairs": 2.194,
+    "q18_top_customers": 0.476,
+    "q191_pq_ann": 2.099,
+    "q192_sorted_neighborhood": 0.379,
+    "q193_event_type_cooccurrence": 0.454,
+    "q194_corr_matrix": 0.389,
+    "q195_readability": 0.282,
+    "q196_lang_source_mi": 0.365,
+    "q197_markov_transitions": 0.567,
+    "q198_welch_ttest": 0.298,
+    "q199_mad_outliers": 1.242,
+    "q200_ab_assign_srm": 0.378,
+    "q201_jackknife_ci": 0.646,
+    "q202_spearman_corr": 3.186,
+    "q203_chi2_independence": 0.653,
+    "q204_benford_audit": 0.387,
+    "q205_source_concentration": 0.287,
+    "q206_k_anonymity": 0.267,
+    "q207_cusum_changepoint": 0.426,
+    "q208_rfm_segments": 0.689,
+    "q209_tpch_q6": 0.248,
+    "q210_tpch_q14": 0.355,
+    "q211_tpch_q17": 0.432,
+    "q212_tpch_q19": 0.482,
+    "q213_tpch_q8": 0.962,
+    "q214_tpch_q4": 0.693,
+    "q215_kaplan_meier": 0.711,
+    "q21_fingerprint": 0.617,
+    "q22_language_id": 0.394,
+    "q27_minhash_lsh": 1.3,
     "q28_ann_bruteforce": 0.897,
     "q30_tumbling_window": 0.311,
-    "q35_sessionize": 0.539,
+    "q35_sessionize": 0.527,
     "q39_revenue_per_nation": 0.87,
-    "q43_asof_join": 0.626,
+    "q43_asof_join": 0.551,
     "q49_tpch_q3": 0.671,
     "q52_shortest_paths": 2.753,
-    "q56_ann_lsh": 2.401,
+    "q56_ann_lsh": 2.315,
     "q57_label_propagation": 3.474,
-    "q59_interval_join": 0.595,
-    "q63_weighted_sssp": 1.613,
+    "q59_interval_join": 0.578,
+    "q63_weighted_sssp": 1.498,
     "q74_tpch_q18": 0.662,
-    "q75_tpch_q21": 1.811,
-    "q77_stats_agg": 0.375,
-    "q84_groupwise_zscore": 0.262,
-    "q85_sketch_quantiles": 0.638,
-    "q90_neardup_clusters": 3.869,
-    "q95_curation_pipeline": 0.682,
+    "q75_tpch_q21": 1.688,
+    "q77_stats_agg": 0.372,
+    "q84_groupwise_zscore": 0.246,
+    "q85_sketch_quantiles": 0.565,
+    "q90_neardup_clusters": 3.701,
+    "q95_curation_pipeline": 0.646,
 }
 REGRESSION_FACTOR = 1.5
 
@@ -169,6 +200,25 @@ def main() -> None:
         "q208_rfm_segments",
         "q209_tpch_q6",
         "q213_tpch_q8",
+        # round-8 tail (no prior baseline — these SET it): the rest of
+        # the round-7 declarations, regression-tracked per VERDICT r7 #4.
+        "q192_sorted_neighborhood",
+        "q193_event_type_cooccurrence",
+        "q194_corr_matrix",
+        "q195_readability",
+        "q196_lang_source_mi",
+        "q198_welch_ttest",
+        "q200_ab_assign_srm",
+        "q203_chi2_independence",
+        "q204_benford_audit",
+        "q205_source_concentration",
+        "q206_k_anonymity",
+        "q207_cusum_changepoint",
+        "q210_tpch_q14",
+        "q211_tpch_q17",
+        "q212_tpch_q19",
+        "q214_tpch_q4",
+        "q215_kaplan_meier",
     ]
 
     timings: dict[str, float] = {}

@@ -2156,6 +2156,63 @@ def test_er_resolve_clusters_and_canonicalizes(spark):
     assert None not in out  # NULLs dropped from the value relation
 
 
+def test_sorted_neighborhood_catches_blocking_key_typos(spark):
+    # The case key blocking (fuzzy_blocked_pairs) misses by design: a
+    # typo in the blocking key itself. "acme corp" vs "acme corq"
+    # block apart on last-token keys but sort adjacent.
+    from pagerank_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("acme corp",),
+            ("acme corq",),
+            ("beta llc",),
+            ("beta lld",),
+            ("zeta inc",),
+            (None,),
+        ],
+        "p_name string",
+    )
+    pairs = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in sorted_neighborhood_pairs(df, "p_name").collect()
+    }
+    assert pairs[("acme corp", "acme corq")] == 1
+    assert pairs[("beta llc", "beta lld")] == 1
+    assert all(a < b for (a, b) in pairs)
+    assert not any("zeta inc" in p and "acme corp" in p for p in pairs)
+
+
+def test_sorted_neighborhood_shared_prefix_ids(spark):
+    # ID-shaped columns share a long head ("Customer#000..."): the
+    # block key must come from AFTER the relation-wide common prefix,
+    # or every value lands in one block (the single-partition sort the
+    # operator exists to avoid). Recall must survive that strip.
+    import pyspark.sql.functions as F
+
+    from pagerank_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(f"Customer#{i:012d}",) for i in range(200)]
+    rows.append(("Customer#00000000004q",))  # last-char typo of ...0049
+    df = spark.createDataFrame(rows, "c_name string")
+    pairs = sorted_neighborhood_pairs(df, "c_name")
+    hit = pairs.where(
+        (F.col("name_a") == "Customer#000000000049")
+        & (F.col("name_b") == "Customer#00000000004q")
+    ).collect()
+    assert len(hit) == 1 and hit[0]["dist"] == 1
+    # block column really fans out: >1 distinct __blk after the strip
+    from pagerank_spark.operators import dedup as _d
+    base = df.select(F.col("c_name").alias("name")).distinct()
+    b = base.agg(F.min("name").alias("lo"), F.max("name").alias("hi")).collect()[0]
+    import os as _os
+    lcp = len(_os.path.commonprefix([b["lo"], b["hi"]]))
+    nblk = base.select(
+        F.substring("name", lcp + 1, 2).alias("__blk")
+    ).distinct().count()
+    assert nblk > 1
+
+
 def test_ngram_novelty_first_owner_semantics(spark):
     from pagerank_spark.operators.dedup import ngram_novelty
 

@@ -334,6 +334,19 @@ def test_q118_pack_no_global_single_partition_window(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_q192_sorted_neighborhood_rank_partitioned(spark):
+    # The global lexicographic rank must come from the two-level
+    # prefix sum (per-prefix-block row_number + bounded offsets
+    # window), never an unpartitioned row_number over the whole
+    # distinct-name relation — that degenerates to a single-partition
+    # sort of the value space, corpus-sized for free-text columns.
+    p = plan(ENTRY.queries()["q192_sorted_neighborhood"](spark, SF_DIR))
+    assert "hashpartitioning(__blk" in p
+    assert "row_number" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_q127_chunking_is_shuffle_free(spark):
     # Chunking is a per-row explode: any exchange in this plan is a
     # regression (it would serialize an embarrassingly parallel op).
