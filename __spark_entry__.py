@@ -4466,6 +4466,191 @@ def q215_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(per_user, "duration", "observed")
 
 
+def q216_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping, adapted to the fixture schema):
+    revenue flowing between supplier-nation NATION_1 and
+    customer-nation NATION_2 (both directions) by ship year, over a
+    two-year window. Plan shape: lineitem joins orders on orderkey
+    (the only fact-fact shuffle), then dimension hops
+    supplier→nation and customer→nation broadcast; the nation-pair
+    disjunction filters AFTER both nation names are attached — on the
+    25-row broadcast side, never as a residual on the fact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup.where(F.col("supp_nation").isin("NATION_1", "NATION_2"))),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust.where(F.col("cust_nation").isin("NATION_1", "NATION_2")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q217_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted: the fixture has no
+    partsupp, so profit is revenue net of tax instead of net of
+    supplycost; the part filter keeps PROMO types). Plan shape:
+    lineitem filters to PROMO parts by a broadcast semi-ish join on
+    part, joins orders for the year, supplier→nation broadcast for
+    the grouping nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (
+        1 - F.col("l_tax")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q218_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution, adapted: the
+    fixture has no o_comment so no comment exclusion): LEFT join
+    customer→orders so zero-order customers keep c_count = 0, count
+    orders per customer, then the distribution of customers by that
+    count. Two partial-combined aggregations, one outer shuffle join
+    — the distribution relation is order-count-space sized."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q219_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-allocation stratified sample (operators/curation.py
+    stratified_exact_sample): exactly ceil(0.2 · n) docs per
+    (lang, source) stratum, selected by portable-md5 rank — the
+    balanced-eval-set / per-language-quota primitive, with nested
+    samples for free (rank ≤ k is always the k/n sample). Per-stratum
+    row_number window (partitioned — parallelism = stratum count),
+    one broadcast count join; selection is engine-reproducible, which
+    is exactly what the DuckDB twin replays."""
+    from pagerank_spark.operators.curation import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_exact_sample(
+        docs, ["lang", "source"], 0.2, "doc_id"
+    ).select(
+        "doc_id", "lang", "source", F.col("__rk").cast("long").alias("rk")
+    )
+
+
+def q220_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1–7
+    (operators/analytics.py autocorrelation) — the seasonality
+    diagnostic (a weekly cycle spikes lag 7). One corpus pass builds
+    the day-bucket series; the ACF works entirely on that bucket
+    relation: global mean/SS as a broadcast one-row relation, one
+    equi-join per the exploded lag set. Classic estimator (global
+    mean + global SS denominator), matching statsmodels' acf."""
+    from pagerank_spark.operators.analytics import autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d")
+    ).agg(F.count("*").cast("double").alias("n_events"))
+    return autocorrelation(series, "d", "n_events", max_lag=7).orderBy("lag")
+
+
+def q221_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup under the oracle
+    (operators/multimodal.py ahash_image + hamming_near_dup_pairs):
+    every 10th doc id becomes a synthetic 64×48 P6 image with PLANTED
+    near-dup structure (group = id/40 shares a base pattern, variant =
+    (id/10) mod 4 perturbs one corner region); the REAL pipeline
+    decodes the bytes, average-hashes into 64 integer-exact bits (four
+    16-bit bands), and pairs via the banded Hamming join (pigeonhole:
+    distance ≤ 3 ⇒ one of 4 bands equal — candidate generation is an
+    equi-join, never an all-pairs scan). The DuckDB twin integrates
+    the pixel formula over generate_series and reproduces hash and
+    pairs without ever seeing a byte — a hash match proves the decoder
+    and the hasher, end to end."""
+    from pagerank_spark.operators.multimodal import (
+        ahash_image,
+        hamming_near_dup_pairs,
+        synthesize_ppm_variant_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") / 40).cast("long").alias("grp"),
+            ((F.col("doc_id") / 10) % 4).cast("long").alias("variant"),
+        )
+    )
+    media = synthesize_ppm_variant_media(ids)
+    return hamming_near_dup_pairs(ahash_image(media), max_dist=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4690,6 +4875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_tpch_q8": q213_tpch_q8,
         "q214_tpch_q4": q214_tpch_q4,
         "q215_kaplan_meier": q215_kaplan_meier,
+        "q216_tpch_q7": q216_tpch_q7,
+        "q217_tpch_q9": q217_tpch_q9,
+        "q218_tpch_q13": q218_tpch_q13,
+        "q219_stratified_sample": q219_stratified_sample,
+        "q220_event_acf": q220_event_acf,
+        "q221_image_ahash_neardup": q221_image_ahash_neardup,
     }
 
 
@@ -10650,5 +10841,158 @@ SELECT CAST(t AS BIGINT) AS t,
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              6) AS survival
 FROM r
+""",
+)
+
+_oracle(
+    "q216_tpch_q7",
+    """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+
+_oracle(
+    "q217_tpch_q9",
+    """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 4)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+""",
+)
+
+_oracle(
+    "q218_tpch_q13",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+# q219 twin: identical portable-md5 rank within each (lang, source)
+# stratum and the same ceil(0.2 * n) allocation.
+_oracle(
+    "q219_stratified_sample",
+    """
+WITH r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY CAST('0x' || substr(
+                      md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)
+                    AS BIGINT) ASC, doc_id ASC
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= CAST(CEIL(0.2 * n) AS BIGINT)
+""",
+)
+
+# q220 twin: same day-bucket series, same classic ACF estimator
+# (global mean, global centered sum of squares as the denominator).
+_oracle(
+    "q220_event_acf",
+    """
+WITH s AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS t,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+g AS (SELECT AVG(x) AS mu FROM s),
+ss AS (SELECT SUM(POW(x - mu, 2)) AS ssv FROM s CROSS JOIN g),
+l AS (SELECT UNNEST(range(1, 8)) AS k)
+SELECT CAST(l.k AS INTEGER) AS "lag",
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM((a.x - g.mu) * (b.x - g.mu)) / MAX(ss.ssv), 6) AS acf
+FROM l
+JOIN s a ON TRUE
+JOIN s b ON a.t + l.k = b.t
+CROSS JOIN g CROSS JOIN ss
+GROUP BY l.k
+ORDER BY l.k
+""",
+)
+
+# q221 twin: the synthetic pixel formula integrated over
+# generate_series — block gray sums, integer-exact mean bits, 16-bit
+# bands, then the SEMANTIC pair definition (all pairs with Hamming
+# distance <= 3; the engine's banded join is candidate generation
+# only, so a plain self-join is the correct twin). Never sees bytes.
+_oracle(
+    "q221_image_ahash_neardup",
+    """
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id // 40 AS g, (doc_id // 10) % 4 AS r
+  FROM documents WHERE doc_id % 10 = 0
+),
+px AS (
+  SELECT i.media_id,
+         xs.x, ys.y,
+         CASE WHEN i.r > 0 AND xs.x < 2 * i.r AND ys.y < 6
+              THEN ((11*(i.g+1)*(xs.x+1) + 2*ys.y + 7*cs.c) % 256 + 128) % 256
+              ELSE  (11*(i.g+1)*(xs.x+1) + 2*ys.y + 7*cs.c) % 256 END AS v
+  FROM ids i
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 48)) AS y) ys
+  CROSS JOIN (SELECT UNNEST(range(0, 3)) AS c) cs
+),
+blk AS (
+  SELECT media_id, (y // 6) * 8 + (x // 8) AS b,
+         SUM(v) AS bsum, COUNT(*) AS bpix
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT media_id, SUM(bsum) AS tsum, SUM(bpix) AS tpix
+        FROM blk GROUP BY 1),
+bits AS (
+  SELECT blk.media_id, b,
+         CASE WHEN bsum * tpix > tsum * bpix THEN 1 ELSE 0 END AS bit
+  FROM blk JOIN tot USING (media_id)
+),
+h AS (
+  SELECT media_id,
+         SUM(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b0,
+         SUM(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b1,
+         SUM(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b2,
+         SUM(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b3
+  FROM bits GROUP BY 1
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+ORDER BY id_a, id_b
 """,
 )

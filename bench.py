@@ -219,6 +219,13 @@ def main() -> None:
         "q212_tpch_q19",
         "q214_tpch_q4",
         "q215_kaplan_meier",
+        # round-8 tier (no prior baseline — these SET it):
+        "q216_tpch_q7",
+        "q217_tpch_q9",
+        "q218_tpch_q13",
+        "q219_stratified_sample",
+        "q220_event_acf",
+        "q221_image_ahash_neardup",
     ]
 
     timings: dict[str, float] = {}

@@ -726,3 +726,64 @@ def rfm_segments(
         F.round(F.avg("freq"), 6).alias("avg_frequency"),
         F.round(F.avg("mon"), 6).alias("avg_monetary"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of a regular time series at
+    lags ``1..max_lag`` — the standard seasonality/persistence
+    diagnostic (daily cycle shows as a spike at lag 7 on weekly data,
+    etc.). ``series`` is the already-bucketed relation (one row per
+    time bucket); the classic estimator uses the GLOBAL mean and
+    sum-of-squares: ``r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²``, so a
+    lag with few overlapping pairs shrinks toward 0 rather than
+    exploding (the reason ACF uses this over per-lag Pearson).
+
+    Scale shape: the input is bucket-space-sized (the corpus pass that
+    built it is the caller's one scan); the mean/SS arrive as a
+    broadcast one-row relation, each lag pairs by an equi-join on
+    ``t + k = t'`` (explode over the max_lag literals, shuffle on the
+    bucket key) — no window, no cross join, no driver loop. Returns
+    ``(lag, n_pairs, acf)``, one row per lag.
+    """
+    if max_lag < 1:
+        raise ValueError(f"autocorrelation: max_lag >= 1, got {max_lag}")
+    base = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    ).where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    mu_rel = base.agg(F.avg("x").alias("__mu"))
+    g = (
+        base.crossJoin(F.broadcast(mu_rel))
+        .agg(
+            F.max("__mu").alias("__mu"),
+            F.sum(F.pow(F.col("x") - F.col("__mu"), 2)).alias("__ss"),
+        )
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
+    a = base.select("t", F.col("x").alias("xa"), lags.alias("lag"))
+    b = base.select(
+        (F.col("t")).alias("__tb"), F.col("x").alias("xb")
+    )
+    return (
+        a.join(b, a["t"] + a["lag"] == b["__tb"])
+        .crossJoin(F.broadcast(g))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        (F.col("xa") - F.col("__mu"))
+                        * (F.col("xb") - F.col("__mu"))
+                    ),
+                    F.max("__ss"),
+                ),
+                6,
+            ).alias("acf"),
+        )
+    )

@@ -455,6 +455,53 @@ def sample_weighted(
     return df.where(coin < thresh)
 
 
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    frac: float,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic EXACT-allocation stratified sample: exactly
+    ``ceil(frac · n_g)`` rows from every stratum ``g``, chosen by
+    portable-md5-hash order — the companion to ``sample_to_mix``'s
+    Bernoulli coin (binomial sizes) for when the pipeline needs exact
+    per-stratum counts (balanced eval sets, per-language quotas).
+    Adds ``__rk`` (the row's 1-based hash rank within its stratum) so
+    the caller can tighten the sample later without resampling (the
+    first k rows by ``__rk`` are ALWAYS the frac'=k/n sample — nested
+    samples for free).
+
+    Scale shape: one per-stratum count (partial-combined, broadcast
+    back) and one ``row_number`` window PARTITIONED BY the strata —
+    per-stratum sort, never a global one. The hash order makes the
+    selection stable under reruns, repartitioning, and engine choice
+    (same md5 rank in any SQL engine). A single mega-stratum degrades
+    to one sorted partition — for that shape use ``sample_to_mix``,
+    which is a pure filter; with real strata (language × source) the
+    sort parallelism equals the stratum count.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"stratified_exact_sample: frac in (0, 1], got {frac}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*strata_cols).agg(
+        F.ceil(F.count("*") * F.lit(frac)).cast("long").alias("__take")
+    )
+    coin = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        coin.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(counts), on=list(strata_cols))
+        .where(F.col("__rk") <= F.col("__take"))
+        .drop("__take")
+    )
+
+
 __all__ = [
     "MIX_PRECISION",
     "mix_plan",
@@ -466,6 +513,7 @@ __all__ = [
     "bloom_might_contain",
     "pack_sequences",
     "sample_weighted",
+    "stratified_exact_sample",
 ]
 
 

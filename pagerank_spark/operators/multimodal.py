@@ -673,3 +673,194 @@ def frame_sample_plan(
             ),
         )
     )
+
+
+def synthesize_ppm_variant_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    group_col: str = "grp",
+    variant_col: str = "variant",
+    width: int = 64,
+    height: int = 48,
+) -> DataFrame:
+    """Deterministic synthetic P6 image per id with PLANTED NEAR-DUP
+    structure — the fixture for perceptual-hash dedup (q221): images
+    sharing ``group_col`` share a base pattern, and ``variant_col``
+    ``r > 0`` perturbs only a small corner region, so same-group
+    images hash within a few bits of each other while groups differ
+    wholesale. Pixel (x, y) channel c of group g is
+
+        v = (11·(g+1)·(x+1) + 2·y + 7·c) mod 256
+        if r > 0 and x < 2·r and y < 6:  v = (v + 128) mod 256
+
+    — integer arithmetic end to end, so a SQL oracle reproduces every
+    pixel exactly (q221's twin integrates this over generate_series
+    and never sees the bytes)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3),
+            indexing="ij",
+        )
+        header_tail = f" {width} {height} 255\n".encode()
+        for pdf in batches:
+            payloads = []
+            for mid, g, r in zip(
+                pdf[id_col], pdf[group_col], pdf[variant_col]
+            ):
+                arr = (11 * (int(g) + 1) * (x + 1) + 2 * y + 7 * c) % 256
+                if int(r) > 0:
+                    mask = (x < 2 * int(r)) & (y < 6)
+                    arr = np.where(mask, (arr + 128) % 256, arr)
+                payloads.append(
+                    b"P6" + header_tail + arr.astype("uint8").tobytes()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(group_col).cast("long").alias(group_col),
+        F.col(variant_col).cast("long").alias(variant_col),
+    ).mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
+
+
+AHASH_SCHEMA = (
+    "media_id BIGINT, b0 BIGINT, b1 BIGINT, b2 BIGINT, b3 BIGINT"
+)
+
+
+def ahash_image(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decode:
+    decode the payload (PPM/BMP/PNG/JPEG, same dispatch as
+    ``decode_image``), sum channels to an integer grayscale, pool into
+    a ``grid``×``grid`` block grid, and set bit ``by·grid + bx`` iff
+    the block's mean exceeds the image mean. Every comparison is
+    INTEGER (``block_sum · total_pixels > total_sum · block_pixels``)
+    — no float thresholds, so the 64 bits are bit-identical in any
+    engine that sees the same pixels, which is what lets a SQL oracle
+    verify the hash without decoding bytes.
+
+    The 64 bits return as four 16-bit band integers ``b0..b3`` (bits
+    ``16j..16j+15`` in ``bj``) — already in the banded layout
+    ``hamming_near_dup_pairs`` buckets on (pigeonhole: two hashes
+    within Hamming distance 3 agree on at least one of 4 bands).
+    Poison payloads yield NULL bands, never a dead job.
+    """
+
+    def hash_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                try:
+                    if b[:2] == b"P6":
+                        arr = _decode_ppm(b)
+                    elif b[:2] == b"BM":
+                        arr = _decode_bmp(b)
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr = _decode_png(b)
+                    elif b[:2] == b"\xff\xd8":
+                        from pagerank_spark.operators.jpeg import decode_jpeg
+
+                        arr = decode_jpeg(b)
+                    else:
+                        raise ValueError("unknown magic")
+                except (ValueError, _zlib.error, _struct.error, IndexError):
+                    out["media_id"].append(mid)
+                    for k in ("b0", "b1", "b2", "b3"):
+                        out[k].append(None)
+                    continue
+                gray = arr.astype(np.int64).sum(axis=2)  # (H, W) int
+                h, w = gray.shape
+                ye = (np.arange(grid + 1) * h) // grid
+                xe = (np.arange(grid + 1) * w) // grid
+                total = int(gray.sum())
+                npix = h * w
+                bands = [0, 0, 0, 0]
+                for by in range(grid):
+                    for bx in range(grid):
+                        blk = gray[ye[by]:ye[by + 1], xe[bx]:xe[bx + 1]]
+                        if int(blk.sum()) * npix > total * blk.size:
+                            i = by * grid + bx
+                            bands[i // 16] |= 1 << (i % 16)
+                out["media_id"].append(mid)
+                for j in range(4):
+                    out[f"b{j}"].append(bands[j])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(hash_batch, schema=AHASH_SCHEMA)
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_dist: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over aHash
+    fingerprints: the 64-bit hash travels as 4 × 16-bit bands, and by
+    pigeonhole any two hashes within Hamming distance ``bands − 1``
+    (3 for 4 bands) agree EXACTLY on at least one band — so candidate
+    generation is an equi-join on ``(band_index, band_value)``, never
+    an all-pairs distance scan, and the exact Hamming distance
+    (``Σ bit_count(bj ⊕ bj')``, JVM-side) filters candidates after.
+    The same LSH-band shape as MinHash dedup, specialized to Hamming
+    space. Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    ``max_dist`` above ``bands − 1`` would need coarser bands to stay
+    recall-exact — rejected rather than silently lossy.
+    """
+    if not 0 <= max_dist <= 3:
+        raise ValueError(
+            f"hamming_near_dup_pairs: max_dist in [0, 3] for 4 bands, "
+            f"got {max_dist}"
+        )
+    hs = hashes.where(F.col("b0").isNotNull())
+    long = hs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band", "value"
+        ),
+    )
+    cand = (
+        long.alias("l")
+        .join(
+            long.select(
+                F.col("id").alias("id_b"), "band", "value"
+            ).alias("r"),
+            on=["band", "value"],
+        )
+        .where(F.col("l.id") < F.col("id_b"))
+        .select(F.col("l.id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    a = hs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    b = hs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}")))
+        for j in range(4)
+    )
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a", "id_b", ham.cast("long").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_dist)
+    )

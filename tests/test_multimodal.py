@@ -332,3 +332,78 @@ def test_image_embedding_same_pixels_all_formats_agree(spark):
         for r in multimodal.image_embedding(media, grid=3).collect()
     }
     assert np.array_equal(out[1], out[2])
+
+
+def test_ahash_matches_numpy_and_handles_poison(spark):
+    # aHash bits recomputed independently in numpy from the same
+    # pixels must match the operator's bands exactly (integer-exact
+    # mean comparisons); poison payloads yield NULL bands.
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    rgb = rng.randint(0, 256, (48, 64, 3), dtype=np.uint8)
+    ppm = b"P6 64 48 255\n" + rgb.tobytes()
+    media = spark.createDataFrame(
+        [(7, bytearray(ppm)), (8, bytearray(b"garbage"))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = {
+        r["media_id"]: r for r in multimodal.ahash_image(media).collect()
+    }
+    gray = rgb.astype(np.int64).sum(axis=2)
+    total, npix = int(gray.sum()), 64 * 48
+    bands = [0, 0, 0, 0]
+    for by in range(8):
+        for bx in range(8):
+            blk = gray[by * 6 : (by + 1) * 6, bx * 8 : (bx + 1) * 8]
+            if int(blk.sum()) * npix > total * blk.size:
+                i = by * 8 + bx
+                bands[i // 16] |= 1 << (i % 16)
+    for j in range(4):
+        assert rows[7][f"b{j}"] == bands[j]
+        assert rows[8][f"b{j}"] is None
+
+
+def test_hamming_near_dup_pigeonhole_recall(spark):
+    # Within max_dist = bands - 1, the banded join is recall-EXACT by
+    # pigeonhole: build hashes at controlled distances and check pairs
+    # at distance <= 3 all surface, distance 4 never does.
+    base = [100, 200, 300, 400]
+    rows = [
+        (1, *base),
+        (2, base[0] ^ 0b111, *base[1:]),        # dist 3: must pair w/ 1
+        (3, base[0] ^ 0b1, base[1] ^ 0b1,
+            base[2] ^ 0b1, base[3] ^ 0b1),      # dist 4 from 1: never
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, b0 LONG, b1 LONG, b2 LONG, b3 LONG"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.hamming_near_dup_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert (1, 3) not in got
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.hamming_near_dup_pairs(df, max_dist=4)
+
+
+def test_variant_media_plants_near_dup_groups(spark):
+    # Same-group variants must land within Hamming 3 of each other;
+    # cross-group pairs must not surface at all.
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame(
+        [(i * 10, (i * 10) // 40, i % 4) for i in range(16)],
+        "media_id LONG, grp LONG, variant LONG",
+    )
+    media = multimodal.synthesize_ppm_variant_media(ids)
+    pairs = multimodal.hamming_near_dup_pairs(
+        multimodal.ahash_image(media)
+    ).collect()
+    assert pairs, "no near-dup pairs found"
+    assert all(r["id_a"] // 40 == r["id_b"] // 40 for r in pairs)
+    # every group of 4 variants fully pairs: 4 groups x C(4,2)
+    assert len(pairs) == 4 * 6

@@ -2387,3 +2387,59 @@ def test_pq_encode_shapes_and_code_range(spark):
     assert enc.count() == 50 * 2
     codes = [r["code"] for r in enc.collect()]
     assert all(0 <= c < 4 for c in codes)
+
+
+def test_autocorrelation_matches_numpy_estimator(spark):
+    # Classic estimator r_k = sum((x_t-mu)(x_{t+k}-mu)) / sum((x-mu)^2)
+    # cross-checked against a direct numpy computation; a pure sine
+    # has acf(period) ~ 1 and acf(period/2) ~ -1.
+    import math
+
+    import numpy as np
+
+    from pagerank_spark.operators.analytics import autocorrelation
+
+    xs = [math.sin(2 * math.pi * i / 8) + 0.001 * i for i in range(64)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, x double"
+    )
+    got = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, "t", "x", max_lag=8).collect()
+    }
+    arr = np.array(xs)
+    mu = arr.mean()
+    ss = ((arr - mu) ** 2).sum()
+    for k in (1, 4, 8):
+        want = ((arr[:-k] - mu) * (arr[k:] - mu)).sum() / ss
+        assert abs(got[k] - want) < 1e-6, (k, got[k], want)
+    assert got[8] > 0.8 and got[4] < -0.8
+
+
+def test_stratified_exact_sample_counts_and_nesting(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.curation import stratified_exact_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    s20 = stratified_exact_sample(df, ["g"], 0.2, "id")
+    got = {
+        r["g"]: r["c"]
+        for r in s20.groupBy("g").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == {"a": 12, "b": 6}  # ceil(.2*60), ceil(.2*30)
+    # nesting: the 10% sample is exactly the rank-prefix of the 20%
+    s10 = stratified_exact_sample(df, ["g"], 0.1, "id")
+    ids10 = {r["id"] for r in s10.collect()}
+    ids20_prefix = {
+        r["id"]
+        for r in s20.where(
+            F.col("__rk") <= F.ceil(F.lit(0.1) * F.when(F.col("g") == "a", 60).otherwise(30))
+        ).collect()
+    }
+    assert ids10 == ids20_prefix
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_exact_sample(df, ["g"], 0.0, "id")

@@ -650,6 +650,34 @@ def test_q202_q203_runtime_exchange_reuse(spark):
         assert n_reused >= n_scans - 1, (q, n_scans, n_reused)
 
 
+def test_q216_q7_date_band_pushed_and_dims_broadcast(spark):
+    # The two-year ship-date band must reach the lineitem scan; the
+    # nation-annotated supplier dim must come in as a broadcast.
+    p = plan(ENTRY.queries()["q216_tpch_q7"](spark, SF_DIR))
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:600]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q221_ahash_pairs_banded_not_allpairs(spark):
+    # Candidate generation must be the (band, value) equi-join — a
+    # cartesian/nested-loop over images is the all-pairs scan the
+    # banding exists to avoid.
+    p = plan(ENTRY.queries()["q221_image_ahash_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q219_stratified_window_is_partitioned(spark):
+    # The rank window must be PARTITIONED BY the strata — never a
+    # global single-partition row_number over the corpus.
+    p = plan(ENTRY.queries()["q219_stratified_sample"](spark, SF_DIR))
+    assert "row_number" in p
+    assert "hashpartitioning(lang" in p
+    assert "SinglePartition" not in p
+
+
 def test_q209_filters_pushed_to_scan(spark):
     p = plan(ENTRY.queries()["q209_tpch_q6"](spark, SF_DIR))
     # quantity/discount bands must reach the parquet reader
