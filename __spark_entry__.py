@@ -4651,6 +4651,54 @@ def q221_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q222_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-pair PMI within a 2-token window (operators/text.py
+    word_pmi_pairs) — the distributional-semantics / collocation
+    signal (SGNS factorizes shifted PMI; Levy & Goldberg 2014).
+    Positions from one posexplode, pairing by equi-join on
+    (doc, pos + k) over the exploded offsets — window·T pair rows,
+    never a per-doc cross join."""
+    from pagerank_spark.operators.text import word_pmi_pairs
+
+    return word_pmi_pairs(
+        load_table(spark, sf_dir, "documents"), window=2, min_count=10
+    ).orderBy("term_a", "term_b")
+
+
+def q223_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick features over (lang, source)
+    (operators/text.py feature_hash): portable-md5 index + sign, no
+    vocabulary relation at all — the memoryless categorical encoder
+    (Weinberger 2009) a 100 TB pipeline uses instead of a fitted
+    dictionary. Sparse long-form output; collisions sum (scikit-learn
+    FeatureHasher semantics)."""
+    from pagerank_spark.operators.text import feature_hash
+
+    return feature_hash(
+        load_table(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        n_features=64,
+    ).orderBy("doc_id", "feature_index")
+
+
+def q224_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-rank percentile transform of l_extendedprice
+    (operators/stats.py percentile_rank) — rank-uniform feature
+    scaling over a CONTINUOUS column, where distinct ≈ corpus: the
+    tie-averaged ranks come from the spearman-style distributed
+    two-level prefix sum over deterministic value-range blocks (never
+    an unpartitioned corpus window), then join back to rows by value
+    equality."""
+    from pagerank_spark.operators.stats import percentile_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return percentile_rank(li, "l_extendedprice").select(
+        "l_orderkey", "l_linenumber", "pct_rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4881,6 +4929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_stratified_sample": q219_stratified_sample,
         "q220_event_acf": q220_event_acf,
         "q221_image_ahash_neardup": q221_image_ahash_neardup,
+        "q222_word_pmi": q222_word_pmi,
+        "q223_feature_hash": q223_feature_hash,
+        "q224_percentile_rank": q224_percentile_rank,
     }
 
 
@@ -10994,5 +11045,81 @@ FROM h a JOIN h b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
 ORDER BY id_a, id_b
+""",
+)
+
+# q222 twin: positions via the parallel-unnest zip (token + 1-based
+# range over the same split array — filtering '' afterwards keeps the
+# original positions, matching posexplode-then-filter), unordered
+# window-2 pairs, ln PMI with total-token / total-pair scalars.
+_oracle(
+    "q222_word_pmi",
+    """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term,
+         unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1))
+           AS pos
+  FROM documents
+),
+tk AS (SELECT * FROM raw WHERE term <> ''),
+uni AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY term),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM tk),
+pr AS (
+  SELECT LEAST(a.term, b.term) AS term_a,
+         GREATEST(a.term, b.term) AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM tk a JOIN tk b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+  GROUP BY 1, 2
+),
+p AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS pp FROM pr)
+SELECT pr.term_a, pr.term_b, pr.pair_count,
+       ROUND(LN((pr.pair_count / p.pp)
+                / ((ca.c / t.tt) * (cb.c / t.tt))), 6) AS pmi
+FROM pr
+JOIN uni ca ON pr.term_a = ca.term
+JOIN uni cb ON pr.term_b = cb.term
+CROSS JOIN t CROSS JOIN p
+WHERE pr.pair_count >= 10
+ORDER BY pr.term_a, pr.term_b
+""",
+)
+
+# q223 twin: identical portable-md5 index and sign-bit arithmetic.
+_oracle(
+    "q223_feature_hash",
+    """
+WITH kv AS (
+  SELECT doc_id,
+         unnest(['lang=' || lang, 'source=' || source]) AS kv
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5(kv), 1, 15) AS BIGINT) // 2) % 64
+           AS feature_index,
+         CASE WHEN CAST('0x' || substr(md5(kv), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM kv WHERE kv IS NOT NULL
+)
+SELECT doc_id, feature_index, SUM(s) AS feature_value
+FROM e GROUP BY doc_id, feature_index
+ORDER BY doc_id, feature_index
+""",
+)
+
+# q224 twin: midrank = rank + (ties - 1)/2, identical (r - 0.5)/n
+# float arithmetic (integer rank plus exact binary halves, so the
+# rounded doubles match bit-for-bit).
+_oracle(
+    "q224_percentile_rank",
+    """
+WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND((RANK() OVER (ORDER BY l_extendedprice)
+              + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+              - 0.5) / (SELECT n FROM c), 6) AS pct_rank
+FROM lineitem
 """,
 )

@@ -226,6 +226,9 @@ def main() -> None:
         "q219_stratified_sample",
         "q220_event_acf",
         "q221_image_ahash_neardup",
+        "q222_word_pmi",
+        "q223_feature_hash",
+        "q224_percentile_rank",
     ]
 
     timings: dict[str, float] = {}

@@ -677,3 +677,83 @@ def cuped_adjustment(
         F.round(F.col("vy") * (1.0 - rho2), 4).alias("var_adj"),
         F.round(100.0 * rho2, 6).alias("var_reduction_pct"),
     )
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "pct_rank",
+    blocks: int | None = None,
+) -> DataFrame:
+    """Mid-rank percentile transform: every row gains
+    ``out_col = (avg_rank − 0.5) / n ∈ (0, 1)`` where ``avg_rank`` is
+    the tie-averaged rank of its value — the rank-based feature
+    normalization (quantile-uniform scaling) that makes downstream
+    models scale-free, and the building block of quantile mapping.
+    NULL values pass through with a NULL rank.
+
+    Scale shape: the same distributed two-level prefix sum as
+    ``spearman_corr`` — ONE corpus pass collapses to the distinct-value
+    count relation; deterministic value-range blocks rank locally in
+    parallel with the block totals (a ``blocks``-row relation) giving
+    exclusive offsets, so CONTINUOUS columns (distinct ≈ corpus) never
+    hit an unpartitioned window; the ranked value relation joins back
+    to rows by equality. ``n`` arrives broadcast. Rounded to 6dp for
+    engine portability.
+    """
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = F.col(value_col).cast("double")
+    marg = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count("*").alias("__cnt"))
+    )
+    b = marg.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).collect()[0]
+    if b["lo"] is None:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    span = (float(b["hi"]) - float(b["lo"])) / blocks
+    if span > 0.0:
+        blk = F.least(
+            F.lit(blocks - 1),
+            F.floor((F.col("__v") - F.lit(float(b["lo"]))) / F.lit(span)),
+        )
+    else:
+        blk = F.lit(0)
+    local_w = (
+        Window.partitionBy("__blk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = marg.withColumn("__blk", blk).withColumn(
+        "__cum", F.sum("__cnt").over(local_w)
+    )
+    tot_w = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__blk")
+        .agg(F.sum("__cnt").alias("__tot"))
+        .select(
+            "__blk",
+            F.coalesce(F.sum("__tot").over(tot_w), F.lit(0)).alias("__off"),
+        )
+    )
+    n_rel = marg.agg(F.sum("__cnt").cast("double").alias("__n"))
+    ranked = (
+        local.join(F.broadcast(offsets), on="__blk")
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "__v",
+            F.round(
+                (
+                    F.col("__off")
+                    + F.col("__cum")
+                    - (F.col("__cnt") - 1) / 2.0
+                    - 0.5
+                )
+                / F.col("__n"),
+                6,
+            ).alias(out_col),
+        )
+    )
+    return df.join(ranked, v.eqNullSafe(F.col("__v")), "left").drop("__v")

@@ -899,3 +899,128 @@ def zipf_slope(
             F.expr("regr_intercept(ln(freq), ln(rk))"), 6
         ).alias("intercept"),
     )
+
+
+def word_pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 10,
+) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring within
+    a token window — the distributional-semantics signal behind
+    word-embedding objectives (SGNS factorizes a shifted PMI matrix;
+    Levy & Goldberg 2014) and a collocation detector for phrase
+    mining. A pair is one occurrence of tokens ``k`` positions apart
+    (1 ≤ k ≤ window) in the same document, normalized to unordered
+    ``(term_a ≤ term_b)``; with ``P`` total pair occurrences, ``T``
+    total tokens, ``c_ab/c_a/c_b`` the respective counts::
+
+        pmi = ln( (c_ab / P) / ((c_a / T) · (c_b / T)) )
+
+    Returns ``(term_a, term_b, pair_count, pmi)`` for pairs with
+    ``pair_count ≥ min_count``.
+
+    Scale shape: positions come from one ``posexplode`` (corpus-token
+    linear); pairing is an equi-join on ``(doc, pos + k)`` over the
+    exploded 1..window offsets — window·T pair rows, never a per-doc
+    cross join; unigram counts and the two scalars arrive as
+    vocabulary-sized and broadcast one-row relations. All
+    partial-combined aggregations; no Python, no windows.
+    """
+    if window < 1:
+        raise ValueError(f"word_pmi_pairs: window >= 1, got {window}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    uni = toks.groupBy("term").agg(F.count("*").alias("__c"))
+    t_rel = toks.agg(F.count("*").cast("double").alias("__t"))
+    offs = F.explode(F.array(*[F.lit(k) for k in range(1, window + 1)]))
+    a = toks.select(
+        "__id", "pos", F.col("term").alias("__ta"), offs.alias("__k")
+    )
+    b = toks.select(
+        "__id", F.col("pos").alias("__posb"), F.col("term").alias("__tb")
+    )
+    pairs = (
+        a.join(b, (a["__id"] == b["__id"]) & (a["pos"] + a["__k"] == b["__posb"]))
+        .select(
+            F.least("__ta", "__tb").alias("term_a"),
+            F.greatest("__ta", "__tb").alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    p_rel = pairs.agg(F.sum("pair_count").cast("double").alias("__p"))
+    ca = uni.select(F.col("term").alias("term_a"), F.col("__c").alias("__ca"))
+    cb = uni.select(F.col("term").alias("term_b"), F.col("__c").alias("__cb"))
+    return (
+        pairs.where(F.col("pair_count") >= min_count)
+        .join(ca, on="term_a")
+        .join(cb, on="term_b")
+        .crossJoin(F.broadcast(t_rel))
+        .crossJoin(F.broadcast(p_rel))
+        .select(
+            "term_a",
+            "term_b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("__p"))
+                    / ((F.col("__ca") / F.col("__t")) * (F.col("__cb") / F.col("__t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    cols: list[str],
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick: map arbitrary categorical columns into a
+    fixed ``n_features``-dimensional sparse feature space with a
+    portable hash — the memoryless alternative to a fitted vocabulary
+    (no dictionary to build, ship, or version-skew; Weinberger 2009).
+    Each (column, value) pair hashes once with
+    ``h = portable_hash60(col || '=' || value)``; the LOW bit gives
+    the ±1 sign (the signed variant that keeps collisions unbiased)
+    and ``(h >> 1) % n_features`` the index — pure integer bit
+    arithmetic, so any engine reproduces it exactly for any
+    ``n_features``. Returns the sparse long form
+    ``(id, feature_index, feature_value)`` — collisions within a row
+    SUM, matching scikit-learn's FeatureHasher semantics.
+
+    Scale shape: a per-row explode over the (tiny) column list and one
+    partial-combined aggregation on ``(id, index)``. No vocabulary
+    relation at all — the entire point at 100 TB.
+    """
+    if n_features < 1:
+        raise ValueError(f"feature_hash: n_features >= 1, got {n_features}")
+    entries = F.explode(
+        F.array(
+            *[
+                F.concat(F.lit(c + "="), F.col(c).cast("string"))
+                for c in cols
+            ]
+        )
+    )
+    h = portable_hash60(F.col("__kv"))
+    return (
+        df.select(F.col(id_col), entries.alias("__kv"))
+        .where(F.col("__kv").isNotNull())
+        .select(
+            id_col,
+            (F.shiftright(h, 1) % F.lit(n_features)).alias("feature_index"),
+            F.when(
+                h.bitwiseAND(F.lit(1)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)).alias("__sign"),
+        )
+        .groupBy(id_col, "feature_index")
+        .agg(F.sum("__sign").alias("feature_value"))
+    )

@@ -678,6 +678,22 @@ def test_q219_stratified_window_is_partitioned(spark):
     assert "SinglePartition" not in p
 
 
+def test_q224_percentile_rank_partitioned_no_python(spark):
+    # Continuous column: the midranks must come from the blocked
+    # two-level prefix sum (hash exchange on __blk), never a
+    # SinglePartition sort of the corpus-sized distinct relation; the
+    # only SinglePartition exchange allowed is the block-totals table.
+    p = plan(ENTRY.queries()["q224_percentile_rank"](spark, SF_DIR))
+    assert "hashpartitioning(__blk" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_q222_pmi_no_cartesian_no_python(spark):
+    p = plan(ENTRY.queries()["q222_word_pmi"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_q209_filters_pushed_to_scan(spark):
     p = plan(ENTRY.queries()["q209_tpch_q6"](spark, SF_DIR))
     # quantity/discount bands must reach the parquet reader
