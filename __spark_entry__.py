@@ -4699,6 +4699,72 @@ def q224_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q225_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel completion times view → click → purchase
+    (operators/analytics.py funnel_stage_times): the earliest time
+    each stage is reached STRICTLY AFTER the previous one, NULL from
+    the first never-completed stage. One conditional-min aggregation
+    per stage; the stage dependency is a |users|-row join, never a
+    window over the raw stream."""
+    from pagerank_spark.operators.analytics import funnel_stage_times
+
+    return funnel_stage_times(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+def q226_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/stats.py cuped_adjustment;
+    Deng et al. 2013): per-user pre-metric (click value) vs
+    post-metric (purchase value), θ = cov/var and the realized
+    variance reduction. One corpus pass to units, one algebraic
+    aggregate after."""
+    from pagerank_spark.operators.stats import cuped_adjustment
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))),
+            F.lit(0.0),
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("post"),
+    )
+    return cuped_adjustment(per_user, "user_id", "pre", "post")
+
+
+def q227_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over the deterministic salted-md5 A/B
+    split (operators/stats.py two_proportion_ztest): per-arm
+    conversion (a heavy purchaser: >= 14 purchases) and the pooled z — the binary readout
+    paired with q200's SRM check (same assignment hash)."""
+    from pagerank_spark.operators.stats import two_proportion_ztest
+
+    return two_proportion_ztest(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14",
+    )
+
+
+def q228_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 3 docs per language by
+    text length (operators/curation.py weighted_sample_wor;
+    Efraimidis–Spirakis A-ES): portable-md5 coin u, survive if
+    ln(u)/w is among the group's 3 largest — exact-k AND
+    weight-proportional, one per-group window, no RNG."""
+    from pagerank_spark.operators.curation import weighted_sample_wor
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("w")
+    )
+    return weighted_sample_wor(
+        docs, "w", 3, "doc_id", group_cols=["lang"]
+    ).select("lang", F.col("__rk").cast("long").alias("rk"), "doc_id", "w")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -4932,6 +4998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_word_pmi": q222_word_pmi,
         "q223_feature_hash": q223_feature_hash,
         "q224_percentile_rank": q224_percentile_rank,
+        "q225_funnel_times": q225_funnel_times,
+        "q226_cuped": q226_cuped,
+        "q227_ab_ztest": q227_ab_ztest,
+        "q228_weighted_sample": q228_weighted_sample,
     }
 
 
@@ -11121,5 +11191,118 @@ SELECT l_orderkey, l_linenumber,
               + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
               - 0.5) / (SELECT n FROM c), 6) AS pct_rank
 FROM lineitem
+""",
+)
+
+# q225 twin: same per-stage conditional-min chain (strictly-after
+# joins) on FLOORED epoch seconds (Spark's unix_timestamp truncates
+# sub-second parts; DuckDB's epoch keeps them and CAST rounds), LEFT-
+# extended so NULLs propagate from the first missed stage.
+_oracle(
+    "q225_funnel_times",
+    """
+WITH s0 AS (
+  SELECT user_id, CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS t_0
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, CAST(MIN(FLOOR(epoch(e.ts))) AS BIGINT) AS t_1
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND FLOOR(epoch(e.ts)) > s0.t_0
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, CAST(MIN(FLOOR(epoch(e.ts))) AS BIGINT) AS t_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND FLOOR(epoch(e.ts)) > s1.t_1
+  GROUP BY e.user_id
+)
+SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2
+FROM s0
+LEFT JOIN s1 ON s0.user_id = s1.user_id
+LEFT JOIN s2 ON s0.user_id = s2.user_id
+ORDER BY s0.user_id
+""",
+)
+
+# q226 twin: same per-user pre/post construction, sample covariance /
+# variance aggregates, identical rho^2 algebra.
+_oracle(
+    "q226_cuped",
+    """
+WITH per AS (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DOUBLE) END), 0.0) AS pre,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DOUBLE) END), 0.0) AS post
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         covar_samp(pre, post) AS cxy,
+         var_samp(pre) AS vx,
+         var_samp(post) AS vy
+  FROM per
+)
+SELECT n_units,
+       ROUND(cxy / vx, 6) AS theta,
+       ROUND(vy, 4) AS var_y,
+       ROUND(vy * (1.0 - (cxy * cxy) / (vx * vy)), 4) AS var_adj,
+       ROUND(100.0 * (cxy * cxy) / (vx * vy), 6) AS var_reduction_pct
+FROM s
+""",
+)
+
+# q227 twin: same 'exp1' salted-md5 arm coin, same pooled-z algebra.
+_oracle(
+    "q227_ab_ztest",
+    """
+WITH per AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5('exp1#' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS ok
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_0,
+         CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_1,
+         CAST(SUM(ok) FILTER (arm = 0) AS DOUBLE) AS s_0,
+         CAST(SUM(ok) FILTER (arm = 1) AS DOUBLE) AS s_1
+  FROM per
+)
+SELECT n_0, n_1,
+       ROUND(s_0 / n_0, 6) AS p_0,
+       ROUND(s_1 / n_1, 6) AS p_1,
+       ROUND((s_0 / n_0 - s_1 / n_1)
+             / SQRT(((s_0 + s_1) / (n_0 + n_1))
+                    * (1.0 - (s_0 + s_1) / (n_0 + n_1))
+                    * (1.0 / n_0 + 1.0 / n_1)), 6) AS z_stat
+FROM c
+""",
+)
+
+# q228 twin: identical A-ES key ln(u)/w with the same md5 coin
+# u = (h % 1e6 + 1) / (1e6 + 1), same (key DESC, doc_id ASC) top-3.
+_oracle(
+    "q228_weighted_sample",
+    """
+WITH d AS (
+  SELECT doc_id, lang, LENGTH(text) AS w,
+         LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':eswor'),
+                  1, 15) AS BIGINT) % 1000000 + 1) / 1000001.0)
+           / LENGTH(text) AS k
+  FROM documents WHERE LENGTH(text) > 0
+),
+r AS (
+  SELECT lang, doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY k DESC, doc_id ASC) AS rk
+  FROM d
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, CAST(w AS INTEGER) AS w
+FROM r WHERE rk <= 3
 """,
 )

@@ -229,6 +229,10 @@ def main() -> None:
         "q222_word_pmi",
         "q223_feature_hash",
         "q224_percentile_rank",
+        "q225_funnel_times",
+        "q226_cuped",
+        "q227_ab_ztest",
+        "q228_weighted_sample",
     ]
 
     timings: dict[str, float] = {}

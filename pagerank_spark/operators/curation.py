@@ -502,6 +502,53 @@ def stratified_exact_sample(
     )
 
 
+def weighted_sample_wor(
+    df: DataFrame,
+    weight_col: str | Column,
+    k: int,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "eswor",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    group (Efraimidis–Spirakis 2006): each row draws the portable md5
+    coin ``u ∈ (0, 1)`` and survives if its key ``ln(u) / w`` is among
+    the group's ``k`` largest — distributionally identical to
+    sequential draws proportional to weight, but embarrassingly
+    parallel and one-pass (the A-ES trick: ``u^{1/w}`` order ≡
+    ``ln(u)/w`` order). The third sampling discipline next to
+    ``sample_to_mix`` (Bernoulli per group) and
+    ``stratified_exact_sample`` (exact uniform allocation): exact-k
+    AND weight-proportional.
+
+    Adds ``__rk`` (1-based) so ``__rk ≤ k' < k`` is the k'-sample for
+    free. Scale shape: one per-group ``row_number`` window (partition
+    = group) over the key expression — no RNG, no driver state; rows
+    with weight ≤ 0 or NULL are excluded (zero mass).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample_wor: k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        portable_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        )
+        % F.lit(MIX_PRECISION)
+        + 1
+    ) / F.lit(float(MIX_PRECISION + 1))
+    key = F.log(u) / w.cast("double")
+    win = Window.partitionBy(
+        *(group_cols or [])
+    ).orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+    )
+
+
 __all__ = [
     "MIX_PRECISION",
     "mix_plan",
@@ -514,6 +561,7 @@ __all__ = [
     "pack_sequences",
     "sample_weighted",
     "stratified_exact_sample",
+    "weighted_sample_wor",
 ]
 
 

@@ -566,7 +566,11 @@ def two_proportion_ztest(
     s0, s1 = F.col("s_0").cast("double"), F.col("s_1").cast("double")
     p0, p1 = s0 / n0, s1 / n1
     pp = (s0 + s1) / (n0 + n1)
-    z = (p0 - p1) / F.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    # degenerate pool (everyone or no one converts) -> z undefined:
+    # NULL via try_divide, not an ANSI divide-by-zero error
+    z = F.try_divide(
+        p0 - p1, F.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    )
     return arms.select(
         "n_0",
         "n_1",
