@@ -4654,10 +4654,11 @@ def q221_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q222_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-pair PMI within a 2-token window (operators/text.py
     word_pmi_pairs) — the distributional-semantics / collocation
-    signal (SGNS factorizes shifted PMI; Levy & Goldberg 2014).
-    Positions from one posexplode, pairing by equi-join on
-    (doc, pos + k) over the exploded offsets — window·T pair rows,
-    never a per-doc cross join."""
+    signal (SGNS factorizes shifted PMI; Levy & Goldberg 2014). ONE
+    tokenization feeds ONE per-doc lead() window; unigrams, pairs,
+    and both scalars derive from that single corpus exchange
+    (runtime-reused, plan-asserted) — never a per-doc cross join or
+    a re-tokenizing self-join."""
     from pagerank_spark.operators.text import word_pmi_pairs
 
     return word_pmi_pairs(

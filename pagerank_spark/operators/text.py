@@ -922,30 +922,39 @@ def word_pmi_pairs(
     Returns ``(term_a, term_b, pair_count, pmi)`` for pairs with
     ``pair_count ≥ min_count``.
 
-    Scale shape: positions come from one ``posexplode`` (corpus-token
-    linear); pairing is an equi-join on ``(doc, pos + k)`` over the
-    exploded 1..window offsets — window·T pair rows, never a per-doc
-    cross join; unigram counts and the two scalars arrive as
-    vocabulary-sized and broadcast one-row relations. All
-    partial-combined aggregations; no Python, no windows.
+    Scale shape: ONE tokenization (``posexplode``, corpus-token
+    linear) feeds ONE per-document window that attaches the next
+    ``window`` tokens via ``lead`` — a single corpus exchange on the
+    doc id with per-doc sorts (documents are small; a self-join on
+    ``(doc, pos + k)`` would tokenize the corpus once per consumer
+    and shuffle twice). Unigram counts, pair counts, and both scalars
+    all derive from that one windowed relation; the scalars fold from
+    the vocabulary/pair-space relations, never a second corpus pass.
+    No Python, no global windows.
     """
     if window < 1:
         raise ValueError(f"word_pmi_pairs: window >= 1, got {window}")
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "term"),
     ).where(F.col("term") != "")
-    uni = toks.groupBy("term").agg(F.count("*").alias("__c"))
-    t_rel = toks.agg(F.count("*").cast("double").alias("__t"))
-    offs = F.explode(F.array(*[F.lit(k) for k in range(1, window + 1)]))
-    a = toks.select(
-        "__id", "pos", F.col("term").alias("__ta"), offs.alias("__k")
+    w = Window.partitionBy("__id").orderBy("pos")
+    nexts = toks.select(
+        "term",
+        F.array(
+            *[F.lead("term", k).over(w) for k in range(1, window + 1)]
+        ).alias("__nxt"),
     )
-    b = toks.select(
-        "__id", F.col("pos").alias("__posb"), F.col("term").alias("__tb")
-    )
+    uni = nexts.groupBy("term").agg(F.count("*").alias("__c"))
+    t_rel = uni.agg(F.sum("__c").cast("double").alias("__t"))
     pairs = (
-        a.join(b, (a["__id"] == b["__id"]) & (a["pos"] + a["__k"] == b["__posb"]))
+        nexts.select(
+            F.col("term").alias("__ta"),
+            F.explode("__nxt").alias("__tb"),
+        )
+        .where(F.col("__tb").isNotNull())
         .select(
             F.least("__ta", "__tb").alias("term_a"),
             F.greatest("__ta", "__tb").alias("term_b"),

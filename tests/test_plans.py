@@ -688,10 +688,20 @@ def test_q224_percentile_rank_partitioned_no_python(spark):
     assert "BatchEvalPython" not in p
 
 
-def test_q222_pmi_no_cartesian_no_python(spark):
-    p = plan(ENTRY.queries()["q222_word_pmi"](spark, SF_DIR))
+def test_q222_pmi_single_corpus_exchange(spark):
+    # One tokenization + one per-doc lead() window: every consumer
+    # (unigrams, pairs, scalars) must reuse that exchange at runtime —
+    # a missing ReusedExchange means the corpus is re-tokenized.
+    import re
+
+    df = ENTRY.queries()["q222_word_pmi"](spark, SF_DIR)
+    df.collect()
+    p = plan(df)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_reused = len(re.findall(r"ReusedExchange", p))
+    assert n_reused >= n_scans - 1, (n_scans, n_reused)
 
 
 def test_q209_filters_pushed_to_scan(spark):
