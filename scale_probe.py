@@ -108,6 +108,20 @@ def main() -> None:
     results["connected_components"] = round(time.perf_counter() - t0, 2)
     comp.unpersist()
 
+    # HITS convergence loop ABOVE the small-graph tuning gate
+    # (3M vertices >> TINY_VERTEX_LIMIT): exercises the round-8 loop
+    # shape at cluster size — dual pre-partitioned edge caches,
+    # plan-side broadcast normalization scalars, zero per-round driver
+    # actions for fixed k. k=4 keeps the probe bounded; the cost is
+    # ~linear in k (every round is the same two join+agg jobs).
+    from pagerank_spark.graph.pagerank import hits
+
+    t0 = time.perf_counter()
+    hdf = hits(e, iterations=4, mode="loop")
+    hdf.write.format("noop").mode("overwrite").save()
+    results["hits_loop_4it"] = round(time.perf_counter() - t0, 2)
+    hdf.unpersist()
+
     e.unpersist()
     out = {
         "metric": "scale_probe_total",
