@@ -4766,6 +4766,22 @@ def q228_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", F.col("__rk").cast("long").alias("rk"), "doc_id", "w")
 
 
+def q229_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily
+    event-count series, period 7 (operators/analytics.py
+    seasonal_decompose): centered width-7 moving-average trend (NULL
+    at edges), phase-mean seasonal centered to sum ~0, residual —
+    the companion to q220's ACF. All windows run on the day relation
+    (bucket-space sized); the phase means are a 7-row broadcast."""
+    from pagerank_spark.operators.analytics import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d")
+    ).agg(F.count("*").cast("double").alias("n_events"))
+    return seasonal_decompose(series, "d", "n_events", period=7).orderBy("t")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5003,6 +5019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_cuped": q226_cuped,
         "q227_ab_ztest": q227_ab_ztest,
         "q228_weighted_sample": q228_weighted_sample,
+        "q229_seasonal_decompose": q229_seasonal_decompose,
     }
 
 
@@ -11305,5 +11322,38 @@ r AS (
 )
 SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, CAST(w AS INTEGER) AS w
 FROM r WHERE rk <= 3
+""",
+)
+
+# q229 twin: same day series, same centered width-7 MA (full-window
+# only), same centered phase means — the MA and running aggregates
+# evaluate in day order on both engines, so rounded values match.
+_oracle(
+    "q229_seasonal_decompose",
+    """
+WITH s AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS t,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT t, x,
+         CASE WHEN COUNT(x) OVER w = 7 THEN AVG(x) OVER w END AS trend
+  FROM s
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+ph AS (
+  SELECT t % 7 AS phase, AVG(x - trend) AS raw
+  FROM tr WHERE trend IS NOT NULL GROUP BY 1
+),
+phc AS (
+  SELECT phase, raw - (SELECT AVG(raw) FROM ph) AS seas FROM ph
+)
+SELECT tr.t, tr.x,
+       ROUND(tr.trend, 6) AS trend,
+       ROUND(phc.seas, 6) AS seasonal,
+       ROUND(tr.x - tr.trend - phc.seas, 6) AS resid
+FROM tr LEFT JOIN phc ON tr.t % 7 = phc.phase
+ORDER BY tr.t
 """,
 )

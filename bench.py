@@ -233,6 +233,7 @@ def main() -> None:
         "q226_cuped",
         "q227_ab_ztest",
         "q228_weighted_sample",
+        "q229_seasonal_decompose",
     ]
 
     timings: dict[str, float] = {}

@@ -787,3 +787,68 @@ def autocorrelation(
             ).alias("acf"),
         )
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular series:
+    ``x_t = trend + seasonal + resid`` — the companion diagnostic to
+    ``autocorrelation`` (ACF says "there is a weekly cycle";
+    decomposition shows it). Trend is the centered moving average of
+    width ``period`` (only where the full window exists — edges carry
+    NULL trend/resid, the textbook convention); the seasonal component
+    is the mean DETRENDED value per phase ``t mod period``, centered
+    so the seasonal sums to ~0 over one period; resid is the rest.
+    ``period`` must be odd (a centered integer window); even periods
+    take the 2×p double-MA variant, not implemented here.
+
+    Scale shape: the input is the already-bucketed series relation —
+    bucket-space-sized by construction (the CUSUM/day-relation
+    rationale), so the ordered moving-average window runs on one tiny
+    partition, bit-identical across engines; the phase means are a
+    ``period``-row aggregate joined back broadcast. The corpus pass
+    that builds the series is the caller's. Returns
+    ``(t, x, trend, seasonal, resid)``.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"seasonal_decompose: period must be odd and >= 3, got {period}"
+        )
+    half = period // 2
+    base = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    ).where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    w = Window.orderBy("t").rowsBetween(-half, half)
+    trended = base.withColumn(
+        "trend",
+        F.when(
+            F.count("x").over(w) == period, F.avg("x").over(w)
+        ),
+    )
+    phase = trended.where(F.col("trend").isNotNull()).groupBy(
+        (F.col("t") % period).alias("__ph")
+    ).agg(F.avg(F.col("x") - F.col("trend")).alias("__raw"))
+    phase_c = phase.crossJoin(
+        F.broadcast(phase.agg(F.avg("__raw").alias("__m")))
+    ).select("__ph", (F.col("__raw") - F.col("__m")).alias("__s"))
+    return (
+        trended.join(
+            F.broadcast(phase_c),
+            F.col("t") % period == F.col("__ph"),
+            "left",
+        )
+        .select(
+            "t",
+            "x",
+            F.round("trend", 6).alias("trend"),
+            F.round("__s", 6).alias("seasonal"),
+            F.round(F.col("x") - F.col("trend") - F.col("__s"), 6).alias(
+                "resid"
+            ),
+        )
+    )

@@ -2443,3 +2443,24 @@ def test_stratified_exact_sample_counts_and_nesting(spark):
 
     with pytest.raises(ValueError):
         stratified_exact_sample(df, ["g"], 0.0, "id")
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    # Planted series: linear trend + exact period-3 cycle. The
+    # width-3 centered MA recovers the trend exactly on a linear
+    # series, the phase means recover the cycle, residuals ~0.
+    import pytest
+
+    from pagerank_spark.operators.analytics import seasonal_decompose
+
+    season = {0: 2.0, 1: -1.0, 2: -1.0}
+    rows = [(t, 10.0 + 0.5 * t + season[t % 3]) for t in range(30)]
+    df = spark.createDataFrame(rows, "t long, x double")
+    out = {r["t"]: r for r in seasonal_decompose(df, "t", "x", period=3).collect()}
+    assert out[0]["trend"] is None and out[29]["trend"] is None  # edges
+    for t in range(1, 29):
+        assert abs(out[t]["trend"] - (10.0 + 0.5 * t)) < 1e-6, t
+        assert abs(out[t]["seasonal"] - season[t % 3]) < 1e-6, t
+        assert abs(out[t]["resid"]) < 1e-6, t
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "t", "x", period=4)
