@@ -537,3 +537,51 @@ def test_stream_stream_left_outer_interval_join(spark, event_dir):
     # every emitted NULL row is a genuinely unmatched left, at most once
     assert set(got_null_ids) <= unmatched_ids
     assert len(got_null_ids) == len(set(got_null_ids))
+
+
+def test_ahash_stream_matches_batch(spark, tmp_path):
+    """Ingest-time image fingerprinting: ahash_image (mapInPandas REAL
+    decode) runs unchanged on a file stream, and the streamed hashes
+    equal the batch hashes — the shape a multimodal ingest pipeline
+    uses to fingerprint images as they land."""
+    from pagerank_spark.operators.multimodal import (
+        ahash_image,
+        synthesize_ppm_variant_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(i * 10, (i * 10) // 40, i % 4) for i in range(8)],
+        "media_id LONG, grp LONG, variant LONG",
+    )
+    media = synthesize_ppm_variant_media(ids)
+    src = str(tmp_path / "media")
+    media.where("media_id < 40").coalesce(1).write.parquet(src)
+    media.where("media_id >= 40").coalesce(1).write.mode("append").parquet(
+        src
+    )
+
+    expected = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in ahash_image(spark.read.parquet(src)).collect()
+    }
+    assert len(expected) == 8
+
+    stream = spark.readStream.schema(
+        "media_id LONG, payload BINARY"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ahash_image(stream)
+        .writeStream.format("memory")
+        .queryName("ahash_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in spark.sql("SELECT * FROM ahash_stream").collect()
+    }
+    assert got == expected
