@@ -406,3 +406,35 @@ def test_spearman_constant_column_single_block(spark):
     # zero x-variance: rho is NULL (0/0), n still counted
     assert got["rho_spearman"] is None
     assert got["n_rows"] == 20
+
+
+def test_percentile_rank_midranks_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.stats import percentile_rank
+
+    # ties get the average rank; NULL passes through with NULL rank
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 20.0), (4, None)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percentile_rank(df, "v").collect()
+    }
+    # midrank(10) = 1.5 -> (1.5-0.5)/3; midrank(20) = 3 -> (3-0.5)/3
+    assert abs(got[1] - (1.0 / 3)) < 1e-6 and got[1] == got[2]
+    assert abs(got[3] - (2.5 / 3)) < 1e-6
+    assert got[4] is None
+
+    # constant column: every row is the middle -> 0.5
+    const = spark.createDataFrame([(i, 7.0) for i in range(5)], "id long, v double")
+    vals = {r["pct_rank"] for r in percentile_rank(const, "v").collect()}
+    assert vals == {0.5}
+
+    # all-NULL column: NULL ranks, no crash
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    out = percentile_rank(nulls, "v").collect()
+    assert all(r["pct_rank"] is None for r in out) and len(out) == 2
