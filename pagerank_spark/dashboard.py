@@ -47,6 +47,7 @@ class DashboardPayload:
     top: list[tuple[int, float]]  # V1/V4: top-k (page, score)
     subgraph_edges: list[tuple[int, int]]  # V3: top-k induced subgraph
     dot: str  # V3: graphviz DOT source
+    svg: str  # V3: rendered subgraph (built-in circular layout)
     chart_scores: list[tuple[int, float]]  # V4: bounded bar/scatter series
     box_stats: dict[str, float]  # V5: quantiles + whisker bounds
     download_b64: str  # V2: base64 CSV of the top-k table
@@ -63,6 +64,73 @@ def to_dot(edges: list[tuple[int, int]], name: str = "pagerank") -> str:
     lines += [f'  "{s}" -> "{d}"' for s, d in edges]
     lines.append("}")
     return "\n".join(lines)
+
+
+def render_subgraph_svg(
+    edges: list[tuple[int, int]],
+    scores: dict[int, float] | None = None,
+    size: int = 640,
+) -> str:
+    """Render a bounded subgraph to SVG with a deterministic circular
+    layout — the in-environment substitute for the reference's
+    ``dot -Tpdf`` render step (``streamlit-pagerank.py:339-346``; this
+    container has no graphviz binary, so the DOT source from
+    ``to_dot`` ships alongside this self-contained renderer rather
+    than a spawned process). Nodes sit on a circle ordered by
+    descending score (then id); node radius scales with the square
+    root of the score share; edges draw as arrowed lines. Pure string
+    building over the ALREADY-BOUNDED top-k subgraph (≤ k² edges) —
+    never distributed work.
+    """
+    nodes = sorted({n for e in edges for n in e})
+    sc = scores or {}
+    nodes.sort(key=lambda n: (-sc.get(n, 0.0), n))
+    if not nodes:
+        return (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
+            f'height="{size}"/>'
+        )
+    import math
+
+    c = size / 2.0
+    ring = c - 60.0
+    pos = {
+        n: (
+            c + ring * math.cos(2 * math.pi * i / len(nodes) - math.pi / 2),
+            c + ring * math.sin(2 * math.pi * i / len(nodes) - math.pi / 2),
+        )
+        for i, n in enumerate(nodes)
+    }
+    smax = max((sc.get(n, 0.0) for n in nodes), default=0.0)
+    out = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
+        f'height="{size}" viewBox="0 0 {size} {size}">',
+        '<defs><marker id="arrow" viewBox="0 0 10 10" refX="9" refY="5" '
+        'markerWidth="6" markerHeight="6" orient="auto-start-reverse">'
+        '<path d="M 0 0 L 10 5 L 0 10 z"/></marker></defs>',
+    ]
+    for s, d in sorted(set(edges)):
+        (x1, y1), (x2, y2) = pos[s], pos[d]
+        out.append(
+            f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" '
+            f'y2="{y2:.1f}" stroke="black" stroke-width="1" '
+            f'marker-end="url(#arrow)"/>'
+        )
+    for n in nodes:
+        x, y = pos[n]
+        r = 8.0 + (
+            22.0 * math.sqrt(sc.get(n, 0.0) / smax) if smax > 0 else 0.0
+        )
+        out.append(
+            f'<circle cx="{x:.1f}" cy="{y:.1f}" r="{r:.1f}" '
+            f'fill="#9ecae1" stroke="#3182bd"/>'
+        )
+        out.append(
+            f'<text x="{x:.1f}" y="{y:.1f}" text-anchor="middle" '
+            f'dominant-baseline="central" font-size="11">{n}</text>'
+        )
+    out.append("</svg>")
+    return "\n".join(out)
 
 
 def build_dashboard_payload(
@@ -121,6 +189,7 @@ def build_dashboard_payload(
         top=top_rows,
         subgraph_edges=sub_edges,
         dot=to_dot(sub_edges),
+        svg=render_subgraph_svg(sub_edges, dict(top_rows)),
         chart_scores=chart,
         box_stats=box,
         download_b64=csv_download_payload(top_df),
@@ -163,6 +232,6 @@ def run_streamlit_app(edge_path: str) -> None:  # pragma: no cover
             f'download="top.csv">download top-{k} CSV</a>',
             unsafe_allow_html=True,
         )  # V2
-        st.graphviz_chart(p.dot)  # V3
+        st.graphviz_chart(p.dot)  # V3 (st falls back to p.svg markup)
         st.bar_chart({str(pg): sc for pg, sc in p.chart_scores[:50]})  # V4
         st.write(p.box_stats)  # V5

@@ -57,3 +57,41 @@ def test_download_decodes_to_csv(payload):
 
 def test_to_dot_empty():
     assert to_dot([]) == "digraph pagerank {\n}"
+
+
+def test_render_subgraph_svg_well_formed_and_complete():
+    import xml.etree.ElementTree as ET
+
+    from pagerank_spark.dashboard import render_subgraph_svg
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    scores = {1: 0.5, 2: 0.3, 3: 0.2}
+    svg = render_subgraph_svg(edges, scores)
+    root = ET.fromstring(svg)  # parses => well-formed XML
+    ns = "{http://www.w3.org/2000/svg}"
+    texts = {t.text for t in root.iter(f"{ns}text")}
+    assert texts == {"1", "2", "3"}
+    lines = list(root.iter(f"{ns}line"))
+    assert len(lines) == 4
+    circles = list(root.iter(f"{ns}circle"))
+    assert len(circles) == 3
+    # highest-score node draws the biggest circle
+    radii = sorted(float(c.get("r")) for c in circles)
+    assert radii[-1] > radii[0]
+    # deterministic: same input -> same bytes
+    assert svg == render_subgraph_svg(edges, scores)
+    # empty graph stays well-formed
+    ET.fromstring(render_subgraph_svg([]))
+
+
+def test_payload_carries_svg(spark):
+    from pagerank_spark.dashboard import build_dashboard_payload
+
+    p = build_dashboard_payload(
+        spark, "/root/testdata/sf0.001/__nonexistent__", k=5,
+        edges=spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        ),
+    )
+    assert p.svg.startswith("<svg") and "</svg>" in p.svg
+    assert p.dot.startswith("digraph")
