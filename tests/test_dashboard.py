@@ -95,3 +95,44 @@ def test_payload_carries_svg(spark):
     )
     assert p.svg.startswith("<svg") and "</svg>" in p.svg
     assert p.dot.startswith("digraph")
+
+
+def test_run_streamlit_app_executes_headless(spark, tmp_path, monkeypatch):
+    """Execute the ACTUAL streamlit driver end-to-end against a
+    faithful headless stand-in (the streaming tier's RocksDB-protocol
+    precedent: when the env lacks the package, substitute the minimal
+    API surface and run the real code). The stub answers the three
+    sliders with their defaults and presses the run button, so
+    run_streamlit_app really computes a payload and renders all five
+    surfaces; the test asserts every surface was fed."""
+    import sys
+    import types
+
+    calls = {"write": [], "markdown": [], "graphviz": [], "bar": []}
+    stub = types.ModuleType("streamlit")
+    stub.title = lambda *a, **k: None
+    stub.slider = lambda label, lo, hi, default, *a, **k: default
+    stub.button = lambda *a, **k: True
+    stub.write = lambda *a, **k: calls["write"].append(a)
+    stub.markdown = lambda *a, **k: calls["markdown"].append(a)
+    stub.graphviz_chart = lambda *a, **k: calls["graphviz"].append(a)
+    stub.bar_chart = lambda *a, **k: calls["bar"].append(a)
+    monkeypatch.setitem(sys.modules, "streamlit", stub)
+
+    edge_path = str(tmp_path / "edges.txt")
+    with open(edge_path, "w") as f:
+        f.write("1\t2\n2\t3\n3\t1\n1\t3\n")
+
+    from pagerank_spark.dashboard import run_streamlit_app
+
+    run_streamlit_app(edge_path)
+
+    assert any("converged" in str(a) for a in calls["write"])  # V1 text
+    assert any("base64" in str(a) or "download" in str(a)
+               for a in calls["markdown"])                     # V2 link
+    assert calls["graphviz"] and calls["graphviz"][0][0].startswith(
+        "digraph"
+    )                                                          # V3
+    assert calls["bar"] and isinstance(calls["bar"][0][0], dict)  # V4
+    assert any(isinstance(a[0], dict) and "p50" in a[0]
+               for a in calls["write"])                        # V5 box
