@@ -4782,6 +4782,40 @@ def q229_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(series, "d", "n_events", period=7).orderBy("t")
 
 
+def q230_groupwise_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of customer account balances via the
+    GROUPED_AGG pandas_udf UDAF (operators/analytics.py
+    groupwise_gini) — the Arrow-vectorized Python AGGREGATE path,
+    value-hashed by the driver against a rank-window SQL twin (the
+    q84 twin-engine discipline: the Python path IS what gets hashed).
+    Balances shift by the nation minimum so values are non-negative
+    (Gini's domain)."""
+    from pagerank_spark.operators.analytics import groupwise_gini
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    shifted = c.withColumn(
+        "bal",
+        F.col("c_acctbal")
+        - F.min("c_acctbal").over(Window.partitionBy("c_nationkey")),
+    )
+    return (
+        groupwise_gini(shifted, ["c_nationkey"], "bal")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_values").cast("long").alias("n_values"),
+            "gini",
+        )
+        .orderBy("nation")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5020,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_ab_ztest": q227_ab_ztest,
         "q228_weighted_sample": q228_weighted_sample,
         "q229_seasonal_decompose": q229_seasonal_decompose,
+        "q230_groupwise_gini": q230_groupwise_gini,
     }
 
 
@@ -11355,5 +11390,36 @@ SELECT tr.t, tr.x,
        ROUND(tr.x - tr.trend - phc.seas, 6) AS resid
 FROM tr LEFT JOIN phc ON tr.t % 7 = phc.phase
 ORDER BY tr.t
+""",
+)
+
+# q230 twin: the same min-shift, then the closed rank formula
+# gini = 2*SUM(i*x)/(n*SUM(x)) - (n+1)/n over the ascending sort —
+# tie order cannot change SUM(i*x) (equal values share a fixed
+# position set), so row_number's arbitrary tie-break is safe.
+_oracle(
+    "q230_groupwise_gini",
+    """
+WITH shifted AS (
+  SELECT c_nationkey,
+         c_acctbal - MIN(c_acctbal) OVER (PARTITION BY c_nationkey) AS bal
+  FROM customer
+),
+ranked AS (
+  SELECT c_nationkey, bal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY bal) AS i
+  FROM shifted WHERE bal IS NOT NULL
+),
+g AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         CASE WHEN SUM(bal) = 0 THEN NULL
+              ELSE ROUND(2.0 * SUM(i * bal) / (COUNT(*) * SUM(bal))
+                         - (COUNT(*) + 1.0) / COUNT(*), 6) END AS gini
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation, g.n_values, g.gini
+FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+ORDER BY nation
 """,
 )

@@ -234,6 +234,7 @@ def main() -> None:
         "q227_ab_ztest",
         "q228_weighted_sample",
         "q229_seasonal_decompose",
+        "q230_groupwise_gini",
     ]
 
     timings: dict[str, float] = {}

@@ -14,6 +14,8 @@ and nothing ever materializes per-event state.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -850,5 +852,55 @@ def seasonal_decompose(
             F.round(F.col("x") - F.col("trend") - F.col("__s"), 6).alias(
                 "resid"
             ),
+        )
+    )
+
+
+def groupwise_gini(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group exact Gini coefficient as a vectorized GROUPED_AGG
+    ``pandas_udf`` — the one UDF flavor the engine had not yet shipped
+    (scalar Arrow batches: mapInPandas; grouped maps: applyInPandas;
+    this is the grouped AGGREGATE, Spark's UDAF surface). Each group's
+    values sort once in numpy: ``gini = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n``
+    over the ascending sort (1-based i) — tie order cannot change the
+    sum (equal values share a fixed position set), so the statistic is
+    deterministic and a rank-window SQL twin reproduces it exactly
+    (q230). NULLs drop; an empty or zero-sum group yields NULL.
+
+    Scale shape: Arrow-batched partial aggregation is NOT available to
+    Python UDAFs — each group's values gather to one executor (same
+    contract as ``applyInPandas``), so this is for value-bounded
+    groups (per-nation, per-source). The inequality measure itself
+    needs the full sorted group by definition; for a global Gini over
+    an unbounded corpus use ``concentration_report``'s rank-window
+    form.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _gini(v: pd.Series) -> float:
+        x = np.sort(v.dropna().to_numpy(dtype="float64"))
+        n = x.size
+        s = x.sum()
+        if n == 0 or s == 0.0:
+            return None
+        i = np.arange(1, n + 1, dtype="float64")
+        return round(float(2.0 * (i * x).sum() / (n * s) - (n + 1.0) / n), 6)
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg() — the count rides as a second pandas UDAF.
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(v.dropna().size)
+
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            _n(F.col(value_col)).alias("n_values"),
+            _gini(F.col(value_col)).alias("gini"),
         )
     )
