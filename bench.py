@@ -44,8 +44,8 @@ HOST_BASELINE = {
     "hits_loop_k10": 7.136,
     "pagerank_full": 2.68,
     "pagerank_wikidata": 3.718,
-    "q03_out_degree_top20": 0.277,
-    "q08_induced_subgraph": 0.459,
+    "q03_out_degree_top20": 0.425,
+    "q08_induced_subgraph": 0.58,
     "q107_gopher_quality": 0.433,
     "q109_sample_to_mix": 0.598,
     "q110_decontamination": 1.224,
@@ -74,7 +74,7 @@ HOST_BASELINE = {
     "q187_containment_pairs": 2.194,
     "q18_top_customers": 0.476,
     "q191_pq_ann": 2.099,
-    "q192_sorted_neighborhood": 0.379,
+    "q192_sorted_neighborhood": 0.68,
     "q193_event_type_cooccurrence": 0.454,
     "q194_corr_matrix": 0.389,
     "q195_readability": 0.282,
@@ -98,8 +98,23 @@ HOST_BASELINE = {
     "q213_tpch_q8": 0.962,
     "q214_tpch_q4": 0.693,
     "q215_kaplan_meier": 0.711,
+    "q216_tpch_q7": 1.043,
+    "q217_tpch_q9": 1.091,
+    "q218_tpch_q13": 0.561,
+    "q219_stratified_sample": 0.401,
     "q21_fingerprint": 0.617,
+    "q220_event_acf": 0.733,
+    "q221_image_ahash_neardup": 1.411,
+    "q222_word_pmi": 1.447,
+    "q223_feature_hash": 0.375,
+    "q224_percentile_rank": 2.544,
+    "q225_funnel_times": 0.661,
+    "q226_cuped": 0.358,
+    "q227_ab_ztest": 0.342,
+    "q228_weighted_sample": 0.289,
+    "q229_seasonal_decompose": 0.687,
     "q22_language_id": 0.394,
+    "q230_groupwise_gini": 0.668,
     "q27_minhash_lsh": 1.3,
     "q28_ann_bruteforce": 0.897,
     "q30_tumbling_window": 0.311,
