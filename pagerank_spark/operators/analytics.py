@@ -904,3 +904,52 @@ def groupwise_gini(
             _gini(F.col(value_col)).alias("gini"),
         )
     )
+
+
+def seasonal_naive_backtest(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """Forecast-quality floor: backtest the SEASONAL-NAIVE forecast
+    ``x̂_t = x_{t−period}`` over the last ``horizon`` buckets of a
+    regular series and report MAE and sMAPE — the baseline every
+    fancier telemetry forecaster must beat before it ships (a model
+    that loses to last-week's value is noise). Returns one row
+    ``(n_eval, mae, smape)``; buckets whose lag is missing are
+    excluded from the evaluation.
+
+    Scale shape: bucket-space relation in, one ``lag`` window in
+    bucket order (the CUSUM/day-relation rationale), the eval cut is
+    ``t > max(t) − horizon`` with the max arriving broadcast. One
+    bounded aggregate out.
+    """
+    base = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    ).where(F.col("t").isNotNull() & F.col("x").isNotNull())
+    w = Window.orderBy("t")
+    lagged = base.withColumn("xhat", F.lag("x", period).over(w))
+    mx = base.agg(F.max("t").alias("__mx"))
+    evald = (
+        lagged.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("t") > F.col("__mx") - horizon)
+            & F.col("xhat").isNotNull()
+        )
+    )
+    err = F.abs(F.col("x") - F.col("xhat"))
+    return evald.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(
+            F.avg(
+                F.try_divide(
+                    2.0 * err, F.abs(F.col("x")) + F.abs(F.col("xhat"))
+                )
+            ),
+            6,
+        ).alias("smape"),
+    )
