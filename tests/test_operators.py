@@ -2464,3 +2464,46 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
         assert abs(out[t]["resid"]) < 1e-6, t
     with pytest.raises(ValueError):
         seasonal_decompose(df, "t", "x", period=4)
+
+
+def test_persisted_ivf_matches_in_memory_and_prunes(spark, tmp_path):
+    # Build-once/query-many IVF: the persisted index returns exactly
+    # the in-memory ann_ivf results (same codebook derivation), and
+    # the probe's list scan partition-prunes on cid.
+    import pyspark.sql.functions as F
+
+    from pagerank_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_persisted,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    queries = emb.where(F.col("vec_id") % 5 == 0).limit(10)
+
+    expected = {
+        (r["query_id"], r["rank"]): (r["nb_id"], r["cos"])
+        for r in ann_ivf(corpus, queries, k=5).collect()
+    }
+    root = str(tmp_path / "ivf")
+    build_ivf_index(corpus, root)
+    out_df = ann_ivf_persisted(spark, root, queries, k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["nb_id"], r["cos"])
+        for r in out_df.collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # partition pruning reaches the list scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out_df.explain("formatted")
+    p = buf.getvalue()
+    seg = p.split("PartitionFilters")
+    assert len(seg) > 1 and "cid" in seg[1][:200]
