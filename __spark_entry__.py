@@ -4816,20 +4816,6 @@ def q230_groupwise_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q231_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document add-one-smoothed bigram log-probability
-    (operators/text.py bigram_logprob) — the fluency/perplexity proxy
-    one tier above q119's unigram scorer; low scores flag word salad
-    whose unigram stats look normal. q222's single-tokenization
-    lead()-window discipline: bigrams, bigram counts, unigram counts,
-    and V all derive from one corpus exchange."""
-    from pagerank_spark.operators.text import bigram_logprob
-
-    return bigram_logprob(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
-    )
-
-
 def q232_seasonal_naive_backtest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5086,7 +5072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_weighted_sample": q228_weighted_sample,
         "q229_seasonal_decompose": q229_seasonal_decompose,
         "q230_groupwise_gini": q230_groupwise_gini,
-        "q231_bigram_logprob": q231_bigram_logprob,
         "q232_seasonal_naive_backtest": q232_seasonal_naive_backtest,
     }
 
@@ -11454,48 +11439,6 @@ g AS (
 SELECT n.n_name AS nation, g.n_values, g.gini
 FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
 ORDER BY nation
-""",
-)
-
-# q231 twin: same tokenization (zip of token + 1-based position over
-# the split array, '' dropped after), per-doc adjacent bigrams, add-1
-# smoothing over the corpus unigram vocabulary.
-_oracle(
-    "q231_bigram_logprob",
-    """
-WITH raw AS (
-  SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\\s+')) AS term,
-         unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1))
-           AS pos
-  FROM documents
-),
-tk AS (SELECT * FROM raw WHERE term <> ''),
-bi AS (
-  SELECT a.doc_id, a.term AS a, b.term AS b
-  FROM tk a JOIN tk b
-    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-),
-uni AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS ca FROM tk GROUP BY term),
-v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vv FROM uni),
-bic AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS cab FROM bi GROUP BY a, b),
-scored AS (
-  SELECT bi.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         ROUND(AVG(LN((bic.cab + 1.0) / (uni.ca + v.vv))), 6)
-           AS avg_logprob
-  FROM bi
-  JOIN bic ON bi.a = bic.a AND bi.b = bic.b
-  JOIN uni ON bi.a = uni.term
-  CROSS JOIN v
-  GROUP BY bi.doc_id
-)
-SELECT d.doc_id,
-       COALESCE(s.n_bigrams, 0) AS n_bigrams,
-       s.avg_logprob
-FROM (SELECT DISTINCT doc_id FROM documents) d
-LEFT JOIN scored s ON d.doc_id = s.doc_id
-ORDER BY d.doc_id
 """,
 )
 

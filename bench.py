@@ -250,7 +250,6 @@ def main() -> None:
         "q228_weighted_sample",
         "q229_seasonal_decompose",
         "q230_groupwise_gini",
-        "q231_bigram_logprob",
         "q232_seasonal_naive_backtest",
     ]
 

@@ -1034,68 +1034,3 @@ def feature_hash(
         .agg(F.sum("__sign").alias("feature_value"))
     )
 
-
-def bigram_logprob(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-document mean add-one-smoothed bigram log-probability —
-    the fluency/perplexity proxy one tier up from the unigram scorer
-    (q119): ``score = mean over bigrams of ln((c(ab)+1)/(c(a)+V))``
-    with counts from THIS corpus and ``V`` its unigram vocabulary
-    size. Low scores flag word-salad / boilerplate documents whose
-    unigram stats look normal. Returns
-    ``(id, n_bigrams, avg_logprob)``; docs with < 2 tokens carry 0
-    bigrams and a NULL score.
-
-    Scale shape: the q222 discipline — ONE tokenization feeds ONE
-    per-doc ``lead`` window (single corpus exchange on the doc id);
-    the per-doc bigram relation, the bigram-count relation, and the
-    unigram-count relation all derive from it; V and the final score
-    join back as vocabulary-sized / broadcast relations. No Python,
-    no global windows.
-    """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "term"),
-    ).where(F.col("term") != "")
-    w = Window.partitionBy("__id").orderBy("pos")
-    bi = toks.select(
-        "__id",
-        F.col("term").alias("__a"),
-        F.lead("term", 1).over(w).alias("__b"),
-    )
-    uni = bi.groupBy("__a").agg(F.count("*").alias("__ca"))
-    v_rel = uni.agg(F.count("*").cast("double").alias("__v"))
-    pairs = bi.where(F.col("__b").isNotNull())
-    bic = pairs.groupBy("__a", "__b").agg(F.count("*").alias("__cab"))
-    scored = (
-        pairs.join(bic, on=["__a", "__b"])
-        .join(uni, on="__a")
-        .crossJoin(F.broadcast(v_rel))
-        .groupBy("__id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.col("__cab") + 1.0)
-                        / (F.col("__ca") + F.col("__v"))
-                    )
-                ),
-                6,
-            ).alias("avg_logprob"),
-        )
-    )
-    ids = df.select(F.col(id_col).alias("__id")).distinct()
-    return (
-        ids.join(scored, on="__id", how="left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            "avg_logprob",
-        )
-    )
