@@ -213,3 +213,31 @@ def test_cms_estimate_never_underestimates(spark, keys, width):
     est = cms_estimate(exact, "k", sketch, width=width, depth=3)
     for r in est.collect():
         assert r["cms_est"] >= r["exact"]
+
+
+def test_no_duplicate_toplevel_defs_anywhere():
+    """A module with two same-named top-level defs silently shadows
+    the first — exactly how round 8 briefly broke q172 (a new
+    bigram_logprob appended to text.py shadowed the existing one).
+    Python has no warning for this; this gate does."""
+    import ast
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = {}
+    files = glob.glob(os.path.join(repo, "pagerank_spark", "**", "*.py"),
+                      recursive=True)
+    files.append(os.path.join(repo, "__spark_entry__.py"))
+    for path in files:
+        tree = ast.parse(open(path).read())
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                if node.name in seen:
+                    offenders.setdefault(
+                        os.path.relpath(path, repo), []
+                    ).append(node.name)
+                seen[node.name] = node.lineno
+    assert not offenders, offenders
