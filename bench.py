@@ -115,6 +115,7 @@ HOST_BASELINE = {
     "q229_seasonal_decompose": 0.687,
     "q22_language_id": 0.394,
     "q230_groupwise_gini": 0.668,
+    "q232_seasonal_naive_backtest": 0.751,
     "q27_minhash_lsh": 1.3,
     "q28_ann_bruteforce": 0.897,
     "q30_tumbling_window": 0.311,

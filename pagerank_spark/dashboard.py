@@ -82,9 +82,10 @@ def render_subgraph_svg(
     building over the ALREADY-BOUNDED top-k subgraph (≤ k² edges) —
     never distributed work.
     """
-    nodes = sorted({n for e in edges for n in e})
     sc = scores or {}
-    nodes.sort(key=lambda n: (-sc.get(n, 0.0), n))
+    nodes = sorted(
+        {n for e in edges for n in e}, key=lambda n: (-sc.get(n, 0.0), n)
+    )
     if not nodes:
         return (
             f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" '
@@ -232,6 +233,9 @@ def run_streamlit_app(edge_path: str) -> None:  # pragma: no cover
             f'download="top.csv">download top-{k} CSV</a>',
             unsafe_allow_html=True,
         )  # V2
-        st.graphviz_chart(p.dot)  # V3 (st falls back to p.svg markup)
+        st.graphviz_chart(p.dot)  # V3
+        # V3 fallback: the self-contained render, shown alongside —
+        # graphviz_chart needs the dot binary on some backends
+        st.markdown(p.svg, unsafe_allow_html=True)
         st.bar_chart({str(pg): sc for pg, sc in p.chart_scores[:50]})  # V4
         st.write(p.box_stats)  # V5

@@ -981,6 +981,28 @@ def _hits_loop(
             LOOP_PARTS_FLOOR, min(shuffle_parts, -(-n // 2_000_000))
         )
         spark.conf.set(parts_key, str(parts))
+    try:
+        return _hits_loop_body(
+            e, verts, n, parts, max_iterations, delta
+        )
+    finally:
+        # restore SESSION-GLOBAL confs even when a mid-loop job dies —
+        # a skipped restore leaves every later query in the session on
+        # AQE-off / tiny-shuffle settings (the PageRank loop's
+        # discipline).
+        if tuned:
+            spark.conf.set(aqe_key, aqe_before)
+            spark.conf.set(parts_key, parts_before)
+
+
+def _hits_loop_body(
+    e: DataFrame,
+    verts: DataFrame,
+    n: int,
+    parts: int,
+    max_iterations: int,
+    delta: float,
+) -> DataFrame:
     e_src = e.repartition(parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e_dst = e.repartition(parts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -1068,9 +1090,6 @@ def _hits_loop(
             break
     out = state.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    if tuned:
-        spark.conf.set(aqe_key, aqe_before)
-        spark.conf.set(parts_key, parts_before)
     e_src.unpersist()
     e_dst.unpersist()
     verts.unpersist()
@@ -1189,6 +1208,26 @@ def _katz_loop(
             LOOP_PARTS_FLOOR, min(shuffle_parts, -(-n // 2_000_000))
         )
         spark.conf.set(parts_key, str(parts))
+    try:
+        return _katz_loop_body(
+            base, verts, alpha, parts, max_iterations, delta
+        )
+    finally:
+        # restore SESSION-GLOBAL confs even when a mid-loop collect
+        # dies (same discipline as the PageRank and HITS loops).
+        if tuned:
+            spark.conf.set(aqe_key, aqe_before)
+            spark.conf.set(parts_key, parts_before)
+
+
+def _katz_loop_body(
+    base: DataFrame,
+    verts: DataFrame,
+    alpha: float,
+    parts: int,
+    max_iterations: int,
+    delta: float,
+) -> DataFrame:
     e = base.repartition(parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     state = verts.select("node", F.lit(0.0).alias("katz"))
     iteration = 0
@@ -1225,9 +1264,6 @@ def _katz_loop(
             break
     out = state.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    if tuned:
-        spark.conf.set(aqe_key, aqe_before)
-        spark.conf.set(parts_key, parts_before)
     e.unpersist()
     verts.unpersist()
     return out

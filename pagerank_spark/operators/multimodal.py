@@ -718,14 +718,14 @@ def synthesize_ppm_variant_media(
                     b"P6" + header_tail + arr.astype("uint8").tobytes()
                 )
             yield pd.DataFrame(
-                {"media_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
     return df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(group_col).cast("long").alias(group_col),
         F.col(variant_col).cast("long").alias(variant_col),
-    ).mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
+    ).mapInPandas(synth, schema=f"{id_col} BIGINT, payload BINARY")
 
 
 AHASH_SCHEMA = (
@@ -750,6 +750,12 @@ def ahash_image(media: DataFrame, grid: int = 8) -> DataFrame:
     within Hamming distance 3 agree on at least one of 4 bands).
     Poison payloads yield NULL bands, never a dead job.
     """
+
+    if not 1 <= grid <= 8:
+        raise ValueError(
+            f"ahash_image: grid in [1, 8] (the banded layout carries "
+            f"grid^2 <= 64 bits in four 16-bit bands), got {grid}"
+        )
 
     def hash_batch(
         batches: Iterator[pd.DataFrame],

@@ -1111,9 +1111,15 @@ def ann_ivf_persisted(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
+    # materialize the bounded top-k eagerly so the cached query
+    # assignment can be released before returning — a query service
+    # calling this per request must not leak one pinned relation per
+    # probe (every other persist in this module pairs with unpersist)
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "nb_id", "cos", "rank")
+        .localCheckpoint(eager=True)
     )
+    q_assigned.unpersist()
     return out
