@@ -4833,6 +4833,23 @@ def q232_seasonal_naive_backtest(
     return seasonal_naive_backtest(series, "d", "n_events")
 
 
+def q233_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (operators/analytics.py
+    calibration_report), composing the percentile-rank transform: the
+    pseudo-probability is the mid-rank percentile of n_chars (q224's
+    blocked prefix-sum machinery) predicting lang='en' — the
+    calibration leg of the classifier-eval trio next to q155's AUC and
+    q156's PR grid. One bins-key aggregation, ECE broadcast back."""
+    from pagerank_spark.operators.analytics import calibration_report
+    from pagerank_spark.operators.stats import percentile_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("y"), "n_chars"
+    )
+    probed = percentile_rank(docs, "n_chars", out_col="p")
+    return calibration_report(probed, "y", "p", bins=10).orderBy("bin")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5073,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_seasonal_decompose": q229_seasonal_decompose,
         "q230_groupwise_gini": q230_groupwise_gini,
         "q232_seasonal_naive_backtest": q232_seasonal_naive_backtest,
+        "q233_calibration_report": q233_calibration_report,
     }
 
 
@@ -11461,5 +11479,37 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
        ROUND(AVG(2.0 * ABS(x - xhat) / (ABS(x) + ABS(xhat))), 6) AS smape
 FROM l CROSS JOIN mx
 WHERE l.t > mx.m - 7 AND xhat IS NOT NULL
+""",
+)
+
+# q233 twin: same midrank pseudo-probability (rank + (ties-1)/2 - 0.5
+# over n, the q224 arithmetic), same clamp/bin/ECE algebra.
+_oracle(
+    "q233_calibration_report",
+    """
+WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+pr AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ROUND((RANK() OVER (ORDER BY n_chars)
+                + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0
+                - 0.5) / (SELECT nn FROM c), 6) AS p
+  FROM documents
+),
+b AS (
+  SELECT CAST(LEAST(9, FLOOR(GREATEST(0.0, LEAST(1.0, p)) * 10))
+              AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(GREATEST(0.0, LEAST(1.0, p))) AS ap,
+         AVG(CAST(y AS DOUBLE)) AS fp
+  FROM pr GROUP BY 1
+),
+t AS (SELECT SUM(n * ABS(ap - fp)) / SUM(n) AS ece FROM b)
+SELECT bin, n,
+       ROUND(ap, 6) AS avg_prob,
+       ROUND(fp, 6) AS frac_pos,
+       ROUND(ABS(ap - fp), 6) AS abs_gap,
+       ROUND(t.ece, 6) AS ece
+FROM b CROSS JOIN t
+ORDER BY bin
 """,
 )

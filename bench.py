@@ -252,6 +252,7 @@ def main() -> None:
         "q229_seasonal_decompose",
         "q230_groupwise_gini",
         "q232_seasonal_naive_backtest",
+        "q233_calibration_report",
     ]
 
     timings: dict[str, float] = {}

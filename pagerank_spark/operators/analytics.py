@@ -953,3 +953,62 @@ def seasonal_naive_backtest(
             6,
         ).alias("smape"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error — the third
+    leg of the classifier-evaluation trio (``binary_auc`` ranks,
+    ``pr_at_thresholds`` tunes the cutoff, this says whether the
+    scores MEAN what they say: a 0.8 bucket should convert 80% of the
+    time). Rows ``(bin, n, avg_prob, frac_pos, abs_gap, ece)`` — one
+    per OCCUPIED equal-width probability bin, each carrying the
+    global ``ece = Σ (n_b/N)·|avg_prob_b − frac_pos_b|``.
+
+    Scale shape: one corpus pass into a ``bins``-key partial-combined
+    aggregation (probabilities clamp to [0, 1]; bin = min(bins−1,
+    floor(p·bins))); the ECE is a second aggregate over the bin
+    relation, broadcast back. No windows, no Python.
+    """
+    if bins < 1:
+        raise ValueError(f"calibration_report: bins >= 1, got {bins}")
+    p = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.col(prob_col).cast("double"))
+    )
+    y = F.col(label_col).cast("int")
+    b = (
+        df.where(F.col(prob_col).isNotNull() & y.isNotNull())
+        .groupBy(
+            F.least(F.lit(bins - 1), F.floor(p * bins))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(p).alias("__ap"),
+            F.avg(y.cast("double")).alias("__fp"),
+        )
+    )
+    tot = b.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("__ap") - F.col("__fp")))
+            / F.sum("n")
+        ).alias("__ece")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round("__ap", 6).alias("avg_prob"),
+            F.round("__fp", 6).alias("frac_pos"),
+            F.round(F.abs(F.col("__ap") - F.col("__fp")), 6).alias(
+                "abs_gap"
+            ),
+            F.round("__ece", 6).alias("ece"),
+        )
+    )
