@@ -116,6 +116,7 @@ HOST_BASELINE = {
     "q22_language_id": 0.394,
     "q230_groupwise_gini": 0.668,
     "q232_seasonal_naive_backtest": 0.751,
+    "q233_calibration_report": 1.594,
     "q27_minhash_lsh": 1.3,
     "q28_ann_bruteforce": 0.897,
     "q30_tumbling_window": 0.311,
