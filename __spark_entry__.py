@@ -3829,15 +3829,28 @@ def q187_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (operators/dedup.py
     containment_pairs): quote/sub-document detection — pairs where
     either direction's containment |A∩B|/|A| reaches 0.8 on unigram
-    shingles. The inverted-index plan of q26 with direction-aware
-    normalization."""
-    from pagerank_spark.operators.dedup import containment_pairs
+    shingles, verified ONLY over MinHash-LSH banded candidates (the
+    q27 candidate generator feeding the q187 verifier). The candidate
+    join bounds pair work by |candidates|·|shingles per doc| — the
+    uncapped inverted-index self-join this query declared through
+    round 8 goes F²-quadratic on any shingle in F docs (round-8
+    verdict's one scale-killer) and is no longer a declared plan."""
+    from pagerank_spark.operators.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 7 == 0
     )
+    sh = word_shingles(docs, "doc_id", "text", n=1)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, "doc_id"), "doc_id"
+    )
     return containment_pairs(
-        docs, "doc_id", "text", n=1, threshold=0.8, max_doc_freq=None
+        docs, "doc_id", "text", n=1, threshold=0.8, candidates=cands
     )
 
 
@@ -10213,9 +10226,12 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 
-# q187 twin: unigram shingle inverted-index join with direction-aware
-# normalization; the ROUNDED containments drive the threshold, like
-# the Spark side.
+# q187 twin: q27's MinHash/LSH band algebra (same coefficients, same
+# 60-bit md5 shingle hash) generates the candidate pairs on the %7
+# subset's unigram shingles; containment is then computed ONLY for
+# candidates, sizes over the FULL shingle sets, the ROUNDED
+# containments driving the threshold — exactly the engine's bounded
+# verification plan.
 _oracle(
     "q187_containment_pairs",
     r"""
@@ -10226,17 +10242,43 @@ toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
   FROM docs
 ),
-sh AS (
+shingles AS (
   SELECT DISTINCT doc_id, tok AS shingle FROM toks WHERE tok <> ''
 ),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % """
+    + str(_P)
+    + r""" AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+    """
+    + _MH_COLS
+    + r"""
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+"""
+    + _BAND_SIGS
+    + r"""
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
 sizes AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+  FROM shingles GROUP BY doc_id
 ),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cands c
+  JOIN shingles a ON a.doc_id = c.id_a
+  JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, n_inter,
        sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -11012,6 +11054,10 @@ GROUP BY o_orderpriority
 # then the textbook KM product-limit over distinct event times.
 # PRODUCT() OVER handles the d == n final-event case exactly (factor
 # 0 → survival 0), matching the engine's -inf log-sum guard.
+# The arg_max key FLOORs epoch like q225: DuckDB's CAST(double AS
+# BIGINT) ROUNDS sub-second timestamps while Spark's unix_timestamp
+# truncates, so two same-truncated-second events with inverted
+# event_id order would otherwise flip `observed` between the twins.
 _oracle(
     "q215_kaplan_meier",
     """
@@ -11021,7 +11067,8 @@ WITH per AS (
            - MIN(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)) AS duration,
          CASE WHEN arg_max(event_type,
                            printf('%012d-%012d',
-                                  CAST(epoch(ts) AS BIGINT), event_id))
+                                  CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                  event_id))
                    = 'purchase'
               THEN 1 ELSE 0 END AS observed
   FROM events GROUP BY user_id
@@ -11129,7 +11176,9 @@ FROM r WHERE rk <= CAST(CEIL(0.2 * n) AS BIGINT)
 )
 
 # q220 twin: same day-bucket series, same classic ACF estimator
-# (global mean, global centered sum of squares as the denominator).
+# (global mean, global centered sum of squares as the denominator);
+# lag literals LEFT-joined to the pair aggregate so an empty lag
+# emits (lag, 0, NULL) exactly like the engine.
 _oracle(
     "q220_event_acf",
     """
@@ -11140,16 +11189,22 @@ WITH s AS (
 ),
 g AS (SELECT AVG(x) AS mu FROM s),
 ss AS (SELECT SUM(POW(x - mu, 2)) AS ssv FROM s CROSS JOIN g),
-l AS (SELECT UNNEST(range(1, 8)) AS k)
+l AS (SELECT UNNEST(range(1, 8)) AS k),
+p AS (
+  SELECT l.k AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(SUM((a.x - g.mu) * (b.x - g.mu)) / MAX(ss.ssv), 6) AS acf
+  FROM l
+  JOIN s a ON TRUE
+  JOIN s b ON a.t + l.k = b.t
+  CROSS JOIN g CROSS JOIN ss
+  GROUP BY l.k
+)
 SELECT CAST(l.k AS INTEGER) AS "lag",
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(SUM((a.x - g.mu) * (b.x - g.mu)) / MAX(ss.ssv), 6) AS acf
-FROM l
-JOIN s a ON TRUE
-JOIN s b ON a.t + l.k = b.t
-CROSS JOIN g CROSS JOIN ss
-GROUP BY l.k
-ORDER BY l.k
+       COALESCE(p.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       p.acf
+FROM l LEFT JOIN p ON l.k = p.k
+ORDER BY 1
 """,
 )
 

@@ -1005,6 +1005,29 @@ def _hits_loop_body(
 ) -> DataFrame:
     e_src = e.repartition(parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e_dst = e.repartition(parts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # try/finally below: a mid-loop job failure must still release the
+    # two full edge-table caches and the vertex cache — without it they
+    # stay pinned for the session lifetime (the conf restore in the
+    # caller already has this discipline).
+    try:
+        return _hits_iterate(
+            e_src, e_dst, verts, n, parts, max_iterations, delta
+        )
+    finally:
+        e_src.unpersist()
+        e_dst.unpersist()
+        verts.unpersist()
+
+
+def _hits_iterate(
+    e_src: DataFrame,
+    e_dst: DataFrame,
+    verts: DataFrame,
+    n: int,
+    parts: int,
+    max_iterations: int,
+    delta: float,
+) -> DataFrame:
 
     def _norm(col: str) -> Column:
         # empty/zero sum -> divide by 1 (keeps the all-zero vector),
@@ -1090,9 +1113,6 @@ def _hits_loop_body(
             break
     out = state.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    e_src.unpersist()
-    e_dst.unpersist()
-    verts.unpersist()
     return out
 
 
@@ -1229,41 +1249,47 @@ def _katz_loop_body(
     delta: float,
 ) -> DataFrame:
     e = base.repartition(parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    state = verts.select("node", F.lit(0.0).alias("katz"))
-    iteration = 0
-    while iteration < max_iterations:
-        iteration += 1
-        raw = (
-            e.join(
-                state.select(F.col("node").alias("src"), "katz").repartition(
-                    parts, "src"
-                ),
-                on="src",
+    # try/finally: a mid-loop job failure must not leave the cached
+    # edge layout and vertex relation pinned for the session lifetime
+    # (same discipline as the HITS loop body).
+    try:
+        state = verts.select("node", F.lit(0.0).alias("katz"))
+        iteration = 0
+        while iteration < max_iterations:
+            iteration += 1
+            raw = (
+                e.join(
+                    state.select(
+                        F.col("node").alias("src"), "katz"
+                    ).repartition(parts, "src"),
+                    on="src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("katz").alias("__v"))
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("katz").alias("__v"))
-        )
-        nxt = (
-            state.select("node", F.col("katz").alias("__old"))
-            .join(raw, on="node", how="left")
-            .select(
-                "node",
-                "__old",
-                (
-                    F.lit(1.0)
-                    + F.lit(alpha) * F.coalesce(F.col("__v"), F.lit(0.0))
-                ).alias("katz"),
+            nxt = (
+                state.select("node", F.col("katz").alias("__old"))
+                .join(raw, on="node", how="left")
+                .select(
+                    "node",
+                    "__old",
+                    (
+                        F.lit(1.0)
+                        + F.lit(alpha)
+                        * F.coalesce(F.col("__v"), F.lit(0.0))
+                    ).alias("katz"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
-        l1 = nxt.agg(
-            F.sum(F.abs(F.col("katz") - F.col("__old"))).alias("l1")
-        ).collect()[0]["l1"]
-        state = nxt.select("node", "katz")
-        if delta > 0 and (l1 or 0.0) <= delta:
-            break
-    out = state.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    e.unpersist()
-    verts.unpersist()
-    return out
+            l1 = nxt.agg(
+                F.sum(F.abs(F.col("katz") - F.col("__old"))).alias("l1")
+            ).collect()[0]["l1"]
+            state = nxt.select("node", "katz")
+            if delta > 0 and (l1 or 0.0) <= delta:
+                break
+        out = state.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    finally:
+        e.unpersist()
+        verts.unpersist()

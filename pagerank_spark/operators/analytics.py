@@ -750,7 +750,12 @@ def autocorrelation(
     broadcast one-row relation, each lag pairs by an equi-join on
     ``t + k = t'`` (explode over the max_lag literals, shuffle on the
     bucket key) — no window, no cross join, no driver loop. Returns
-    ``(lag, n_pairs, acf)``, one row per lag.
+    ``(lag, n_pairs, acf)``, one row per lag ``1..max_lag``: a lag
+    with zero overlapping pairs (``max_lag`` at or past the series
+    span) emits ``(lag, 0, NULL)`` rather than silently dropping, so
+    a caller iterating the full lag range never KeyErrors (the lag
+    literals are left-joined to the pair aggregate — a max_lag-row
+    broadcast, free).
     """
     if max_lag < 1:
         raise ValueError(f"autocorrelation: max_lag >= 1, got {max_lag}")
@@ -771,7 +776,7 @@ def autocorrelation(
     b = base.select(
         (F.col("t")).alias("__tb"), F.col("x").alias("xb")
     )
-    return (
+    per_lag = (
         a.join(b, a["t"] + a["lag"] == b["__tb"])
         .crossJoin(F.broadcast(g))
         .groupBy("lag")
@@ -788,6 +793,16 @@ def autocorrelation(
                 6,
             ).alias("acf"),
         )
+    )
+    lag_rel = series.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    return lag_rel.join(F.broadcast(per_lag), on="lag", how="left").select(
+        "lag",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+            "n_pairs"
+        ),
+        "acf",
     )
 
 

@@ -1055,6 +1055,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment per candidate pair —
     ``c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the quote / sub-document
@@ -1064,14 +1065,34 @@ def containment_pairs(
     ``id_a < id_b`` where EITHER direction reaches ``threshold``
     (containments rounded to 6dp, the rounded value thresholded).
 
-    Scale shape: the same inverted-index self-join as
-    ``jaccard_pairs`` (shuffle on the shingle key, ``max_doc_freq``
-    stopword-shingle cap applies identically — sizes computed after
-    the cap so containment stays a true containment over the retained
-    set); at LSH scale feed the banded candidates instead of the
-    self-join, exactly like the Jaccard verification path.
+    Two plans, both shuffle-bounded (the ``jaccard_pairs`` split):
+
+    - ``candidates`` given — ``(id_a, id_b)`` pairs from any bounded
+      generator (LSH bands, a doc-frequency-capped index, span
+      buckets): intersections come from
+      ``candidates ⋈ shingles(a) ⋈ shingles(b)``, work proportional to
+      |candidates|·|shingles per doc|. This is the 100 TB path; sizes
+      are computed over the FULL shingle sets so the containment is
+      exact for every candidate pair.
+    - no candidates: inverted-index self-join on the shingle key.
+      ``max_doc_freq`` caps a shingle's document frequency first — a
+      stopword shingle in F docs otherwise yields an F² bucket (sizes
+      computed after the cap, so containment stays a true containment
+      over the retained set). Without the cap this path goes quadratic
+      on one hot shingle — never run it uncapped at corpus scale.
     """
     sh = word_shingles(df, id_col, text_col, n=n)
+    if candidates is not None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(a, on="id_a")
+            .join(b, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return _containment_from_inter(inter, sizes, id_col, threshold)
     if max_doc_freq is not None:
         df_per = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         sh = sh.join(
@@ -1088,6 +1109,12 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    return _containment_from_inter(inter, sizes, id_col, threshold)
+
+
+def _containment_from_inter(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
     cont_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
     cont_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
     return (

@@ -1091,35 +1091,40 @@ def ann_ivf_persisted(
         l2_norm(F.col("vec")).alias("query_norm"),
         "cid",
     ).persist()
-    probed = sorted(
-        r["cid"] for r in q_assigned.select("cid").distinct().collect()
-    )
-    lists = spark.read.parquet(f"{root}/lists").where(
-        F.col("cid").isin(probed)
-    )
-    scored = (
-        q_assigned.join(lists, on="cid")
-        .where(F.col("query_id") != F.col("nb_id"))
-        .select(
-            "query_id",
-            "nb_id",
-            F.round(
-                dot(F.col("query_vec"), F.col("nb_vec"))
-                / (F.col("query_norm") * F.col("nb_norm")),
-                6,
-            ).alias("cos"),
+    # try/finally: a failure in the probed-cid collect, list scan, or
+    # eager checkpoint must still release the pinned assignment — a
+    # query service calling this per request cannot leak one cached
+    # relation per failed probe.
+    try:
+        probed = sorted(
+            r["cid"] for r in q_assigned.select("cid").distinct().collect()
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nb_id"))
-    # materialize the bounded top-k eagerly so the cached query
-    # assignment can be released before returning — a query service
-    # calling this per request must not leak one pinned relation per
-    # probe (every other persist in this module pairs with unpersist)
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "nb_id", "cos", "rank")
-        .localCheckpoint(eager=True)
-    )
-    q_assigned.unpersist()
-    return out
+        lists = spark.read.parquet(f"{root}/lists").where(
+            F.col("cid").isin(probed)
+        )
+        scored = (
+            q_assigned.join(lists, on="cid")
+            .where(F.col("query_id") != F.col("nb_id"))
+            .select(
+                "query_id",
+                "nb_id",
+                F.round(
+                    dot(F.col("query_vec"), F.col("nb_vec"))
+                    / (F.col("query_norm") * F.col("nb_norm")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("nb_id")
+        )
+        # materialize the bounded top-k eagerly so the cached query
+        # assignment can be released before returning
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nb_id", "cos", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        q_assigned.unpersist()
