@@ -9,10 +9,14 @@ PY ?= python
 .PHONY: close-round parity gate test bench
 
 # Full parity refresh (every declared query vs its DuckDB twin at
-# sf0.01) followed by the closing gate test. Run this after the LAST
+# sf0.01) followed by the closing gate test, then a full sf0.1 bench
+# whose per-query record lands in BENCH_LOCAL_r{N}.json (round-8
+# verdict #2: the driver's stdout-tail capture truncated BENCH_r08's
+# per-query dict; the in-repo artifact is the durable copy — commit
+# it with the parity artifact). Run this after the LAST
 # queries()/oracle_sql() declaration of the round, before the final
-# commit. ~6 min.
-close-round: parity gate
+# commit. ~10 min.
+close-round: parity gate bench
 
 parity:
 	$(PY) parity.py

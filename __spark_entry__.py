@@ -4863,6 +4863,41 @@ def q233_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(probed, "y", "p", bins=10).orderBy("bin")
 
 
+def q234_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index lifecycle under the oracle
+    (operators/similarity.py build_ivf_index / ann_ivf_persisted):
+    build the refine-free seeded codebook and the cid-PARTITIONED
+    inverted lists on disk, then serve top-5 neighbors through the
+    committed index — the probed-cid set becomes a static IN filter so
+    the list scan directory-prunes to n_probe=3 of 16 partitions (the
+    build-once/query-many path q36/q73 re-derive per call; pruning
+    pytest-asserted in test_persisted_ivf_matches_in_memory_and_prunes).
+    The q105 pattern: the write→read lifecycle itself is what the hash
+    covers; the twin is the same seeded-IVF algebra, because index
+    persistence must not change the answer."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pagerank_spark.operators.similarity import (
+        ann_ivf_persisted,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "psq234_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    build_ivf_index(emb, root, n_centroids=16, refine=0)
+    return ann_ivf_persisted(
+        spark, root, emb.where(F.col("vec_id") % 40 == 0), k=5, n_probe=3
+    ).select(
+        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5104,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_groupwise_gini": q230_groupwise_gini,
         "q232_seasonal_naive_backtest": q232_seasonal_naive_backtest,
         "q233_calibration_report": q233_calibration_report,
+        "q234_ivf_index_lifecycle": q234_ivf_index_lifecycle,
     }
 
 
@@ -11567,4 +11603,13 @@ SELECT bin, n,
 FROM b CROSS JOIN t
 ORDER BY bin
 """,
+)
+
+# q234 twin: q36/q73's seeded-IVF SQL algebra at a third
+# parameterization (n_probe=3, query mod 40) — the persisted-index
+# lifecycle must return exactly what the in-memory derivation returns,
+# so the same SQL certifies the write→read path end to end.
+_oracle(
+    "q234_ivf_index_lifecycle",
+    _IVF_SEEDED_SQL.format(n_probe=3, query_mod=40),
 )

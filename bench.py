@@ -357,17 +357,36 @@ def main() -> None:
                 )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            }
-        )
-    )
+    record = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    # Committed artifact (round-8 verdict process defect: the driver
+    # captures only a bounded stdout TAIL, and BENCH_r08.json lost the
+    # per-query dict's head to truncation — "parsed": null). Writing
+    # the same record to BENCH_LOCAL_r{N}.json from inside the bench
+    # makes the full per-query history durable in-repo regardless of
+    # how much stdout the driver keeps. The stdout line below stays
+    # for the driver.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_ARTIFACT") != "1":
+        import glob
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        out_path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {out_path}", file=sys.stderr)
+    print(json.dumps(record))
     spark.stop()
 
 
