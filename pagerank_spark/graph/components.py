@@ -240,6 +240,20 @@ def _connected_components_star(
     (node, component) over the full vertex set, component = min id.
     """
     verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # try/finally: a mid-round job failure must still release the
+    # vertex cache (the loop-body split pagerank.py's HITS/Katz use).
+    try:
+        return _star_rounds(edges, verts, max_iterations, broadcast_state)
+    finally:
+        verts.unpersist()
+
+
+def _star_rounds(
+    edges: DataFrame,
+    verts: DataFrame,
+    max_iterations: int,
+    broadcast_state: bool,
+) -> DataFrame:
     cur = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -311,7 +325,6 @@ def _connected_components_star(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     final.count()
-    verts.unpersist()
     return final
 
 
@@ -325,13 +338,39 @@ def _connected_components_impl(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    # Shared-list + try/finally: the rounds body appends every persisted
+    # state generation to ``cached`` (and clears it in place at each
+    # checkpoint), so a mid-round job failure releases the edge cache
+    # AND whatever generations were pinned when it died. unpersist on
+    # an already-released frame is a no-op, so the sweep composes with
+    # the body's own in-loop releases; the returned frame is never in
+    # the list.
+    cached: list[DataFrame] = []
+    try:
+        return _cc_rounds(
+            und, edges, max_iterations, checkpoint_every,
+            broadcast_state, cached,
+        )
+    finally:
+        for df in cached:
+            df.unpersist()
+        und.unpersist()
 
+
+def _cc_rounds(
+    und: DataFrame,
+    edges: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    cached: list,
+) -> DataFrame:
     state = (
         vertices(edges)
         .withColumn("comp", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cached: list[DataFrame] = [state]
+    cached.append(state)
 
     iteration = 0
     while iteration < max_iterations:
@@ -390,7 +429,7 @@ def _connected_components_impl(
         if on_ckpt:
             for df in cached:
                 df.unpersist()
-            cached = []
+            cached.clear()  # in place — the caller's finally shares it
         else:
             cached.append(new_state)
         state = next_state
@@ -415,9 +454,6 @@ def _connected_components_impl(
         "node", F.col("comp").alias("component")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
-    for df in cached:
-        df.unpersist()
-    und.unpersist()
     return final
 
 
@@ -466,17 +502,47 @@ def _shortest_paths_impl(
 ) -> DataFrame:
     e = edges.select("src", "dst").distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # Shared lists + try/finally (the _connected_components_impl
+    # discipline): a mid-round job failure releases the edge cache and
+    # every frontier/state generation still pinned; on success the
+    # sweep spares only the returned frame (which the non-checkpoint
+    # branch does leave in ``cached``).
+    cached: list[DataFrame] = []
+    pending: list[DataFrame] = []
+    out: DataFrame | None = None
+    try:
+        out = _sp_rounds(
+            e, sources, max_iterations, checkpoint_every,
+            broadcast_state, cached, pending,
+        )
+        return out
+    finally:
+        for df in pending:
+            df.unpersist()
+        for df in cached:
+            if df is not out:
+                df.unpersist()
+        e.unpersist()
 
+
+def _sp_rounds(
+    e: DataFrame,
+    sources: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    cached: list,
+    pending: list,
+) -> DataFrame:
     frontier = (
         sources.select("node").distinct().withColumn("dist", F.lit(0))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     reached = frontier
-    cached: list[DataFrame] = [frontier]
+    cached.append(frontier)
     # Caches that must outlive the CURRENT round: a lazily checkpointed
     # ``reached`` materializes only in the NEXT round's anti-join count
     # (or the final count), so its upstream caches are unpersisted one
-    # generation late.
-    pending: list[DataFrame] = []
+    # generation late (held in ``pending``).
 
     iteration = 0
     while iteration < max_iterations:
@@ -496,10 +562,11 @@ def _shortest_paths_impl(
         n_new = new_frontier.count()
         # The count's anti join scanned ``reached`` fully — any lazy
         # checkpoint from last round is now materialized; its upstream
-        # caches are safe to drop.
+        # caches are safe to drop (in place — the caller's finally
+        # shares both lists).
         for df in pending:
             df.unpersist()
-        pending = []
+        pending.clear()
         if n_new == 0:
             new_frontier.unpersist()
             break
@@ -509,8 +576,9 @@ def _shortest_paths_impl(
             # materializes inside next round's anti-join count — no
             # dedicated checkpoint job.
             reached = merged.localCheckpoint(eager=False)
-            pending = cached
-            cached = [new_frontier]
+            pending.extend(cached)
+            cached.clear()
+            cached.append(new_frontier)
         else:
             reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(new_frontier)
@@ -519,12 +587,6 @@ def _shortest_paths_impl(
 
     final = reached.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
-    for df in pending:
-        df.unpersist()
-    for df in cached:
-        if df is not final:
-            df.unpersist()
-    e.unpersist()
     return final
 
 
@@ -575,7 +637,34 @@ def _multi_source_sp_impl(
 ) -> DataFrame:
     e = edges.select("src", "dst").distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # Shared lists + try/finally — see _shortest_paths_impl.
+    cached: list[DataFrame] = []
+    pending: list[DataFrame] = []
+    out: DataFrame | None = None
+    try:
+        out = _multi_sp_rounds(
+            e, seeds, max_iterations, checkpoint_every,
+            broadcast_state, cached, pending,
+        )
+        return out
+    finally:
+        for df in pending:
+            df.unpersist()
+        for df in cached:
+            if df is not out:
+                df.unpersist()
+        e.unpersist()
 
+
+def _multi_sp_rounds(
+    e: DataFrame,
+    seeds: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    cached: list,
+    pending: list,
+) -> DataFrame:
     frontier = (
         seeds.select(F.col("node").alias("seed"))
         .distinct()
@@ -583,8 +672,7 @@ def _multi_source_sp_impl(
         .withColumn("dist", F.lit(0))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     reached = frontier
-    cached: list[DataFrame] = [frontier]
-    pending: list[DataFrame] = []
+    cached.append(frontier)
 
     iteration = 0
     while iteration < max_iterations:
@@ -618,15 +706,16 @@ def _multi_source_sp_impl(
         n_new = new_frontier.count()
         for df in pending:
             df.unpersist()
-        pending = []
+        pending.clear()
         if n_new == 0:
             new_frontier.unpersist()
             break
         merged = reached.unionByName(new_frontier)
         if iteration % checkpoint_every == 0:
             reached = merged.localCheckpoint(eager=False)
-            pending = cached
-            cached = [new_frontier]
+            pending.extend(cached)
+            cached.clear()
+            cached.append(new_frontier)
         else:
             reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(new_frontier)
@@ -635,12 +724,6 @@ def _multi_source_sp_impl(
 
     final = reached.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
-    for df in pending:
-        df.unpersist()
-    for df in cached:
-        if df is not final:
-            df.unpersist()
-    e.unpersist()
     return final
 
 
@@ -709,8 +792,6 @@ def label_propagation(
 def _label_propagation_impl(
     edges: DataFrame, n_iterations: int, broadcast_state: bool = False
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -722,9 +803,24 @@ def _label_propagation_impl(
     adj = und.unionAll(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # try/finally: the adjacency cache must not outlive a mid-round
+    # failure. Labels themselves are only ever eagerly checkpointed
+    # (never persisted), so the adjacency is the one pinned relation.
+    try:
+        return _label_prop_rounds(
+            adj, edges, n_iterations, broadcast_state
+        )
+    finally:
+        adj.unpersist()
 
+
+def _label_prop_rounds(
+    adj: DataFrame,
+    edges: DataFrame,
+    n_iterations: int,
+    broadcast_state: bool,
+) -> DataFrame:
     labels = vertices(edges).withColumn("label", F.col("node"))
-    cached: list[DataFrame] = []
     for i in range(1, n_iterations + 1):
         counts = (
             adj.join(
@@ -759,18 +855,12 @@ def _label_propagation_impl(
         )
         if i % 3 == 0:
             labels = labels.localCheckpoint(eager=True)
-            for df in cached:
-                df.unpersist()
-            cached = []
     # Materialize the final labels while still inside the caller's
     # tuning context — otherwise (e.g. the default n_iterations=2,
     # which never hits the i%3 checkpoint) the whole loop would plan
     # lazily and execute only after the confs were restored.
     if n_iterations % 3 != 0:
         labels = labels.localCheckpoint(eager=True)
-    adj.unpersist()
-    for df in cached:
-        df.unpersist()
     return labels
 
 
@@ -854,15 +944,42 @@ def _weighted_shortest_paths_impl(
     e = edges.select("src", "dst", F.col(weight_col).alias("__w")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Shared lists + try/finally — see _shortest_paths_impl.
+    cached: list[DataFrame] = []
+    pending: list[DataFrame] = []
+    out: DataFrame | None = None
+    try:
+        out = _weighted_sp_rounds(
+            e, sources, max_iterations, checkpoint_every,
+            broadcast_state, cached, pending,
+        )
+        return out
+    finally:
+        for df in pending:
+            df.unpersist()
+        for df in cached:
+            if df is not out:
+                df.unpersist()
+        e.unpersist()
+
+
+def _weighted_sp_rounds(
+    e: DataFrame,
+    sources: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    cached: list,
+    pending: list,
+) -> DataFrame:
     dist = (
         sources.select("node").distinct().withColumn("dist", F.lit(0.0))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     frontier = dist
-    cached: list[DataFrame] = [dist]
+    cached.append(dist)
     # See _shortest_paths_impl: lazily checkpointed ``dist`` materializes
     # in the NEXT round's improved-count join, so upstream caches are
-    # unpersisted one generation late.
-    pending: list[DataFrame] = []
+    # unpersisted one generation late (held in ``pending``).
 
     iteration = 0
     while iteration < max_iterations:
@@ -890,10 +1007,11 @@ def _weighted_shortest_paths_impl(
         )
         n_improved = improved.count()
         # The count's left join scanned ``dist`` fully — last round's
-        # lazy checkpoint is materialized; drop its upstream caches.
+        # lazy checkpoint is materialized; drop its upstream caches
+        # (in place — the caller's finally shares both lists).
         for df in pending:
             df.unpersist()
-        pending = []
+        pending.clear()
         if n_improved == 0:
             improved.unpersist()
             break
@@ -912,8 +1030,9 @@ def _weighted_shortest_paths_impl(
             # Lazy lineage truncation (see pagerank.py): materializes in
             # next round's improved-count join — no dedicated job.
             dist = merged.localCheckpoint(eager=False)
-            pending = cached
-            cached = [improved]
+            pending.extend(cached)
+            cached.clear()
+            cached.append(improved)
         else:
             dist = merged.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(improved)
@@ -922,12 +1041,6 @@ def _weighted_shortest_paths_impl(
 
     final = dist.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
-    for df in pending:
-        df.unpersist()
-    for df in cached:
-        if df is not final:
-            df.unpersist()
-    e.unpersist()
     return final
 
 
@@ -1138,10 +1251,31 @@ def _min_label_fixpoint(
     """Directed min-label propagation to fixpoint: for each node, the
     minimum node id among its ancestors (nodes that can reach it,
     itself included). Labels flow ALONG edge direction (src → dst)."""
+    # Shared list + try/finally — see _connected_components_impl. The
+    # returned frame is an eager checkpoint, never in the list.
+    cached: list[DataFrame] = []
+    try:
+        return _min_label_rounds(
+            edges, nodes, max_iterations, checkpoint_every,
+            broadcast_state, cached,
+        )
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
+def _min_label_rounds(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    cached: list,
+) -> DataFrame:
     state = nodes.withColumn("lab", F.col("node")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cached: list[DataFrame] = [state]
+    cached.append(state)
     iteration = 0
     while iteration < max_iterations:
         iteration += 1
@@ -1178,7 +1312,7 @@ def _min_label_fixpoint(
         if on_ckpt:
             for df in cached:
                 df.unpersist()
-            cached = []
+            cached.clear()  # in place — the caller's finally shares it
         else:
             cached.append(new_state)
         state = nxt
@@ -1196,8 +1330,6 @@ def _min_label_fixpoint(
     out = state.select("node", "lab")
     if hasattr(out, "localCheckpoint"):
         out = out.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
     return out
 
 
@@ -1246,52 +1378,61 @@ def _scc_impl(
     residual_nodes = vertices(residual_edges)
     settled: DataFrame | None = None
 
-    for _ in range(max_rounds):
-        if residual_nodes.isEmpty():
-            break
-        fwd = _min_label_fixpoint(
-            residual_edges,
-            residual_nodes,
-            max_label_iterations,
-            broadcast_state=broadcast_state,
-        ).withColumnRenamed("lab", "f")
-        bwd = _min_label_fixpoint(
-            residual_edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ),
-            residual_nodes,
-            max_label_iterations,
-            broadcast_state=broadcast_state,
-        ).withColumnRenamed("lab", "b")
-        both = fwd.join(bwd, on="node")
-        done = (
-            both.where(F.col("f") == F.col("b"))
-            .select("node", F.col("f").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        settled = (
-            done if settled is None else settled.unionByName(done)
-        )
-        residual_nodes = (
-            both.where(F.col("f") != F.col("b"))
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        keep_src = _bc(
-            residual_nodes.select(F.col("node").alias("src")), broadcast_state
-        )
-        keep_dst = _bc(
-            residual_nodes.select(F.col("node").alias("dst")), broadcast_state
-        )
-        new_edges = (
-            residual_edges.join(keep_src, on="src", how="left_semi")
-            .join(keep_dst, on="dst", how="left_semi")
-            .localCheckpoint(eager=True)
-        )
+    # try/finally around the peel loop: `residual_edges` is re-pinned
+    # each round (the finally sees the CURRENT binding), so a failed
+    # round — including one inside _min_label_fixpoint — releases the
+    # live residual cache instead of pinning it for the session.
+    try:
+        for _ in range(max_rounds):
+            if residual_nodes.isEmpty():
+                break
+            fwd = _min_label_fixpoint(
+                residual_edges,
+                residual_nodes,
+                max_label_iterations,
+                broadcast_state=broadcast_state,
+            ).withColumnRenamed("lab", "f")
+            bwd = _min_label_fixpoint(
+                residual_edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+                residual_nodes,
+                max_label_iterations,
+                broadcast_state=broadcast_state,
+            ).withColumnRenamed("lab", "b")
+            both = fwd.join(bwd, on="node")
+            done = (
+                both.where(F.col("f") == F.col("b"))
+                .select("node", F.col("f").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            settled = (
+                done if settled is None else settled.unionByName(done)
+            )
+            residual_nodes = (
+                both.where(F.col("f") != F.col("b"))
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            keep_src = _bc(
+                residual_nodes.select(F.col("node").alias("src")),
+                broadcast_state,
+            )
+            keep_dst = _bc(
+                residual_nodes.select(F.col("node").alias("dst")),
+                broadcast_state,
+            )
+            new_edges = (
+                residual_edges.join(keep_src, on="src", how="left_semi")
+                .join(keep_dst, on="dst", how="left_semi")
+                .localCheckpoint(eager=True)
+            )
+            residual_edges.unpersist()
+            residual_edges = new_edges.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+    finally:
         residual_edges.unpersist()
-        residual_edges = new_edges.persist(StorageLevel.MEMORY_AND_DISK)
-
-    residual_edges.unpersist()
     if not residual_nodes.isEmpty():
         raise RuntimeError(
             "SCC peeling did not converge within max_rounds="
