@@ -153,52 +153,68 @@ def build_dashboard_payload(
     if edges is None:
         edges = read_edge_list(spark, edge_path, sample_fraction=frac)
     edges = edges.persist()
+    # try/finally: the dashboard rebuilds the payload on every slider
+    # change — a failed build (bad upload, killed job) must not pin an
+    # edge cache per attempt for the session lifetime.
+    try:
+        return _build_payload_body(spark, edges, beta, k, chart_limit)
+    finally:
+        edges.unpersist()
+
+
+def _build_payload_body(
+    spark: SparkSession,
+    edges: DataFrame,
+    beta: float,
+    k: int,
+    chart_limit: int,
+) -> DashboardPayload:
     n_edges = edges.count()
 
     res = pagerank(edges, beta=beta)
-    top_df = top_k(res.ranks, k)
-    top_rows = [(r["page"], r["score"]) for r in top_df.collect()]
+    try:
+        top_df = top_k(res.ranks, k)
+        top_rows = [(r["page"], r["score"]) for r in top_df.collect()]
 
-    sub = induced_subgraph(
-        edges, top_df.select(F.col("page").alias("node"))
-    ).distinct()
-    sub_edges = sorted(
-        (r["src"], r["dst"]) for r in sub.collect()
-    )
+        sub = induced_subgraph(
+            edges, top_df.select(F.col("page").alias("node"))
+        ).distinct()
+        sub_edges = sorted(
+            (r["src"], r["dst"]) for r in sub.collect()
+        )
 
-    chart = [
-        (r["page"], r["score"])
-        for r in top_k(res.ranks, chart_limit).collect()
-    ]
+        chart = [
+            (r["page"], r["score"])
+            for r in top_k(res.ranks, chart_limit).collect()
+        ]
 
-    q = score_quantiles(
-        res.ranks, "rank", probs=(0.25, 0.5, 0.75)
-    ).collect()[0]
-    lo, hi = res.ranks.agg(
-        F.min("rank").alias("lo"), F.max("rank").alias("hi")
-    ).collect()[0]
-    box = {
-        "min": lo,
-        "p25": q["p25"],
-        "p50": q["p50"],
-        "p75": q["p75"],
-        "max": hi,
-    }
+        q = score_quantiles(
+            res.ranks, "rank", probs=(0.25, 0.5, 0.75)
+        ).collect()[0]
+        lo, hi = res.ranks.agg(
+            F.min("rank").alias("lo"), F.max("rank").alias("hi")
+        ).collect()[0]
+        box = {
+            "min": lo,
+            "p25": q["p25"],
+            "p50": q["p50"],
+            "p75": q["p75"],
+            "max": hi,
+        }
 
-    payload = DashboardPayload(
-        n_edges=n_edges,
-        top=top_rows,
-        subgraph_edges=sub_edges,
-        dot=to_dot(sub_edges),
-        svg=render_subgraph_svg(sub_edges, dict(top_rows)),
-        chart_scores=chart,
-        box_stats=box,
-        download_b64=csv_download_payload(top_df),
-        iterations=res.iterations,
-    )
-    res.ranks.unpersist()
-    edges.unpersist()
-    return payload
+        return DashboardPayload(
+            n_edges=n_edges,
+            top=top_rows,
+            subgraph_edges=sub_edges,
+            dot=to_dot(sub_edges),
+            svg=render_subgraph_svg(sub_edges, dict(top_rows)),
+            chart_scores=chart,
+            box_stats=box,
+            download_b64=csv_download_payload(top_df),
+            iterations=res.iterations,
+        )
+    finally:
+        res.ranks.unpersist()
 
 
 def run_streamlit_app(edge_path: str) -> None:  # pragma: no cover

@@ -505,39 +505,46 @@ def pca_top_component(
         )
         .persist()
     )
-    dim = cov.agg(F.max("i")).collect()[0][0] + 1
-    x = [1.0 / math.sqrt(dim)] * dim
-    spark = df.sparkSession
-    for _ in range(iterations):
-        xdf = spark.createDataFrame(
-            list(enumerate(x)), "j INT, xj DOUBLE"
-        )
-        y = (
+    # try/finally: a failed power-iteration job must still release the
+    # pinned dim²-row covariance relation (the ann_ivf_persisted
+    # discipline).
+    try:
+        dim = cov.agg(F.max("i")).collect()[0][0] + 1
+        x = [1.0 / math.sqrt(dim)] * dim
+        spark = df.sparkSession
+        for _ in range(iterations):
+            xdf = spark.createDataFrame(
+                list(enumerate(x)), "j INT, xj DOUBLE"
+            )
+            y = (
+                cov.join(F.broadcast(xdf), on="j")
+                .groupBy("i")
+                .agg(F.sum(F.col("cov") * F.col("xj")).alias("y"))
+                .orderBy("i")
+                .collect()
+            )
+            vec = [0.0] * dim
+            for r in y:
+                vec[r["i"]] = r["y"]
+            norm = math.sqrt(sum(c * c for c in vec))
+            x = [c / norm for c in vec] if norm > 0 else vec
+        # Rayleigh quotient: xᵀCx with the final normalized x
+        xdf = spark.createDataFrame(list(enumerate(x)), "j INT, xj DOUBLE")
+        lam = (
             cov.join(F.broadcast(xdf), on="j")
-            .groupBy("i")
-            .agg(F.sum(F.col("cov") * F.col("xj")).alias("y"))
-            .orderBy("i")
-            .collect()
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        list(enumerate(x)), "i INT, xi DOUBLE"
+                    )
+                ),
+                on="i",
+            )
+            .agg(F.sum(F.col("xi") * F.col("cov") * F.col("xj")))
+            .collect()[0][0]
         )
-        vec = [0.0] * dim
-        for r in y:
-            vec[r["i"]] = r["y"]
-        norm = math.sqrt(sum(c * c for c in vec))
-        x = [c / norm for c in vec] if norm > 0 else vec
-    # Rayleigh quotient: xᵀCx with the final normalized x
-    xdf = spark.createDataFrame(list(enumerate(x)), "j INT, xj DOUBLE")
-    lam = (
-        cov.join(F.broadcast(xdf), on="j")
-        .join(
-            F.broadcast(
-                spark.createDataFrame(list(enumerate(x)), "i INT, xi DOUBLE")
-            ),
-            on="i",
-        )
-        .agg(F.sum(F.col("xi") * F.col("cov") * F.col("xj")))
-        .collect()[0][0]
-    )
-    cov.unpersist()
+    finally:
+        cov.unpersist()
     out = spark.createDataFrame(
         [(i, float(c), float(lam)) for i, c in enumerate(x)],
         "pos INT, component DOUBLE, eigenvalue DOUBLE",
