@@ -254,6 +254,15 @@ def pagerank(
             )
             spark.conf.set(parts_key, str(loop_parts))
 
+    # Shared release lists (the components.py discipline): setup
+    # appends its loop-lifetime caches (init_state, edge_deg, warm
+    # start) to ``pinned`` and the loop appends state generations to
+    # ``gens`` (cleared in place at checkpoints), so a failed job at
+    # ANY point — setup collects included — releases everything in the
+    # same finally that restores the session confs. The returned ranks
+    # frame is a fresh persist, never in either list.
+    pinned: list[DataFrame] = []
+    gens: list[DataFrame] = []
     try:
         return _setup_and_iterate(
             spark,
@@ -273,11 +282,17 @@ def pagerank(
             conf_flipped=conf_flipped,
             aqe_before=aqe_before,
             parts_before=parts_before,
+            pinned=pinned,
+            gens=gens,
         )
     finally:
         if tune_aqe:
             spark.conf.set(aqe_key, aqe_before)
             spark.conf.set(parts_key, parts_before)
+        for df in gens:
+            df.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -312,6 +327,8 @@ def _setup_and_iterate(
     conf_flipped: bool,
     aqe_before: str,
     parts_before: str,
+    pinned: list,
+    gens: list,
 ) -> PageRankResult:
     aqe_key = "spark.sql.adaptive.enabled"
     parts_key = "spark.sql.shuffle.partitions"
@@ -345,6 +362,7 @@ def _setup_and_iterate(
         .select("node", "deg", "dfrac")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pinned.append(init_state)
     state = init_state
     counts = state.agg(
         F.count("*").alias("n"),
@@ -399,6 +417,7 @@ def _setup_and_iterate(
         # per-iteration exchange (rank side, contribs agg) aligns.
         edge_deg = edge_deg.repartition(loop_parts, "src")
     edge_deg = edge_deg.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.append(edge_deg)
 
     teleport = (1.0 - beta) / n
     if init_ranks is None:
@@ -424,6 +443,9 @@ def _setup_and_iterate(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # Rides the loop's cache-eviction cycle: released at the first
+        # checkpoint sweep like any other state generation.
+        gens.append(warm)
         row0 = warm.agg(
             F.sum("rank").alias("t"),
             F.sum(
@@ -435,11 +457,8 @@ def _setup_and_iterate(
         total = row0["t"] or 1.0
         state = warm.withColumn("rank", F.col("rank") / F.lit(float(total)))
         m = (row0["mraw"] or 0.0) / total
-        warm_cached = warm
 
     trajectory: list[float] = []
-    # The warm-start relation rides the loop's cache-eviction cycle.
-    cached: list[DataFrame] = [] if init_ranks is None else [warm_cached]
 
     return _iterate(
         spark,
@@ -455,8 +474,7 @@ def _setup_and_iterate(
         strategy=strategy,
         shuffle_parts=loop_parts,
         trajectory=trajectory,
-        cached=cached,
-        init_state=init_state,
+        cached=gens,
         reliable_checkpoint=reliable_checkpoint,
     )
 
@@ -477,7 +495,6 @@ def _iterate(
     shuffle_parts: int,
     trajectory: list[float],
     cached: list[DataFrame],
-    init_state: DataFrame,
     reliable_checkpoint: bool,
 ) -> PageRankResult:
     iteration = 0
@@ -566,7 +583,7 @@ def _iterate(
             # MEMORY_AND_DISK vertex table leaks per checkpoint.
             for df in cached:
                 df.unpersist()
-            cached = []
+            cached.clear()  # in place — pagerank()'s finally shares it
         else:
             cached.append(pre)
 
@@ -574,12 +591,12 @@ def _iterate(
         if l1 <= delta:
             break
 
+    # The setup-lifetime caches (edge_deg, init_state) and any live
+    # state generations are released by pagerank()'s finally right
+    # after this returns — the returned ranks frame is a fresh persist,
+    # untouched by that sweep.
     final = state.select("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
-    for df in cached:
-        df.unpersist()
-    edge_deg.unpersist()
-    init_state.unpersist()
     return PageRankResult(final, iteration, trajectory, strategy)
 
 
