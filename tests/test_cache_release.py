@@ -1,0 +1,164 @@
+"""Failure-path cache-release regression tests (round 9).
+
+Every iterative operator pins edge/state relations with ``persist`` for
+the loop's lifetime. Through round 8 those were released only on the
+success path, so ONE failed job pinned a MEMORY_AND_DISK relation for
+the session lifetime — fatal for a long-lived query service. The
+operators now release in try/finally; these tests lock that in by
+driving each loop with a poisoned edge relation (``raise_error`` fires
+during the first materializing job, AFTER the setup persists) and
+asserting the block store drains back to empty.
+
+The check polls: ``DataFrame.unpersist()`` is non-blocking, so block
+removal is asynchronous.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from py4j.protocol import Py4JJavaError
+from pyspark.sql import functions as F
+
+
+def _storage_entries(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _assert_drains(spark, baseline: int, timeout: float = 20.0) -> None:
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if _storage_entries(spark) <= baseline:
+            return
+        time.sleep(0.25)
+    info = [
+        str(x) for x in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    raise AssertionError(
+        f"cached RDDs leaked past the failure path: {info}"
+    )
+
+
+def _poisoned_edges(spark):
+    """10 edges; rows with src >= 5 raise when a task evaluates them.
+
+    The poison is in the DATA expression (not a separate assert column
+    the optimizer could prune), so every scan of the relation — degree
+    agg, vertex union, loop join — detonates mid-job, after the
+    operator's setup persists are in place.
+    """
+    boom = F.raise_error(F.lit("poisoned edge")).cast("long")
+    return spark.range(10).select(
+        F.col("id").alias("src"),
+        F.when(F.col("id") < 5, F.col("id") + 1).otherwise(boom).alias(
+            "dst"
+        ),
+    )
+
+
+def _expect_failure_then_drain(spark, fn):
+    baseline = _storage_entries(spark)
+    with pytest.raises((Py4JJavaError, Exception), match="poisoned edge"):
+        fn()
+    _assert_drains(spark, baseline)
+
+
+def test_pagerank_releases_on_failure(spark):
+    from pagerank_spark.graph.pagerank import pagerank
+
+    _expect_failure_then_drain(
+        spark, lambda: pagerank(_poisoned_edges(spark))
+    )
+
+
+def test_hits_releases_on_failure(spark):
+    # mode="loop" — the auto cut picks the LAZY unrolled DAG at small
+    # k, which persists nothing (and so cannot leak); the convergence
+    # loop is the shape with pinned edge layouts to release.
+    from pagerank_spark.graph.pagerank import hits
+
+    _expect_failure_then_drain(
+        spark,
+        lambda: hits(
+            _poisoned_edges(spark), max_iterations=3, mode="loop"
+        ),
+    )
+
+
+def test_katz_releases_on_failure(spark):
+    from pagerank_spark.graph.pagerank import katz_centrality
+
+    _expect_failure_then_drain(
+        spark,
+        lambda: katz_centrality(
+            _poisoned_edges(spark), max_iterations=2, mode="loop"
+        ),
+    )
+
+
+def test_connected_components_releases_on_failure(spark):
+    from pagerank_spark.graph.components import connected_components
+
+    _expect_failure_then_drain(
+        spark, lambda: connected_components(_poisoned_edges(spark))
+    )
+
+
+def test_shortest_paths_releases_on_failure(spark):
+    from pagerank_spark.graph.components import shortest_paths
+
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    _expect_failure_then_drain(
+        spark,
+        lambda: shortest_paths(
+            _poisoned_edges(spark), seeds, max_iterations=3
+        ).count(),
+    )
+
+
+def test_label_propagation_releases_on_failure(spark):
+    from pagerank_spark.graph.components import label_propagation
+
+    _expect_failure_then_drain(
+        spark,
+        lambda: label_propagation(
+            _poisoned_edges(spark), n_iterations=2
+        ).count(),
+    )
+
+
+def test_scc_releases_on_failure(spark):
+    from pagerank_spark.graph.components import (
+        strongly_connected_components,
+    )
+
+    _expect_failure_then_drain(
+        spark,
+        lambda: strongly_connected_components(
+            _poisoned_edges(spark)
+        ).count(),
+    )
+
+
+def test_pagerank_success_path_still_releases(spark):
+    """Success path: after unpersisting the returned ranks, the only
+    storage residue is localCheckpoint blocks (owned by the context
+    cleaner, freed on GC) — every explicit loop cache is gone. The
+    convergence run at delta>0 checkpoints each iteration, so assert
+    on EXPLICITLY-persisted leftovers being released rather than an
+    exact baseline: the final ranks unpersist must drain what the run
+    added beyond its checkpoint blocks."""
+    from pagerank_spark.graph.pagerank import pagerank
+
+    edges = spark.range(20).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") * 7 + 3, F.lit(20)).alias("dst"),
+    )
+    before = _storage_entries(spark)
+    res = pagerank(edges, max_iterations=3, delta=0.0)
+    assert res.ranks.count() == 20
+    res.ranks.unpersist()
+    # tolerate the run's checkpoint blocks (one per iteration at
+    # cadence 1), nothing else
+    _assert_drains(spark, before + 3)
