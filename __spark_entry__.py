@@ -4898,6 +4898,31 @@ def q234_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q235_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL box-average image resize under the oracle
+    (operators/multimodal.py resize_image): every 10th doc id becomes
+    q114's synthetic 64×48 P6 PPM (pixel (x,y,c) =
+    (7·id + 3·x + 5·y + 11·c) mod 256), area-downsampled to 16×12 —
+    each target pixel the exact mean of its 4×4 source block, one row
+    per (media_id, y, x) with 6dp-rounded channel means. The DuckDB
+    twin never sees bytes: it integrates the same pixel formula over
+    generate_series and block-averages in SQL (the q221 pattern), so a
+    hash match proves decode AND the area-average arithmetic. Block
+    means have fixed denominator 16 — exact at 6dp on any engine."""
+    from pagerank_spark.operators.multimodal import (
+        resize_image,
+        synthesize_ppm_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_ppm_media(ids, "media_id", width=64, height=48)
+    return resize_image(media, out_w=16, out_h=12)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5140,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_seasonal_naive_backtest": q232_seasonal_naive_backtest,
         "q233_calibration_report": q233_calibration_report,
         "q234_ivf_index_lifecycle": q234_ivf_index_lifecycle,
+        "q235_image_resize": q235_image_resize,
     }
 
 
@@ -11612,4 +11638,38 @@ ORDER BY bin
 _oracle(
     "q234_ivf_index_lifecycle",
     _IVF_SEEDED_SQL.format(n_probe=3, query_mod=40),
+)
+
+# q235 twin: integrates the q114 pixel formula over generate_series
+# and block-averages 4x4 source blocks in SQL — never sees the PPM
+# bytes. Block means are sums of 16 ints over 16: at most 4 decimal
+# digits, so ROUND at 6dp is tie-free and exact on both engines.
+_oracle(
+    "q235_image_resize",
+    """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+px AS (
+  SELECT i.media_id, xs.x, ys.y, cs.c,
+         (7 * i.media_id + 3 * xs.x + 5 * ys.y + 11 * cs.c) % 256 AS v
+  FROM ids i
+  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS x) xs
+  CROSS JOIN (SELECT UNNEST(range(0, 48)) AS y) ys
+  CROSS JOIN (SELECT UNNEST(range(0, 3)) AS c) cs
+),
+blk AS (
+  SELECT media_id, y // 4 AS yo, x // 4 AS xo, c,
+         AVG(CAST(v AS DOUBLE)) AS m
+  FROM px GROUP BY media_id, yo, xo, c
+)
+SELECT media_id,
+       'ppm' AS format,
+       CAST(yo AS INTEGER) AS y,
+       CAST(xo AS INTEGER) AS x,
+       ROUND(MAX(CASE WHEN c = 0 THEN m END), 6) AS r,
+       ROUND(MAX(CASE WHEN c = 1 THEN m END), 6) AS g,
+       ROUND(MAX(CASE WHEN c = 2 THEN m END), 6) AS b
+FROM blk GROUP BY media_id, yo, xo
+""",
 )

@@ -870,3 +870,101 @@ def hamming_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_dist)
     )
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "media_id BIGINT, format STRING, y INT, x INT, "
+    "r DOUBLE, g DOUBLE, b DOUBLE"
+)
+
+
+def resize_image(
+    media: DataFrame, out_w: int = 16, out_h: int = 12
+) -> DataFrame:
+    """Box-average (area) resize over ``mapInPandas`` — the standard
+    antialiasing downsample of a vision-pipeline preprocessing step
+    (nearest-neighbor, which ``decode_image``'s thumbnail uses, drops
+    3/4+ of the signal; area averaging integrates every source pixel
+    exactly once). One output row per (media_id, y, x) target pixel
+    with per-channel block means rounded to 6dp — the relational shape
+    an oracle can hash and downstream ops can join; the array form is
+    one ``collect_list`` away.
+
+    Source dimensions must be DIVISIBLE by the target dimensions: the
+    block means are then rationals with a power-of-two-free fixed
+    denominator (bw·bh), exact at 6dp on every engine — the SURVEY
+    §5.3 determinism rule. A fractional-box resize would need
+    engine-specific float edge weights; images whose dimensions don't
+    divide (and poison payloads) surface as format="error" rows with
+    NULL coordinates rather than failing the batch.
+
+    Scale shape: pure per-row Arrow-batched compute, no shuffle at
+    all — partition-parallel over however many executors hold the
+    payload column.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as np
+
+        def r6(x: float) -> float:
+            # Half-UP at 6dp, matching Spark/DuckDB ROUND (see
+            # decode_image).
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "y": [], "x": [],
+                "r": [], "g": [], "b": [],
+            }
+
+            def error_row(mid):
+                out["media_id"].append(mid)
+                out["format"].append("error")
+                for k in ("y", "x", "r", "g", "b"):
+                    out[k].append(None)
+
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(buf)
+                try:
+                    if buf[:2] == b"P6":
+                        arr, fmt = _decode_ppm(buf), "ppm"
+                    elif buf[:2] == b"BM":
+                        arr, fmt = _decode_bmp(buf), "bmp"
+                    elif buf[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr, fmt = _decode_png(buf), "png"
+                    elif buf[:2] == b"\xff\xd8":
+                        from pagerank_spark.operators.jpeg import (
+                            decode_jpeg,
+                        )
+
+                        arr, fmt = decode_jpeg(buf), "jpeg"
+                    else:
+                        raise ValueError("unknown magic")
+                except (ValueError, _zlib.error, _struct.error, IndexError):
+                    error_row(mid)
+                    continue
+                h, w = arr.shape[:2]
+                if h % out_h != 0 or w % out_w != 0:
+                    error_row(mid)
+                    continue
+                bh, bw = h // out_h, w // out_w
+                blocks = arr.reshape(
+                    out_h, bh, out_w, bw, 3
+                ).mean(axis=(1, 3), dtype=np.float64)
+                for yo in range(out_h):
+                    for xo in range(out_w):
+                        out["media_id"].append(mid)
+                        out["format"].append(fmt)
+                        out["y"].append(yo)
+                        out["x"].append(xo)
+                        out["r"].append(r6(float(blocks[yo, xo, 0])))
+                        out["g"].append(r6(float(blocks[yo, xo, 1])))
+                        out["b"].append(r6(float(blocks[yo, xo, 2])))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize, schema=IMAGE_RESIZE_SCHEMA)

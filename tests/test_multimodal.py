@@ -407,3 +407,51 @@ def test_variant_media_plants_near_dup_groups(spark):
     assert all(r["id_a"] // 40 == r["id_b"] // 40 for r in pairs)
     # every group of 4 variants fully pairs: 4 groups x C(4,2)
     assert len(pairs) == 4 * 6
+
+
+def test_resize_image_box_average_and_error_paths(spark):
+    # Box-average resize: each 16x12 target pixel must equal the exact
+    # numpy mean of its 4x4 source block; a poison payload and a
+    # non-divisible target emit format="error" rows, never a dead job.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.multimodal import (
+        resize_image,
+        synthesize_ppm_media,
+    )
+
+    ids = spark.range(3).select((F.col("id") * 10).alias("media_id"))
+    media = synthesize_ppm_media(ids, "media_id", width=64, height=48)
+    rows = resize_image(media, out_w=16, out_h=12).collect()
+    assert len(rows) == 3 * 16 * 12
+    assert all(r["format"] == "ppm" for r in rows)
+
+    # independent numpy oracle for one image
+    y, x, c = np.meshgrid(
+        np.arange(48), np.arange(64), np.arange(3), indexing="ij"
+    )
+    arr = (7 * 20 + 3 * x + 5 * y + 11 * c) % 256
+    blocks = arr.reshape(12, 4, 16, 4, 3).mean(axis=(1, 3))
+    got = {
+        (r["y"], r["x"]): (r["r"], r["g"], r["b"])
+        for r in rows
+        if r["media_id"] == 20
+    }
+    for yo in range(12):
+        for xo in range(16):
+            exp = tuple(round(float(v), 6) for v in blocks[yo, xo])
+            assert got[(yo, xo)] == exp, (yo, xo)
+
+    # poison payload -> error row
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not an image"))], "media_id LONG, payload BINARY"
+    )
+    err = resize_image(bad, out_w=16, out_h=12).collect()
+    assert len(err) == 1 and err[0]["format"] == "error"
+    assert err[0]["y"] is None and err[0]["r"] is None
+
+    # 64x48 is not divisible by 10x10 -> error row, not a wrong resize
+    nondiv = resize_image(media, out_w=10, out_h=10).collect()
+    assert len(nondiv) == 3
+    assert all(r["format"] == "error" for r in nondiv)
