@@ -3850,7 +3850,8 @@ def q187_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures(sh, "doc_id"), "doc_id"
     )
     return containment_pairs(
-        docs, "doc_id", "text", n=1, threshold=0.8, candidates=cands
+        docs, "doc_id", "text", n=1, threshold=0.8,
+        candidates=cands, shingled=sh,
     )
 
 
@@ -4875,7 +4876,6 @@ def q234_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     The q105 pattern: the write→read lifecycle itself is what the hash
     covers; the twin is the same seeded-IVF algebra, because index
     persistence must not change the answer."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -4885,17 +4885,26 @@ def q234_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "psq234_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    build_ivf_index(emb, root, n_centroids=16, refine=0)
-    return ann_ivf_persisted(
-        spark, root, emb.where(F.col("vec_id") % 40 == 0), k=5, n_probe=3
-    ).select(
-        "query_id", "nb_id", "cos", F.col("rank").cast("long").alias("rank")
-    )
+    # Per-call private index directory, removed before returning:
+    # ann_ivf_persisted's result is an EAGER checkpoint, so it survives
+    # the index's deletion, and two concurrent q234 invocations (e.g. a
+    # parity run racing the pytest suite) can no longer rmtree each
+    # other's half-read lists directory (a q105-style fixed hash path
+    # would be shared state).
+    root = tempfile.mkdtemp(prefix="psq234_")
+    try:
+        build_ivf_index(emb, root, n_centroids=16, refine=0)
+        return ann_ivf_persisted(
+            spark, root, emb.where(F.col("vec_id") % 40 == 0),
+            k=5, n_probe=3,
+        ).select(
+            "query_id",
+            "nb_id",
+            "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q235_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from pagerank_spark.graph.pagerank import vertices
+from pagerank_spark.graph.pagerank import materialize_or_release, vertices
 
 # Below this many edges a loop's per-iteration stages are sub-second:
 # AQE's runtime replanning costs more than it saves (measured on the
@@ -313,7 +313,7 @@ def _star_rounds(
             "O(log² component size)); raise max_iterations"
         )
 
-    final = (
+    return materialize_or_release(
         verts.join(
             cur.select(F.col("src").alias("node"), F.col("dst").alias("__c")),
             on="node",
@@ -324,8 +324,6 @@ def _star_rounds(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    final.count()
-    return final
 
 
 def _connected_components_impl(
@@ -415,6 +413,10 @@ def _cc_rounds(
             new_state = new_state.localCheckpoint(eager=False)
         else:
             new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            # tracked BEFORE the materializing agg — appending after
+            # it leaves a window where a failed job strands the fresh
+            # persist outside the caller's finally
+            cached.append(new_state)
         # sum() over an empty relation is NULL — treat as converged.
         changed = (
             new_state.agg(
@@ -430,8 +432,6 @@ def _cc_rounds(
             for df in cached:
                 df.unpersist()
             cached.clear()  # in place — the caller's finally shares it
-        else:
-            cached.append(new_state)
         state = next_state
         if changed == 0:
             break
@@ -450,11 +450,11 @@ def _cc_rounds(
             "propagation distance, not just its size"
         )
 
-    final = state.select(
-        "node", F.col("comp").alias("component")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    final.count()
-    return final
+    return materialize_or_release(
+        state.select("node", F.col("comp").alias("component")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
 
 def shortest_paths(
@@ -559,6 +559,10 @@ def _sp_rounds(
             .select("node", F.col("msg_agg").alias("dist"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # tracked BEFORE the materializing count — appending after it
+        # leaves a window where a failed job strands the fresh persist
+        # outside the caller's finally
+        cached.append(new_frontier)
         n_new = new_frontier.count()
         # The count's anti join scanned ``reached`` fully — any lazy
         # checkpoint from last round is now materialized; its upstream
@@ -574,20 +578,21 @@ def _sp_rounds(
         if iteration % checkpoint_every == 0:
             # Lazy lineage truncation (see pagerank.py): the checkpoint
             # materializes inside next round's anti-join count — no
-            # dedicated checkpoint job.
+            # dedicated checkpoint job. The previous generations move
+            # to ``pending`` (released one round late); the current
+            # frontier stays tracked.
             reached = merged.localCheckpoint(eager=False)
-            pending.extend(cached)
+            pending.extend(df for df in cached if df is not new_frontier)
             cached.clear()
             cached.append(new_frontier)
         else:
             reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(new_frontier)
             cached.append(reached)
         frontier = new_frontier
 
-    final = reached.persist(StorageLevel.MEMORY_AND_DISK)
-    final.count()
-    return final
+    return materialize_or_release(
+        reached.persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def multi_source_shortest_paths(
@@ -703,6 +708,7 @@ def _multi_sp_rounds(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        cached.append(new_frontier)  # before the materializing count
         n_new = new_frontier.count()
         for df in pending:
             df.unpersist()
@@ -713,18 +719,17 @@ def _multi_sp_rounds(
         merged = reached.unionByName(new_frontier)
         if iteration % checkpoint_every == 0:
             reached = merged.localCheckpoint(eager=False)
-            pending.extend(cached)
+            pending.extend(df for df in cached if df is not new_frontier)
             cached.clear()
             cached.append(new_frontier)
         else:
             reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(new_frontier)
             cached.append(reached)
         frontier = new_frontier
 
-    final = reached.persist(StorageLevel.MEMORY_AND_DISK)
-    final.count()
-    return final
+    return materialize_or_release(
+        reached.persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def harmonic_centrality(
@@ -1005,6 +1010,7 @@ def _weighted_sp_rounds(
             .select("node", F.col("cand").alias("dist"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        cached.append(improved)  # before the materializing count
         n_improved = improved.count()
         # The count's left join scanned ``dist`` fully — last round's
         # lazy checkpoint is materialized; drop its upstream caches
@@ -1030,18 +1036,17 @@ def _weighted_sp_rounds(
             # Lazy lineage truncation (see pagerank.py): materializes in
             # next round's improved-count join — no dedicated job.
             dist = merged.localCheckpoint(eager=False)
-            pending.extend(cached)
+            pending.extend(df for df in cached if df is not improved)
             cached.clear()
             cached.append(improved)
         else:
             dist = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(improved)
             cached.append(dist)
         frontier = improved
 
-    final = dist.persist(StorageLevel.MEMORY_AND_DISK)
-    final.count()
-    return final
+    return materialize_or_release(
+        dist.persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def kcore_peel(
@@ -1301,6 +1306,7 @@ def _min_label_rounds(
             new_state = new_state.localCheckpoint(eager=False)
         else:
             new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(new_state)  # before the materializing agg
         changed = (
             new_state.agg(
                 F.sum(F.when(F.col("lab") != F.col("old"), 1).otherwise(0))
@@ -1313,8 +1319,6 @@ def _min_label_rounds(
             for df in cached:
                 df.unpersist()
             cached.clear()  # in place — the caller's finally shares it
-        else:
-            cached.append(new_state)
         state = nxt
         if changed == 0:
             break

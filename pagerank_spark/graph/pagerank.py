@@ -112,6 +112,21 @@ class PageRankResult:
         return top_k(self.ranks, k)
 
 
+def materialize_or_release(df: DataFrame) -> DataFrame:
+    """Materialize a FRESHLY persisted frame, releasing its lazy
+    persist mark if the job fails. The fresh mark is in no shared
+    release list yet (a loop's finally sweeps only its tracked
+    generations), so a failed materializing count would otherwise pin
+    the relation past every caller's cleanup — the last gap in the
+    try/finally release discipline."""
+    try:
+        df.count()
+    except Exception:
+        df.unpersist()
+        raise
+    return df
+
+
 def vertices(edges: DataFrame) -> DataFrame:
     """A1/U1: distinct vertex set = union of both endpoint columns.
 
@@ -561,6 +576,10 @@ def _iterate(
             )
         else:
             pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+            # Track BEFORE the materializing agg below: appending after
+            # it would leave a window where a failed job strands the
+            # just-persisted generation outside the finally's sweep.
+            cached.append(pre)
 
         # G4: ONE aggregation job per iteration — L1 convergence metric and
         # next iteration's distributed mass; also materializes the
@@ -584,8 +603,6 @@ def _iterate(
             for df in cached:
                 df.unpersist()
             cached.clear()  # in place — pagerank()'s finally shares it
-        else:
-            cached.append(pre)
 
         state = new_state
         if l1 <= delta:
@@ -594,9 +611,10 @@ def _iterate(
     # The setup-lifetime caches (edge_deg, init_state) and any live
     # state generations are released by pagerank()'s finally right
     # after this returns — the returned ranks frame is a fresh persist,
-    # untouched by that sweep.
-    final = state.select("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
-    final.count()
+    # untouched by that sweep (and self-releasing on a failed count).
+    final = materialize_or_release(
+        state.select("node", "rank").persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return PageRankResult(final, iteration, trajectory, strategy)
 
 
@@ -1128,9 +1146,9 @@ def _hits_iterate(
         state = scored.select("node", "hub", "auth")
         if delta > 0 and (row["l1a"] or 0.0) + (row["l1h"] or 0.0) <= delta:
             break
-    out = state.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    return out
+    return materialize_or_release(
+        state.persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def katz_centrality(
@@ -1304,9 +1322,9 @@ def _katz_loop_body(
             state = nxt.select("node", "katz")
             if delta > 0 and (l1 or 0.0) <= delta:
                 break
-        out = state.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        return out
+        return materialize_or_release(
+            state.persist(StorageLevel.MEMORY_AND_DISK)
+        )
     finally:
         e.unpersist()
         verts.unpersist()

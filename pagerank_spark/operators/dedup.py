@@ -1056,6 +1056,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     candidates: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment per candidate pair —
     ``c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the quote / sub-document
@@ -1080,8 +1081,19 @@ def containment_pairs(
       computed after the cap, so containment stays a true containment
       over the retained set). Without the cap this path goes quadratic
       on one hot shingle — never run it uncapped at corpus scale.
+
+    ``shingled`` lets a caller that already built the (id, shingle)
+    relation (e.g. to derive MinHash candidates from it) hand it in —
+    the jaccard_pairs shingled-first shape. Note Catalyst does not
+    dedupe common subplans across branches, so this shares the PLAN,
+    not the work; ``minhash_neardup_pairs``' measurement applies
+    (recompute beats caching for the cheap pipelined explode).
     """
-    sh = word_shingles(df, id_col, text_col, n=n)
+    sh = (
+        shingled
+        if shingled is not None
+        else word_shingles(df, id_col, text_col, n=n)
+    )
     if candidates is not None:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -902,6 +902,12 @@ def resize_image(
     all — partition-parallel over however many executors hold the
     payload column.
     """
+    if out_w < 1 or out_h < 1:
+        # validate driver-side: a zero target would otherwise raise
+        # ZeroDivisionError inside every executor task
+        raise ValueError(
+            f"resize_image: out_w/out_h >= 1, got {out_w}x{out_h}"
+        )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math

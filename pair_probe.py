@@ -121,7 +121,7 @@ def main() -> None:
             minhash_signatures(sh, "doc_id"), "doc_id"
         )
         n_cand = containment_pairs(
-            corpus, n=1, threshold=0.8, candidates=cands
+            corpus, n=1, threshold=0.8, candidates=cands, shingled=sh
         ).count()
         rec["candidates_sec"] = round(time.perf_counter() - t0, 2)
         rec["candidates_pairs"] = n_cand

@@ -18,7 +18,6 @@ from __future__ import annotations
 import time
 
 import pytest
-from py4j.protocol import Py4JJavaError
 from pyspark.sql import functions as F
 
 
@@ -27,11 +26,20 @@ def _storage_entries(spark) -> int:
 
 
 def _assert_drains(spark, baseline: int, timeout: float = 20.0) -> None:
+    import gc
+
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         if _storage_entries(spark) <= baseline:
             return
-        time.sleep(0.25)
+        # Explicit persists are released by unpersist() in the finally
+        # paths; LAZY localCheckpoint blocks are owned by the context
+        # cleaner and drain only after their RDD objects are
+        # garbage-collected on both sides — force that so the poll
+        # distinguishes "cleaner hasn't run yet" from a real leak.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
     info = [
         str(x) for x in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     ]
@@ -59,7 +67,7 @@ def _poisoned_edges(spark):
 
 def _expect_failure_then_drain(spark, fn):
     baseline = _storage_entries(spark)
-    with pytest.raises((Py4JJavaError, Exception), match="poisoned edge"):
+    with pytest.raises(Exception, match="poisoned edge"):
         fn()
     _assert_drains(spark, baseline)
 
@@ -139,6 +147,50 @@ def test_scc_releases_on_failure(spark):
             _poisoned_edges(spark)
         ).count(),
     )
+
+
+def test_cc_releases_on_mid_loop_nonconvergence(spark):
+    """MID-LOOP failure coverage: the poisoned-edge tests detonate in
+    the SETUP job, before any loop generation is pinned. A long path
+    graph with a tiny iteration cap instead raises the non-convergence
+    RuntimeError AFTER several rounds, with state generations and the
+    edge cache live at raise time — exercising the in-loop tracking
+    (generations are appended at persist time, before the
+    materializing agg) and the finally sweep together."""
+    from pagerank_spark.graph.components import connected_components
+
+    chain = spark.range(40).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    baseline = _storage_entries(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    _assert_drains(spark, baseline)
+
+
+def test_scc_releases_on_mid_loop_nonconvergence(spark):
+    # Same shape one level deeper: the min-label fixpoint inside SCC
+    # raises mid-peel, and both its generation list and the SCC
+    # residual-edge cache must drain.
+    from pagerank_spark.graph.components import (
+        strongly_connected_components,
+    )
+
+    fwd = spark.range(40).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    cycle = fwd.unionByName(
+        spark.range(1).select(
+            F.lit(40).cast("long").alias("src"),
+            F.lit(0).cast("long").alias("dst"),
+        )
+    )
+    baseline = _storage_entries(spark)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        strongly_connected_components(
+            cycle, max_label_iterations=3
+        ).count()
+    _assert_drains(spark, baseline)
 
 
 def test_pagerank_success_path_still_releases(spark):
