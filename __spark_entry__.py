@@ -498,11 +498,18 @@ def q25_exact_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs (inverted-index self-join) on a
-    deterministic document subset."""
+    """Exact token-set (unigram) Jaccard, verified over MinHash-LSH
+    banded candidates — the bounded-pair plan q187 moved to in round 9
+    (this query declared the raw uncapped inverted-index self-join
+    through round 9; the same F²-per-hot-shingle hazard applied, so it
+    now exercises ``minhash_neardup_pairs`` at n=1, the unigram
+    complement of q27's trigram pipeline). The exhaustive self-join
+    stays available via ``jaccard_pairs(max_doc_freq=...)`` and its
+    growth is measured in PAIR_PROBE.json."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    shingled = dedup.word_shingles(docs, "doc_id", "text", n=1)
-    pairs = dedup.jaccard_pairs(shingled, "doc_id", threshold=0.5)
+    pairs = dedup.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.5
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -5554,36 +5561,8 @@ SELECT doc_id FROM (
 """,
 )
 
-_SQL_TOKENS_SUBSET = r"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-    FROM documents WHERE doc_id % 5 = 0
-  ) WHERE tok <> ''
-),
-sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM toks GROUP BY doc_id
-)
-"""
-
-_oracle(
-    "q26_token_jaccard",
-    _SQL_TOKENS_SUBSET
-    + """
-, inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT i.id_a, i.id_b,
-       ROUND(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6)
-         AS jaccard
-FROM inter i
-JOIN sizes sa ON i.id_a = sa.doc_id
-JOIN sizes sb ON i.id_b = sb.doc_id
-WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
-""",
-)
+# q26's twin lives next to q27's below — both use _minhash_pair_sql,
+# defined after this point in the file.
 
 _oracle(
     "q28_ann_bruteforce",
@@ -5828,6 +5807,12 @@ WHERE i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= """
         + "\n"
     )
 
+
+# q26 twin: the parameterized MinHash+LSH pair SQL at unigram width —
+# same banded-candidate bounded plan as the engine side (through round
+# 9 this twin was the raw inverted-index self-join, mirroring the
+# engine's then-unbounded plan).
+_oracle("q26_token_jaccard", _minhash_pair_sql(1, 0.5))
 
 _oracle("q27_minhash_lsh", _minhash_pair_sql(3, 0.5))
 
