@@ -214,3 +214,25 @@ def test_pagerank_success_path_still_releases(spark):
     # tolerate the run's checkpoint blocks (one per iteration at
     # cadence 1), nothing else
     _assert_drains(spark, before + 3)
+
+
+def test_materialize_or_release_unpins_on_failed_count(spark):
+    # Direct unit test of the helper every loop's trailing persist now
+    # goes through: a failed materializing count must drop the fresh
+    # persist mark (it is in no shared release list).
+    from pagerank_spark.graph.pagerank import materialize_or_release
+
+    baseline = _storage_entries(spark)
+    boom = F.raise_error(F.lit("poisoned edge")).cast("long")
+    df = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id")).otherwise(boom).alias("v")
+    ).persist()
+    with pytest.raises(Exception, match="poisoned edge"):
+        materialize_or_release(df)
+    assert not df.storageLevel.useMemory  # mark dropped synchronously
+    _assert_drains(spark, baseline)
+
+    ok = spark.range(5).persist()
+    assert materialize_or_release(ok) is ok
+    assert ok.storageLevel.useMemory
+    ok.unpersist()
