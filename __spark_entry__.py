@@ -3815,13 +3815,16 @@ def q185_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q186_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS fit (operators/analytics.py groupwise_ols) of
-    extendedprice ~ quantity per (returnflag, linestatus) — the
-    distributed per-key model fit, ``applyInPandas`` over Arrow
-    batches (the q84 pattern: the Pandas path itself is what the
-    driver hashes). The DuckDB twin is the algebraic
-    regr_slope/regr_intercept/regr_r2 triple, so the closed-form
-    numpy fit is value-checked against exact SQL regression
-    aggregates."""
+    extendedprice ~ quantity per (returnflag, linestatus), declared on
+    the ``sql`` engine — Catalyst's algebraic regr_count/slope/
+    intercept/r2 moment aggregates in one partial-combined hash
+    aggregation, the plan you'd run at 100 TB (q84 precedent, applied
+    after AB_BENCH_r10.json adjudicated the r09 bench uptick as host
+    drift and measured sql 1.5× faster than the Arrow arm). The
+    ``arrow`` applyInPandas engine — the template for fits SQL can't
+    express — stays pinned value-equal by
+    ``test_groupwise_ols_engines_agree``, and a plan test pins this
+    query to a single aggregate exchange with no ArrowEvalPython."""
     from pagerank_spark.operators.analytics import groupwise_ols
 
     return groupwise_ols(
@@ -3829,6 +3832,7 @@ def q186_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         "l_quantity",
         "l_extendedprice",
+        engine="sql",
     )
 
 

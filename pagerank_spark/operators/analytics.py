@@ -568,28 +568,58 @@ def groupwise_ols(
     group_cols: list[str],
     x_col: str,
     y_col: str,
+    engine: str = "sql",
 ) -> DataFrame:
-    """Per-group ordinary-least-squares fit of ``y ~ x`` — the
-    distributed per-key model-fitting pattern (one regression per
-    segment/device/nation) that genuinely needs ``applyInPandas``:
-    the per-group closed form is a vectorized numpy computation over
-    the group's Arrow batch, not a Catalyst expression. Returns
+    """Per-group ordinary-least-squares fit of ``y ~ x`` — one
+    regression per segment/device/nation. Returns
     ``(*group_cols, n, slope, intercept, r2)`` rounded to 6dp, NULLs
-    where the group is degenerate (var(x)=0 or var(y)=0) — matching
-    SQL ``regr_slope``/``regr_intercept``/``regr_r2`` semantics, which
-    is exactly what the DuckDB twin checks.
+    where the group is degenerate (var(x)=0), matching SQL
+    ``regr_slope``/``regr_intercept``/``regr_r2`` semantics, which is
+    exactly what the DuckDB twin checks.
 
-    Scale shape: ONE shuffle on the group key; each group reduces to a
-    single output row inside its Arrow batch (moments, not row
-    transfer); group count bounds the result. For billions of rows per
-    group, swap in the pure-SQL moment aggregation (regr_* are
-    algebraic); the Pandas form is the template for fits SQL can't
-    express (robust/iterative).
+    Two engines with identical semantics
+    (``test_groupwise_ols_engines_agree`` pins them equal):
+
+    - ``sql`` (default, scale path): Catalyst's algebraic
+      ``regr_count/regr_slope/regr_intercept/regr_r2`` aggregates —
+      ONE partial-combined hash aggregation, whole-stage codegen, no
+      Python worker, no per-group memory requirement. regr_* are
+      moment sums, so billions of rows per group stream through
+      map-side combine.
+    - ``arrow``: ``groupBy(...).applyInPandas`` — each group arrives
+      as one Arrow batch and is fit by vectorized numpy. The template
+      for per-group fits SQL can't express (robust/iterative/multi-
+      feature); each group must fit in one executor's memory.
+      ``AB_BENCH_r10.json`` (interleaved best-of-3, sf0.1): sql 0.39 s
+      vs arrow 0.59 s — the Python-worker round trip costs ~1.5× even
+      vectorized, hence the SQL default per the q84 precedent.
 
     Degenerate-group semantics follow SQL regr_*: ``n`` is the
     non-null-PAIR count (regr_count); var(x)=0 → slope/intercept/r2
     all NULL; var(y)=0 with var(x)≠0 → r2 = 1 (regr_r2's horizontal
-    perfect fit), not NULL."""
+    perfect fit), not NULL. Verified to match Spark's built-ins in
+    every degenerate case (empty, singleton, var(x)=0, var(y)=0)."""
+    if engine == "sql":
+        return (
+            df.select(*group_cols, x_col, y_col)
+            .groupBy(*group_cols)
+            .agg(
+                F.expr(f"regr_count({y_col}, {x_col})")
+                .cast("long")
+                .alias("n"),
+                F.round(F.expr(f"regr_slope({y_col}, {x_col})"), 6).alias(
+                    "slope"
+                ),
+                F.round(
+                    F.expr(f"regr_intercept({y_col}, {x_col})"), 6
+                ).alias("intercept"),
+                F.round(F.expr(f"regr_r2({y_col}, {x_col})"), 6).alias(
+                    "r2"
+                ),
+            )
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'sql' or 'arrow', got {engine!r}")
     import pandas as pd
 
     out_fields = ", ".join(

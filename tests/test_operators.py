@@ -438,6 +438,54 @@ def test_groupwise_zscore_engines_agree(spark):
     assert w[("lone", 7.0)] is None
 
 
+def test_groupwise_ols_engines_agree(spark):
+    """The sql (regr_* moments) and arrow (applyInPandas numpy) OLS
+    engines are the same operator: identical rounded values on real
+    groups AND on every degenerate shape — all-null pairs (n=0),
+    singleton, var(x)=0 (slope/intercept/r2 NULL), var(y)=0 with
+    var(x)!=0 (r2 exactly 1)."""
+    from pagerank_spark.operators.analytics import groupwise_ols
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 7.0),
+            ("a", 4.0, 8.5), ("a", 5.0, 11.0),
+            ("vx0", 5.0, 1.0), ("vx0", 5.0, 2.0),
+            ("vy0", 1.0, 3.0), ("vy0", 2.0, 3.0),
+            ("nul", None, 1.0), ("nul", 2.0, None),
+            ("one", 4.0, 9.0),
+        ],
+        "g string, x double, y double",
+    )
+
+    def rows(engine):
+        return {
+            r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+            for r in groupwise_ols(df, ["g"], "x", "y", engine=engine)
+            .collect()
+        }
+
+    s, a = rows("sql"), rows("arrow")
+    assert set(s) == set(a) == {"a", "vx0", "vy0", "nul", "one"}
+    for g in s:
+        assert s[g] == a[g], (g, s[g], a[g])
+    assert s["nul"] == (0, None, None, None)
+    assert s["one"] == (1, None, None, None)
+    assert s["vx0"] == (2, None, None, None)
+    assert s["vy0"] == (2, 0.0, 3.0, 1.0)
+
+
+def test_groupwise_ols_bad_engine(spark):
+    from pagerank_spark.operators.analytics import groupwise_ols
+
+    df = spark.createDataFrame([("a", 1.0, 1.0)], "g string, x double, y double")
+    try:
+        groupwise_ols(df, ["g"], "x", "y", engine="rdd")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_groupwise_zscore_bad_engine(spark):
     from pagerank_spark.operators.relational import groupwise_zscore
 

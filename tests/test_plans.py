@@ -388,6 +388,22 @@ def test_q84_declared_engine_is_catalyst_window(spark):
     assert n_exchanges == 1, p
 
 
+def test_q186_declared_engine_is_catalyst_regr(spark):
+    # The driver-hashed q186 path must be the scale-default sql moment
+    # engine (q84 precedent, AB_BENCH_r10.json adjudication): one
+    # partial-combined regr_* hash aggregation — exactly one exchange,
+    # two HashAggregate nodes, no Arrow/Python evaluation. The Arrow
+    # applyInPandas engine is covered by the engines-agree pytest.
+    p = plan(ENTRY.queries()["q186_groupwise_ols"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert "BatchEvalPython" not in p
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges == 1, p
+    assert p.count("HashAggregate") >= 2  # partial + final moment agg
+
+
 def test_q140_repetition_two_shuffles_no_python(spark):
     # one tokenize feeding both n-gram sizes, two partial-combined
     # aggregations, nothing Python in the plan
@@ -554,10 +570,21 @@ def test_q178_novelty_no_window_no_python(spark):
 
 
 def test_q186_ols_single_shuffle_arrow_path(spark):
-    # the per-key fit is the legitimate Arrow path: ONE exchange on the
-    # group key feeding FlatMapGroupsInPandas — and never a row-at-a-
-    # time BatchEvalPython.
-    df = ENTRY.queries()["q186_groupwise_ols"](spark, SF_DIR)
+    # the arrow ENGINE (no longer the declared q186 plan — see
+    # test_q186_declared_engine_is_catalyst_regr) remains the
+    # legitimate Arrow shape: ONE exchange on the group key feeding
+    # FlatMapGroupsInPandas — and never a row-at-a-time
+    # BatchEvalPython.
+    from pagerank_spark.operators.analytics import groupwise_ols
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    df = groupwise_ols(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+        "l_extendedprice",
+        engine="arrow",
+    )
     p = plan(df)
     assert "FlatMapGroupsInPandas" in p
     assert "BatchEvalPython" not in p
