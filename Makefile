@@ -29,5 +29,14 @@ gate:
 test:
 	$(PY) -m pytest tests/ -x -q
 
+# ROUND pins the BENCH_LOCAL_r{N}.json name explicitly (r9 ADVICE:
+# the max(CORRECTNESS_r*)+1 inference mislabels a bench run executed
+# after the round's correctness artifact lands). `make close-round
+# ROUND=10` is the canonical close; unset, bench.py falls back to the
+# inference.
 bench:
+ifdef ROUND
+	SPARK_GRAFT_ROUND=$(ROUND) $(PY) bench.py
+else
 	$(PY) bench.py
+endif

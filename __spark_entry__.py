@@ -4887,22 +4887,24 @@ def q234_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     The q105 pattern: the write→read lifecycle itself is what the hash
     covers; the twin is the same seeded-IVF algebra, because index
     persistence must not change the answer."""
-    import shutil
-    import tempfile
-
     from pagerank_spark.operators.similarity import (
         ann_ivf_persisted,
         build_ivf_index,
+        index_scratch_root,
+        remove_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Per-call private index directory, removed before returning:
+    # Per-call private index path, removed before returning:
     # ann_ivf_persisted's result is an EAGER checkpoint, so it survives
     # the index's deletion, and two concurrent q234 invocations (e.g. a
-    # parity run racing the pytest suite) can no longer rmtree each
+    # parity run racing the pytest suite) can no longer delete each
     # other's half-read lists directory (a q105-style fixed hash path
-    # would be shared state).
-    root = tempfile.mkdtemp(prefix="psq234_")
+    # would be shared state). index_scratch_root honors
+    # spark.pagerank.scratchDir / SPARK_GRAFT_SCRATCH for cluster
+    # deployments where the index must live on executor-shared storage
+    # (r9 ADVICE); the driver-local mkdtemp fallback covers local mode.
+    root = index_scratch_root(spark, prefix="psq234_")
     try:
         build_ivf_index(emb, root, n_centroids=16, refine=0)
         return ann_ivf_persisted(
@@ -4915,7 +4917,7 @@ def q234_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        remove_index(spark, root)
 
 
 def q235_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

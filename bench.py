@@ -372,15 +372,26 @@ def main() -> None:
     # how much stdout the driver keeps. The stdout line below stays
     # for the driver.
     if os.environ.get("SPARK_GRAFT_BENCH_NO_ARTIFACT") != "1":
-        import glob
-        import re
+        # Round number: explicit SPARK_GRAFT_ROUND wins (r9 ADVICE: the
+        # max(CORRECTNESS_r*)+1 inference mislabels a bench run that
+        # happens AFTER the round's correctness artifact lands, and two
+        # concurrent runs clobber one file) — `make close-round` passes
+        # it; the inference remains the unset fallback.
+        rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd_env is not None:
+            rnd = int(rnd_env)
+        else:
+            import glob
+            import re
 
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-        ]
-        rnd = (max(rounds) + 1) if rounds else 0
+            rounds = [
+                int(m.group(1))
+                for p in glob.glob(
+                    os.path.join(REPO, "CORRECTNESS_r*.json")
+                )
+                if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+            ]
+            rnd = (max(rounds) + 1) if rounds else 0
         out_path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
         with open(out_path, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)

@@ -894,9 +894,12 @@ def resize_image(
     block means are then rationals with a power-of-two-free fixed
     denominator (bw·bh), exact at 6dp on every engine — the SURVEY
     §5.3 determinism rule. A fractional-box resize would need
-    engine-specific float edge weights; images whose dimensions don't
-    divide (and poison payloads) surface as format="error" rows with
-    NULL coordinates rather than failing the batch.
+    engine-specific float edge weights. Failure rows never fail the
+    batch, and the two causes are DISTINGUISHABLE (r9 ADVICE: a
+    misconfigured out_w/out_h used to be indistinguishable from a
+    poisoned corpus): undecodable payloads surface as format="error",
+    non-divisible dimensions as format="dims" — a corpus that comes
+    back all-"dims" is a caller bug, not bad data.
 
     Scale shape: pure per-row Arrow-batched compute, no shuffle at
     all — partition-parallel over however many executors hold the
@@ -928,9 +931,9 @@ def resize_image(
                 "r": [], "g": [], "b": [],
             }
 
-            def error_row(mid):
+            def error_row(mid, reason="error"):
                 out["media_id"].append(mid)
-                out["format"].append("error")
+                out["format"].append(reason)
                 for k in ("y", "x", "r", "g", "b"):
                     out[k].append(None)
 
@@ -956,7 +959,7 @@ def resize_image(
                     continue
                 h, w = arr.shape[:2]
                 if h % out_h != 0 or w % out_w != 0:
-                    error_row(mid)
+                    error_row(mid, reason="dims")
                     continue
                 bh, bw = h // out_h, w // out_w
                 blocks = arr.reshape(

@@ -1028,6 +1028,51 @@ def pq_adc_topk(
     )
 
 
+def index_scratch_root(spark, prefix: str = "ivf_") -> str:
+    """Resolve a unique path for persisted index artifacts
+    (``build_ivf_index`` → ``ann_ivf_persisted``).
+
+    Resolution order: the ``spark.pagerank.scratchDir`` conf, then the
+    ``SPARK_GRAFT_SCRATCH`` env var, then a driver-local temp dir. The
+    first two may be any Hadoop-visible URI (HDFS / s3a:// / shared
+    NFS) — on a real cluster one of them MUST point at storage all
+    executors share, because the index is written by one job and read
+    by every executor of the next. The driver-local ``mkdtemp``
+    fallback is correct ONLY in local mode, where executor threads
+    share the driver's filesystem (r9 ADVICE: the fallback used to be
+    the only behavior, silently assuming local mode).
+
+    Cleanup: pass the returned root to ``remove_index`` — plain
+    ``shutil.rmtree`` cannot delete non-local URIs.
+    """
+    import os as _os
+    import uuid
+
+    base = spark.conf.get("spark.pagerank.scratchDir", None)
+    if not base:
+        base = _os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base:
+        return f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def remove_index(spark, root: str) -> None:
+    """Recursively delete a persisted index at ``root`` through the
+    Hadoop FileSystem API, so cleanup works for ANY URI
+    ``index_scratch_root`` can hand out (local path, HDFS, s3a://) —
+    not just driver-local directories. Best-effort: a missing root is
+    a no-op, matching ``shutil.rmtree(ignore_errors=True)``."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        pass
+
+
 def build_ivf_index(
     corpus: DataFrame,
     root: str,

@@ -451,7 +451,10 @@ def test_resize_image_box_average_and_error_paths(spark):
     assert len(err) == 1 and err[0]["format"] == "error"
     assert err[0]["y"] is None and err[0]["r"] is None
 
-    # 64x48 is not divisible by 10x10 -> error row, not a wrong resize
+    # 64x48 is not divisible by 10x10 -> a DISTINCT "dims" failure row
+    # per image (r9 ADVICE: a caller bug must not masquerade as a
+    # poisoned corpus), never a wrong resize
     nondiv = resize_image(media, out_w=10, out_h=10).collect()
     assert len(nondiv) == 3
-    assert all(r["format"] == "error" for r in nondiv)
+    assert all(r["format"] == "dims" for r in nondiv)
+    assert all(r["y"] is None and r["r"] is None for r in nondiv)

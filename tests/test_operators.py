@@ -1182,6 +1182,74 @@ def test_portable_hll_accuracy_and_merge(spark):
     } == {(r["bucket"], r["max_rho"]) for r in whole.collect()}
 
 
+def test_minhash_lsh_recall_vs_exhaustive_ground_truth(spark):
+    """The one check parity can't make (r9 ADVICE): q26/q187 and their
+    DuckDB twins share the SAME band algebra, so an LSH recall
+    regression is invisible there — both engines would miss the same
+    pairs. This pins recall against the EXHAUSTIVE uncapped
+    jaccard_pairs inverted-index plan on a planted corpus where every
+    true near-dup pair's Jaccard is known in closed form.
+
+    Corpus: 10 bases of 60 unique words; variants replace the last k
+    words, so with 3-shingles J = (58-k)/(58+k) exactly — k=3 plants
+    J=0.902 (strong dups: banding must find ALL of them; 16 hashes in
+    4x4 bands collide at p≈0.99, and the seeded MinHash makes the
+    outcome deterministic for this fixed corpus), k=17 plants J=0.547
+    (the marginal band where LSH recall is allowed to dip), k=31
+    plants J=0.303 (below threshold: must appear in NEITHER result).
+    """
+    from pagerank_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_neardup_pairs,
+        word_shingles,
+    )
+
+    rows = []
+    planted = {}  # (base_id, var_id) -> expected jaccard
+    for i in range(10):
+        base = [f"d{i}w{j}" for j in range(60)]
+        rows.append((i * 10, " ".join(base)))
+        k = {0: 3, 1: 3, 2: 3, 3: 3, 4: 17, 5: 17, 6: 17, 7: 31,
+             8: 31, 9: 31}[i]
+        var = base[: 60 - k] + [f"d{i}x{j}" for j in range(k)]
+        rows.append((i * 10 + 1, " ".join(var)))
+        planted[(i * 10, i * 10 + 1)] = (58 - k) / (58 + k)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = word_shingles(df, "doc_id", "text", n=3)
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    }
+    # the exhaustive plan recovers exactly the planted >=0.5 pairs,
+    # at exactly the closed-form Jaccard
+    expect = {p: j for p, j in planted.items() if j >= 0.5}
+    assert set(truth) == set(expect)
+    for p, j in expect.items():
+        assert abs(truth[p] - j) < 1e-12, (p, truth[p], j)
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_neardup_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    # verify step is exact => LSH output is a subset of truth with
+    # identical values (precision 1.0 by construction)
+    assert set(lsh) <= set(truth)
+    for p, j in lsh.items():
+        assert abs(truth[p] - j) < 1e-12
+    # strong dups (J=0.902): banding must recover every one
+    strong = {p for p, j in planted.items() if j > 0.9}
+    assert strong <= set(lsh), sorted(strong - set(lsh))
+    # overall recall floor across the full >=threshold truth set
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.5, f"LSH recall {recall} vs exhaustive truth"
+    # sub-threshold plants appear in neither engine
+    below = {p for p, j in planted.items() if j < 0.5}
+    assert not (below & set(truth)) and not (below & set(lsh))
+
+
 def test_minhash_neardup_against_is_cross_boundary_only(spark):
     from pagerank_spark.operators.dedup import minhash_neardup_against
 
@@ -2512,6 +2580,44 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
         assert abs(out[t]["resid"]) < 1e-6, t
     with pytest.raises(ValueError):
         seasonal_decompose(df, "t", "x", period=4)
+
+
+def test_index_scratch_root_and_remove(spark, tmp_path, monkeypatch):
+    """index_scratch_root resolution order (conf > env > mkdtemp), each
+    call unique; remove_index deletes through the Hadoop FS API so the
+    same cleanup call works for local paths and shared-storage URIs."""
+    import os
+
+    from pagerank_spark.operators.similarity import (
+        index_scratch_root,
+        remove_index,
+    )
+
+    # env fallback
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "envbase"))
+    r1 = index_scratch_root(spark, prefix="t_")
+    r2 = index_scratch_root(spark, prefix="t_")
+    assert r1.startswith(str(tmp_path / "envbase") + "/t_")
+    assert r1 != r2  # concurrent callers never share a root
+    # conf wins over env
+    spark.conf.set("spark.pagerank.scratchDir", str(tmp_path / "confbase"))
+    try:
+        r3 = index_scratch_root(spark)
+        assert r3.startswith(str(tmp_path / "confbase") + "/ivf_")
+    finally:
+        spark.conf.unset("spark.pagerank.scratchDir")
+    # mkdtemp fallback when neither is set
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH")
+    r4 = index_scratch_root(spark, prefix="t_")
+    assert os.path.isdir(r4)
+    # remove_index works on a written parquet tree and on a missing root
+    spark.range(5).write.parquet(r1 + "/lists")
+    assert os.path.isdir(r1)
+    remove_index(spark, r1)
+    assert not os.path.exists(r1)
+    remove_index(spark, r1)  # idempotent no-op
+    remove_index(spark, r4)
+    assert not os.path.exists(r4)
 
 
 def test_persisted_ivf_matches_in_memory_and_prunes(spark, tmp_path):
