@@ -4945,6 +4945,54 @@ def q235_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_image(media, out_w=16, out_h=12)
 
 
+def q236_mp4_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF container metadata under the oracle
+    (operators/multimodal.py parse_mp4_meta): every 10th doc id
+    becomes a synthesized well-formed MP4 (ftyp + free + moov(mvhd +
+    n_tracks × trak(tkhd + mdia(mdhd + hdlr))) + mdat, every field a
+    closed-form function of the id), and the big-endian box walk
+    reports brand, mvhd duration, track/video/audio counts, and the
+    first video tkhd's 16.16 presentation size. The DuckDB twin
+    computes the same closed forms and never sees bytes — a hash
+    match proves the walk finds the right boxes at the right offsets
+    (the r9 verdict's stub-shrink item: container metadata needs no
+    codec)."""
+    from pagerank_spark.operators.multimodal import (
+        parse_mp4_meta,
+        synthesize_mp4_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return parse_mp4_meta(synthesize_mp4_media(ids))
+
+
+def q237_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-header walk under the oracle
+    (operators/multimodal.py parse_mp3_meta): every 10th doc id
+    becomes a synthesized CBR MPEG-1 Layer III stream (bitrate /
+    sample rate / frame count closed-form in the id; every 4th id
+    carries an ID3v2 tag, every 5th a trailing ID3v1 block, every 7th
+    per-frame padding bits) and the walker hops frame to frame by the
+    Layer III length formula, so one wrong header field
+    desynchronizes the whole stream. The DuckDB twin reproduces
+    bitrate table lookups and the duration 1152·n/rate in SQL."""
+    from pagerank_spark.operators.multimodal import (
+        parse_mp3_meta,
+        synthesize_mp3_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return parse_mp3_meta(synthesize_mp3_media(ids))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5188,6 +5236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_calibration_report": q233_calibration_report,
         "q234_ivf_index_lifecycle": q234_ivf_index_lifecycle,
         "q235_image_resize": q235_image_resize,
+        "q236_mp4_container_meta": q236_mp4_container_meta,
+        "q237_mp3_frame_walk": q237_mp3_frame_walk,
     }
 
 
@@ -11671,5 +11721,64 @@ SELECT media_id,
        ROUND(MAX(CASE WHEN c = 1 THEN m END), 6) AS g,
        ROUND(MAX(CASE WHEN c = 2 THEN m END), 6) AS b
 FROM blk GROUP BY media_id, yo, xo
+""",
+)
+
+
+# q236 twin: the synthesized MP4's every field is a closed form of the
+# id, so the oracle never sees bytes — a hash match proves the box walk
+# (ftyp brand, mvhd duration/timescale, trak/hdlr classification, video
+# tkhd 16.16 size) lands on the right offsets. duration is k/1000 with
+# k integer: both engines' doubles are the correctly-rounded quotient.
+_oracle(
+    "q236_mp4_container_meta",
+    """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+)
+SELECT media_id,
+       'mp4' AS format,
+       'isom' AS brand,
+       (1000 + 37 * (media_id % 1000)) / 1000.0 AS duration_s,
+       CAST(1 + media_id % 3 AS INTEGER) AS n_tracks,
+       CAST(CASE WHEN media_id % 4 = 1 THEN 0 ELSE 1 END
+            AS INTEGER) AS n_video,
+       CAST(CASE WHEN media_id % 4 = 1 THEN 1 + media_id % 3
+                 ELSE media_id % 3 END AS INTEGER) AS n_audio,
+       CAST(CASE WHEN media_id % 4 = 1 THEN NULL
+                 ELSE 320 + 16 * (media_id % 8) END AS INTEGER) AS width,
+       CAST(CASE WHEN media_id % 4 = 1 THEN NULL
+                 ELSE 240 + 16 * (media_id % 5) END AS INTEGER) AS height
+FROM ids
+""",
+)
+
+# q237 twin: bitrate/samplerate table lookups + the Layer III frame
+# arithmetic in SQL. duration applies the engine's shared half-up-at-
+# 6dp convention with the identical IEEE op order (mul, div, mul 1e6,
+# +0.5, floor, div 1e6), so the doubles match bit-for-bit.
+_oracle(
+    "q237_mp3_frame_walk",
+    """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+m AS (
+  SELECT media_id,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+           [1 + media_id % 14] AS kbps,
+         ([44100,48000,32000])[1 + media_id % 3] AS sr,
+         20 + media_id % 30 AS n
+  FROM ids
+)
+SELECT media_id,
+       'mp3' AS format,
+       'MPEG1' AS version,
+       CAST(3 AS INTEGER) AS layer,
+       CAST(kbps AS INTEGER) AS bitrate_kbps,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(n AS INTEGER) AS n_frames,
+       FLOOR((n * 1152.0 / sr) * 1000000 + 0.5) / 1000000 AS duration_s
+FROM m
 """,
 )

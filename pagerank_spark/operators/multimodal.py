@@ -18,10 +18,17 @@ subsampled chroma are rejected, they would need trusted vectors this
 environment cannot produce) — with per-channel stats and
 nearest-neighbor thumbnailing. q114/q137 verify the lossless decoders
 against a closed-form SQL oracle; q138 pins the lossy JPEG path with
-within-tolerance booleans the oracle sets TRUE. Audio/video container
-formats (MP3/MP4) remain stubbed behind ``decode_media`` /
+within-tolerance booleans the oracle sets TRUE. MP4 and MP3 get REAL
+container-level metadata without codecs (round-10): ``parse_mp4_meta``
+walks ISO-BMFF boxes (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr → brand,
+duration, track counts, video resolution) and ``parse_mp3_meta`` walks
+MPEG-1 Layer III frame headers (bitrate/samplerate/frame count/
+duration, ID3v2+ID3v1 aware), verified end-to-end by q236/q237's
+closed-form oracles over synthesized containers. Only the SAMPLE
+decode of those two formats remains stubbed behind ``decode_media`` /
 ``extract_features`` (deterministic payload statistics and
-pseudo-embeddings): swapping ffmpeg in is a local change inside the
+pseudo-embeddings): the codec libraries are absent from this
+environment, and swapping ffmpeg in is a local change inside the
 batch loop. The Spark-side plumbing — binary schema, Arrow batch
 iteration, output schema, partition preservation — is real and tested
 throughout.
@@ -637,6 +644,446 @@ def synthesize_wav_media(
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
+
+
+MP4_META_SCHEMA = (
+    "media_id BIGINT, format STRING, brand STRING, duration_s DOUBLE, "
+    "n_tracks INT, n_video INT, n_audio INT, width INT, height INT"
+)
+
+MP3_META_SCHEMA = (
+    "media_id BIGINT, format STRING, version STRING, layer INT, "
+    "bitrate_kbps INT, sample_rate INT, n_frames INT, duration_s DOUBLE"
+)
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each ISO-BMFF box in
+    ``buf[start:end]`` (ISO/IEC 14496-12 §4.2): 32-bit big-endian size
+    + fourcc, size==1 → 64-bit largesize follows, size==0 → box runs
+    to the container's end. Malformed sizes raise ValueError."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated box header")
+        size = int.from_bytes(buf[off : off + 4], "big")
+        btype = buf[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize")
+            size = int.from_bytes(buf[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError("bad box size")
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, fourcc: bytes):
+    for t, s, e in _mp4_boxes(buf, start, end):
+        if t == fourcc:
+            yield s, e
+
+
+def _parse_mp4(buf: bytes) -> dict:
+    """Codec-free MP4/ISO-BMFF metadata: ftyp major brand, mvhd
+    movie duration, per-trak hdlr handler type (vide/soun) and the
+    first video trak's tkhd 16.16 fixed-point presentation size.
+    Raises ValueError on anything that is not a well-formed container."""
+    top = list(_mp4_boxes(buf, 0, len(buf)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an MP4: no leading ftyp")
+    fs, fe = top[0][1], top[0][2]
+    if fe - fs < 8:
+        raise ValueError("truncated ftyp")
+    brand = buf[fs : fs + 4].decode("ascii", errors="strict")
+    moov = [(s, e) for t, s, e in top if t == b"moov"]
+    if len(moov) != 1:
+        raise ValueError("need exactly one moov")
+    ms, me = moov[0]
+    mvhd = list(_mp4_find(buf, ms, me, b"mvhd"))
+    if len(mvhd) != 1:
+        raise ValueError("need exactly one mvhd")
+    s, e = mvhd[0]
+    ver = buf[s]
+    if ver == 1:
+        if e - s < 32 + 4:
+            raise ValueError("truncated mvhd v1")
+        timescale = int.from_bytes(buf[s + 20 : s + 24], "big")
+        duration = int.from_bytes(buf[s + 24 : s + 32], "big")
+    else:
+        if e - s < 20 + 4:
+            raise ValueError("truncated mvhd v0")
+        timescale = int.from_bytes(buf[s + 12 : s + 16], "big")
+        duration = int.from_bytes(buf[s + 16 : s + 20], "big")
+    if timescale == 0:
+        raise ValueError("mvhd timescale 0")
+    n_tracks = n_video = n_audio = 0
+    width = height = None
+    for ts_, te_ in _mp4_find(buf, ms, me, b"trak"):
+        n_tracks += 1
+        handler = None
+        for hs, he in _mp4_find(buf, ts_, te_, b"mdia"):
+            for s2, e2 in _mp4_find(buf, hs, he, b"hdlr"):
+                if e2 - s2 < 12:
+                    raise ValueError("truncated hdlr")
+                handler = buf[s2 + 8 : s2 + 12]
+        if handler == b"vide":
+            n_video += 1
+            for s2, e2 in _mp4_find(buf, ts_, te_, b"tkhd"):
+                if e2 - s2 < 84:
+                    raise ValueError("truncated tkhd")
+                if width is None:
+                    width = int.from_bytes(buf[e2 - 8 : e2 - 4], "big") >> 16
+                    height = int.from_bytes(buf[e2 - 4 : e2], "big") >> 16
+        elif handler == b"soun":
+            n_audio += 1
+    return {
+        "brand": brand,
+        "duration": duration,
+        "timescale": timescale,
+        "n_tracks": n_tracks,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "width": width,
+        "height": height,
+    }
+
+
+# MPEG-1 Layer III frame-header tables (ISO/IEC 11172-3): bitrate
+# index 1..14 in kbit/s (0 = free-format, 15 = forbidden) and the
+# three sampling rates. 1152 samples per Layer III frame.
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _parse_mp3(buf: bytes) -> dict:
+    """Codec-free MP3 metadata via a frame-HEADER walk (no audio
+    decode): skip a leading ID3v2 tag (syncsafe size), then hop frame
+    to frame using the Layer III length formula
+    ``144000·bitrate_kbps // sample_rate + padding``, validating sync
+    on every hop — a wrong length desynchronizes immediately, so a
+    full walk is strong evidence the header fields parse correctly.
+    MPEG-1 Layer III only; sample rate must be constant; bitrate may
+    vary (VBR → bitrate_kbps None). A trailing 128-byte ID3v1 'TAG'
+    block is allowed. Raises ValueError on anything else."""
+    off = 0
+    if buf[:3] == b"ID3":
+        if len(buf) < 10:
+            raise ValueError("truncated ID3v2 header")
+        if any(b & 0x80 for b in buf[6:10]):
+            raise ValueError("bad ID3v2 syncsafe size")
+        tag = (
+            (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+        )
+        off = 10 + tag
+    n_frames = 0
+    sr = None
+    bitrates: set[int] = set()
+    while off < len(buf):
+        if buf[off : off + 3] == b"TAG" and len(buf) - off == 128:
+            break  # trailing ID3v1
+        if off + 4 > len(buf):
+            raise ValueError("truncated frame header")
+        h = int.from_bytes(buf[off : off + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError("lost frame sync")
+        if (h >> 19) & 3 != 3 or (h >> 17) & 3 != 1:
+            raise ValueError("not MPEG-1 Layer III")
+        bidx = (h >> 12) & 0xF
+        sidx = (h >> 10) & 3
+        pad = (h >> 9) & 1
+        if bidx in (0, 15) or sidx == 3:
+            raise ValueError("bad bitrate/samplerate index")
+        rate = _MP3_RATES[sidx]
+        if sr is None:
+            sr = rate
+        elif rate != sr:
+            raise ValueError("sample rate changed mid-stream")
+        kbps = _MP3_BITRATES[bidx]
+        bitrates.add(kbps)
+        flen = 144000 * kbps // sr + pad
+        if flen < 4:
+            raise ValueError("degenerate frame length")
+        if off + flen > len(buf):
+            raise ValueError("truncated frame body")
+        off += flen
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no frames")
+    return {
+        "bitrate_kbps": (
+            bitrates.pop() if len(bitrates) == 1 else None
+        ),
+        "sample_rate": sr,
+        "n_frames": n_frames,
+        "duration": n_frames * 1152 / sr,
+    }
+
+
+def parse_mp4_meta(media: DataFrame) -> DataFrame:
+    """REAL MP4/ISO-BMFF container metadata over ``mapInPandas`` — the
+    box walk needs no codec: ftyp brand, mvhd duration (at the movie
+    timescale, reported in seconds), track count, video/audio track
+    counts from each trak's hdlr, and the first video track's tkhd
+    presentation size. The media-triage pass a video-ingest pipeline
+    runs before deciding what to transcode (frame DECODING remains
+    honestly out of scope — no codec library in this environment).
+    Poison payloads become format="error" rows. duration_s rounds
+    half-up at 6dp for the closed-form oracle (q236)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "brand": [],
+                "duration_s": [], "n_tracks": [], "n_video": [],
+                "n_audio": [], "width": [], "height": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = _parse_mp4(bytes(b))
+                except (ValueError, UnicodeDecodeError, IndexError):
+                    out["media_id"].append(mid)
+                    out["format"].append("error")
+                    for k in ("brand", "duration_s", "n_tracks",
+                              "n_video", "n_audio", "width", "height"):
+                        out[k].append(None)
+                    continue
+                out["media_id"].append(mid)
+                out["format"].append("mp4")
+                out["brand"].append(m["brand"])
+                out["duration_s"].append(
+                    r6(m["duration"] / m["timescale"])
+                )
+                out["n_tracks"].append(m["n_tracks"])
+                out["n_video"].append(m["n_video"])
+                out["n_audio"].append(m["n_audio"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=MP4_META_SCHEMA)
+
+
+def parse_mp3_meta(media: DataFrame) -> DataFrame:
+    """REAL MP3 stream metadata over ``mapInPandas`` — a frame-header
+    walk (no codec): MPEG version/layer validation, bitrate (NULL when
+    VBR), sample rate, exact frame count, and duration
+    ``n_frames · 1152 / sample_rate``. Skips a leading ID3v2 tag and a
+    trailing ID3v1 block. Poison payloads become format="error" rows.
+    duration_s rounds half-up at 6dp for the closed-form oracle
+    (q237)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "version": [],
+                "layer": [], "bitrate_kbps": [], "sample_rate": [],
+                "n_frames": [], "duration_s": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = _parse_mp3(bytes(b))
+                except (ValueError, IndexError):
+                    out["media_id"].append(mid)
+                    out["format"].append("error")
+                    for k in ("version", "layer", "bitrate_kbps",
+                              "sample_rate", "n_frames", "duration_s"):
+                        out[k].append(None)
+                    continue
+                out["media_id"].append(mid)
+                out["format"].append("mp3")
+                out["version"].append("MPEG1")
+                out["layer"].append(3)
+                out["bitrate_kbps"].append(m["bitrate_kbps"])
+                out["sample_rate"].append(m["sample_rate"])
+                out["n_frames"].append(m["n_frames"])
+                out["duration_s"].append(r6(m["duration"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=MP3_META_SCHEMA)
+
+
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + fourcc + payload
+
+
+def synthesize_mp4_media(
+    ids: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Deterministic minimal-but-well-formed MP4 per id, every field a
+    closed-form function of the id so the q236 oracle needs no bytes:
+
+        duration_ms = 1000 + 37·(id mod 1000)   (mvhd timescale 1000)
+        n_tracks    = 1 + id mod 3
+        id mod 4 == 1 → all tracks audio (width/height NULL)
+        else          → track 1 video at (320 + 16·(id mod 8)) ×
+                        (240 + 16·(id mod 5)), rest audio
+
+    The container exercises the walk the parser claims to do: ftyp,
+    a free box and a trailing mdat to skip, moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr))·n)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tkhd(track_id: int, w: int, h: int) -> bytes:
+            body = (
+                b"\x00\x00\x00\x07"  # v0 + enabled/in-movie flags
+                + (0).to_bytes(4, "big") * 2
+                + track_id.to_bytes(4, "big")
+                + (0).to_bytes(4, "big")
+                + (0).to_bytes(4, "big")  # track duration (unused)
+                + bytes(8)
+                + bytes(2) * 2  # layer, alternate group
+                + bytes(2)  # volume
+                + bytes(2)
+                + (
+                    (0x00010000).to_bytes(4, "big") + bytes(12)
+                    + (0x00010000).to_bytes(4, "big") + bytes(12)
+                    + (0x40000000).to_bytes(4, "big")
+                )  # unity matrix (9 × 4 bytes)
+                + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big")
+            )
+            return _mp4_box(b"tkhd", body)
+
+        def mdia(handler: bytes, timescale: int) -> bytes:
+            mdhd = _mp4_box(
+                b"mdhd",
+                b"\x00\x00\x00\x00"
+                + (0).to_bytes(4, "big") * 2
+                + timescale.to_bytes(4, "big")
+                + (0).to_bytes(4, "big")
+                + (0x55C4).to_bytes(2, "big")  # language 'und'
+                + bytes(2),
+            )
+            hdlr = _mp4_box(
+                b"hdlr",
+                b"\x00\x00\x00\x00" + bytes(4) + handler + bytes(12)
+                + b"\x00",
+            )
+            return _mp4_box(b"mdia", mdhd + hdlr)
+
+        ftyp = _mp4_box(
+            b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom" + b"iso2"
+        )
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                dur_ms = 1000 + 37 * (mid % 1000)
+                n_tracks = 1 + mid % 3
+                mvhd = _mp4_box(
+                    b"mvhd",
+                    b"\x00\x00\x00\x00"
+                    + (0).to_bytes(4, "big") * 2
+                    + (1000).to_bytes(4, "big")
+                    + dur_ms.to_bytes(4, "big")
+                    + (0x00010000).to_bytes(4, "big")
+                    + (0x0100).to_bytes(2, "big")
+                    + bytes(10)
+                    + (
+                        (0x00010000).to_bytes(4, "big") + bytes(12)
+                        + (0x00010000).to_bytes(4, "big") + bytes(12)
+                        + (0x40000000).to_bytes(4, "big")
+                    )  # unity matrix (9 × 4 bytes)
+                    + bytes(24)
+                    + (n_tracks + 1).to_bytes(4, "big"),
+                )
+                traks = b""
+                for t in range(n_tracks):
+                    video = t == 0 and mid % 4 != 1
+                    if video:
+                        w = 320 + 16 * (mid % 8)
+                        h = 240 + 16 * (mid % 5)
+                        traks += _mp4_box(
+                            b"trak", tkhd(t + 1, w, h)
+                            + mdia(b"vide", 1000),
+                        )
+                    else:
+                        traks += _mp4_box(
+                            b"trak", tkhd(t + 1, 0, 0)
+                            + mdia(b"soun", 48000),
+                        )
+                payloads.append(
+                    ftyp
+                    + _mp4_box(b"free", bytes(8))
+                    + _mp4_box(b"moov", mvhd + traks)
+                    + _mp4_box(b"mdat", bytes(16))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(
+        F.col(id_col).cast("long").alias(id_col)
+    ).mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
+
+
+def synthesize_mp3_media(
+    ids: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Deterministic well-formed CBR MPEG-1 Layer III stream per id,
+    every field a closed-form function of the id (q237's oracle):
+
+        bitrate_kbps = BITRATES[1 + id mod 14]
+        sample_rate  = (44100, 48000, 32000)[id mod 3]
+        n_frames     = 20 + id mod 30
+
+    id mod 4 == 0 prepends a 210-byte ID3v2 tag (exercising the
+    syncsafe skip), id mod 5 == 0 appends a 128-byte ID3v1 'TAG'
+    block, and id mod 7 == 0 sets the padding bit on every frame
+    (one extra byte per frame the walker must account for)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                bidx = 1 + mid % 14
+                sidx = mid % 3
+                kbps = _MP3_BITRATES[bidx]
+                sr = _MP3_RATES[sidx]
+                n_frames = 20 + mid % 30
+                pad = 1 if mid % 7 == 0 else 0
+                h = (
+                    (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                    | (bidx << 12) | (sidx << 10) | (pad << 9)
+                )
+                flen = 144000 * kbps // sr + pad
+                frame = h.to_bytes(4, "big") + bytes(flen - 4)
+                buf = b""
+                if mid % 4 == 0:
+                    buf += (
+                        b"ID3\x04\x00\x00"
+                        + bytes([0, 0, 200 >> 7, 200 & 0x7F])
+                        + bytes(200)
+                    )
+                buf += frame * n_frames
+                if mid % 5 == 0:
+                    buf += b"TAG" + bytes(125)
+                payloads.append(buf)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(
+        F.col(id_col).cast("long").alias(id_col)
+    ).mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
 
 
 def frame_sample_plan(

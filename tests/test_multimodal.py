@@ -458,3 +458,110 @@ def test_resize_image_box_average_and_error_paths(spark):
     assert len(nondiv) == 3
     assert all(r["format"] == "dims" for r in nondiv)
     assert all(r["y"] is None and r["r"] is None for r in nondiv)
+
+
+def test_mp4_box_walk_meta_and_poison(spark):
+    """The MP4 walk reports the synthesized closed-form fields, and
+    every malformed-container shape becomes a format='error' row, never
+    a task failure: garbage bytes, a truncated box size pointing past
+    EOF, a container with no moov, and an mvhd with timescale 0."""
+    from pagerank_spark.operators.multimodal import (
+        _mp4_box,
+        parse_mp4_meta,
+        synthesize_mp4_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(0,), (1,), (2,), (9,)], "media_id LONG"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in parse_mp4_meta(synthesize_mp4_media(ids)).collect()
+    }
+    assert rows[0]["format"] == "mp4" and rows[0]["brand"] == "isom"
+    assert rows[0]["duration_s"] == 1.0
+    assert (rows[0]["n_tracks"], rows[0]["n_video"], rows[0]["n_audio"]) \
+        == (1, 1, 0)
+    assert (rows[0]["width"], rows[0]["height"]) == (320, 240)
+    # id%4==1: audio-only file -> no video size
+    assert rows[1]["n_video"] == 0 and rows[1]["width"] is None
+    assert rows[2]["n_tracks"] == 3 and rows[2]["n_audio"] == 2
+    assert rows[9]["n_video"] == 0 and rows[9]["n_audio"] == 1
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    poison = [
+        (100, b"definitely not an mp4"),
+        # box size 9000 runs past EOF
+        (101, ftyp + (9000).to_bytes(4, "big") + b"moov" + bytes(16)),
+        (102, ftyp + _mp4_box(b"mdat", bytes(8))),  # no moov
+        (103, ftyp + _mp4_box(
+            b"moov", _mp4_box(b"mvhd", bytes(100)),  # timescale 0
+        )),
+    ]
+    err = parse_mp4_meta(
+        spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in poison],
+            "media_id LONG, payload BINARY",
+        )
+    ).collect()
+    assert len(err) == 4
+    assert all(r["format"] == "error" for r in err)
+    assert all(r["brand"] is None and r["duration_s"] is None for r in err)
+
+
+def test_mp3_frame_walk_meta_and_poison(spark):
+    """The MP3 walk hops frames by the Layer III length formula —
+    tag-skip and padding variants parse; a VBR stream reports a NULL
+    bitrate but true frame count; and every desync shape becomes a
+    format='error' row: garbage, truncated final frame, and a
+    mid-stream sample-rate change."""
+    from pagerank_spark.operators.multimodal import (
+        parse_mp3_meta,
+        synthesize_mp3_media,
+    )
+
+    # ids 0 (ID3v2 + ID3v1 + padding bits), 3 (bare), 28 (ID3v2 + pad)
+    ids = spark.createDataFrame([(0,), (3,), (28,)], "media_id LONG")
+    rows = {
+        r["media_id"]: r
+        for r in parse_mp3_meta(synthesize_mp3_media(ids)).collect()
+    }
+    assert rows[0]["format"] == "mp3"
+    assert rows[0]["bitrate_kbps"] == 32 and rows[0]["sample_rate"] == 44100
+    assert rows[0]["n_frames"] == 20
+    assert rows[3]["bitrate_kbps"] == 56 and rows[3]["n_frames"] == 23
+    assert rows[28]["sample_rate"] == 48000 and rows[28]["n_frames"] == 48
+
+    def frame(bidx, sidx, pad=0):
+        h = (
+            (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+            | (bidx << 12) | (sidx << 10) | (pad << 9)
+        )
+        table = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+        rates = (44100, 48000, 32000)
+        flen = 144000 * table[bidx] // rates[sidx] + pad
+        return h.to_bytes(4, "big") + bytes(flen - 4)
+
+    vbr = frame(1, 1) + frame(5, 1) + frame(9, 1)
+    cases = [
+        (200, vbr),                               # VBR: ok, NULL bitrate
+        (201, b"\x00\x01garbage"),                # no sync
+        (202, frame(1, 1)[:-10]),                 # truncated frame body
+        (203, frame(1, 0) + frame(1, 2)),         # sample rate changes
+    ]
+    out = {
+        r["media_id"]: r
+        for r in parse_mp3_meta(
+            spark.createDataFrame(
+                [(i, bytearray(b)) for i, b in cases],
+                "media_id LONG, payload BINARY",
+            )
+        ).collect()
+    }
+    assert out[200]["format"] == "mp3"
+    assert out[200]["bitrate_kbps"] is None  # VBR -> no single bitrate
+    assert out[200]["n_frames"] == 3 and out[200]["sample_rate"] == 48000
+    for i in (201, 202, 203):
+        assert out[i]["format"] == "error", i
+        assert out[i]["n_frames"] is None and out[i]["duration_s"] is None
