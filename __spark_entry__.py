@@ -4993,6 +4993,26 @@ def q237_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_mp3_meta(synthesize_mp3_media(ids))
 
 
+def q238_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native merging session windows (streaming/__init__.py
+    sessionize_stream_agg): ``F.session_window`` with a 30-minute gap
+    over the events table — the data-dependent-boundary window the
+    STREAMING engine runs (q35 declares the lag+running-sum batch
+    plan; this declares the SessionWindow physical operator itself, so
+    the driver hashes the exact aggregation
+    ``run_session_stream_to_memory`` incrementalizes, and the
+    stream≡batch pytest closes the loop). Spark merges an event at
+    exactly gap distance (window end is inclusive), which is
+    precisely the lag plan's ``diff > gap`` boundary — the oracle
+    reuses that algebra, aggregated to (user, session_start)."""
+    from pagerank_spark.streaming import sessionize_stream_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_stream_agg(ev, gap="30 minutes")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5238,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_image_resize": q235_image_resize,
         "q236_mp4_container_meta": q236_mp4_container_meta,
         "q237_mp3_frame_walk": q237_mp3_frame_walk,
+        "q238_session_window_native": q238_session_window_native,
     }
 
 
@@ -11780,5 +11801,41 @@ SELECT media_id,
        CAST(n AS INTEGER) AS n_frames,
        FLOOR((n * 1152.0 / sr) * 1000000 + 0.5) / 1000000 AS duration_s
 FROM m
+""",
+)
+
+
+# q238 twin: q35's gap-session algebra (boundary at diff > 1800 —
+# exactly the native operator's inclusive-window-end merge rule,
+# verified by the exactly-gap-distance pytest) aggregated to the
+# session_window output shape (user, session_start, n_events,
+# sum_value).
+_oracle(
+    "q238_session_window_native",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events
+),
+marked AS (
+  SELECT user_id, ep, value,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep)
+                   > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM e
+),
+numbered AS (
+  SELECT user_id, ep, value,
+         SUM(boundary) OVER (
+           PARTITION BY user_id ORDER BY ep
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       MIN(ep) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx
 """,
 )

@@ -235,6 +235,50 @@ def run_stream_to_memory(
     )
 
 
+def run_session_stream_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    watermark: str = "2 hours",
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Watermarked SESSION-window agg → in-memory sink — the merging-
+    window streaming shape (``F.session_window``): state is one open
+    window per (user, session), EXTENDED while events keep arriving
+    within ``gap`` of the window end and evicted once the watermark
+    passes the window end. This is the second-gen streaming surface
+    tumbling/sliding can't express — the window boundary is data-
+    dependent, not clock-aligned.
+
+    Output mode is **append** — the only mode Spark supports for
+    streaming session aggregations (update would have to re-emit a
+    window whose KEY can still change, since merging moves the window
+    start; Spark rejects it with STREAMING_OUTPUT_MODE). Append's
+    contract is actually the cleaner one here: a session row is
+    emitted exactly ONCE, when the watermark passes its window end and
+    no event can extend or merge it any more — so the sink holds only
+    FINAL sessions, and sessions still open when the stream idles
+    (newer than max event time − watermark) are deliberately absent.
+    State is evicted at emission, so the store holds only open
+    sessions.
+
+    Returns the StreamingQuery; caller awaits/stops it.
+    """
+    agg = sessionize_stream_agg(
+        stream.withWatermark(ts_col, watermark),
+        gap=gap,
+        ts_col=ts_col,
+        user_col=user_col,
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -585,3 +585,81 @@ def test_ahash_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ahash_stream").collect()
     }
     assert got == expected
+
+
+def test_session_window_merges_at_exactly_gap_distance(spark):
+    """Pin the native operator's boundary rule the q238 oracle depends
+    on: an event at exactly gap distance from the previous one MERGES
+    (the session window's end is inclusive), matching the lag plan's
+    strict diff > gap boundary."""
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1800), (1, 3601)], "user_id INT, ep LONG"
+    ).select("user_id", F.timestamp_seconds("ep").alias("ts"))
+    out = (
+        df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .count()
+        .collect()
+    )
+    # 0 and 1800 merge; 3601 is 1801s past 1800 -> its own session
+    assert sorted(r["count"] for r in out) == [1, 2]
+
+
+def test_session_stream_matches_batch_twin(spark, event_dir):
+    """The watermarked streaming session_window aggregation (append
+    mode — the only mode Spark permits for merging windows) emits
+    exactly the batch sessionize_stream_agg sessions (which q238
+    hashes against the lag-algebra oracle), minus only the tail
+    sessions the final watermark never finalized — the merging-window
+    analogue of test_stream_matches_batch_twin. Every emitted row is
+    final, so values must match the batch twin EXACTLY, and every
+    batch session ending comfortably before the watermark cutoff must
+    have been emitted."""
+    from pagerank_spark.streaming import (
+        run_session_stream_to_memory,
+        sessionize,
+    )
+
+    batch = spark.read.parquet(event_dir)
+    expected = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"], r["sum_value"], r["session_end"],
+        )
+        for r in sessionize(batch, gap="30 minutes").collect()
+    }
+    max_ep = batch.selectExpr(
+        "max(unix_timestamp(ts))"
+    ).collect()[0][0]
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = run_session_stream_to_memory(
+        stream, "stream_session_test", watermark="1 hour"
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, session_start, n_events, sum_value "
+            "FROM stream_session_test"
+        ).collect()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in rows
+    }
+    # append emits each session at most once
+    assert len(got) == len(rows)
+    # every emitted session is final and equals its batch twin
+    for key, (n, s) in got.items():
+        assert key in expected, key
+        assert expected[key][:2] == (n, s), key
+    # completeness: any batch session whose window end (last event +
+    # gap) lies well before the final watermark (max ts - 1h, with an
+    # extra hour of slack against boundary semantics) must be emitted
+    cutoff = max_ep - 2 * 3600 - 1800
+    must_emit = {
+        k for k, (_, _, end) in expected.items() if end + 1800 < cutoff
+    }
+    assert must_emit <= set(got), sorted(must_emit - set(got))[:5]
+    assert len(got) > 100
