@@ -5013,6 +5013,62 @@ def q238_session_window_native(
     return sessionize_stream_agg(ev, gap="30 minutes")
 
 
+def q239_merge_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE with schema evolution across the versioned-table boundary
+    (table.py upsert_table(evolve_schema=True) — the Delta mergeSchema
+    analogue): v0 commits orders (%4==0) WITHOUT o_orderpriority, the
+    delta (updates %8==0 at doubled totalprice, inserts %4==1) CARRIES
+    it, and the committed v1 snapshot must hold the widened schema with
+    NULL priority on every untouched base row. The same query
+    time-travels BACK to v0 and reports its row count and column count
+    (3 — the pre-evolution schema must read back unwidened, which the
+    version-boundary pytest also pins). The DuckDB twin rebuilds v1 as
+    NOT-EXISTS kept rows (NULL priority) UNION ALL the delta, so the
+    hash covers the write→evolve→commit→read lifecycle, not just the
+    final algebra."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pagerank_spark import table as tbl
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("tp"),
+        "o_orderpriority",
+    )
+    base = o.where(F.col("o_orderkey") % 4 == 0).drop("o_orderpriority")
+    delta = (
+        o.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("tp", F.round(F.col("tp") * 2, 2))
+        .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "psq239_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v0 = tbl.write_table(base, root)
+    v1 = tbl.upsert_table(
+        spark, delta, root, keys=["o_orderkey"], evolve_schema=True
+    )
+    evolved = tbl.read_table(spark, root)
+    pre = tbl.read_table(spark, root, version=v0)  # time travel
+    n_v0 = pre.count()
+    return evolved.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "tp",
+        "o_orderpriority",
+        F.lit(n_v0).cast("long").alias("v0_rows"),
+        F.lit(len(pre.columns)).cast("long").alias("v0_cols"),
+        F.lit(v1).cast("long").alias("version"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5259,6 +5315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_mp4_container_meta": q236_mp4_container_meta,
         "q237_mp3_frame_walk": q237_mp3_frame_walk,
         "q238_session_window_native": q238_session_window_native,
+        "q239_merge_schema_evolution": q239_merge_schema_evolution,
     }
 
 
@@ -11837,5 +11894,42 @@ SELECT user_id,
        ROUND(SUM(value), 2) AS sum_value
 FROM numbered
 GROUP BY user_id, session_idx
+""",
+)
+
+
+# q239 twin: the evolved v1 snapshot as NOT-EXISTS kept base rows
+# (priority NULL — the schema-evolution widening) UNION ALL the delta;
+# v0_rows/v0_cols pin the time-traveled pre-evolution read (3 columns).
+_oracle(
+    "q239_merge_schema_evolution",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS tp
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+delta AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(ROUND(o_totalprice, 2) * 2, 2)
+           AS tp, o_orderpriority
+  FROM orders WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS tp,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 4 = 1
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.tp,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM delta d
+                    WHERE d.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT * FROM delta
+)
+SELECT o_orderkey, o_orderstatus, tp, o_orderpriority,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS v0_rows,
+       CAST(3 AS BIGINT) AS v0_cols,
+       CAST(1 AS BIGINT) AS version
+FROM merged
 """,
 )

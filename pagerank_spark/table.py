@@ -135,23 +135,26 @@ def upsert_table(
     ``evolve_schema``: accept updates that ADD columns (the Delta
     ``mergeSchema`` analogue) — existing rows take NULL for the new
     columns, and the committed snapshot carries the widened schema.
-    Updates missing existing columns are widened the same way. Off by
-    default: silent schema drift is usually an upstream bug, and the
-    default mirrors a strict MERGE.
+    Off by default: silent schema drift is usually an upstream bug,
+    and the default mirrors a strict MERGE, which DROPS unknown update
+    columns. In BOTH modes an update may omit existing table columns —
+    standard MERGE-INSERT semantics NULL-fill unspecified columns (a
+    post-evolution strict upsert must not require every writer to know
+    about every evolved column; pinned by the version-boundary
+    pytest).
     """
     if _read_pointer(root) is None:
         return write_table(updates, root)
     current = read_table(spark, root)
     if not evolve_schema:
-        updates = updates.select(*current.columns)
+        updates = updates.select(
+            *[c for c in updates.columns if c in current.columns]
+        )
     cond = [current[k].eqNullSafe(updates[k]) for k in keys]
     kept = current.join(updates, cond, "left_anti").select(
         *current.columns
     )
-    if evolve_schema:
-        merged = kept.unionByName(updates, allowMissingColumns=True)
-    else:
-        merged = kept.unionByName(updates)
+    merged = kept.unionByName(updates, allowMissingColumns=True)
     return write_table(merged, root)
 
 

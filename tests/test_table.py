@@ -237,6 +237,56 @@ def test_upsert_schema_evolution(spark, tmp_path):
     assert snap[3]["score"] == 0.5
 
 
+def test_time_travel_across_schema_evolution_boundary(spark, tmp_path):
+    """Evolution must not rewrite history: after an evolving MERGE,
+    the pre-evolution snapshot reads back with its ORIGINAL (narrow)
+    schema and values, the evolved snapshot carries the widened schema
+    with NULL-filled old rows, and a post-evolution strict MERGE keeps
+    the widened schema. Version reads on both sides of the boundary
+    stay available simultaneously."""
+    from pagerank_spark import table as T
+
+    root = str(tmp_path / "evo_tt")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    v0 = T.write_table(base, root)
+    delta = spark.createDataFrame(
+        [(2, "B", 0.9), (4, "d", 0.5)], "id long, v string, score double"
+    )
+    v1 = T.upsert_table(spark, delta, root, keys=["id"],
+                        evolve_schema=True)
+
+    # pre-evolution read: narrow schema, original rows, no leakage
+    pre = T.read_table(spark, root, version=v0)
+    assert pre.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in pre.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+    # evolved read: widened schema; untouched rows NULL-filled
+    cur = {r["id"]: r for r in T.read_table(spark, root).collect()}
+    assert set(T.read_table(spark, root).columns) == {"id", "v", "score"}
+    assert cur[1]["score"] is None and cur[3]["score"] is None
+    assert cur[2]["score"] == 0.9 and cur[4]["score"] == 0.5
+
+    # strict MERGE after the boundary keeps the evolved schema and
+    # NULLs the new column for rows its delta doesn't carry
+    v2 = T.upsert_table(
+        spark,
+        spark.createDataFrame([(5, "e")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    after = {r["id"]: r for r in T.read_table(spark, root).collect()}
+    assert after[5]["score"] is None and after[2]["score"] == 0.9
+
+    # all three versions remain independently readable
+    assert [v0, v1, v2] == [0, 1, 2]
+    assert T.read_table(spark, root, version=v1).count() == 4
+    assert T.read_table(spark, root, version=v0).columns == ["id", "v"]
+
+
 def test_zorder_key_bit_budget_and_null_guard(spark):
     from pagerank_spark.table import _zorder_key
 
