@@ -4,6 +4,7 @@ from pagerank_spark.graph.components import (
     shortest_paths,
     triangle_count,
 )
+from pagerank_spark.graph.loop import VertexLoop
 from pagerank_spark.graph.pagerank import (
     PageRankResult,
     compare_teleports,
@@ -15,6 +16,7 @@ from pagerank_spark.graph.pagerank import (
 
 __all__ = [
     "PageRankResult",
+    "VertexLoop",
     "aggregate_messages",
     "connected_components",
     "shortest_paths",

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pagerank_spark.graph.loop import VertexLoop
 from pagerank_spark.graph.pagerank import materialize_or_release, vertices
 
 # Below this many edges a loop's per-iteration stages are sub-second:
@@ -370,6 +371,7 @@ def _cc_rounds(
     )
     cached.append(state)
 
+    loop = VertexLoop(cached, checkpoint_every=checkpoint_every)
     iteration = 0
     while iteration < max_iterations:
         iteration += 1
@@ -405,34 +407,24 @@ def _cc_rounds(
                 ).alias("comp"),
             )
         )
-        on_ckpt = iteration % checkpoint_every == 0
-        if on_ckpt:
-            # Lazy lineage truncation: materializes inside the same
-            # convergence-check job below — one job per iteration even
-            # at cadence 1 (see pagerank.py, same discipline).
-            new_state = new_state.localCheckpoint(eager=False)
-        else:
-            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            # tracked BEFORE the materializing agg — appending after
-            # it leaves a window where a failed job strands the fresh
-            # persist outside the caller's finally
-            cached.append(new_state)
+        # Lifecycle via the shared engine primitive (graph/loop.py
+        # VertexLoop): lazy checkpoint on cadence materializing inside
+        # the one convergence-check aggregation, persist generations
+        # tracked before it, earlier generations swept after it.
         # sum() over an empty relation is NULL — treat as converged.
-        changed = (
-            new_state.agg(
-                F.sum(
-                    F.when(F.col("comp") != F.col("old_comp"), 1).otherwise(0)
-                ).alias("n")
-            ).collect()[0]["n"]
-            or 0
+        new_state, row = loop.advance(
+            new_state,
+            metrics={
+                "n": F.sum(
+                    F.when(
+                        F.col("comp") != F.col("old_comp"), 1
+                    ).otherwise(0)
+                )
+            },
         )
+        changed = row["n"] or 0
 
-        next_state = new_state.select("node", "comp")
-        if on_ckpt:
-            for df in cached:
-                df.unpersist()
-            cached.clear()  # in place — the caller's finally shares it
-        state = next_state
+        state = new_state.select("node", "comp")
         if changed == 0:
             break
     else:
@@ -534,15 +526,20 @@ def _sp_rounds(
     cached: list,
     pending: list,
 ) -> DataFrame:
-    frontier = (
+    # The frontier variant of the shared loop (graph/loop.py
+    # VertexLoop): ``track`` pins each generation BEFORE its
+    # materializing count, and a lazily checkpointed ``reached``
+    # materializes only in the NEXT round's anti-join — so on
+    # checkpoint rounds the superseded generations move to the
+    # DEFERRED list (defer_all_but) and are released one round late
+    # (flush_deferred), never under a still-lazy checkpoint.
+    loop = VertexLoop(
+        cached, checkpoint_every=checkpoint_every, deferred=pending
+    )
+    frontier = loop.track(
         sources.select("node").distinct().withColumn("dist", F.lit(0))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     reached = frontier
-    cached.append(frontier)
-    # Caches that must outlive the CURRENT round: a lazily checkpointed
-    # ``reached`` materializes only in the NEXT round's anti-join count
-    # (or the final count), so its upstream caches are unpersisted one
-    # generation late (held in ``pending``).
 
     iteration = 0
     while iteration < max_iterations:
@@ -554,40 +551,26 @@ def _sp_rounds(
             agg=F.min("__msg"),
             broadcast_state=broadcast_state,
         )
-        new_frontier = (
-            msgs.join(_bc(reached, broadcast_state), on="node", how="left_anti")
-            .select("node", F.col("msg_agg").alias("dist"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_frontier = loop.track(
+            msgs.join(
+                _bc(reached, broadcast_state), on="node", how="left_anti"
+            ).select("node", F.col("msg_agg").alias("dist"))
         )
-        # tracked BEFORE the materializing count — appending after it
-        # leaves a window where a failed job strands the fresh persist
-        # outside the caller's finally
-        cached.append(new_frontier)
         n_new = new_frontier.count()
         # The count's anti join scanned ``reached`` fully — any lazy
         # checkpoint from last round is now materialized; its upstream
         # caches are safe to drop (in place — the caller's finally
         # shares both lists).
-        for df in pending:
-            df.unpersist()
-        pending.clear()
+        loop.flush_deferred()
         if n_new == 0:
             new_frontier.unpersist()
             break
         merged = reached.unionByName(new_frontier)
         if iteration % checkpoint_every == 0:
-            # Lazy lineage truncation (see pagerank.py): the checkpoint
-            # materializes inside next round's anti-join count — no
-            # dedicated checkpoint job. The previous generations move
-            # to ``pending`` (released one round late); the current
-            # frontier stays tracked.
-            reached = merged.localCheckpoint(eager=False)
-            pending.extend(df for df in cached if df is not new_frontier)
-            cached.clear()
-            cached.append(new_frontier)
+            reached = loop.truncate(merged)
+            loop.defer_all_but(new_frontier)
         else:
-            reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(reached)
+            reached = loop.track(merged)
         frontier = new_frontier
 
     return materialize_or_release(
@@ -670,14 +653,19 @@ def _multi_sp_rounds(
     cached: list,
     pending: list,
 ) -> DataFrame:
-    frontier = (
+    # (seed, node)-keyed frontier variant of the shared loop — same
+    # track / defer-one-round-late lifecycle as _sp_rounds
+    # (graph/loop.py VertexLoop).
+    loop = VertexLoop(
+        cached, checkpoint_every=checkpoint_every, deferred=pending
+    )
+    frontier = loop.track(
         seeds.select(F.col("node").alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"))
         .withColumn("dist", F.lit(0))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     reached = frontier
-    cached.append(frontier)
 
     iteration = 0
     while iteration < max_iterations:
@@ -700,31 +688,24 @@ def _multi_sp_rounds(
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
         )
-        new_frontier = (
+        new_frontier = loop.track(
             msgs.join(
                 _bc(reached.select("seed", "node"), broadcast_state),
                 on=["seed", "node"],
                 how="left_anti",
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cached.append(new_frontier)  # before the materializing count
         n_new = new_frontier.count()
-        for df in pending:
-            df.unpersist()
-        pending.clear()
+        loop.flush_deferred()
         if n_new == 0:
             new_frontier.unpersist()
             break
         merged = reached.unionByName(new_frontier)
         if iteration % checkpoint_every == 0:
-            reached = merged.localCheckpoint(eager=False)
-            pending.extend(df for df in cached if df is not new_frontier)
-            cached.clear()
-            cached.append(new_frontier)
+            reached = loop.truncate(merged)
+            loop.defer_all_but(new_frontier)
         else:
-            reached = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(reached)
+            reached = loop.track(merged)
         frontier = new_frontier
 
     return materialize_or_release(
@@ -826,6 +807,11 @@ def _label_prop_rounds(
     broadcast_state: bool,
 ) -> DataFrame:
     labels = vertices(edges).withColumn("label", F.col("node"))
+    # Fixed-round variant of the shared loop: no per-round scalar, so
+    # lineage truncation is EAGER on its cadence (graph/loop.py;
+    # sweeping under a lazy checkpoint would recompute through
+    # released caches — the invariant the primitive encodes).
+    loop = VertexLoop([])
     for i in range(1, n_iterations + 1):
         counts = (
             adj.join(
@@ -859,13 +845,13 @@ def _label_prop_rounds(
             )
         )
         if i % 3 == 0:
-            labels = labels.localCheckpoint(eager=True)
+            labels = loop.truncate(labels, eager=True)
     # Materialize the final labels while still inside the caller's
     # tuning context — otherwise (e.g. the default n_iterations=2,
     # which never hits the i%3 checkpoint) the whole loop would plan
     # lazily and execute only after the confs were restored.
     if n_iterations % 3 != 0:
-        labels = labels.localCheckpoint(eager=True)
+        labels = loop.truncate(labels, eager=True)
     return labels
 
 
@@ -977,14 +963,17 @@ def _weighted_sp_rounds(
     cached: list,
     pending: list,
 ) -> DataFrame:
-    dist = (
+    # See _sp_rounds: the frontier variant of the shared loop
+    # (graph/loop.py VertexLoop) — a lazily checkpointed ``dist``
+    # materializes in the NEXT round's improved-count join, so
+    # superseded generations are deferred one round.
+    loop = VertexLoop(
+        cached, checkpoint_every=checkpoint_every, deferred=pending
+    )
+    dist = loop.track(
         sources.select("node").distinct().withColumn("dist", F.lit(0.0))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     frontier = dist
-    cached.append(dist)
-    # See _shortest_paths_impl: lazily checkpointed ``dist`` materializes
-    # in the NEXT round's improved-count join, so upstream caches are
-    # unpersisted one generation late (held in ``pending``).
 
     iteration = 0
     while iteration < max_iterations:
@@ -1004,20 +993,16 @@ def _weighted_sp_rounds(
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
-        improved = (
+        improved = loop.track(
             msgs.join(_bc(dist, broadcast_state), on="node", how="left")
             .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cached.append(improved)  # before the materializing count
         n_improved = improved.count()
         # The count's left join scanned ``dist`` fully — last round's
-        # lazy checkpoint is materialized; drop its upstream caches
-        # (in place — the caller's finally shares both lists).
-        for df in pending:
-            df.unpersist()
-        pending.clear()
+        # lazy checkpoint is materialized; drop its deferred upstream
+        # caches (in place — the caller's finally shares both lists).
+        loop.flush_deferred()
         if n_improved == 0:
             improved.unpersist()
             break
@@ -1033,15 +1018,10 @@ def _weighted_sp_rounds(
             )
         )
         if iteration % checkpoint_every == 0:
-            # Lazy lineage truncation (see pagerank.py): materializes in
-            # next round's improved-count join — no dedicated job.
-            dist = merged.localCheckpoint(eager=False)
-            pending.extend(df for df in cached if df is not improved)
-            cached.clear()
-            cached.append(improved)
+            dist = loop.truncate(merged)
+            loop.defer_all_but(improved)
         else:
-            dist = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(dist)
+            dist = loop.track(merged)
         frontier = improved
 
     return materialize_or_release(
@@ -1281,6 +1261,10 @@ def _min_label_rounds(
         StorageLevel.MEMORY_AND_DISK
     )
     cached.append(state)
+    # Same shared-lifecycle shape as _cc_rounds (graph/loop.py
+    # VertexLoop): lazy checkpoint on cadence inside the one
+    # convergence aggregation, tracked persists swept after it.
+    loop = VertexLoop(cached, checkpoint_every=checkpoint_every)
     iteration = 0
     while iteration < max_iterations:
         iteration += 1
@@ -1299,27 +1283,16 @@ def _min_label_rounds(
                 ).alias("lab"),
             )
         )
-        on_ckpt = iteration % checkpoint_every == 0
-        if on_ckpt:
-            # Lazy lineage truncation — materializes inside the same
-            # convergence-check job below (see pagerank.py).
-            new_state = new_state.localCheckpoint(eager=False)
-        else:
-            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(new_state)  # before the materializing agg
-        changed = (
-            new_state.agg(
-                F.sum(F.when(F.col("lab") != F.col("old"), 1).otherwise(0))
-                .alias("n")
-            ).collect()[0]["n"]
-            or 0
+        new_state, row = loop.advance(
+            new_state,
+            metrics={
+                "n": F.sum(
+                    F.when(F.col("lab") != F.col("old"), 1).otherwise(0)
+                )
+            },
         )
-        nxt = new_state.select("node", "lab")
-        if on_ckpt:
-            for df in cached:
-                df.unpersist()
-            cached.clear()  # in place — the caller's finally shares it
-        state = nxt
+        changed = row["n"] or 0
+        state = new_state.select("node", "lab")
         if changed == 0:
             break
     else:

@@ -69,6 +69,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pagerank_spark.graph.loop import VertexLoop
+
 # Reduce-side partition floor for the tuned iteration loop (the sizing
 # target is ~2M vertices/partition, capped by the session setting).
 # Floor of 4 keeps a few cores busy on tiny graphs without paying
@@ -512,6 +514,11 @@ def _iterate(
     cached: list[DataFrame],
     reliable_checkpoint: bool,
 ) -> PageRankResult:
+    loop = VertexLoop(
+        cached,
+        checkpoint_every=checkpoint_every,
+        reliable=reliable_checkpoint,
+    )
     iteration = 0
     while iteration < max_iterations:
         iteration += 1
@@ -556,55 +563,28 @@ def _iterate(
                 ).alias("rank"),
             )
         )
-        on_ckpt = iteration % checkpoint_every == 0
-        if on_ckpt:
-            # Truncate lineage so the analyzed plan doesn't grow per
-            # iteration (SURVEY §7.5.1) — LAZILY, so the checkpoint
-            # materializes inside the same aggregation job below: one
-            # job per iteration even at cadence 1, where eager
-            # checkpointing used to cost a second pass. The stored
-            # blocks double as the cache for new_state, so no persist
-            # is needed on checkpoint iterations (they carry old_rank,
-            # one extra double per vertex — dropped at the next step).
-            # checkpoint() (reliable mode) is fault-tolerant across
-            # executor loss; localCheckpoint is faster but dies with
-            # its executor.
-            pre = (
-                pre.checkpoint(eager=False)
-                if reliable_checkpoint
-                else pre.localCheckpoint(eager=False)
-            )
-        else:
-            pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
-            # Track BEFORE the materializing agg below: appending after
-            # it would leave a window where a failed job strands the
-            # just-persisted generation outside the finally's sweep.
-            cached.append(pre)
-
-        # G4: ONE aggregation job per iteration — L1 convergence metric and
-        # next iteration's distributed mass; also materializes the
-        # cache/checkpoint.
-        row = pre.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
-            F.sum(
-                F.when(
-                    F.col("deg").isNotNull(), F.col("rank") * F.col("dfrac")
-                ).otherwise(0.0)
-            ).alias("m"),
-        ).collect()[0]
+        # G4 + lineage control via the shared engine primitive
+        # (graph/loop.py VertexLoop — SURVEY §7.5.1): lazy checkpoint
+        # on the cadence materializing inside the ONE per-round
+        # aggregation (L1 convergence metric + next iteration's
+        # distributed mass), persisted generations tracked before the
+        # agg and swept after each checkpoint.
+        pre, row = loop.advance(
+            pre,
+            metrics={
+                "l1": F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+                "m": F.sum(
+                    F.when(
+                        F.col("deg").isNotNull(),
+                        F.col("rank") * F.col("dfrac"),
+                    ).otherwise(0.0)
+                ),
+            },
+        )
         l1, m = row["l1"], row["m"]
         trajectory.append(l1)
 
-        new_state = pre.select("node", "deg", "dfrac", "rank")
-        if on_ckpt:
-            # The agg materialized the checkpoint, so every earlier
-            # persisted iterate is dead weight — unpersist now or one
-            # MEMORY_AND_DISK vertex table leaks per checkpoint.
-            for df in cached:
-                df.unpersist()
-            cached.clear()  # in place — pagerank()'s finally shares it
-
-        state = new_state
+        state = pre.select("node", "deg", "dfrac", "rank")
         if l1 <= delta:
             break
 
@@ -1075,6 +1055,13 @@ def _hits_iterate(
         F.lit(1.0 / n).alias("hub"),
         F.lit(1.0 / n).alias("auth"),
     )
+    # HITS is the TWO-half-step variant of the shared loop: each round
+    # truncates lineage twice (after the authority and hub steps), and
+    # the per-round scalar is conditional on delta — so it uses the
+    # primitive's cadence-free truncate() rather than advance()
+    # (graph/loop.py; the persist-tracking halves of the discipline
+    # don't apply, HITS never persists mid-loop state).
+    loop = VertexLoop([])
     iteration = 0
     while iteration < max_iterations:
         iteration += 1
@@ -1101,8 +1088,8 @@ def _hits_iterate(
                 "old_auth",
                 F.coalesce(F.col("__ca"), F.lit(0.0)).alias("va"),
             )
-            .localCheckpoint(eager=False)
         )
+        mid = loop.truncate(mid)
         s_a = F.broadcast(mid.agg(F.sum("va").alias("__sa")))
         contrib_h = (
             e_dst.join(
@@ -1124,8 +1111,8 @@ def _hits_iterate(
                 (F.col("va") / _norm("__sa")).alias("auth"),
                 F.coalesce(F.col("__ch"), F.lit(0.0)).alias("vh"),
             )
-            .localCheckpoint(eager=False)
         )
+        nxt = loop.truncate(nxt)
         s_h = F.broadcast(nxt.agg(F.sum("vh").alias("__sh")))
         scored = nxt.crossJoin(s_h).select(
             "node",
@@ -1289,6 +1276,12 @@ def _katz_loop_body(
     # (same discipline as the HITS loop body).
     try:
         state = verts.select("node", F.lit(0.0).alias("katz"))
+        # cadence 1 + a metric every round: the shared primitive's
+        # lazy checkpoint materializes inside the L1 aggregation — the
+        # loop never persists a generation, so the shared ``cached``
+        # list stays empty and the sweep is a no-op (same plan as the
+        # hand-written loop; graph/loop.py VertexLoop).
+        loop = VertexLoop([], checkpoint_every=1)
         iteration = 0
         while iteration < max_iterations:
             iteration += 1
@@ -1314,13 +1307,15 @@ def _katz_loop_body(
                         * F.coalesce(F.col("__v"), F.lit(0.0))
                     ).alias("katz"),
                 )
-                .localCheckpoint(eager=False)
             )
-            l1 = nxt.agg(
-                F.sum(F.abs(F.col("katz") - F.col("__old"))).alias("l1")
-            ).collect()[0]["l1"]
+            nxt, row = loop.advance(
+                nxt,
+                metrics={
+                    "l1": F.sum(F.abs(F.col("katz") - F.col("__old")))
+                },
+            )
             state = nxt.select("node", "katz")
-            if delta > 0 and (l1 or 0.0) <= delta:
+            if delta > 0 and (row["l1"] or 0.0) <= delta:
                 break
         return materialize_or_release(
             state.persist(StorageLevel.MEMORY_AND_DISK)

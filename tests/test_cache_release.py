@@ -236,3 +236,69 @@ def test_materialize_or_release_unpins_on_failed_count(spark):
     assert materialize_or_release(ok) is ok
     assert ok.storageLevel.useMemory
     ok.unpersist()
+
+
+def test_vertex_loop_advance_tracks_and_sweeps(spark):
+    """Direct contract test for the shared loop primitive
+    (graph/loop.py VertexLoop): non-checkpoint rounds persist and
+    track BEFORE the materializing aggregation; checkpoint rounds
+    sweep every earlier tracked generation in place (the caller's
+    finally shares the list) and return the metrics row."""
+    from pagerank_spark.graph.loop import VertexLoop
+
+    cached = []
+    loop = VertexLoop(cached, checkpoint_every=2)
+    df = spark.range(10).select(F.col("id").alias("node"),
+                                F.lit(1.0).alias("x"))
+
+    # round 1: not a checkpoint round -> persisted + tracked
+    s1, row1 = loop.advance(df, metrics={"n": F.count("*")})
+    assert row1["n"] == 10
+    assert len(cached) == 1 and cached[0] is s1
+    assert s1.storageLevel.useMemory  # actually persisted
+
+    # round 2: checkpoint round -> earlier generation swept, list
+    # cleared IN PLACE (same object), metrics still returned
+    held = cached
+    s2, row2 = loop.advance(s1.select("node", "x"),
+                            metrics={"n": F.count("*")})
+    assert row2["n"] == 10
+    assert cached == [] and held is cached
+    assert not s1.storageLevel.useMemory  # swept
+    # the checkpointed state is plan-truncated to a LogicalRDD scan
+    assert "LogicalRDD" in s2._jdf.queryExecution().optimizedPlan().toString()
+
+    # metrics=None on a checkpoint round must checkpoint EAGERLY (the
+    # sweep would otherwise release caches a lazy checkpoint still
+    # needs) and return row=None
+    loop2 = VertexLoop([], checkpoint_every=1)
+    s3, row3 = loop2.advance(df)
+    assert row3 is None
+    assert "LogicalRDD" in s3._jdf.queryExecution().optimizedPlan().toString()
+    assert s3.count() == 10
+
+
+def test_vertex_loop_track_defer_flush(spark):
+    """The frontier-loop half of the primitive: track() persists and
+    appends before any action; defer_all_but() rotates superseded
+    generations to the deferred list keeping only the live frontier;
+    flush_deferred() releases them."""
+    from pagerank_spark.graph.loop import VertexLoop
+
+    cached, pending = [], []
+    loop = VertexLoop(cached, deferred=pending)
+    a = loop.track(spark.range(5).select(F.col("id").alias("node")))
+    b = loop.track(spark.range(3).select(F.col("id").alias("node")))
+    a.count(), b.count()
+    assert cached == [a, b]
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+
+    loop.defer_all_but(b)
+    assert cached == [b] and pending == [a]
+    assert a.storageLevel.useMemory  # deferred, not yet released
+
+    loop.flush_deferred()
+    assert pending == []
+    assert not a.storageLevel.useMemory
+    assert b.storageLevel.useMemory  # the kept frontier survives
+    b.unpersist()
