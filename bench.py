@@ -254,6 +254,15 @@ def main() -> None:
         "q230_groupwise_gini",
         "q232_seasonal_naive_backtest",
         "q233_calibration_report",
+        # round-10 tier (no prior baseline — these SET it): the r9/r10
+        # declarations with a latency story worth tracking (index
+        # lifecycle, media walks, native session windows, evolve-MERGE).
+        "q234_ivf_index_lifecycle",
+        "q235_image_resize",
+        "q236_mp4_container_meta",
+        "q237_mp3_frame_walk",
+        "q238_session_window_native",
+        "q239_merge_schema_evolution",
     ]
 
     timings: dict[str, float] = {}
