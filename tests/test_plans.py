@@ -809,3 +809,29 @@ def test_all_declared_queries_no_cartesian_no_rowpython(spark):
         if marks:
             offenders[name] = marks
     assert not offenders, offenders
+
+
+def test_q236_q237_media_walks_zero_shuffle_arrow_only(spark):
+    # Container-metadata walks are pure per-row Arrow compute: the
+    # plan must carry NO exchange at all (partition-parallel over the
+    # payload column) and exactly the MapInPandas surface — never a
+    # row-at-a-time BatchEvalPython.
+    import re
+
+    for q in ("q236_mp4_container_meta", "q237_mp3_frame_walk"):
+        p = plan(ENTRY.queries()[q](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, q
+        assert "MapInPandas" in p, q
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q238_session_window_single_shuffle_no_python(spark):
+    # The native merging-window aggregation: ONE exchange on the
+    # session key feeding the SessionWindow physical operator, all
+    # JVM-side.
+    import re
+
+    p = plan(ENTRY.queries()["q238_session_window_native"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "session_window" in p or "SessionWindow" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
