@@ -5069,6 +5069,25 @@ def q239_merge_schema_evolution(
     )
 
 
+def q240_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/curation.py training_order, seed=7): every document
+    gets a unique position 0..N-1 in portable-hash pseudo-random
+    order — the reproducible data-loader ordering a training run
+    consumes, re-derivable bit-identically on any engine or
+    partitioning (the per-epoch seed changes the order wholesale).
+    The Spark plan is the pack_sequences two-level prefix sum over
+    hash-space slices — one exchange, per-block local ranks, a
+    blocks-row offset relation broadcast back — NEVER a global
+    row_number window; the DuckDB twin is exactly that single-window
+    form (row_number over hash order), so the hash match proves the
+    distributed rank algebra equals the global sort."""
+    from pagerank_spark.operators.curation import training_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_order(docs, "doc_id", seed=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5316,6 +5335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_mp3_frame_walk": q237_mp3_frame_walk,
         "q238_session_window_native": q238_session_window_native,
         "q239_merge_schema_evolution": q239_merge_schema_evolution,
+        "q240_training_order": q240_training_order,
     }
 
 
@@ -11931,5 +11951,25 @@ SELECT o_orderkey, o_orderstatus, tp, o_orderpriority,
        CAST(3 AS BIGINT) AS v0_cols,
        CAST(1 AS BIGINT) AS version
 FROM merged
+""",
+)
+
+
+# q240 twin: the single-window global form of the shuffle — row_number
+# over (portable hash, id). A hash match proves the distributed
+# two-level prefix-sum rank (hash-slice blocks + broadcast offsets)
+# computes exactly the global sort's positions.
+_oracle(
+    "q240_training_order",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(doc_id || ':7'), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS position
+FROM d
 """,
 )

@@ -426,6 +426,68 @@ def pack_sequences(
     )
 
 
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    blocks: int | None = None,
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row receives
+    a unique position 0..N-1 in pseudo-random order — the reproducible
+    corpus ordering an LLM data loader consumes (re-run, re-partition,
+    or re-engine the job and the order is identical; change ``seed``
+    for the next epoch's order). Rows are ranked by
+    ``portable_hash60(id || ':' || seed)`` with the id breaking hash
+    ties. Returns ``(id_col, out_col)``.
+
+    Scale shape: NO single-partition global window (the classic
+    row_number trap at 100 TB). ``pack_sequences``' two-level prefix
+    sum, keyed on HASH-SPACE slices instead of id ranges: the 60-bit
+    hash space divides into ``blocks`` equal-width, order-preserving
+    slices (uniform hash → balanced blocks, fully deterministic — no
+    sampled range partitioner to re-draw on plan re-evaluation), a
+    per-block window ranks locally, block COUNTS (a ``blocks``-row
+    relation, the only single-partition window) get exclusive prefix
+    offsets, and positions are offset + local rank. One exchange on
+    the block key; the oracle twin is a plain
+    ``row_number() OVER (ORDER BY hash, id) - 1``.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    h = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    span = -(-(1 << 60) // blocks)  # ceil: slices cover [0, 2^60)
+    base = df.select(F.col(id_col), h.alias("__h")).withColumn(
+        "__blk", F.floor(F.col("__h") / F.lit(span)).cast("long")
+    )
+    local_w = Window.partitionBy("__blk").orderBy("__h", id_col)
+    local = base.withColumn(
+        "__rank", F.row_number().over(local_w).cast("long")
+    )
+    tot_w = Window.orderBy("__blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("__blk")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__blk",
+            F.coalesce(F.sum("__n").over(tot_w), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
+    return local.join(F.broadcast(offsets), on="__blk").select(
+        F.col(id_col),
+        (F.col("__off") + F.col("__rank") - 1).alias(out_col),
+    )
+
+
 def sample_weighted(
     df: DataFrame,
     prob_col: str | Column,

@@ -2667,3 +2667,27 @@ def test_persisted_ivf_matches_in_memory_and_prunes(spark, tmp_path):
     p = buf.getvalue()
     seg = p.split("PartitionFilters")
     assert len(seg) > 1 and "cid" in seg[1][:200]
+
+
+def test_training_order_is_deterministic_permutation(spark):
+    """The shuffle is a PERMUTATION (positions exactly 0..N-1, no
+    gaps/dups), identical across partitionings and block counts
+    (deterministic hash slices — nothing sampled), different per seed,
+    and NOT the identity order."""
+    from pagerank_spark.operators.curation import training_order
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["position"]
+         for r in training_order(df, "doc_id", seed=7).collect()}
+    assert sorted(a.values()) == list(range(500))
+    b = {r["doc_id"]: r["position"]
+         for r in training_order(
+             df.repartition(13), "doc_id", seed=7, blocks=5
+         ).collect()}
+    assert a == b  # partitioning- and block-count-independent
+    c = {r["doc_id"]: r["position"]
+         for r in training_order(df, "doc_id", seed=8).collect()}
+    assert sorted(c.values()) == list(range(500))
+    assert c != a  # a new epoch seed reshuffles
+    ident = sum(1 for k, v in a.items() if k == v)
+    assert ident < 25  # hash order is nothing like id order

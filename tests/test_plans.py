@@ -835,3 +835,15 @@ def test_q238_session_window_single_shuffle_no_python(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "session_window" in p or "SessionWindow" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q240_training_order_no_global_sort(spark):
+    # The distributed rank must never range-partition the data for a
+    # global sort or single-partition window: one hash exchange on the
+    # block key plus the broadcast offset join; the only
+    # single-partition window runs over the blocks-row offsets
+    # relation (an aggregate, not the data).
+    p = plan(ENTRY.queries()["q240_training_order"](spark, SF_DIR))
+    assert "rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p  # offsets relation broadcast back
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
