@@ -5088,6 +5088,29 @@ def q240_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order(docs, "doc_id", seed=7)
 
 
+def q241_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source mixture interleave
+    (operators/curation.py mixture_order, seed=5): each source gets an
+    integer weight 1 + (suffix mod 3); the epoch order advances source
+    s proportionally to its weight via the exact integer interleave
+    key ``local_rank · lcm/parts_s`` — no float keys, so any engine
+    reproduces the permutation bit-identically. Source weights are a
+    dimension-sized driver list (the one bounded collect); both rank
+    levels run the two-level prefix sum, never a global window over
+    the data. The DuckDB twin is the two-window global form
+    (per-source row_number → row_number over the interleave key), so
+    the hash match proves the distributed construction equals it."""
+    from pagerank_spark.operators.curation import mixture_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [
+        r["source"]
+        for r in docs.select("source").distinct().collect()
+    ]
+    parts = {s: 1 + int(s[3:]) % 3 for s in sources}
+    return mixture_order(docs, parts, "source", "doc_id", seed=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5336,6 +5359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_session_window_native": q238_session_window_native,
         "q239_merge_schema_evolution": q239_merge_schema_evolution,
         "q240_training_order": q240_training_order,
+        "q241_mixture_order": q241_mixture_order,
     }
 
 
@@ -11971,5 +11995,33 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
          AS position
 FROM d
+""",
+)
+
+
+# q241 twin: the two-window global form — per-source seeded-hash
+# row_number, integer interleave key r·(6//parts), global row_number
+# over (key, source, id). lcm(1,2,3)=6, so strides are exact integers
+# in both engines; a hash match proves the distributed two-level
+# construction equals the global sort.
+_oracle(
+    "q241_mixture_order",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(doc_id || ':5'), 1, 15) AS BIGINT) AS h,
+         6 // (1 + CAST(substr(source, 4) AS INT) % 3) AS stride
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+           * stride AS k
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY k, source, doc_id) - 1 AS BIGINT)
+         AS position
+FROM r
 """,
 )

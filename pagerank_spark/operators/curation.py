@@ -488,6 +488,140 @@ def training_order(
     )
 
 
+def mixture_order(
+    df: DataFrame,
+    parts: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    blocks: int | None = None,
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic multi-source mixture interleave — the epoch order
+    for a weighted training mix: source ``s`` with weight ``parts[s]``
+    advances ``parts[s]`` rows for every ``parts[t]`` rows of ``t``
+    (uniformly interleaved, not block-concatenated), rows within each
+    source in seeded pseudo-random order, and the whole permutation
+    reproducible on any engine/partitioning. Returns
+    ``(id_col, source_col, out_col)`` with positions 0..N-1.
+
+    Exact-arithmetic construction (no float keys to diverge between
+    engines): within each source, rows take a hash-seeded local rank
+    r = 1..N_s; the interleave key is the INTEGER
+    ``k = r · (lcm(parts)/parts_s)`` — source s emits a row every
+    lcm/parts_s key units, so sorting by ``(k, source, id)`` yields
+    the proportional interleave. This is RATE interleaving, not
+    resampling: a source whose size is small relative to its weight
+    exhausts early and the tail carries only the remaining sources
+    (size the mix or the weights accordingly — the pytest pins both
+    regimes). Both ranks use the ``training_order``
+    two-level prefix sum (hash-space slices for the per-source rank,
+    measured-key-space slices for the global rank); the only
+    single-partition windows run over block-count-bounded offset
+    relations, never the data. Unknown sources (absent from
+    ``parts``) raise inside the plan rather than silently dropping.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not parts or any(p < 1 for p in parts.values()):
+        raise ValueError(f"mixture_order: parts must be >= 1, got {parts}")
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lcm = math.lcm(*parts.values())
+    wdf = spark.createDataFrame(
+        [(s, lcm // p) for s, p in parts.items()],
+        f"{source_col} STRING, __stride LONG",
+    )
+    h = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    span = -(-(1 << 60) // blocks)
+    base = (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("__h", h)
+        .withColumn("__blk", F.floor(F.col("__h") / F.lit(span)).cast("long"))
+    )
+    local_w = Window.partitionBy(source_col, "__blk").orderBy("__h", id_col)
+    local = base.withColumn(
+        "__r", F.row_number().over(local_w).cast("long")
+    )
+    # per-source exclusive block offsets: a (sources × blocks)-row
+    # relation; the window is bounded by it, never by the data
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        base.groupBy(source_col, "__blk")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            source_col,
+            "__blk",
+            F.coalesce(F.sum("__n").over(off_w), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
+    stride = F.when(
+        F.col("__stride").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("mixture_order: source without a weight: "),
+                F.col(source_col),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__stride"))
+    keyed = (
+        local.join(F.broadcast(offs), on=[source_col, "__blk"])
+        .join(F.broadcast(wdf), on=source_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            ((F.col("__off") + F.col("__r")) * stride).alias("__k"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # global rank over the integer key: slice the measured key range
+    kmax = keyed.agg(F.max("__k").alias("m")).collect()[0]["m"]
+    if kmax is None:
+        return df.select(
+            F.col(id_col), F.col(source_col), F.lit(0).alias(out_col)
+        ).limit(0)
+    kspan = max(1, -(-(int(kmax) + 1) // blocks))
+    kb = keyed.withColumn(
+        "__kblk", F.floor(F.col("__k") / F.lit(kspan)).cast("long")
+    )
+    local2_w = Window.partitionBy("__kblk").orderBy(
+        "__k", source_col, id_col
+    )
+    tot_w = Window.orderBy("__kblk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs2 = (
+        kb.groupBy("__kblk")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__kblk",
+            F.coalesce(F.sum("__n").over(tot_w), F.lit(0))
+            .cast("long")
+            .alias("__off2"),
+        )
+    )
+    return (
+        kb.withColumn("__r2", F.row_number().over(local2_w).cast("long"))
+        .join(F.broadcast(offs2), on="__kblk")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            (F.col("__off2") + F.col("__r2") - 1).alias(out_col),
+        )
+    )
+
+
 def sample_weighted(
     df: DataFrame,
     prob_col: str | Column,

@@ -2691,3 +2691,46 @@ def test_training_order_is_deterministic_permutation(spark):
     assert c != a  # a new epoch seed reshuffles
     ident = sum(1 for k, v in a.items() if k == v)
     assert ident < 25  # hash order is nothing like id order
+
+
+def test_mixture_order_proportional_interleave(spark):
+    """A 2:1 mix over equal-size sources must interleave
+    proportionally in every prefix (not concatenate blocks), stay a
+    permutation, be partitioning-independent, and raise in-plan on a
+    source without a weight."""
+    import pytest
+
+    from pagerank_spark.operators.curation import mixture_order
+
+    # source sizes proportional to weights (400 a : 200 b at 2:1), so
+    # neither source exhausts early and the ratio must hold in EVERY
+    # prefix — with equal sizes the heavy source legitimately runs dry
+    # midway and the tail is all-b (rate interleave, not resampling)
+    rows = [(i, "a" if i % 3 < 2 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_order(
+        df, {"a": 2, "b": 1}, "source", "doc_id", seed=3
+    ).collect()
+    pos = sorted((r["position"], r["source"]) for r in out)
+    assert [p for p, _ in pos] == list(range(600))
+    # every prefix holds the 2:1 ratio within rounding slack
+    n_a = 0
+    for i, (_, s) in enumerate(pos, start=1):
+        n_a += s == "a"
+        assert abs(n_a - (2 / 3) * i) <= 2, (i, n_a)
+    # deterministic across partitionings and block counts
+    again = {
+        (r["doc_id"], r["position"])
+        for r in mixture_order(
+            df.repartition(7), {"a": 2, "b": 1}, "source", "doc_id",
+            seed=3, blocks=5,
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["position"]) for r in out}
+    # a source missing from parts must fail loudly, not drop rows
+    with pytest.raises(Exception, match="source without a weight"):
+        mixture_order(
+            df, {"a": 1}, "source", "doc_id"
+        ).collect()
+    with pytest.raises(ValueError):
+        mixture_order(df, {"a": 0, "b": 1}, "source", "doc_id")
