@@ -263,6 +263,8 @@ def main() -> None:
         "q237_mp3_frame_walk",
         "q238_session_window_native",
         "q239_merge_schema_evolution",
+        "q240_training_order",
+        "q241_mixture_order",
     ]
 
     timings: dict[str, float] = {}
