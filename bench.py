@@ -117,6 +117,18 @@ HOST_BASELINE = {
     "q230_groupwise_gini": 0.668,
     "q232_seasonal_naive_backtest": 0.751,
     "q233_calibration_report": 1.594,
+    # round-10 tier baselines: min over the two r10 close-round runs
+    # (BENCH_LOCAL_r10). NOTE: recorded on a host measured 1.2-1.7x
+    # above the r8/9 quiet floor (AB_BENCH_r10/REFACTOR_AB_r10), so
+    # these are generous; tighten on a quieter round.
+    "q234_ivf_index_lifecycle": 7.31,
+    "q235_image_resize": 0.712,
+    "q236_mp4_container_meta": 0.315,
+    "q237_mp3_frame_walk": 0.394,
+    "q238_session_window_native": 0.757,
+    "q239_merge_schema_evolution": 1.356,
+    "q240_training_order": 0.534,
+    "q241_mixture_order": 1.331,
     "q27_minhash_lsh": 1.3,
     "q28_ann_bruteforce": 0.897,
     "q30_tumbling_window": 0.311,
