@@ -420,7 +420,39 @@ def main() -> None:
             json.dump(record, f, indent=1, sort_keys=True)
             f.write("\n")
         print(f"wrote {out_path}", file=sys.stderr)
+    # Full record first (any consumer keeping full stdout still gets it),
+    # then a COMPACT summary as the FINAL stdout line (round-10 verdict
+    # #2: the driver records only a ~2000-char stdout TAIL, and with
+    # 100+ per-query entries the full record's minified line exceeds
+    # that — BENCH_r08 and BENCH_r10 both arrived "parsed": null because
+    # the tail cut the head of the one long line). The compact line
+    # shortens query keys to their qNN stem and rounds to 2dp so the
+    # whole line stays under ~1900 chars and ANY >=2000-char tail parses;
+    # BENCH_LOCAL_r{N}.json remains the full durable copy.
     print(json.dumps(record))
+    import re as _re
+
+    def _stem(name: str) -> str:
+        m = _re.match(r"^(q\d+)_", name)
+        return m.group(1) if m else name
+
+    compact_q = {_stem(k): round(v, 2) for k, v in timings.items()}
+    compact = {
+        "metric": record["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": compact_q,
+        "sf": record["sf"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: keep the slowest entries
+        top = dict(
+            sorted(compact_q.items(), key=lambda kv: -kv[1])[:40]
+        )
+        compact["queries"] = top
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
