@@ -1964,7 +1964,6 @@ def q105_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed version id. The whole write→commit→read path is what the
     hash covers; the DuckDB twin computes the same MERGE with
     NOT EXISTS + UNION ALL over the same parquet."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -1981,22 +1980,25 @@ def q105_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tp", F.round(F.col("tp") * 2, 2))
         .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "psq105_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    v0 = tbl.write_table(base, root)
-    v1 = tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
-    committed = tbl.read_table(spark, root)  # resolves _latest
-    n_v0 = tbl.read_table(spark, root, version=v0).count()  # time travel
-    return committed.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "tp",
-        F.lit(n_v0).cast("long").alias("v0_rows"),
-        F.lit(v1).cast("long").alias("version"),
-    )
+    # Per-call unique root + finally-cleanup (r10 ADVICE, q239): a
+    # fixed md5(sf_dir) path races concurrent invocations and leaks.
+    # Eager localCheckpoint materializes the result before the table
+    # dir is deleted.
+    root = tempfile.mkdtemp(prefix="psq105_")
+    try:
+        v0 = tbl.write_table(base, root)
+        v1 = tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
+        committed = tbl.read_table(spark, root)  # resolves _latest
+        n_v0 = tbl.read_table(spark, root, version=v0).count()
+        return committed.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "tp",
+            F.lit(n_v0).cast("long").alias("v0_rows"),
+            F.lit(v1).cast("long").alias("version"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q106_warmstart_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3328,7 +3330,6 @@ def q162_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|v0| + |v2|) however many versions lie between. The twin
     rebuilds both endpoint snapshots relationally and classifies with
     NOT EXISTS + IS DISTINCT FROM."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -3345,15 +3346,18 @@ def q162_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tp", F.round(F.col("tp") * 2, 2))
         .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "psq162_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    v0 = tbl.write_table(base, root)
-    tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
-    v2 = tbl.delete_where(spark, root, F.col("o_orderkey") % 16 == 0)
-    return tbl.table_changes(spark, root, v0, v2, keys=["o_orderkey"])
+    # Per-call unique root + finally-cleanup (r10 ADVICE, q239): a
+    # fixed md5(sf_dir) path races concurrent invocations and leaks.
+    root = tempfile.mkdtemp(prefix="psq162_")
+    try:
+        v0 = tbl.write_table(base, root)
+        tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
+        v2 = tbl.delete_where(spark, root, F.col("o_orderkey") % 16 == 0)
+        return tbl.table_changes(
+            spark, root, v0, v2, keys=["o_orderkey"]
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q163_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3363,7 +3367,6 @@ def q163_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q162 CDF — and must equal a from-scratch aggregate of v2,
     which is exactly what the twin computes over the reconstructed
     endpoint. O(|cdf|) refresh, no join against the base table."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -3381,28 +3384,29 @@ def q163_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tp", F.round(F.col("tp") * 2, 2))
         .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "psq163_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    v0 = tbl.write_table(base, root)
-    tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
-    v2 = tbl.delete_where(spark, root, F.col("o_orderkey") % 16 == 0)
-    agg0 = (
-        tbl.read_table(spark, root, version=v0)
-        .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n_rows"), F.sum("tp").alias("tp"))
-    )
-    cdf = tbl.table_changes(spark, root, v0, v2, keys=["o_orderkey"])
-    refreshed = apply_cdf_to_sums(
-        agg0, cdf, keys=["o_orderstatus"], sum_cols=["tp"]
-    )
-    return refreshed.select(
-        "o_orderstatus",
-        "n_rows",
-        F.round("tp", 2).alias("revenue"),
-    )
+    # Per-call unique root + finally-cleanup (r10 ADVICE, q239): a
+    # fixed md5(sf_dir) path races concurrent invocations and leaks.
+    root = tempfile.mkdtemp(prefix="psq163_")
+    try:
+        v0 = tbl.write_table(base, root)
+        tbl.upsert_table(spark, delta, root, keys=["o_orderkey"])
+        v2 = tbl.delete_where(spark, root, F.col("o_orderkey") % 16 == 0)
+        agg0 = (
+            tbl.read_table(spark, root, version=v0)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_rows"), F.sum("tp").alias("tp"))
+        )
+        cdf = tbl.table_changes(spark, root, v0, v2, keys=["o_orderkey"])
+        refreshed = apply_cdf_to_sums(
+            agg0, cdf, keys=["o_orderstatus"], sum_cols=["tp"]
+        )
+        return refreshed.select(
+            "o_orderstatus",
+            "n_rows",
+            F.round("tp", 2).alias("revenue"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q164_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5028,7 +5032,6 @@ def q239_merge_schema_evolution(
     NOT-EXISTS kept rows (NULL priority) UNION ALL the delta, so the
     hash covers the write→evolve→commit→read lifecycle, not just the
     final algebra."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -5046,27 +5049,34 @@ def q239_merge_schema_evolution(
         .withColumn("tp", F.round(F.col("tp") * 2, 2))
         .unionByName(o.where(F.col("o_orderkey") % 4 == 1))
     )
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "psq239_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    v0 = tbl.write_table(base, root)
-    v1 = tbl.upsert_table(
-        spark, delta, root, keys=["o_orderkey"], evolve_schema=True
-    )
-    evolved = tbl.read_table(spark, root)
-    pre = tbl.read_table(spark, root, version=v0)  # time travel
-    n_v0 = pre.count()
-    return evolved.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "tp",
-        "o_orderpriority",
-        F.lit(n_v0).cast("long").alias("v0_rows"),
-        F.lit(len(pre.columns)).cast("long").alias("v0_cols"),
-        F.lit(v1).cast("long").alias("version"),
-    )
+    # Per-call unique root + finally-cleanup (r10 ADVICE): the previous
+    # FIXED md5(sf_dir)-keyed path let two concurrent invocations (a
+    # parity run racing a bench run on the same sf_dir) rmtree each
+    # other's half-read snapshot, and the tree was never cleaned up —
+    # the same shared-state hazard q234's index_scratch_root removed.
+    # The result is materialized (eager localCheckpoint) BEFORE the
+    # table dir is deleted so the returned DataFrame never dangles on
+    # removed parquet files.
+    root = tempfile.mkdtemp(prefix="psq239_")
+    try:
+        v0 = tbl.write_table(base, root)
+        v1 = tbl.upsert_table(
+            spark, delta, root, keys=["o_orderkey"], evolve_schema=True
+        )
+        evolved = tbl.read_table(spark, root)
+        pre = tbl.read_table(spark, root, version=v0)  # time travel
+        n_v0 = pre.count()
+        return evolved.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "tp",
+            "o_orderpriority",
+            F.lit(n_v0).cast("long").alias("v0_rows"),
+            F.lit(len(pre.columns)).cast("long").alias("v0_cols"),
+            F.lit(v1).cast("long").alias("version"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q240_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -631,7 +631,19 @@ def groupwise_ols(
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         import numpy as np
+
+        def round6(v: float) -> float:
+            # Half-away-from-zero at 6dp, matching Spark F.round — the
+            # SQL engine's rounding. Python round() banker's-rounds
+            # exact .5 ties the other way, so the two engines could
+            # disagree at a tie despite the identical-semantics claim
+            # (r10 ADVICE).
+            return math.copysign(
+                math.floor(abs(v) * 1e6 + 0.5) / 1e6, v
+            )
 
         x = pdf[x_col].to_numpy(dtype=float)
         y = pdf[y_col].to_numpy(dtype=float)
@@ -649,12 +661,12 @@ def groupwise_ols(
         else:
             sxy = float(((x - x.mean()) * (y - y.mean())).sum())
             slope = sxy / sxx
-            row["slope"] = [round(slope, 6)]
-            row["intercept"] = [round(float(y.mean() - slope * x.mean()), 6)]
+            row["slope"] = [round6(slope)]
+            row["intercept"] = [round6(float(y.mean() - slope * x.mean()))]
             # SQL regr_r2: NULL when var(x)=0 (handled above), exactly
             # 1 when var(y)=0 with var(x)!=0 (a perfect horizontal fit)
             row["r2"] = [
-                1.0 if syy == 0.0 else round(sxy * sxy / (sxx * syy), 6)
+                1.0 if syy == 0.0 else round6(sxy * sxy / (sxx * syy))
             ]
         return pd.DataFrame(row)
 

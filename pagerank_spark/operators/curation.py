@@ -589,7 +589,12 @@ def mixture_order(
     kmax = keyed.agg(F.max("__k").alias("m")).collect()[0]["m"]
     if kmax is None:
         return df.select(
-            F.col(id_col), F.col(source_col), F.lit(0).alias(out_col)
+            F.col(id_col),
+            F.col(source_col),
+            # cast: the non-empty path emits BIGINT positions; the
+            # empty relation must carry the SAME schema or downstream
+            # unions/writers break on INT vs BIGINT (r10 ADVICE).
+            F.lit(0).cast("long").alias(out_col),
         ).limit(0)
     kspan = max(1, -(-(int(kmax) + 1) // blocks))
     kb = keyed.withColumn(

@@ -1062,15 +1062,25 @@ def remove_index(spark, root: str) -> None:
     """Recursively delete a persisted index at ``root`` through the
     Hadoop FileSystem API, so cleanup works for ANY URI
     ``index_scratch_root`` can hand out (local path, HDFS, s3a://) —
-    not just driver-local directories. Best-effort: a missing root is
-    a no-op, matching ``shutil.rmtree(ignore_errors=True)``."""
+    not just driver-local directories. A missing root is a no-op
+    (``fs.delete`` returns False without raising), but a REAL deletion
+    failure — permissions, a misconfigured scratch URI — warns instead
+    of passing silently: on shared storage a swallowed failure leaks
+    multi-GB index trees with no signal (r10 ADVICE)."""
+    import warnings
+
     try:
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(root)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(p, True)
-    except Exception:
-        pass
+    except Exception as exc:  # permissions / bad URI / teardown race
+        warnings.warn(
+            f"remove_index: could not delete {root!r}: {exc} — the "
+            "on-disk index tree may have leaked",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def build_ivf_index(

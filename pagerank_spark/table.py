@@ -142,6 +142,16 @@ def upsert_table(
     post-evolution strict upsert must not require every writer to know
     about every evolved column; pinned by the version-boundary
     pytest).
+
+    .. warning:: This is WHOLE-ROW replace, not ``MERGE UPDATE SET``
+       column patching: for a key that already exists, any column the
+       update row omits is NULL-filled, WIPING the prior value — an
+       update that intends to change one column must carry the others.
+       Intentional and test-pinned (a column-patching upsert would need
+       a per-column coalesce join — a different operator, not a
+       default); detecting the omit-on-matched-key case at runtime
+       would cost an extra join/action per MERGE, so the contract is
+       documented here instead (r10 ADVICE).
     """
     if _read_pointer(root) is None:
         return write_table(updates, root)
