@@ -121,7 +121,8 @@ HOST_BASELINE = {
     # (BENCH_LOCAL_r10). NOTE: recorded on a host measured 1.2-1.7x
     # above the r8/9 quiet floor (AB_BENCH_r10/REFACTOR_AB_r10), so
     # these are generous; tighten on a quieter round.
-    "q234_ivf_index_lifecycle": 7.31,
+    # q234 lifecycle entry split into build/serve phases (r10 verdict
+    # #4); these seed from the round-11 close run.
     "q235_image_resize": 0.712,
     "q236_mp4_container_meta": 0.315,
     "q237_mp3_frame_walk": 0.394,
@@ -267,9 +268,10 @@ def main() -> None:
         "q232_seasonal_naive_backtest",
         "q233_calibration_report",
         # round-10 tier (no prior baseline — these SET it): the r9/r10
-        # declarations with a latency story worth tracking (index
-        # lifecycle, media walks, native session windows, evolve-MERGE).
-        "q234_ivf_index_lifecycle",
+        # declarations with a latency story worth tracking (media
+        # walks, native session windows, evolve-MERGE). q234's
+        # lifecycle entry moved to the dedicated build/serve phase
+        # section below (round-10 verdict #4).
         "q235_image_resize",
         "q236_mp4_container_meta",
         "q237_mp3_frame_walk",
@@ -345,6 +347,46 @@ def main() -> None:
             timings.get("hits_loop_k10", elapsed), elapsed
         )
         hdf.unpersist()
+        release_session_state()
+
+    # q234 split into build vs serve (round-10 verdict #4): the old
+    # lifecycle entry conflated index CONSTRUCTION (dynamic-partition
+    # write shuffled by cid — amortized once per corpus snapshot) with
+    # query SERVING (partition-pruned 3/16 list scan — the latency a
+    # 100 TB user pays per query batch). Build happens once per pass
+    # into a fresh scratch root; the serve timing reuses that committed
+    # index, the build-once/query-many reality the persisted index
+    # exists for.
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.similarity import (
+        ann_ivf_persisted,
+        build_ivf_index,
+        index_scratch_root,
+        remove_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qvecs = emb.where(F.col("vec_id") % 40 == 0)
+    for _ in range(max(passes, 1)):
+        root = index_scratch_root(spark, prefix="bench_q234_")
+        try:
+            t0 = time.perf_counter()
+            build_ivf_index(emb, root, n_centroids=16, refine=0)
+            el = round(time.perf_counter() - t0, 3)
+            timings["q234_ivf_build"] = min(
+                timings.get("q234_ivf_build", el), el
+            )
+            t0 = time.perf_counter()
+            served = ann_ivf_persisted(spark, root, qvecs, k=5, n_probe=3)
+            served.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            timings["q234_ivf_serve"] = min(
+                timings.get("q234_ivf_serve", el), el
+            )
+            served.unpersist()
+        finally:
+            remove_index(spark, root)
         release_session_state()
 
     # Reference dataset end-to-end (BASELINE.md: 6.349s single-node).
