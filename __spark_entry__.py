@@ -5121,6 +5121,45 @@ def q241_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_order(docs, parts, "source", "doc_id", seed=5)
 
 
+def q242_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decoding under the oracle (operators/multimodal.py
+    _decode_gif): every 10th doc id becomes a genuine single-frame
+    GIF89a — 256-color palette, LZW-compressed index raster built by
+    encode_gif, graphics-control extension in the stream — decoded by
+    the stdlib-only LZW+palette decoder. GIF is paletted, so the
+    closed form splits: pixel (x,y) takes palette index
+    ``v = (7·id + 3·x + 5·y) mod 256`` and the palette maps
+    ``v → (v, (2v+11) mod 256, (3v+22) mod 256)``; the DuckDB twin
+    integrates exactly that (never sees bytes), so a hash match proves
+    header walk + extension skip + LZW decompression (every payload's
+    3072-pixel raster grows the code width 9→10→11 bits) + palette
+    mapping + the stat arithmetic."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_gif_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_gif_media(ids, "media_id", width=64, height=48)
+    return decode_image(media, thumb_size=2).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.col("thumb")[0].alias("t00"),
+        F.col("thumb")[1].alias("t01"),
+        F.col("thumb")[2].alias("t10"),
+        F.col("thumb")[3].alias("t11"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5370,6 +5409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_merge_schema_evolution": q239_merge_schema_evolution,
         "q240_training_order": q240_training_order,
         "q241_mixture_order": q241_mixture_order,
+        "q242_gif_decode": q242_gif_decode,
     }
 
 
@@ -12033,5 +12073,57 @@ SELECT doc_id, source,
        CAST(row_number() OVER (ORDER BY k, source, doc_id) - 1 AS BIGINT)
          AS position
 FROM r
+""",
+)
+
+
+# q242 twin: closed-form integration of the paletted GIF fixture —
+# pixel (x,y) takes palette index v = (7·id + 3x + 5y) % 256 and the
+# palette maps v → (v, (2v+11)%256, (3v+22)%256). The payload side is
+# a genuine LZW-compressed GIF89a, so the hash match proves the
+# decoder's header walk + LZW + palette mapping, byte-free (the q114
+# pattern; thumb pixels sit at (x,y) ∈ {0,32}×{0,24}).
+_oracle(
+    "q242_gif_decode",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+ys AS (SELECT unnest(generate_series(0, 47)) AS y),
+px AS (
+  SELECT i.media_id,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) AS mr,
+         AVG((2 * ((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) + 11)
+             % 256) AS mg,
+         AVG((3 * ((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) + 22)
+             % 256) AS mb
+  FROM ids i CROSS JOIN xs x CROSS JOIN ys y
+  GROUP BY i.media_id
+)
+SELECT i.media_id,
+       'gif' AS format,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       ROUND(p.mr, 6) AS mean_r,
+       ROUND(p.mg, 6) AS mean_g,
+       ROUND(p.mb, 6) AS mean_b,
+       ROUND(((7 * i.media_id) % 256
+              + (2 * ((7 * i.media_id) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id) % 256) + 22) % 256) / 3.0, 6)
+         AS t00,
+       ROUND(((7 * i.media_id + 96) % 256
+              + (2 * ((7 * i.media_id + 96) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id + 96) % 256) + 22) % 256) / 3.0, 6)
+         AS t01,
+       ROUND(((7 * i.media_id + 120) % 256
+              + (2 * ((7 * i.media_id + 120) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id + 120) % 256) + 22) % 256) / 3.0, 6)
+         AS t10,
+       ROUND(((7 * i.media_id + 216) % 256
+              + (2 * ((7 * i.media_id + 216) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id + 216) % 256) + 22) % 256) / 3.0, 6)
+         AS t11
+FROM ids i JOIN px p USING (media_id)
 """,
 )

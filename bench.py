@@ -279,6 +279,8 @@ def main() -> None:
         "q239_merge_schema_evolution",
         "q240_training_order",
         "q241_mixture_order",
+        # round-11 tier (no prior baseline — these SET it):
+        "q242_gif_decode",
     ]
 
     timings: dict[str, float] = {}

@@ -7,18 +7,21 @@ Arrow-batched Pandas functions over ``mapInPandas`` — the only sane
 shape at 100 TB (no driver materialization, vectorized Python batches,
 schema declared up front so Catalyst can prune around the UDF).
 
-Codec status: ``decode_image`` is a REAL decoder for FOUR formats
+Codec status: ``decode_image`` is a REAL decoder for FIVE formats
 with no codec libraries — binary P6 PPM and uncompressed 24-bit BMP
 (pure header+raster, numpy), 8-bit gray/RGB/RGBA non-interlaced PNG
 (stdlib ``zlib`` inflate + per-row reverse of the five scanline
-filters), and baseline sequential JPEG (``operators/jpeg.py``: full
+filters), non-interlaced GIF87a/89a (round-11: pure-integer LZW with
+variable 3–12-bit code width, clear-code resets, global/local color
+tables, extension skip — validated against real third-party GIFs),
+and baseline sequential JPEG (``operators/jpeg.py``: full
 Huffman entropy decode, dequantize, independent-formulation IDCT,
 YCbCr→RGB, restart markers; 4:4:4 and grayscale — progressive and
 subsampled chroma are rejected, they would need trusted vectors this
 environment cannot produce) — with per-channel stats and
-nearest-neighbor thumbnailing. q114/q137 verify the lossless decoders
-against a closed-form SQL oracle; q138 pins the lossy JPEG path with
-within-tolerance booleans the oracle sets TRUE. MP4 and MP3 get REAL
+nearest-neighbor thumbnailing. q114/q137/q242 verify the lossless
+decoders against a closed-form SQL oracle; q138 pins the lossy JPEG
+path with within-tolerance booleans the oracle sets TRUE. MP4 and MP3 get REAL
 container-level metadata without codecs (round-10): ``parse_mp4_meta``
 walks ISO-BMFF boxes (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr → brand,
 duration, track counts, video resolution) and ``parse_mp3_meta`` walks
@@ -382,6 +385,8 @@ def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
                         arr, fmt = _decode_bmp(b), "bmp"
                     elif b[:8] == b"\x89PNG\r\n\x1a\n":
                         arr, fmt = _decode_png(b), "png"
+                    elif b[:4] == b"GIF8":
+                        arr, fmt = _decode_gif(b), "gif"
                     elif b[:2] == b"\xff\xd8":
                         from pagerank_spark.operators.jpeg import decode_jpeg
 
@@ -510,6 +515,277 @@ def synthesize_png_media(
             for mid in pdf[id_col]:
                 arr = ((7 * int(mid) + base) % 256).astype("uint8")
                 payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW decompression, stdlib-only — the same
+    feasibility class as the PNG zlib path: pure integer table work.
+    Variable code width 3..12 bits with the GIF "late change"
+    convention (grow when the next free slot no longer fits the
+    current width — validated against real third-party GIFs in
+    test_multimodal.py), clear-code table reset, and the KwKwK
+    (code == next-slot) self-reference case. Stops once ``expected``
+    pixels are out (a missing EOI is tolerated, like real decoders);
+    ends early → ValueError so a truncated payload surfaces as an
+    error row, never a short raster."""
+    if not (2 <= min_code_size <= 11):
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    base = [bytes([i]) for i in range(clear)] + [None, None]  # clear/eoi
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev = None
+    while len(out) < expected:
+        if len(table) > (1 << width) - 1 and width < 12:
+            width += 1
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == clear + 1:  # end-of-information
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            if table[code] is None:
+                raise ValueError("LZW code references clear/eoi slot")
+            entry = table[code]
+        elif code == len(table):  # KwKwK: the just-registered string
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+        prev = code
+    if len(out) < expected:
+        raise ValueError("LZW stream ended before raster complete")
+    return bytes(out[:expected])
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression (the synthesis side for
+    round-tripping the decoder): LSB-first bit packing, width growth
+    mirroring the decoder's late-change schedule (next emittable code
+    is ``next_code - 1``; grow once that needs width+1 bits), and a
+    clear-code reset when the table fills at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(buf: bytes):
+    """Real GIF87a/GIF89a decoder, stdlib-only: logical screen
+    descriptor, global/local color table, extension-block skip, LZW
+    decompression, palette mapping → (H, W, 3) uint8. The first image
+    in the stream is returned (animation frames beyond it are a
+    compositing model, not a decode problem). Interlaced images,
+    missing color tables, out-of-palette indices, and truncations all
+    reject with ValueError and surface as format="error" rows.
+    Validated against real third-party GIFs (Python stdlib icons) in
+    test_multimodal.py — a wrong LZW width schedule desyncs the
+    bitstream within a few dozen codes, so clean decodes of foreign
+    files pin the convention."""
+    import struct
+
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", buf[6:10])
+    packed = buf[10]
+    pos = 13  # LSD: 4 dims + packed + bg index + aspect
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(buf):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("truncated extension")
+                sz = buf[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(buf):
+                raise ValueError("truncated image descriptor")
+            _left, _top, iw, ih = struct.unpack("<HHHH", buf[pos : pos + 8])
+            ipacked = buf[pos + 8]
+            pos += 9
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n > len(buf):
+                    raise ValueError("truncated local color table")
+                pal = np.frombuffer(
+                    buf[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = buf[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("truncated image data")
+                sz = buf[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += buf[pos : pos + sz]
+                pos += sz
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(data), mcs, iw * ih), dtype=np.uint8
+            )
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            return pal[idx].reshape(ih, iw, 3)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(idx, palette) -> bytes:
+    """Minimal single-frame GIF89a encoder (synthesis side): ``idx``
+    is an (H, W) uint8 palette-index raster, ``palette`` an (N, 3)
+    uint8 color table (padded to a power of two). Includes a
+    graphics-control extension so the decoder's block-skip path is
+    exercised on every synthetic payload."""
+    import struct
+
+    import numpy as np
+
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    npal = palette.shape[0]
+    bits = max(1, (npal - 1).bit_length())
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:npal] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += full.tobytes()
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = max(2, bits)
+    out += bytes([mcs])
+    lz = _lzw_encode_gif(idx.tobytes(), mcs)
+    for i in range(0, len(lz), 255):
+        out += bytes([len(lz[i : i + 255])]) + lz[i : i + 255]
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthesize_gif_media(
+    ids: DataFrame, id_col: str = "media_id",
+    width: int = 64, height: int = 48,
+) -> DataFrame:
+    """Deterministic synthetic GIF per id, oracle-integrable in closed
+    form like the PPM/PNG fixtures — but GIF is paletted, so the
+    formula splits: pixel (x, y) takes palette INDEX
+    ``v = (7·id + 3·x + 5·y) mod 256`` and the 256-entry palette maps
+    ``v → (v, (2v+11) mod 256, (3v+22) mod 256)``. The decoded RGB is
+    therefore a closed form a SQL oracle can integrate per channel,
+    and the 3072-pixel 256-color raster grows the LZW table past 512
+    and 1024 entries, so every q242 payload exercises 9→10→11-bit
+    code-width growth."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x = np.meshgrid(
+            np.arange(height), np.arange(width), indexing="ij"
+        )
+        base = 3 * x + 5 * y
+        i = np.arange(256)
+        pal = np.stack(
+            [i, (2 * i + 11) % 256, (3 * i + 22) % 256], axis=1
+        ).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                v = ((7 * int(mid) + base) % 256).astype(np.uint8)
+                payloads.append(encode_gif(v, pal))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )

@@ -565,3 +565,103 @@ def test_mp3_frame_walk_meta_and_poison(spark):
     for i in (201, 202, 203):
         assert out[i]["format"] == "error", i
         assert out[i]["n_frames"] is None and out[i]["duration_s"] is None
+
+
+def test_gif_lzw_code_size_growth_and_reset():
+    # Direct LZW pin: a 5120-symbol stream cycling 0..255 keeps minting
+    # new table strings, so the code width provably grows 9 -> 10 -> 11
+    # (entries pass 512 and 1024); the 12288-symbol random stream fills
+    # the table to 4096, forcing a mid-stream clear-code reset. Exact
+    # round-trip through both fails on ANY width-schedule mismatch —
+    # the bitstream desyncs within a few codes.
+    import numpy as np
+
+    cyc = bytes(range(256)) * 20  # 5120 symbols
+    enc = multimodal._lzw_encode_gif(cyc, 8)
+    assert multimodal._lzw_decode_gif(enc, 8, len(cyc)) == cyc
+
+    rng = np.random.RandomState(11)
+    big = rng.randint(0, 256, size=12288).astype("uint8").tobytes()
+    enc = multimodal._lzw_encode_gif(big, 8)
+    assert multimodal._lzw_decode_gif(enc, 8, len(big)) == big
+
+    # truncation surfaces as ValueError, never a short raster
+    with pytest.raises(ValueError):
+        multimodal._lzw_decode_gif(enc[: len(enc) // 2], 8, len(big))
+
+
+def test_gif_decode_roundtrip_interlace_rejection_and_poison(spark):
+    # encode_gif/_decode_gif round-trip inside the Spark pipeline: the
+    # q242 fixture formula (palette index (7id+3x+5y)%256, palette
+    # v -> (v, 2v+11, 3v+22)), exact pixel equality; the interlace bit
+    # flipped in the image descriptor -> error row (and a loud
+    # ValueError from the decoder itself); garbage / truncated
+    # payloads -> error rows.
+    import numpy as np
+
+    H, W = 12, 16
+    y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    v = ((7 * 9 + 3 * x + 5 * y) % 256).astype(np.uint8)
+    i = np.arange(256)
+    pal = np.stack(
+        [i, (2 * i + 11) % 256, (3 * i + 22) % 256], axis=1
+    ).astype(np.uint8)
+    good = multimodal.encode_gif(v, pal)
+
+    # exact pixel round-trip (palette mapping included)
+    assert (multimodal._decode_gif(good) == pal[v]).all()
+
+    interlaced = bytearray(good)
+    # image descriptor: 0x2C introducer after header+LSD+GCT+GCE; its
+    # packed byte (bit 6 = interlace) sits 9 bytes past the introducer
+    dpos = interlaced.index(0x2C, 6 + 7 + 768)
+    interlaced[dpos + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal._decode_gif(bytes(interlaced))
+
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(interlaced)),
+        (3, bytearray(b"GIF89agarbage")),
+        (4, bytearray(good[:40])),  # truncated mid-color-table
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+    assert out[1]["format"] == "gif"
+    assert (out[1]["width"], out[1]["height"]) == (W, H)
+    assert out[1]["mean_r"] == pytest.approx(float(pal[v][:, :, 0].mean()), abs=1e-6)
+    assert out[1]["mean_g"] == pytest.approx(float(pal[v][:, :, 1].mean()), abs=1e-6)
+    assert out[2]["format"] == "error" and out[2]["width"] is None
+    assert out[3]["format"] == "error"
+    assert out[4]["format"] == "error"
+
+
+def test_gif_decodes_real_third_party_files():
+    # The LZW width-growth convention can't be trusted from a
+    # self-round-trip alone (encoder and decoder could share a bug):
+    # decode the GIF assets that ship with this Python's idlelib —
+    # files written by real-world encoders. A wrong schedule desyncs
+    # the bitstream and throws; dimensions must match the header.
+    # Non-interlaced files must decode; interlaced ones must reject
+    # with the documented ValueError, never anything else.
+    import glob
+    import os
+    import struct
+
+    idlelib = pytest.importorskip("idlelib")
+    icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    paths = sorted(glob.glob(os.path.join(icons, "*.gif")))
+    if not paths:
+        pytest.skip("no idlelib GIF assets")
+    decoded = 0
+    for p in paths:
+        raw = open(p, "rb").read()
+        w, h = struct.unpack("<HH", raw[6:10])
+        try:
+            arr = multimodal._decode_gif(raw)
+        except ValueError as e:
+            assert "interlaced" in str(e)
+            continue
+        assert arr.shape == (h, w, 3)
+        decoded += 1
+    assert decoded >= 1
