@@ -5160,6 +5160,85 @@ def q242_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q243_betweenness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate betweenness centrality, sampled Brandes
+    (graph/components.py betweenness_centrality): 8 deterministic
+    hash-chosen pivots (node % 32 == 0, q129's landmark rule) over
+    the sparse graph, 12-hop bound on both phases, Brandes–Pich
+    |V|/|pivots| scaling. Forward phase is the multi-source BFS
+    extended with a sigma SUM riding the same per-round aggregation;
+    backward phase is level-synchronous dependency accumulation over
+    the shortest-path-DAG edges (enforced by a level join, never
+    materialized). Twin: the SAME levels unrolled as chained CTEs —
+    12 forward levels computing (dist, sigma), 12 backward levels
+    computing delta, then the scaled pivot sum."""
+    from pagerank_spark.graph.components import betweenness_centrality
+
+    e = _sparse_weighted_edges(spark, sf_dir).select("src", "dst")
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 32 == 0)
+    )
+    out = betweenness_centrality(e, seeds, max_iterations=12, scaled=True)
+    return out.select(
+        "node", F.round("betweenness", 6).alias("betweenness")
+    ).where(F.col("betweenness") > 0)
+
+
+def q244_curation_provenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document curation lineage (operators/curation.py
+    curation_provenance): the (id, stage, verdict, reason) audit
+    relation the curate CLI's --audit flag writes — one scan, flags
+    exploded in-row, ONE window on md5(redacted text) for the dedup
+    winner, the dataset_split md5 coin for the split stage. The
+    fixture corpus is adversarial on every stage: doc_id % 3 == 0
+    gains q108's synthetic PII (scrub does real work), doc_id % 7 == 0
+    is truncated to 30 chars (gate drops it as too_few_words), and
+    doc_id % 5 == 0 is duplicated under id+1000000 (dedup drops the
+    copy, reason pointing at the surviving original). The twin builds
+    the identical corpus and unpivots the same four stage relations."""
+    from pagerank_spark.operators.curation import curation_provenance
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.substring("text", 1, 30)
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@ex"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com or +1 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit("-"),
+                    F.lpad(
+                        ((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    corpus = aug.unionAll(
+        aug.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return curation_provenance(
+        corpus, fractions={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5410,6 +5489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_training_order": q240_training_order,
         "q241_mixture_order": q241_mixture_order,
         "q242_gif_decode": q242_gif_decode,
+        "q243_betweenness_centrality": q243_betweenness_centrality,
+        "q244_curation_provenance": q244_curation_provenance,
     }
 
 
@@ -12125,5 +12206,202 @@ SELECT i.media_id,
               + (3 * ((7 * i.media_id + 216) % 256) + 22) % 256) / 3.0, 6)
          AS t11
 FROM ids i JOIN px p USING (media_id)
+""",
+)
+
+
+# q243 twin: the sampled-Brandes levels UNROLLED as chained CTEs —
+# generated by the loop below so both phases mirror the Spark loop
+# round for round. Forward: f{k} discovers level-k nodes with sigma =
+# SUM over level-(k-1) frontier in-neighbors (first discovery IS the
+# min distance); r{k} accumulates the reached set. Backward: del{d}
+# is the dependency of level-d nodes, SUM over shortest-path-DAG
+# out-edges (landing exactly one level deeper) of
+# sigma_v/sigma_w * (1 + delta_w). Final: pivot sum excluding the
+# pivot itself, scaled by |V|/|pivots| (Brandes–Pich).
+def _betweenness_oracle_sql(max_hops: int = 12) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_orderkey % 256 AS BIGINT) AS src,
+         CAST(l_partkey % 256 AS BIGINT) AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+),
+snodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+f0 AS MATERIALIZED (
+  SELECT node AS seed, node, 0 AS dist, CAST(1 AS DOUBLE) AS sigma
+  FROM snodes WHERE node % 32 = 0
+),
+r0 AS MATERIALIZED (SELECT * FROM f0)"""
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT f.seed, e.dst AS node, {k} AS dist, SUM(f.sigma) AS sigma
+  FROM f{k - 1} f JOIN e ON e.src = f.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r{k - 1} r WHERE r.seed = f.seed AND r.node = e.dst
+  )
+  GROUP BY f.seed, e.dst
+),
+r{k} AS MATERIALIZED (SELECT * FROM r{k - 1} UNION ALL SELECT * FROM f{k})""")
+    parts.append(f""",
+rch AS MATERIALIZED (SELECT * FROM r{max_hops}),
+del{max_hops} AS MATERIALIZED (
+  SELECT seed, node, CAST(0 AS DOUBLE) AS delta FROM rch WHERE FALSE
+)""")
+    for d in range(max_hops, 0, -1):
+        parts.append(f""",
+del{d - 1} AS MATERIALIZED (
+  SELECT v.seed, v.node,
+         SUM(v.sigma / w.sigma * (1 + COALESCE(dw.delta, 0))) AS delta
+  FROM rch v
+  JOIN e ON e.src = v.node
+  JOIN rch w ON w.seed = v.seed AND w.node = e.dst AND w.dist = {d}
+  LEFT JOIN del{d} dw ON dw.seed = w.seed AND dw.node = w.node
+  WHERE v.dist = {d - 1}
+  GROUP BY v.seed, v.node
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT * FROM del{d}" for d in range(max_hops)
+    )
+    parts.append(f""",
+alldelta AS MATERIALIZED (
+  {union}
+),
+scale AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM snodes)
+       / (SELECT COUNT(*) FROM f0) AS factor
+)
+SELECT node, betweenness FROM (
+  SELECT a.node,
+         ROUND(SUM(a.delta) * s.factor, 6) AS betweenness
+  FROM alldelta a CROSS JOIN scale s
+  WHERE a.node <> a.seed
+  GROUP BY a.node, s.factor
+) WHERE betweenness > 0
+""")
+    return "".join(parts)
+
+
+_oracle("q243_betweenness_centrality", _betweenness_oracle_sql(12))
+
+
+# q244 twin: the identical adversarial corpus (q108's PII augmentation
+# on doc_id%3, 30-char truncation on doc_id%7, id+1000000 duplicates
+# on doc_id%5), then the four stage relations unpivoted: scrub counts
+# from the original text (q108 pattern), Gopher features on the
+# SCRUBBED text (q113 pattern), the dedup winner as a conditional MIN
+# window over md5(text) among gate-passers, and q120's md5 split coin
+# at 0.9/0.05/0.05.
+_oracle(
+    "q244_curation_provenance",
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 30)
+               ELSE text END)
+         || (CASE WHEN doc_id % 3 = 0 THEN
+               ' contact u' || CAST(doc_id AS VARCHAR)
+               || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com or +1 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+               || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END)
+           AS text
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM aug
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM aug WHERE doc_id % 5 = 0
+),
+scrub AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+         )) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(
+           text, '\+?[0-9][0-9 ()./-]{6,}[0-9]'
+         )) AS INT) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'
+           ),
+           '\+?[0-9][0-9 ()./-]{6,}[0-9]', '<PHONE>', 'g'
+         ) AS text
+  FROM corpus
+),
+feats AS (
+  SELECT doc_id, n_emails, n_phones, text,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         ROUND(
+           COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+'), w -> length(w))), 0)
+           / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 9
+         ) AS mean_word_len,
+         ROUND(
+           len(regexp_extract_all(text, '[#*]|\.\.\.'))
+           / GREATEST(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 9
+         ) AS symbol_word_ratio,
+         ROUND(
+           (len(string_split(text, chr(10)))
+            - len(list_distinct(string_split(text, chr(10)))))
+           / GREATEST(len(string_split(text, chr(10))), 1), 9
+         ) AS dup_line_frac
+  FROM scrub
+),
+sp AS MATERIALIZED (
+  SELECT *,
+         MIN(CASE WHEN passes THEN doc_id END)
+           OVER (PARTITION BY md5(text)) AS winner,
+         CASE
+           WHEN coin < 900000 THEN 'train'
+           WHEN coin < 950000 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND dup_line_frac <= 0.3) AS passes,
+           CAST(('0x' || substr(
+             md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15
+           )) AS BIGINT) % 1000000 AS coin
+    FROM feats
+  )
+)
+SELECT doc_id, 'scrub' AS stage,
+       CASE WHEN n_emails + n_phones > 0 THEN 'redacted'
+            ELSE 'clean' END AS verdict,
+       CASE WHEN n_emails + n_phones > 0 THEN
+         'emails=' || CAST(n_emails AS VARCHAR)
+         || ',phones=' || CAST(n_phones AS VARCHAR) END AS reason
+FROM sp
+UNION ALL
+SELECT doc_id, 'gate',
+       CASE WHEN passes THEN 'pass' ELSE 'drop' END,
+       CASE WHEN n_words < 50 THEN 'too_few_words'
+            WHEN n_words > 100000 THEN 'too_many_words'
+            WHEN mean_word_len < 3.0 THEN 'word_len_low'
+            WHEN mean_word_len > 10.0 THEN 'word_len_high'
+            WHEN symbol_word_ratio > 0.1 THEN 'symbol_ratio'
+            WHEN dup_line_frac > 0.3 THEN 'dup_lines' END
+FROM sp
+UNION ALL
+SELECT doc_id, 'exact_dedup',
+       CASE WHEN doc_id = winner THEN 'keep' ELSE 'drop' END,
+       CASE WHEN doc_id <> winner THEN
+         'duplicate_of=' || CAST(winner AS VARCHAR) END
+FROM sp WHERE passes
+UNION ALL
+SELECT doc_id, 'split', split, NULL
+FROM sp WHERE passes AND doc_id = winner
 """,
 )

@@ -53,7 +53,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--neardup", action="store_true",
                     help="also drop MinHash near-duplicate clusters")
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
+    ap.add_argument(
+        "--audit",
+        default=None,
+        help="also write the per-document (id, stage, verdict, reason) "
+        "provenance relation (parquet) — the lineage rows an ingest "
+        "dashboard reconciles against the report counts; not supported "
+        "together with --neardup",
+    )
     args = ap.parse_args(argv)
+    if args.audit and args.neardup:
+        raise SystemExit(
+            "--audit models the default pipeline stages "
+            "(scrub/gate/dedup/split); --neardup is not audited"
+        )
 
     from pyspark.sql import functions as F
 
@@ -97,6 +110,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ).select(id_col)
         docs = docs.join(keep, on=id_col, how="left_semi")
         report["after_neardup"] = docs.count()
+
+    if args.audit:
+        # One extra pass over the corpus TOTAL (not per stage): the
+        # provenance relation recomputes the same operator flags the
+        # pipeline used — identical deterministic verdicts — and
+        # explodes them into audit rows. The reconcile pytest pins
+        # report counts == audit counts stage for stage.
+        from pagerank_spark.operators.curation import curation_provenance
+
+        audit = curation_provenance(
+            spark.read.parquet(args.input),
+            id_col=id_col,
+            text_col=text_col,
+            fractions=_parse_split(args.split),
+            scrub=not args.no_scrub,
+            gate=not args.no_gate,
+            dedup=not args.no_dedup,
+        )
+        audit.write.mode("overwrite").parquet(args.audit)
+        report["audit"] = args.audit
 
     docs = dataset_split(docs, id_col, _parse_split(args.split))
     report["split_rows"] = {

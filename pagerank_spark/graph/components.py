@@ -1600,3 +1600,252 @@ def ktruss(
             out = out.localCheckpoint(eager=False)
         surv = out.select("src", "dst")
     return out
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iterations: int = 30,
+    checkpoint_every: int = 1,
+    tune: bool = True,
+    scaled: bool = True,
+) -> DataFrame:
+    """Approximate betweenness centrality: sampled Brandes over the
+    multi-source frontier machinery (the classic centrality missing
+    beside PageRank/HITS/Katz/harmonic). ``seeds`` holds the pivot
+    set — deterministic hash-chosen in the callers, or the full vertex
+    set for exact betweenness. Returns ``(node, betweenness)`` for
+    every node with a nonzero dependency accumulation; with
+    ``scaled=True`` each sum is multiplied by the Brandes–Pich
+    estimator factor |V| / |pivots| (exact betweenness when the pivot
+    set IS the vertex set, since the factor is then 1).
+
+    Semantics are hop-bounded: shortest paths longer than
+    ``max_iterations`` hops are not explored, on BOTH phases — the
+    same truncation every BFS-based loop here applies, and the one an
+    unrolled SQL twin can mirror exactly.
+
+    Two phases, both synchronized (seed, node)-keyed loops:
+
+    - **forward** — the ``multi_source_shortest_paths`` frontier loop
+      extended with path counting: a node discovered in round d has
+      ALL its shortest-path predecessors in round d-1's frontier, so
+      ``sigma(s, v) = Σ sigma(s, u)`` over frontier in-neighbors is
+      one extra SUM riding the existing per-round aggregation — no
+      extra shuffle.
+    - **backward** — level-synchronous dependency accumulation, from
+      the deepest observed level down: for v at level d-1,
+      ``delta(s,v) = Σ_w sigma_v/sigma_w · (1 + delta(s,w))`` over
+      out-edges v→w landing exactly one level deeper (the shortest-
+      path DAG edges — enforced by the inner join against level d-1,
+      never materialized as a DAG). Per level: one join of the edge
+      table against the (level-filtered, broadcast-gated) successor
+      deltas, one partial-combined SUM. Each level's delta relation
+      is lazily checkpointed and materialized by its own count — the
+      VertexLoop cadence-1 shape — so lineage never compounds across
+      levels.
+
+    Scale shape: state is |pivots| × reached-nodes rows, same as the
+    landmark BFS (the broadcast-vs-shuffle cut accounts for the
+    multiplier); pivot sampling is exactly what bounds it at 100 TB.
+    No global windows, no collects beyond one scalar per round plus
+    the max-depth scalar between phases.
+    """
+    spark = edges.sparkSession
+    ec = edges.count()
+    n_seeds = max(1, seeds.select("node").distinct().count())
+    ctx = _iterative_loop_conf(spark, ec) if tune else nullcontext()
+    with ctx:
+        return _betweenness_impl(
+            edges,
+            seeds,
+            max_iterations,
+            checkpoint_every,
+            broadcast_state=(2 * ec * n_seeds <= BROADCAST_STATE_ROW_LIMIT),
+            n_seeds=n_seeds,
+            scaled=scaled,
+        )
+
+
+def _betweenness_impl(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    n_seeds: int,
+    scaled: bool,
+) -> DataFrame:
+    e = edges.select("src", "dst").distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # Shared lists + try/finally — the _shortest_paths_impl discipline.
+    cached: list[DataFrame] = []
+    pending: list[DataFrame] = []
+    out: DataFrame | None = None
+    try:
+        out = _betweenness_rounds(
+            e, seeds, max_iterations, checkpoint_every,
+            broadcast_state, n_seeds, scaled, cached, pending,
+        )
+        return out
+    finally:
+        for df in pending:
+            df.unpersist()
+        for df in cached:
+            if df is not out:
+                df.unpersist()
+        e.unpersist()
+
+
+def _betweenness_rounds(
+    e: DataFrame,
+    seeds: DataFrame,
+    max_iterations: int,
+    checkpoint_every: int,
+    broadcast_state: bool,
+    n_seeds: int,
+    scaled: bool,
+    cached: list,
+    pending: list,
+) -> DataFrame:
+    # ---- forward: sigma-carrying multi-source BFS -------------------
+    loop = VertexLoop(
+        cached, checkpoint_every=checkpoint_every, deferred=pending
+    )
+    frontier = loop.track(
+        seeds.select(F.col("node").alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    reached = frontier
+
+    iteration = 0
+    while iteration < max_iterations:
+        iteration += 1
+        msgs = (
+            e.join(
+                _bc(
+                    frontier.select(
+                        F.col("node").alias("src"), "seed", "dist", "sigma"
+                    ),
+                    broadcast_state,
+                ),
+                on="src",
+            )
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+                "sigma",
+            )
+            # every shortest-path predecessor of a round-d node sits in
+            # round d-1's frontier, so this SUM is the full sigma
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"), F.sum("sigma").alias("sigma"))
+        )
+        new_frontier = loop.track(
+            msgs.join(
+                _bc(reached.select("seed", "node"), broadcast_state),
+                on=["seed", "node"],
+                how="left_anti",
+            )
+        )
+        n_new = new_frontier.count()
+        loop.flush_deferred()
+        if n_new == 0:
+            new_frontier.unpersist()
+            break
+        merged = reached.unionByName(new_frontier)
+        if iteration % checkpoint_every == 0:
+            reached = loop.truncate(merged)
+            loop.defer_all_but(new_frontier)
+        else:
+            reached = loop.track(merged)
+        frontier = new_frontier
+
+    reached = materialize_or_release(
+        reached.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cached.append(reached)
+
+    # one scalar between phases: deepest observed level + vertex count
+    # for the estimator factor (distinct over the reached state, NOT a
+    # second pass over the edge table)
+    row = reached.agg(
+        F.max("dist").alias("maxd"),
+        F.countDistinct("node").alias("n_reached"),
+    ).collect()[0]
+    max_dist = row["maxd"] if row["maxd"] is not None else 0
+
+    if scaled:
+        # Brandes–Pich estimator over |V| (all graph vertices, not just
+        # reached ones — matches the exact-betweenness limit)
+        n_vertices = vertices(e).count()
+        factor = n_vertices / n_seeds
+    else:
+        factor = 1.0
+
+    # ---- backward: level-synchronous dependency accumulation --------
+    # cadence-1 sub-loop on its OWN generation list: every level's
+    # delta is a lazy localCheckpoint materialized by its count, so
+    # the accumulated union reads only checkpointed pieces — and the
+    # sub-loop's sweep can never release ``reached`` (still needed for
+    # the remaining levels) out of the caller's shared list.
+    back = VertexLoop([], checkpoint_every=1)
+    spark = e.sparkSession
+    acc: list[DataFrame] = []
+    delta_prev: DataFrame | None = None
+    for d in range(max_dist, 0, -1):
+        w = reached.where(F.col("dist") == d).select(
+            "seed", F.col("node").alias("dst"), F.col("sigma").alias("sigma_w")
+        )
+        if delta_prev is not None:
+            w = w.join(
+                _bc(
+                    delta_prev.select(
+                        "seed", F.col("node").alias("dst"),
+                        F.col("delta").alias("delta_w"),
+                    ),
+                    broadcast_state,
+                ),
+                on=["seed", "dst"],
+                how="left",
+            ).fillna(0.0, subset=["delta_w"])
+        else:
+            w = w.withColumn("delta_w", F.lit(0.0))
+        v = reached.where(F.col("dist") == d - 1).select(
+            "seed", "node", F.col("sigma").alias("sigma_v")
+        )
+        contrib = (
+            e.join(_bc(w, broadcast_state), on="dst")
+            .select(
+                "seed",
+                F.col("src").alias("node"),
+                ((1.0 + F.col("delta_w")) / F.col("sigma_w")).alias("ratio"),
+            )
+            # inner join against level d-1 keeps only shortest-path DAG
+            # edges and attaches the predecessor's sigma
+            .join(_bc(v, broadcast_state), on=["seed", "node"])
+            .groupBy("seed", "node")
+            .agg(F.sum(F.col("sigma_v") * F.col("ratio")).alias("delta"))
+        )
+        contrib, _ = back.advance(contrib, metrics={"n": F.count("*")})
+        acc.append(contrib)
+        delta_prev = contrib
+
+    if not acc:
+        return spark.createDataFrame([], "node BIGINT, betweenness DOUBLE")
+
+    alldelta = acc[0]
+    for piece in acc[1:]:
+        alldelta = alldelta.unionByName(piece)
+    return (
+        alldelta.where(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
+    )

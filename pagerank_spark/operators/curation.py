@@ -808,3 +808,170 @@ def epoch_shuffle(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def curation_provenance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    split_salt: str = "split",
+    scrub: bool = True,
+    gate: bool = True,
+    dedup: bool = True,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document curation audit relation — the lineage an ingest
+    dashboard needs at 100 TB: ``(id, stage, verdict, reason)`` rows
+    for the default curate pipeline (scrub → Gopher gate → exact
+    dedup → split), composed from the existing operators' own flag
+    columns so it adds NO second scan per stage.
+
+    One pass over the corpus: ``pii_redact`` and ``gopher_quality``
+    are codegen'd projections stacked on the scan; the dedup winner is
+    ONE window over ``md5(redacted_text)`` (an 8-byte-ish shuffle key
+    instead of the document — the hashed-key form ``exact_dedup``'s
+    docstring recommends at scale), conditional on gate-passers so the
+    pipeline's dedup-after-gate order is preserved; the split is the
+    ``dataset_split`` per-row md5 coin. The ≤4 audit rows per document
+    explode from an in-row array — no union of per-stage scans.
+
+    Stage semantics (each doc gets a row per stage it REACHED):
+
+    - ``scrub``: verdict ``redacted``/``clean``; reason
+      ``emails=N,phones=M`` when redacted.
+    - ``gate`` (on the redacted text): verdict ``pass``/``drop``;
+      reason is the FIRST failing bound in fixed precedence
+      (too_few_words, too_many_words, word_len_low, word_len_high,
+      symbol_ratio, dup_lines).
+    - ``exact_dedup`` (gate-passers only): verdict ``keep``/``drop``;
+      reason ``duplicate_of=<min surviving id>`` on drop — the same
+      keep-first winner ``exact_dedup`` picks (min ``id_col`` per
+      identical redacted text).
+    - ``split`` (dedup keepers only): verdict is the assigned split
+      name.
+
+    ``scrub``/``gate``/``dedup`` toggles mirror the curate CLI's
+    ``--no-*`` flags: a disabled stage emits no rows and downstream
+    stages see every document (gate features then use the raw text
+    when scrub is off).
+    """
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.text import gopher_quality, pii_redact
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    base = docs.select(F.col(id_col), F.col(text_col))
+    if scrub:
+        red = pii_redact(base, text_col=text_col)
+        flagged = red.select(
+            id_col,
+            "n_emails",
+            "n_phones",
+            F.col(f"{text_col}_redacted").alias(text_col),
+        )
+    else:
+        flagged = base
+    flagged = gopher_quality(
+        flagged,
+        text_col=text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_dup_line_frac=max_dup_line_frac,
+    )
+    passes = F.col("passes_gopher") if gate else F.lit(True)
+    if dedup:
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        flagged = flagged.withColumn(
+            "__winner",
+            F.min(F.when(passes, F.col(id_col))).over(w),
+        )
+        keep = passes & (F.col(id_col) == F.col("__winner"))
+    else:
+        keep = passes
+    flagged = dataset_split(flagged, id_col, fractions, salt=split_salt)
+
+    null_s = F.lit(None).cast("string")
+
+    def _st(stage: str, verdict, reason):
+        return F.struct(
+            F.lit(stage).alias("stage"),
+            verdict.alias("verdict"),
+            reason.alias("reason"),
+        )
+
+    elems = []
+    if scrub:
+        scrubbed = (F.col("n_emails") + F.col("n_phones")) > 0
+        elems.append(
+            _st(
+                "scrub",
+                F.when(scrubbed, F.lit("redacted")).otherwise("clean"),
+                F.when(
+                    scrubbed,
+                    F.concat(
+                        F.lit("emails="),
+                        F.col("n_emails").cast("string"),
+                        F.lit(",phones="),
+                        F.col("n_phones").cast("string"),
+                    ),
+                ).otherwise(null_s),
+            )
+        )
+    if gate:
+        gate_reason = (
+            F.when(F.col("n_words") < min_words, "too_few_words")
+            .when(F.col("n_words") > max_words, "too_many_words")
+            .when(F.col("mean_word_len") < min_mean_word_len, "word_len_low")
+            .when(F.col("mean_word_len") > max_mean_word_len, "word_len_high")
+            .when(
+                F.col("symbol_word_ratio") > max_symbol_word_ratio,
+                "symbol_ratio",
+            )
+            .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
+            .otherwise(null_s)
+        )
+        elems.append(
+            _st(
+                "gate",
+                F.when(F.col("passes_gopher"), F.lit("pass")).otherwise(
+                    "drop"
+                ),
+                gate_reason,
+            )
+        )
+    if dedup:
+        elems.append(
+            F.when(
+                passes,
+                _st(
+                    "exact_dedup",
+                    F.when(keep, F.lit("keep")).otherwise("drop"),
+                    F.when(
+                        ~(F.col(id_col) == F.col("__winner")),
+                        F.concat(
+                            F.lit("duplicate_of="),
+                            F.col("__winner").cast("string"),
+                        ),
+                    ).otherwise(null_s),
+                ),
+            )
+        )
+    elems.append(F.when(keep, _st("split", F.col("split"), null_s)))
+    return (
+        flagged.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.array(*elems), lambda x: x.isNotNull())
+            ).alias("__a"),
+        )
+        .select(id_col, "__a.stage", "__a.verdict", "__a.reason")
+    )

@@ -93,3 +93,105 @@ def test_curate_cli_end_to_end(tmp_path, spark, capsys):
     assert all("bob@example.com" not in t for t in texts)
     assert any("<EMAIL>" in t for t in texts)
     assert got.select("split").distinct().count() >= 1
+
+
+def test_curate_cli_audit_reconciles_report(tmp_path, spark, capsys):
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    long_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "keeps going with more and more plain english words "
+                 "about the weather the market and the evening news ") * 3
+    rows = [
+        (1, long_good + " contact me at bob@example.com", "en"),
+        (2, long_good + " unique tail alpha", "en"),
+        (3, long_good + " unique tail alpha", "en"),   # dup of 2
+        (4, "tiny", "en"),                             # gate drop
+        (5, long_good + " unique tail beta", "en"),
+    ]
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+
+    out = tmp_path / "curated"
+    audit_path = tmp_path / "audit"
+    rc = curate_main(
+        [str(src), "--out", str(out), "--split", "train=0.5,val=0.5",
+         "--audit", str(audit_path)],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    audit = spark.read.parquet(str(audit_path))
+    by = {
+        (r["stage"], r["verdict"]): r["n"]
+        for r in audit.groupBy("stage", "verdict").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # stage-for-stage reconciliation with the report counts
+    assert by.get(("scrub", "redacted"), 0) == report["pii_rows_touched"]
+    assert by.get(("gate", "pass"), 0) == report["after_gate"]
+    assert by.get(("exact_dedup", "keep"), 0) == report["after_exact_dedup"]
+    split_counts = {
+        k: v for (stage, k), v in by.items() if stage == "split"
+    }
+    assert split_counts == report["split_rows"]
+    # every input doc has scrub+gate rows; only gate-passers have dedup
+    assert by.get(("scrub", "redacted"), 0) + by.get(("scrub", "clean"), 0) \
+        == report["input_rows"]
+    # drop reasons point at the surviving winner
+    dropped = {
+        r["doc_id"]: r["reason"]
+        for r in audit.where(
+            (audit.stage == "exact_dedup") & (audit.verdict == "drop")
+        ).collect()
+    }
+    assert dropped == {3: "duplicate_of=2"}
+
+
+def test_curate_cli_audit_refuses_neardup(tmp_path, spark):
+    import pytest
+
+    from pagerank_spark.curate import main as curate_main
+
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "x", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+    with pytest.raises(SystemExit):
+        curate_main(
+            [str(src), "--out", str(tmp_path / "o"), "--neardup",
+             "--audit", str(tmp_path / "a")],
+            spark=spark,
+        )
+
+
+def test_curate_cli_audit_respects_stage_toggles(tmp_path, spark, capsys):
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    long_good = ("plain english words about the weather the market and "
+                 "the evening news rolling onward with steady pace ") * 5
+    rows = [
+        (1, long_good + " contact me at bob@example.com", "en"),
+        (2, "tiny", "en"),
+    ]
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+    rc = curate_main(
+        [str(src), "--out", str(tmp_path / "o"), "--no-scrub", "--no-gate",
+         "--audit", str(tmp_path / "a")],
+        spark=spark,
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    audit = spark.read.parquet(str(tmp_path / "a"))
+    stages = {r["stage"] for r in audit.select("stage").distinct().collect()}
+    # scrub and gate disabled: no rows for them; everyone reaches dedup
+    assert stages == {"exact_dedup", "split"}
+    assert audit.where(audit.stage == "exact_dedup").count() == 2

@@ -612,3 +612,117 @@ def test_ktruss_triangle_dissolves_at_k4(spark):
         (1, 2), (1, 3), (2, 3)
     ]
     assert all(r["support"] == 1 for r in out)
+
+
+# ---- betweenness centrality (sampled Brandes) -----------------------
+
+
+def _brandes_reference(edges, pivots, max_hops=30):
+    """Textbook Brandes (BFS, directed, hop-bounded) — the in-test
+    oracle for exact comparison on hand graphs."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    bet = defaultdict(float)
+    for s in pivots:
+        # forward BFS with path counting
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        # backward accumulation
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for x in adj[w]:
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1 + delta[x])
+            if w != s:
+                bet[w] += delta[w]
+    return {n: b for n, b in bet.items() if b != 0.0}
+
+
+def _run_betweenness(spark, edges, pivots, scaled=False, max_iterations=30):
+    from pagerank_spark.graph.components import betweenness_centrality
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(p,) for p in pivots], "node long")
+    out = betweenness_centrality(
+        e, s, max_iterations=max_iterations, scaled=scaled
+    )
+    return {r["node"]: r["betweenness"] for r in out.collect()}
+
+
+def test_betweenness_exact_path_graph(spark):
+    # 1->2->3->4, all nodes as pivots (sampling exhaustive, factor 1):
+    # pairs (1,3) via 2; (1,4) via 2,3; (2,4) via 3 => b(2)=b(3)=2
+    edges = [(1, 2), (2, 3), (3, 4)]
+    got = _run_betweenness(spark, edges, [1, 2, 3, 4], scaled=True)
+    assert got == {2: 2.0, 3: 2.0}
+
+
+def test_betweenness_exact_matches_reference_brandes(spark):
+    # diamond with tail + a tie: two shortest 1->4 paths split credit
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (2, 5),
+    ]
+    pivots = [1, 2, 3, 4, 5, 6]
+    got = _run_betweenness(spark, edges, pivots)
+    want = _brandes_reference(edges, pivots)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+
+
+def test_betweenness_sampled_pivots_and_scaling(spark):
+    # pivot subset: unscaled equals reference restricted to those
+    # pivots; scaled multiplies by |V|/|pivots|
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 4), (2, 6),
+        (6, 7), (7, 5),
+    ]
+    pivots = [1, 3]
+    got = _run_betweenness(spark, edges, pivots)
+    want = _brandes_reference(edges, pivots)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9
+    n_vertices = 7
+    scaled = _run_betweenness(spark, edges, pivots, scaled=True)
+    for n in want:
+        assert abs(scaled[n] - want[n] * n_vertices / 2) < 1e-9
+
+
+def test_betweenness_hop_bound_truncates_both_phases(spark):
+    # chain 0->1->2->3->4 with max_iterations=2: only paths of <=2
+    # hops exist in the truncated DAG — reference with same bound
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    pivots = [0, 1, 2, 3, 4]
+    got = _run_betweenness(spark, edges, pivots, max_iterations=2)
+    want = _brandes_reference(edges, pivots, max_hops=2)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9
+
+
+def test_betweenness_empty_and_isolated(spark):
+    # seeds with no out-edges reach nothing: empty result, schema holds
+    edges = [(1, 2)]
+    got = _run_betweenness(spark, edges, [2])
+    assert got == {}
