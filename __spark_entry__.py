@@ -5239,6 +5239,45 @@ def q244_curation_provenance(
     )
 
 
+def q245_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decoding under the oracle (operators/multimodal.py
+    _decode_tiff): every 10th doc id becomes a genuine baseline TIFF
+    carrying the q114 pixel formula ``(7·id + 3x + 5y + 11c) mod 256``
+    — and the ENCODING varies per id so one corpus exercises the whole
+    decoder matrix: compression cycles none/TIFF-LZW/PackBits by
+    id mod 3 (the LZW payloads additionally carry horizontal-
+    differencing predictor 2), byte order flips to big-endian on odd
+    ids, and strip height 16 forces multi-strip assembly everywhere.
+    The DuckDB twin integrates the closed form (never sees bytes), so
+    a hash match proves IFD walk + strip assembly + LZW early-change
+    decompression + PackBits RLE + predictor undo + both endiannesses
+    against an independent computation."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_tiff_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_tiff_media(ids, "media_id", width=64, height=48)
+    return decode_image(media, thumb_size=2).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.col("thumb")[0].alias("t00"),
+        F.col("thumb")[1].alias("t01"),
+        F.col("thumb")[2].alias("t10"),
+        F.col("thumb")[3].alias("t11"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5491,6 +5530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_gif_decode": q242_gif_decode,
         "q243_betweenness_centrality": q243_betweenness_centrality,
         "q244_curation_provenance": q244_curation_provenance,
+        "q245_tiff_decode": q245_tiff_decode,
     }
 
 
@@ -12403,5 +12443,47 @@ FROM sp WHERE passes
 UNION ALL
 SELECT doc_id, 'split', split, NULL
 FROM sp WHERE passes AND doc_id = winner
+""",
+)
+
+
+# q245 twin: closed-form integration of the q114 pixel formula — the
+# payload side is a genuine multi-strip TIFF (compression and byte
+# order varying per id, predictor-2 LZW on id%3==2... see the query
+# docstring), so the hash match proves the full decoder matrix against
+# an independent computation. Identical integrals to q114's twin, with
+# format='tiff'.
+_oracle(
+    "q245_tiff_decode",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+ys AS (SELECT unnest(generate_series(0, 47)) AS y),
+px AS (
+  SELECT i.media_id,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) AS mr,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y + 11) % 256) AS mg,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y + 22) % 256) AS mb
+  FROM ids i CROSS JOIN xs x CROSS JOIN ys y
+  GROUP BY i.media_id
+)
+SELECT i.media_id,
+       'tiff' AS format,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       ROUND(p.mr, 6) AS mean_r,
+       ROUND(p.mg, 6) AS mean_g,
+       ROUND(p.mb, 6) AS mean_b,
+       ROUND(((7 * i.media_id) % 256 + (7 * i.media_id + 11) % 256
+              + (7 * i.media_id + 22) % 256) / 3.0, 6) AS t00,
+       ROUND(((7 * i.media_id + 96) % 256 + (7 * i.media_id + 107) % 256
+              + (7 * i.media_id + 118) % 256) / 3.0, 6) AS t01,
+       ROUND(((7 * i.media_id + 120) % 256 + (7 * i.media_id + 131) % 256
+              + (7 * i.media_id + 142) % 256) / 3.0, 6) AS t10,
+       ROUND(((7 * i.media_id + 216) % 256 + (7 * i.media_id + 227) % 256
+              + (7 * i.media_id + 238) % 256) / 3.0, 6) AS t11
+FROM ids i JOIN px p USING (media_id)
 """,
 )

@@ -281,6 +281,9 @@ def main() -> None:
         "q241_mixture_order",
         # round-11 tier (no prior baseline — these SET it):
         "q242_gif_decode",
+        "q243_betweenness_centrality",
+        "q244_curation_provenance",
+        "q245_tiff_decode",
     ]
 
     timings: dict[str, float] = {}

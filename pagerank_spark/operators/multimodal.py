@@ -158,6 +158,10 @@ def image_embedding(media: DataFrame, grid: int = 4) -> DataFrame:
                 return _decode_bmp(b)
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 return _decode_png(b)
+            if b[:4] == b"GIF8":
+                return _decode_gif(b)
+            if b[:4] in (b"II*\x00", b"MM\x00*"):
+                return _decode_tiff(b)
             if b[:2] == b"\xff\xd8":
                 return decode_jpeg(b)
             raise ValueError("unknown magic")
@@ -387,6 +391,8 @@ def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
                         arr, fmt = _decode_png(b), "png"
                     elif b[:4] == b"GIF8":
                         arr, fmt = _decode_gif(b), "gif"
+                    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                        arr, fmt = _decode_tiff(b), "tiff"
                     elif b[:2] == b"\xff\xd8":
                         from pagerank_spark.operators.jpeg import decode_jpeg
 
@@ -786,6 +792,418 @@ def synthesize_gif_media(
             for mid in pdf[id_col]:
                 v = ((7 * int(mid) + base) % 256).astype(np.uint8)
                 payloads.append(encode_gif(v, pal))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773), stdlib-only:
+    n < 128 → copy n+1 literal bytes; n > 128 → repeat the next byte
+    257-n times; n == 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            chunk = data[i : i + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("truncated PackBits literal")
+            out += chunk
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("truncated PackBits strip")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal PackBits encoder (runs ≥3 as RLE, else literals) — the
+    synthesis side for round-tripping the decoder."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+            continue
+        # literal stretch: until a run of >=3 starts (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            if (
+                j + 2 < n
+                and data[j] == data[j + 1] == data[j + 2]
+            ):
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (compression 5), stdlib-only: fixed 8-bit
+    symbols with ClearCode 256 / EOI 257, MSB-first bit packing, and
+    the spec's EARLY code-width change (grow at table size 2^w − 1,
+    one entry before GIF's late-change convention). Pure integer table
+    work, same feasibility class as the GIF LZW path."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        byte = bitpos >> 3
+        shift = bitpos & 7
+        span = (shift + width + 7) // 8
+        val = int.from_bytes(data[byte : byte + span], "big")
+        val = (val >> (span * 8 - shift - width)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            raise ValueError("truncated TIFF LZW strip")
+        code = read_code()
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if not table:
+            raise ValueError("TIFF LZW data before ClearCode")
+        if prev is None:
+            if code >= 256:
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK self-reference
+            else:
+                raise ValueError("TIFF LZW code beyond table")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # EARLY change, decoder side: the decoder's table lags the
+        # encoder's by ONE entry (the first code after a Clear adds
+        # nothing), so it widens at 2^w − 2 — libtiff's
+        # MAXCODE(bits)-1 convention — where the encoder widens at
+        # 2^w − 1. Both are one slot earlier than GIF's late change.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("truncated TIFF LZW strip")
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first, early change) — synthesis
+    side; emits a ClearCode first and at every table reset like real
+    writers."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen when the next code to EMIT could be
+        # 2^w - 1 (the entry just added)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == (1 << 12) - 1:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+# TIFF tag ids used by the baseline decoder
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "samples",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 322: "tile_width", 323: "tile_length",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _decode_tiff(buf: bytes):
+    """Real baseline TIFF decoder, stdlib+numpy only: both byte orders
+    (II/MM), full IFD walk with inline-vs-offset value resolution,
+    strip assembly, compressions 1 (none), 5 (TIFF LZW, early change,
+    MSB packing) and 32773 (PackBits), horizontal-differencing
+    predictor 2, 8-bit grayscale/RGB/RGBA chunky pixels. Tiled files,
+    palette color, planar storage, other depths/compressions reject
+    with ValueError and surface as format="error" rows. Returns an
+    (H, W, 3) uint8 array like the other image decoders."""
+    import numpy as np
+
+    if buf[:4] == b"II*\x00":
+        en = "little"
+    elif buf[:4] == b"MM\x00*":
+        en = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u(off: int, size: int) -> int:
+        b = buf[off : off + size]
+        if len(b) < size:
+            raise ValueError("truncated TIFF header")
+        return int.from_bytes(b, en)
+
+    ifd = u(4, 4)
+    n_entries = u(ifd, 2)
+    tags: dict[str, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        tag, typ, count = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF type {typ} for tag {tag}")
+        total = size * count
+        base = e + 8 if total <= 4 else u(e + 8, 4)
+        tags[name] = [u(base + i * size, size) for i in range(count)]
+
+    if "tile_width" in tags or "tile_length" in tags:
+        raise ValueError("tiled TIFF not supported")
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"missing TIFF tag {req}")
+    w, h = tags["width"][0], tags["height"][0]
+    samples = tags.get("samples", [1])[0]
+    bits = tags.get("bits", [8] * samples)
+    comp = tags.get("compression", [1])[0]
+    photo = tags.get("photometric", [1])[0]
+    planar = tags.get("planar", [1])[0]
+    predictor = tags.get("predictor", [1])[0]
+    if any(b != 8 for b in bits):
+        raise ValueError("only 8-bit TIFF supported")
+    if photo == 3:
+        raise ValueError("palette TIFF not supported")
+    if planar != 1:
+        raise ValueError("planar TIFF not supported")
+    if samples not in (1, 3, 4):
+        raise ValueError(f"unsupported samples per pixel {samples}")
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+
+    rows_per_strip = tags.get("rows_per_strip", [h])[0] or h
+    offs, cnts = tags["strip_offsets"], tags["strip_counts"]
+    if len(offs) != len(cnts):
+        raise ValueError("strip offset/count mismatch")
+    raster = bytearray()
+    row_bytes = w * samples
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+        strip = buf[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("extra TIFF strips beyond image height")
+        expected = n_rows * row_bytes
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("truncated uncompressed strip")
+            raster += strip[:expected]
+        elif comp == 5:
+            raster += _lzw_decode_tiff(strip, expected)
+        else:
+            raster += _packbits_decode(strip, expected)
+    if len(raster) < h * row_bytes:
+        raise ValueError("TIFF strips cover less than the image")
+    px = np.frombuffer(
+        bytes(raster[: h * row_bytes]), dtype=np.uint8
+    ).reshape(h, w, samples)
+    if predictor == 2:
+        # horizontal differencing: undo with a per-row cumulative sum
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    if samples == 1:
+        px = np.repeat(px, 3, axis=2)
+        if photo == 0:  # WhiteIsZero: invert
+            px = 255 - px
+    return px[:, :, :3]
+
+
+def encode_tiff(
+    arr,
+    compression: int = 1,
+    byte_order: str = "little",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal chunky RGB TIFF writer for round-tripping the decoder:
+    header + one IFD + strip data, compression 1/5/32773, optional
+    predictor 2, either byte order, configurable strip height."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, samples = arr.shape
+    en = byte_order
+    rows_per_strip = rows_per_strip or h
+
+    if predictor == 2:
+        d = arr.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+        arr = (d % 256).astype(np.uint8)
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = arr[y0 : y0 + rows_per_strip].tobytes()
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            strips.append(_lzw_encode_tiff(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise ValueError(f"unsupported compression {compression}")
+
+    def u16(v: int) -> bytes:
+        return v.to_bytes(2, en)
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, en)
+
+    n_strips = len(strips)
+    # layout: 8-byte header, strip data, then the IFD (+ overflow
+    # arrays for strip offsets/counts when n_strips > 1)
+    data_start = 8
+    strip_offs = []
+    pos = data_start
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+
+    entries = []  # (tag, type, count, value-or-bytes)
+
+    def entry(tag: int, typ: int, count: int, values: list[int]) -> None:
+        entries.append((tag, typ, count, values))
+
+    entry(256, 4, 1, [w])
+    entry(257, 4, 1, [h])
+    entry(258, 3, samples, [8] * samples)
+    entry(259, 3, 1, [compression])
+    entry(262, 3, 1, [2 if samples >= 3 else 1])
+    entry(273, 4, n_strips, strip_offs)
+    entry(277, 3, 1, [samples])
+    entry(278, 4, 1, [rows_per_strip])
+    entry(279, 4, n_strips, [len(s) for s in strips])
+    if predictor == 2:
+        entry(317, 3, 1, [2])
+    entries.sort(key=lambda t: t[0])
+
+    # overflow area sits after the IFD block
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+    ifd = bytearray(u16(len(entries)))
+    for tag, typ, count, values in entries:
+        size = _TIFF_TYPE_SIZE[typ]
+        ifd += u16(tag) + u16(typ) + u32(count)
+        packed = b"".join(v.to_bytes(size, en) for v in values)
+        if len(packed) <= 4:
+            ifd += packed + b"\x00" * (4 - len(packed))
+        else:
+            ifd += u32(overflow_off + len(overflow))
+            overflow += packed
+    ifd += u32(0)  # no next IFD
+
+    header = (b"II*\x00" if en == "little" else b"MM\x00*") + u32(ifd_off)
+    return header + b"".join(strips) + bytes(ifd) + bytes(overflow)
+
+
+def synthesize_tiff_media(
+    ids: DataFrame, id_col: str = "media_id",
+    width: int = 64, height: int = 48,
+) -> DataFrame:
+    """Deterministic synthetic TIFF per id — the SAME pixel formula as
+    the PPM/PNG fixtures (``(7·id + 3·x + 5·y + 11·c) mod 256``), so
+    the identical closed-form oracle verifies the TIFF decode path.
+    The encoding VARIES by id to cover the whole decoder matrix in one
+    corpus: compression cycles none/LZW/PackBits by ``id mod 3``, byte
+    order flips big-endian on ``id mod 2``, the LZW payloads carry the
+    horizontal-differencing predictor, and strip height 16 forces
+    multi-strip assembly everywhere."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3),
+            indexing="ij",
+        )
+        base = 3 * x + 5 * y + 11 * c
+        comps = [1, 5, 32773]
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                arr = ((7 * mid + base) % 256).astype("uint8")
+                comp = comps[mid % 3]
+                payloads.append(
+                    encode_tiff(
+                        arr,
+                        compression=comp,
+                        byte_order="big" if mid % 2 else "little",
+                        predictor=2 if comp == 5 else 1,
+                        rows_per_strip=16,
+                    )
+                )
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )

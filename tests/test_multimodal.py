@@ -665,3 +665,137 @@ def test_gif_decodes_real_third_party_files():
         assert arr.shape == (h, w, 3)
         decoded += 1
     assert decoded >= 1
+
+
+# ---- TIFF decoder (round-11: last codec-free image format) ----------
+
+
+def test_tiff_round_trip_full_matrix():
+    # every (compression x byte order x predictor x strip height) cell
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    arr = rng.randint(0, 256, (37, 29, 3)).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        for en in ("little", "big"):
+            for pred in (1, 2):
+                for rps in (None, 7):
+                    buf = multimodal.encode_tiff(
+                        arr, compression=comp, byte_order=en,
+                        predictor=pred, rows_per_strip=rps,
+                    )
+                    out = multimodal._decode_tiff(buf)
+                    assert np.array_equal(out, arr), (comp, en, pred, rps)
+
+
+def test_tiff_lzw_hand_vector_and_boundaries():
+    # Independently hand-derived spec bitstream for [7,7,7,8]:
+    # CLEAR(256), 7, 258 (KwKwK), 8, EOI(257) at 9 bits MSB-first,
+    # zero-padded — 8001e0408808. A late-change or LSB-first
+    # implementation cannot produce these bytes.
+    enc = multimodal._lzw_encode_tiff(bytes([7, 7, 7, 8]))
+    assert enc.hex() == "8001e0408808"
+    assert multimodal._lzw_decode_tiff(bytes.fromhex("8001e0408808"), 4) \
+        == bytes([7, 7, 7, 8])
+    # width growth across 511/1023/2047 and the 4094 table reset
+    data = bytes((i * 7 + (i >> 3)) % 251 for i in range(65536))
+    assert multimodal._lzw_decode_tiff(
+        multimodal._lzw_encode_tiff(data), len(data)
+    ) == data
+    # deep KwKwK chains
+    data2 = b"abbcccdddd" * 7000
+    assert multimodal._lzw_decode_tiff(
+        multimodal._lzw_encode_tiff(data2), len(data2)
+    ) == data2
+
+
+def test_tiff_packbits_spec_vectors():
+    # Apple spec semantics: run, literal, 0x80 no-op, truncation
+    assert multimodal._packbits_decode(bytes([0xFE, 0xAA]), 3) \
+        == b"\xaa\xaa\xaa"
+    assert multimodal._packbits_decode(bytes([0x02, 0x41, 0x42, 0x43]), 3) \
+        == b"ABC"
+    assert multimodal._packbits_decode(
+        bytes([0x80, 0xFE, 0xAA]), 3) == b"\xaa\xaa\xaa"
+    with pytest.raises(ValueError):
+        multimodal._packbits_decode(bytes([0x02, 0x41]), 3)
+    enc = multimodal._packbits_encode(b"AAAABBBCCD")
+    assert multimodal._packbits_decode(enc, 10) == b"AAAABBBCCD"
+
+
+def test_tiff_gray_and_white_is_zero():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (9, 11, 1)).astype(np.uint8)
+    buf = multimodal.encode_tiff(g, compression=1)
+    assert np.array_equal(
+        multimodal._decode_tiff(buf), np.repeat(g, 3, axis=2)
+    )
+    # flip photometric to WhiteIsZero (tag 262 value 0): decoder inverts
+    import struct
+
+    # find the 262 SHORT entry in the little-endian IFD and zero it
+    ifd_off = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd_off:ifd_off + 2])[0]
+    b = bytearray(buf)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        if struct.unpack("<H", b[e:e + 2])[0] == 262:
+            b[e + 8:e + 10] = b"\x00\x00"
+    inv = multimodal._decode_tiff(bytes(b))
+    assert np.array_equal(inv, 255 - np.repeat(g, 3, axis=2))
+
+
+def test_tiff_rejections_are_valueerrors():
+    import numpy as np
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = multimodal.encode_tiff(arr)
+    poisons = [
+        b"II*\x00",                       # no IFD
+        b"II*\x00" + b"\x00" * 8,         # empty IFD at offset 0
+        b"MM\x00*" + b"\xff" * 24,        # garbage IFD
+        good[:-10],                       # truncated tail
+        good[: len(good) // 2],           # truncated strips
+    ]
+    for p in poisons:
+        with pytest.raises(ValueError):
+            multimodal._decode_tiff(p)
+    with pytest.raises(ValueError):
+        multimodal.encode_tiff(arr, compression=99)
+
+
+def test_tiff_multistrip_counts_must_match():
+    import numpy as np
+    import struct
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    buf = multimodal.encode_tiff(arr, rows_per_strip=2)
+    # sanity: 2 strips decode fine
+    assert np.array_equal(multimodal._decode_tiff(buf), arr)
+
+
+def test_decode_image_dispatches_tiff(spark):
+    # the Spark surface: synthesized TIFFs (mixed compressions/orders)
+    # decode through decode_image with format='tiff' and the same
+    # closed-form means as the PPM fixture
+    ids = spark.createDataFrame(
+        [(i,) for i in range(6)], "media_id long"
+    )
+    media = multimodal.synthesize_tiff_media(ids, width=16, height=8)
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.decode_image(media, thumb_size=2).collect()
+    }
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        assert r["format"] == "tiff"
+        assert (r["width"], r["height"]) == (16, 8)
+    # closed-form check for one id: mean_r = mean((7id+3x+5y) % 256)
+    import numpy as np
+
+    y, x = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+    for mid in (0, 3):
+        want = float(((7 * mid + 3 * x + 5 * y + 0) % 256).mean())
+        assert abs(rows[mid]["mean_r"] - want) < 1e-6
