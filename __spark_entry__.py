@@ -5278,6 +5278,35 @@ def q245_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q246_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused with reciprocal-rank
+    fusion (operators/similarity.py rrf_fuse; Cormack et al. 2009):
+    the BM25 arm ranks the top-50 documents for {spark, window, dup}
+    (q171's engine) and the semantic arm ranks the top-50 exact-cosine
+    neighbors of embedding vec_id 0 (q28's engine, vec_id ≡ doc_id on
+    the fixture corpus); each doc scores Σ 1/(60 + rank) over the arms
+    it appears in, rounded-6dp score driving the fused top-20. The
+    fusion itself is one union + partial-combined SUM + TakeOrdered —
+    the per-arm top bounds make it corpus-size-independent."""
+    from pagerank_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        rrf_fuse,
+    )
+    from pagerank_spark.operators.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    lexical = bm25_rank(docs, ["spark", "window", "dup"], top_k=50)
+    emb = load_table(spark, sf_dir, "embeddings")
+    semantic = ann_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == 0), k=50
+    ).select(
+        F.col("nb_id").alias("doc_id"), F.col("rank").alias("rk")
+    )
+    return rrf_fuse(
+        [lexical.select("doc_id", "rk"), semantic], k=60, top_k=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5531,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_betweenness_centrality": q243_betweenness_centrality,
         "q244_curation_provenance": q244_curation_provenance,
         "q245_tiff_decode": q245_tiff_decode,
+        "q246_hybrid_retrieval": q246_hybrid_retrieval,
     }
 
 
@@ -12485,5 +12515,78 @@ SELECT i.media_id,
        ROUND(((7 * i.media_id + 216) % 256 + (7 * i.media_id + 227) % 256
               + (7 * i.media_id + 238) % 256) / 3.0, 6) AS t11
 FROM ids i JOIN px p USING (media_id)
+""",
+)
+
+
+# q246 twin: q171's BM25 pipeline (rk <= 50) + q28's exact-cosine
+# ranking for the vec_id-0 query (rank <= 50), fused with
+# score = SUM 1/(60 + rk) rounded 6dp, rounded score ranking the
+# fused top-20 with id-asc ties — the RRF constant k=60 from the
+# Cormack et al. paper.
+_oracle(
+    "q246_hybrid_retrieval",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+),
+avgdl AS (SELECT AVG(dl) AS a FROM doclen),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+qtf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN ('spark', 'window', 'dup')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY term
+),
+bm25 AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT q.doc_id,
+           ROUND(SUM(
+             ln(1.0 + ((SELECT n FROM n) - f.df + 0.5) / (f.df + 0.5))
+             * (q.tf * (1.2 + 1.0))
+             / (q.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * d.dl / (SELECT a FROM avgdl)))
+           ), 6) AS score
+    FROM qtf q
+    JOIN dfreq f USING (term)
+    JOIN doclen d USING (doc_id)
+    GROUP BY q.doc_id
+  )
+),
+sem AS (
+  SELECT nb_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, nb_id ASC) AS rk
+  FROM (
+    SELECT c.vec_id AS nb_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6)
+             AS cos
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id = 0
+  )
+),
+contribs AS (
+  SELECT doc_id, 1.0 / (60 + rk) AS contrib FROM bm25 WHERE rk <= 50
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rk) AS contrib FROM sem WHERE rk <= 50
+),
+fused AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+  FROM contribs GROUP BY doc_id
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM fused
+) WHERE rk <= 20
 """,
 )

@@ -1196,3 +1196,51 @@ def ann_ivf_persisted(
         )
     finally:
         q_assigned.unpersist()
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rk_col: str = "rk",
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009 — public
+    paper) of N retrieval rankings: the standard hybrid-search
+    combiner for a lexical BM25 arm and a semantic embedding arm.
+    Each input relation carries ``(id_col, rk_col)`` 1-based ranks;
+    a document's fused score is ``Σ_arms 1/(k + rank)`` (absent arm →
+    no contribution), rounded to 6dp with the ROUNDED score driving
+    the fused ranking (ties by id asc) — the cross-engine libm
+    discipline every scored operator here follows.
+
+    Scale shape: a union of the (already top-bounded) per-arm rank
+    relations, one partial-combined SUM on the id, and a
+    TakeOrderedAndProject top-``top_k``; the rank window runs AFTER
+    the limit over ≤ ``top_k`` rows — never a global-sort or a
+    single-partition window over the corpus. Arms are independent
+    upstream queries (BM25, ANN, recency, …), so the fusion adds one
+    tiny shuffle regardless of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k <= 0:
+        raise ValueError(f"rrf_fuse: k must be positive, got {k}")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(float(k)) + F.col(rk_col))).alias("__contrib"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(id_col).agg(
+        F.round(F.sum("__contrib"), 6).alias("score")
+    )
+    topped = fused.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topped.withColumn("rk", F.row_number().over(w)).select(
+        id_col, "rk", "score"
+    )

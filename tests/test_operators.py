@@ -2734,3 +2734,42 @@ def test_mixture_order_proportional_interleave(spark):
         ).collect()
     with pytest.raises(ValueError):
         mixture_order(df, {"a": 0, "b": 1}, "source", "doc_id")
+
+
+def test_rrf_fuse_hand_example(spark):
+    from pagerank_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rk int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 3 appears in both arms: 1/63 + 1/61
+    assert out[3]["score"] == round(1 / 63 + 1 / 61, 6)
+    assert out[3]["rk"] == 1                      # highest fused score
+    assert out[1]["score"] == round(1 / 61, 6)    # single-arm docs
+    assert out[4]["score"] == round(1 / 62, 6)
+    # ordering: 3 (both arms) > 1 (a rank 1) > {2, 4} (both 1/62,
+    # tie broken by id asc)
+    order = [d for d, r in sorted(out.items(), key=lambda kv: kv[1]["rk"])]
+    assert order == [3, 1, 2, 4]
+
+
+def test_rrf_fuse_top_k_and_tie_break(spark):
+    from pagerank_spark.operators.similarity import rrf_fuse
+
+    # identical ranks -> identical scores; ties break by id asc
+    a = spark.createDataFrame(
+        [(9, 1), (5, 1)], "doc_id long, rk int"
+    )
+    rows = rrf_fuse([a], k=60, top_k=1).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
