@@ -5307,6 +5307,47 @@ def q246_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q247_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mergeable distinct-user rollup (operators/sketch.py
+    hll_grouped_registers / hll_grouped_estimate): per (day,
+    event_type) portable-HLL registers — ≤256 rows per group whatever
+    the event volume — folded into per-group NDV estimates, with the
+    exact NDV and the standard-error envelope alongside. This is the
+    continuous-aggregate shape (Druid/Timescale sketch rollups): the
+    register relation is a commutative idempotent monoid, so a refresh
+    merges new-partition registers with ``hll_merge`` instead of
+    rescanning history — merge(rollup(a), rollup(b)) == rollup(a ∪ b)
+    EXACTLY, pinned bit-equal by pytest. The twin rebuilds identical
+    registers from the md5 family, so the estimate itself
+    hash-matches; only its distance to the exact NDV is approximate."""
+    from pagerank_spark.operators.sketch import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    regs = hll_grouped_registers(ev, "user_id", ["day", "event_type"])
+    est = hll_grouped_estimate(regs, ["day", "event_type"])
+    exact = ev.groupBy("day", "event_type").agg(
+        F.count_distinct("user_id").alias("exact_ndv")
+    )
+    return est.join(exact, on=["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "hll_estimate",
+        "exact_ndv",
+        (
+            F.abs(F.col("hll_estimate") - F.col("exact_ndv"))
+            / F.greatest(F.col("exact_ndv"), F.lit(1))
+            <= F.lit(3 * 1.04 / 16.0)
+        ).alias("within_bound"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5561,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_curation_provenance": q244_curation_provenance,
         "q245_tiff_decode": q245_tiff_decode,
         "q246_hybrid_retrieval": q246_hybrid_retrieval,
+        "q247_hll_rollup": q247_hll_rollup,
     }
 
 
@@ -12588,5 +12630,68 @@ SELECT doc_id, CAST(rk AS INT) AS rk, score FROM (
          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
   FROM fused
 ) WHERE rk <= 20
+""",
+)
+
+
+# q247 twin: q132's register rebuild with the (day, event_type) group
+# key carried through — identical md5 bucket/rho integer arithmetic,
+# identical per-group estimate fold with linear-counting correction,
+# exact NDV and the 3·1.04/√256 envelope alongside.
+_oracle(
+    "q247_hll_rollup",
+    """
+WITH ev AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, user_id
+  FROM events
+),
+h AS (
+  SELECT day, event_type,
+         CAST(('0x' || substr(
+           md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 15
+         )) AS BIGINT) AS hv
+  FROM ev
+),
+parts AS (
+  SELECT day, event_type,
+         CAST(hv // 4503599627370496 AS INT) AS bucket,
+         hv % 4503599627370496 AS w
+  FROM h
+),
+regs AS (
+  SELECT day, event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS max_rho
+  FROM parts GROUP BY day, event_type, bucket
+),
+agg AS (
+  SELECT day, event_type,
+         SUM(POWER(2.0, -max_rho)) AS s_used,
+         COUNT(*) AS nb
+  FROM regs GROUP BY day, event_type
+),
+est AS (
+  SELECT day, event_type,
+         CASE
+           WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                  / (s_used + (256 - nb)) <= 2.5 * 256
+                AND (256 - nb) > 0
+           THEN 256.0 * ln(256.0 / (256 - nb))
+           ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                  / (s_used + (256 - nb))
+         END AS e
+  FROM agg
+),
+exact AS (
+  SELECT day, event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv
+  FROM ev GROUP BY day, event_type
+)
+SELECT e.day, e.event_type,
+       ROUND(e.e, 4) AS hll_estimate,
+       x.exact_ndv,
+       ABS(ROUND(e.e, 4) - x.exact_ndv)
+         / GREATEST(x.exact_ndv, 1) <= 3 * 1.04 / 16.0 AS within_bound
+FROM est e JOIN exact x USING (day, event_type)
 """,
 )

@@ -206,7 +206,85 @@ __all__ = [
     "cms_estimate",
     "hll_registers",
     "hll_estimate",
+    "hll_grouped_registers",
+    "hll_merge",
+    "hll_grouped_estimate",
     "HLL_BUCKET_BITS",
     "HLL_M",
     "HLL_ALPHA",
 ]
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    salt: str = "hll",
+) -> DataFrame:
+    """Grouped portable-HLL BUILD: ``(*group_cols, bucket, max_rho)``
+    — at most 256 register rows PER GROUP regardless of input size.
+    The same md5-derived bucket/rho as ``hll_registers`` (so a DuckDB
+    twin rebuilds identical registers), with the group key carried
+    through the one partial-combined max aggregation. This is the
+    continuous-aggregate primitive: register relations are exactly
+    mergeable across shards/partitions/time (``hll_merge``), so a
+    rollup refresh never rescans history — the Druid/Timescale
+    sketch-rollup shape, portable across engines.
+    """
+    h = portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+    bucket = F.shiftright(h, HLL_W_BITS).cast("int")
+    w = h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(
+        w == 0, F.lit(HLL_W_BITS + 1)
+    ).otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            bucket.alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two grouped register relations (the rollup REFRESH step):
+    union → per-(group, bucket) max. Registers are a commutative
+    idempotent monoid, so ``merge(rollup(x), rollup(y)) ==
+    rollup(x ∪ y)`` EXACTLY — the pytest pins bit-equality, not an
+    approximation. One shuffle on (group, bucket), sized by the
+    register relations (≤256 rows/group), never by the event volume.
+    """
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_grouped_estimate(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold grouped registers into per-group cardinality estimates
+    ``(*group_cols, hll_estimate DOUBLE)`` — ``hll_estimate``'s
+    formula (raw harmonic mean with the linear-counting small-range
+    correction) per group, all arithmetic cross-engine reproducible,
+    rounded to 4dp."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+        F.count("*").alias("__nb"),
+    )
+    s = F.col("__s") + (F.lit(HLL_M) - F.col("__nb"))
+    zeros = F.lit(HLL_M) - F.col("__nb")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *[F.col(c) for c in group_cols],
+        F.round(est, 4).alias("hll_estimate"),
+    )

@@ -438,3 +438,59 @@ def test_percentile_rank_midranks_and_edges(spark):
     )
     out = percentile_rank(nulls, "v").collect()
     assert all(r["pct_rank"] is None for r in out) and len(out) == 2
+
+
+# ---- grouped HLL rollup (round 11: mergeable sketch aggregate) ------
+
+
+def test_hll_merge_equals_single_shot(spark):
+    # registers are a commutative idempotent monoid:
+    # merge(rollup(a), rollup(b)) == rollup(a ∪ b) BIT-EXACTLY
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+        hll_merge,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7919 % 997).alias("k"),
+    )
+    a = df.where(F.col("id") % 2 == 0)
+    b = df.where(F.col("id") % 2 == 1)
+    merged = hll_merge(
+        hll_grouped_registers(a, "k", ["g"]),
+        hll_grouped_registers(b, "k", ["g"]),
+        ["g"],
+    )
+    single = hll_grouped_registers(df, "k", ["g"])
+    m = {(r["g"], r["bucket"]): r["max_rho"] for r in merged.collect()}
+    s = {(r["g"], r["bucket"]): r["max_rho"] for r in single.collect()}
+    assert m == s
+    # idempotence: merging a rollup with itself changes nothing
+    again = hll_merge(single, single, ["g"])
+    assert {(r["g"], r["bucket"]): r["max_rho"]
+            for r in again.collect()} == s
+    # and the folded estimates agree with the ungrouped fold per group
+    est = {r["g"]: r["hll_estimate"]
+           for r in hll_grouped_estimate(single, ["g"]).collect()}
+    assert set(est) == {"0", "1", "2"}
+    for g, e in est.items():
+        exact = df.where(F.col("g") == g).select("k").distinct().count()
+        assert abs(e - exact) / exact < 3 * 1.04 / 16.0
+
+
+def test_hll_grouped_register_bound(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import hll_grouped_registers
+
+    df = spark.range(50000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("k")
+    )
+    regs = hll_grouped_registers(df, "k", ["g"])
+    counts = {r["g"]: r["n"] for r in regs.groupBy("g")
+              .agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 256 for n in counts.values())
