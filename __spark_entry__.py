@@ -5348,6 +5348,66 @@ def q247_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q248_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable bottom-k sampling (operators/sketch.py
+    bottomk_sample): the 5 documents with the smallest portable md5
+    hash per language — the classic bottom-k sketch whose shard
+    samples combine exactly (bottomk(a ∪ b) == bottomk of the two
+    shard sketches, pinned by pytest), so a 100 TB corpus sample
+    assembles from per-partition samples without a second pass. The
+    grouped form runs as a rank window Spark rewrites into per-key
+    top-k pushdown; the hash order IS the sample, so the twin selects
+    identical rows."""
+    from pagerank_spark.operators.sketch import bottomk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bottomk_sample(
+        docs, "doc_id", k=5, group_cols=["lang"]
+    ).select("lang", "doc_id", "sample_rank")
+
+
+def q249_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling (operators/sketch.py
+    weighted_bottomk_sample; Efraimidis–Spirakis 2006): the 20 orders
+    drawn by smallest exponential clock ``-ln(u)/o_totalprice`` with
+    the deterministic md5 uniform — price-proportional inclusion, WOR,
+    mergeable across shards like plain bottom-k. The key rounds to 9dp
+    BEFORE ranking so both engines make identical keep decisions
+    despite libm ln differences; the ungrouped form is a
+    TakeOrderedAndProject, never a global sort."""
+    from pagerank_spark.operators.sketch import weighted_bottomk_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return weighted_bottomk_sample(
+        orders, "o_orderkey", "o_totalprice", k=20
+    ).select("o_orderkey", "o_totalprice", "sample_rank")
+
+
+def q250_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix over the events table: users cohorted
+    by their FIRST active day, then for every (cohort_day, day_offset)
+    the distinct users still active — the classic product-analytics
+    triangle. Two partial-combined aggregations and one co-keyed join;
+    the per-user min-day relation is vertex-sized, never the event
+    volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, on="user_id")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5603,6 +5663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_tiff_decode": q245_tiff_decode,
         "q246_hybrid_retrieval": q246_hybrid_retrieval,
         "q247_hll_rollup": q247_hll_rollup,
+        "q248_bottomk_sample": q248_bottomk_sample,
+        "q249_weighted_bottomk": q249_weighted_bottomk,
+        "q250_retention_cohorts": q250_retention_cohorts,
     }
 
 
@@ -12693,5 +12756,63 @@ SELECT e.day, e.event_type,
        ABS(ROUND(e.e, 4) - x.exact_ndv)
          / GREATEST(x.exact_ndv, 1) <= 3 * 1.04 / 16.0 AS within_bound
 FROM est e JOIN exact x USING (day, event_type)
+""",
+)
+
+
+# q248 twin: the identical md5 order per language, rank <= 5.
+_oracle(
+    "q248_bottomk_sample",
+    """
+SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(
+             md5(CAST(doc_id AS VARCHAR) || ':bk'), 1, 15
+           )) AS BIGINT) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+""",
+)
+
+# q249 twin: the same deterministic exponential clocks — u exact in
+# double ((hash+1)/2^60 is a power-of-two division), the key rounded
+# to 9dp BEFORE ranking, id-asc ties.
+_oracle(
+    "q249_weighted_bottomk",
+    """
+SELECT o_orderkey, o_totalprice, CAST(sample_rank AS INT) AS sample_rank
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(
+             -ln((CAST(('0x' || substr(
+                    md5(CAST(o_orderkey AS VARCHAR) || ':wbk'), 1, 15
+                  )) AS BIGINT) + 1) / 1152921504606846976.0)
+             / o_totalprice, 9
+           ) ASC, o_orderkey ASC
+         ) AS sample_rank
+  FROM orders WHERE o_totalprice > 0
+) WHERE sample_rank <= 20
+""",
+)
+
+# q250 twin: per-user min day, offset join, distinct-user counts.
+_oracle(
+    "q250_retention_cohorts",
+    """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(e.day - f.cohort_day AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY f.cohort_day, e.day - f.cohort_day
 """,
 )

@@ -18,7 +18,7 @@ Extension tier: the reference has no sketches; SURVEY §2.13.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import portable_hash60
@@ -288,3 +288,86 @@ def hll_grouped_estimate(
         *[F.col(c) for c in group_cols],
         F.round(est, 4).alias("hll_estimate"),
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    salt: str = "bk",
+) -> DataFrame:
+    """Deterministic bottom-k sample: the ``k`` rows whose portable
+    md5 hash of ``id_col`` is smallest (per group when ``group_cols``
+    is given) — the classic mergeable uniform-sample sketch:
+    ``bottomk(a ∪ b) == bottomk(bottomk(a) ∪ bottomk(b))`` exactly,
+    so shard samples combine without revisiting data, and two engines
+    agree row-for-row (the md5 order IS the sample). Adds
+    ``sample_rank`` (1-based by hash asc, id asc).
+
+    Scale shape: ungrouped → ``orderBy(hash).limit(k)``, a
+    TakeOrderedAndProject (per-partition top-k, driver merge of k·P
+    rows — never a global sort or single-partition window); grouped →
+    a rank window that Spark 4's WindowGroupLimit rewrites into
+    per-key top-k pushdown before the shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"bottomk_sample: k must be >= 1, got {k}")
+    h = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    hashed = df.withColumn("__h", h)
+    if not group_cols:
+        topped = hashed.orderBy(F.asc("__h"), F.asc(id_col)).limit(k)
+        w = Window.orderBy(F.asc("__h"), F.asc(id_col))
+    else:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.asc("__h"), F.asc(id_col)
+        )
+        topped = hashed
+    ranked = topped.withColumn("sample_rank", F.row_number().over(w))
+    if group_cols:
+        ranked = ranked.where(F.col("sample_rank") <= k)
+    return ranked.drop("__h")
+
+
+def weighted_bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    salt: str = "wbk",
+) -> DataFrame:
+    """Weighted-without-replacement bottom-k (Efraimidis–Spirakis
+    2006, exponential-clock form): each row draws the deterministic
+    uniform ``u = (hash60 + 1) / 2^60`` and keeps key
+    ``-ln(u) / weight``; the ``k`` smallest keys are a weighted
+    WOR sample. Deterministic and mergeable like ``bottomk_sample``;
+    the key rounds to 9dp BEFORE ranking (id-asc ties) so both
+    engines make identical keep decisions despite libm ln differences.
+    Non-positive weights are excluded (they can never be sampled
+    under ES semantics). Adds ``sample_rank``.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_bottomk_sample: k must be >= 1, got {k}")
+    u = (
+        portable_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        )
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    hashed = df.where(F.col(weight_col) > 0).withColumn("__k", key)
+    if not group_cols:
+        topped = hashed.orderBy(F.asc("__k"), F.asc(id_col)).limit(k)
+        w = Window.orderBy(F.asc("__k"), F.asc(id_col))
+    else:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.asc("__k"), F.asc(id_col)
+        )
+        topped = hashed
+    ranked = topped.withColumn("sample_rank", F.row_number().over(w))
+    if group_cols:
+        ranked = ranked.where(F.col("sample_rank") <= k)
+    return ranked.drop("__k")

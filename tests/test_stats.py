@@ -494,3 +494,66 @@ def test_hll_grouped_register_bound(spark):
     counts = {r["g"]: r["n"] for r in regs.groupBy("g")
               .agg(F.count("*").alias("n")).collect()}
     assert all(n <= 256 for n in counts.values())
+
+
+def test_bottomk_merge_equals_single_shot(spark):
+    # bottomk(a ∪ b) == bottomk(bottomk(a) ∪ bottomk(b)) exactly
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("g")
+    )
+    a = df.where(F.col("id") % 2 == 0)
+    b = df.where(F.col("id") % 2 == 1)
+    sa = bottomk_sample(a, "k", k=7, group_cols=["g"]).drop("sample_rank")
+    sb = bottomk_sample(b, "k", k=7, group_cols=["g"]).drop("sample_rank")
+    merged = bottomk_sample(
+        sa.unionByName(sb), "k", k=7, group_cols=["g"]
+    )
+    single = bottomk_sample(df, "k", k=7, group_cols=["g"])
+    ms = sorted((r["g"], r["k"], r["sample_rank"]) for r in merged.collect())
+    ss = sorted((r["g"], r["k"], r["sample_rank"]) for r in single.collect())
+    assert ms == ss
+    assert len(ss) == 28  # 4 groups x 7
+
+
+def test_bottomk_ungrouped_is_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(10000).select(F.col("id").alias("k"))
+    out = bottomk_sample(df, "k", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 10
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bottomk_sample(df, "k", k=0)
+
+
+def test_weighted_bottomk_prefers_heavy_weights(spark):
+    # with weights 1000 vs 1, the heavy rows dominate the sample
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketch import weighted_bottomk_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_bottomk_sample(df, "k", "w", k=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    heavy = sum(1 for r in rows if r["k"] < 100)
+    assert heavy >= 40  # ~100 heavy rows at 1000x weight dominate
+    # zero/negative weights never sampled
+    df2 = df.withColumn(
+        "w", F.when(F.col("k") % 2 == 0, -1.0).otherwise(F.col("w"))
+    )
+    out2 = weighted_bottomk_sample(df2, "k", "w", k=50)
+    assert all(r["k"] % 2 == 1 for r in out2.collect())
