@@ -284,6 +284,11 @@ def main() -> None:
         "q243_betweenness_centrality",
         "q244_curation_provenance",
         "q245_tiff_decode",
+        "q246_hybrid_retrieval",
+        "q247_hll_rollup",
+        "q248_bottomk_sample",
+        "q249_weighted_bottomk",
+        "q250_retention_cohorts",
     ]
 
     timings: dict[str, float] = {}

@@ -590,3 +590,59 @@ def cms_stream_to_table(
         .queryName(query_name)
         .start()
     )
+
+
+def hll_stream_to_table(
+    key_stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    query_name: str = "hll_sink",
+):
+    """Streaming continuous aggregate: maintain per-group portable-HLL
+    registers of the FULL event history inside the versioned table,
+    merging each micro-batch's register delta (``hll_merge``). The
+    stored relation is bounded by 256 rows per group forever, however
+    many events flow — ``hll_grouped_estimate`` answers
+    distinct-count dashboards against it at any moment (q247's rollup
+    as a live stream).
+
+    Unlike the ADDITIVE CMS sink (``cms_stream_to_table``), the
+    register merge is a MAX — commutative AND idempotent — so a
+    replayed micro-batch after failure recovery folds in as a no-op
+    by construction: exactly-once EFFECT without a batch-id guard.
+    Each refresh costs one register-sized shuffle, never an event-
+    history rescan.
+    """
+    from pagerank_spark import table as _table
+    from pagerank_spark.operators.sketch import (
+        hll_grouped_registers,
+        hll_merge,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = hll_grouped_registers(batch_df, key_col, group_cols)
+        try:
+            state = _table.read_table(spark, table_root)
+        except FileNotFoundError:
+            state = None
+        merged = (
+            hll_merge(state, delta, group_cols)
+            if state is not None
+            else delta
+        )
+        _table.write_table(
+            merged.select(*group_cols, "bucket", "max_rho"), table_root
+        )
+
+    return (
+        key_stream.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

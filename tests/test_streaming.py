@@ -663,3 +663,58 @@ def test_session_stream_matches_batch_twin(spark, event_dir):
     }
     assert must_emit <= set(got), sorted(must_emit - set(got))[:5]
     assert len(got) > 100
+
+
+def test_hll_stream_matches_batch_registers(spark, tmp_path):
+    """Streaming HLL rollup (round 11): after streaming all files the
+    table holds EXACTLY the registers a single batch build produces
+    (max-merge monoid), stays bounded per group, and the folded
+    estimates match the batch fold."""
+    from pagerank_spark import table as T
+    from pagerank_spark.operators.sketch import (
+        hll_grouped_estimate,
+        hll_grouped_registers,
+    )
+    from pagerank_spark.streaming import hll_stream_to_table
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [(f"g{i % 3}", i * 31 % 501) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    df.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema("g string, k long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    root = str(tmp_path / "hll_tbl")
+    q = hll_stream_to_table(
+        stream, root, str(tmp_path / "ckpt"), key_col="k",
+        group_cols=["g"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = T.read_table(spark, root)
+    got = {(r["g"], r["bucket"]): r["max_rho"] for r in state.collect()}
+    want = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in hll_grouped_registers(df, "k", ["g"]).collect()
+    }
+    assert got == want
+    import collections
+
+    per_group = collections.Counter(g for g, _ in got)
+    assert all(n <= 256 for n in per_group.values())
+    est_stream = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_grouped_estimate(state, ["g"]).collect()
+    }
+    est_batch = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_grouped_estimate(
+            hll_grouped_registers(df, "k", ["g"]), ["g"]
+        ).collect()
+    }
+    assert est_stream == est_batch
