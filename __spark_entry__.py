@@ -5408,6 +5408,91 @@ def q250_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q251_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decoding under the oracle
+    (operators/jpeg.py SOF2 path, round 11): every 20th doc id is
+    encoded TWICE from the same q138 ramp — once baseline, once
+    progressive (six scans: interleaved DC first at Al=1, split-band
+    AC firsts, DC refinement bits, AC refinement) — and both payloads
+    decode through ``decode_image``. The progressive scans carry the
+    SAME quantized coefficients, so the oracle pins
+    ``same_as_baseline`` TRUE on every stat AND thumb pixel (exact
+    equality, not a tolerance: any scan-layer bug desyncs or perturbs
+    coefficients and flips the boolean), plus the q138 within-1.0
+    channel-mean booleans against the closed-form ramp."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_jpeg_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    prog = decode_image(
+        synthesize_jpeg_media(ids, "media_id", progressive=True),
+        thumb_size=2,
+    )
+    base = decode_image(
+        synthesize_jpeg_media(ids, "media_id"), thumb_size=2
+    ).select(
+        "media_id",
+        F.col("mean_r").alias("b_mean_r"),
+        F.col("mean_g").alias("b_mean_g"),
+        F.col("mean_b").alias("b_mean_b"),
+        F.col("thumb").alias("b_thumb"),
+    )
+    xs = spark.range(64).select(F.col("id").alias("x"))
+    ys = spark.range(48).select(F.col("id").alias("y"))
+    cs = spark.range(3).select(F.col("id").alias("c"))
+    want = (
+        ids.crossJoin(xs)
+        .crossJoin(ys)
+        .crossJoin(cs)
+        .groupBy("media_id", "c")
+        .agg(
+            F.avg(
+                F.least(
+                    F.lit(255),
+                    (F.col("media_id") * 7) % 100
+                    + F.col("x")
+                    + F.col("y")
+                    + F.lit(40) * F.col("c"),
+                )
+            ).alias("want_mean")
+        )
+        .groupBy("media_id")
+        .pivot("c", [0, 1, 2])
+        .agg(F.first("want_mean"))
+        .select(
+            "media_id",
+            F.col("0").alias("want_r"),
+            F.col("1").alias("want_g"),
+            F.col("2").alias("want_b"),
+        )
+    )
+    return (
+        prog.join(base, on="media_id")
+        .join(want, on="media_id")
+        .select(
+            "media_id",
+            "format",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("want_r")) <= 1.0).alias("r_ok"),
+            (F.abs(F.col("mean_g") - F.col("want_g")) <= 1.0).alias("g_ok"),
+            (F.abs(F.col("mean_b") - F.col("want_b")) <= 1.0).alias("b_ok"),
+            (
+                (F.col("mean_r") == F.col("b_mean_r"))
+                & (F.col("mean_g") == F.col("b_mean_g"))
+                & (F.col("mean_b") == F.col("b_mean_b"))
+                & (F.col("thumb") == F.col("b_thumb"))
+            ).alias("same_as_baseline"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5666,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_bottomk_sample": q248_bottomk_sample,
         "q249_weighted_bottomk": q249_weighted_bottomk,
         "q250_retention_cohorts": q250_retention_cohorts,
+        "q251_progressive_jpeg": q251_progressive_jpeg,
     }
 
 
@@ -12814,5 +12900,24 @@ SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM ev e JOIN first f USING (user_id)
 GROUP BY f.cohort_day, e.day - f.cohort_day
+""",
+)
+
+
+# q251 twin: format/dims exact, the q138 within-1.0 ramp booleans
+# TRUE, and same_as_baseline TRUE — the Spark side computes the
+# latter by decoding BOTH encodings and comparing every stat and
+# thumb pixel exactly, so the oracle's constant pins progressive ≡
+# baseline coefficient identity.
+_oracle(
+    "q251_progressive_jpeg",
+    """
+SELECT doc_id AS media_id,
+       'jpeg' AS format,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok,
+       TRUE AS same_as_baseline
+FROM documents WHERE doc_id % 20 = 0
 """,
 )

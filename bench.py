@@ -289,6 +289,7 @@ def main() -> None:
         "q248_bottomk_sample",
         "q249_weighted_bottomk",
         "q250_retention_cohorts",
+        "q251_progressive_jpeg",
     ]
 
     timings: dict[str, float] = {}

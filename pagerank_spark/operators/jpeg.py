@@ -2,16 +2,23 @@
 
 Scope (honest partial, validated by tests):
 
-- ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit precision,
-  grayscale (1 component) or YCbCr 4:4:4 (3 components, all sampling
-  factors 1×1), Huffman entropy coding, restart markers, byte
-  stuffing. Progressive (SOF2), arithmetic coding, 12-bit, and
-  subsampled chroma are rejected with ``ValueError`` (they would need
-  trusted test vectors this environment cannot produce).
+- ``decode_jpeg``: baseline sequential DCT (SOF0) AND progressive DCT
+  (SOF2, round 11 — spectral selection, successive approximation, EOB
+  runs, refinement scans), 8-bit precision, grayscale (1 component)
+  or YCbCr 4:4:4 (3 components, all sampling factors 1×1), Huffman
+  entropy coding, restart markers, byte stuffing. Arithmetic coding,
+  12-bit, hierarchical, and subsampled chroma are rejected with
+  ``ValueError``.
 - ``encode_jpeg``: the matching baseline encoder (4:4:4, standard
   Annex-K quantization and Huffman tables, IJG quality scaling,
   optional restart interval) used to synthesize genuine bitstreams
   for round-trip validation and the q138 oracle query.
+- ``encode_jpeg_progressive``: the same quantized coefficients
+  reorganized into a six-scan progressive script (interleaved DC
+  first at Al=1, split-band AC first scans, table-free DC refinement
+  bits, AC refinement) — the progressive validation anchor: decoded
+  output must equal the independently-validated baseline path
+  EXACTLY, because both carry identical coefficients.
 
 Defence against matched encoder/decoder bugs: the two sides use
 DIFFERENT transform formulations — the encoder computes the forward
@@ -482,8 +489,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC2:  # progressive: its own multi-scan path
+            return _decode_jpeg_progressive(buf)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only sequential (SOF0) / progressive (SOF2)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
@@ -548,3 +557,485 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2), spectral selection + successive approximation
+#
+# Validation scheme (the reason progressive was previously rejected —
+# "no trusted vectors" — no longer applies): the progressive path is
+# pinned COEFFICIENT-EXACT against the independently-validated baseline
+# path. Both encoders quantize identical coefficients; the progressive
+# decoder must reproduce them bit-for-bit through a completely
+# different entropy structure (multi-scan bands, EOB runs, refinement
+# bits), so `decode(encode_progressive(x)) == decode(encode(x))`
+# EXACTLY — any scan-layer bug desyncs the stream or perturbs
+# coefficients and breaks the equality. The refinement/EOB-run helpers
+# are additionally unit-tested on hand-built bitstreams.
+
+
+def _ac_first_block_decode(reader, row, huff, ss, se, al, eobrun):
+    """AC first scan for one block's band [ss, se] at level ``al``;
+    returns the updated EOB run (blocks wholly inside an EOB run have
+    no coded data)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(huff)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run overflow")
+        row[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block_decode(reader, row, huff, ss, se, al, eobrun):
+    """AC refinement scan (the successive-approximation correction
+    pass, libjpeg decode_mcu_AC_refine structure): newly-nonzero
+    coefficients arrive as ±1<<al, every zero-history skip reads a
+    correction bit for each already-nonzero coefficient crossed, and
+    EOB-run blocks still consume correction bits for the rest of the
+    band. Returns the updated EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if reader.read_bit():
+            if (row[k] & p1) == 0:
+                row[k] += p1 if row[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(huff)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            while k <= se:
+                if row[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if s:
+                            row[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(buf: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) 4:4:4/grayscale JPEG: accumulate
+    per-block zigzag coefficients across every scan, then dequantize
+    + IDCT once at the end."""
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    coef = None  # per component: list of per-block zigzag int arrays
+    preds_frame: dict = {}
+
+    def entropy_end(pos: int) -> int:
+        # next real marker: skip stuffed 0x00, RSTn, and 0xFF fill bytes
+        while pos + 1 < len(buf):
+            if (
+                buf[pos] == 0xFF
+                and buf[pos + 1] not in (0x00, 0xFF)
+                and not (0xD0 <= buf[pos + 1] <= 0xD7)
+            ):
+                return pos
+            pos += 1
+        raise ValueError("unterminated scan")
+
+    while i + 1 < len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (length,) = struct.unpack_from(">H", buf, i + 2)
+        payload = buf[i + 4 : i + 2 + length]
+        i += 2 + length
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                raw = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = raw
+                qt[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = (
+                    _build_huffman_decoder(bits, vals)
+                )
+                p += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled chroma unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+            bh, bw = -(-h // 8), -(-w // 8)
+            coef = [
+                np.zeros((bh * bw, 64), dtype=np.int64) for _ in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB):
+            raise ValueError("mixed/unsupported frame type in progressive")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            h, w, comps = frame
+            bh, bw = -(-h // 8), -(-w // 8)
+            cid_index = {cid: idx for idx, (cid, _) in enumerate(comps)}
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cid, tbl = payload[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid_index[cid], tbl >> 4, tbl & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            reader = _BitReader(buf, i)
+            n_units = bh * bw
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                preds = [0] * len(comps)
+                for u in range(n_units):
+                    if restart_interval and u and u % restart_interval == 0:
+                        reader.align_and_consume_rst()
+                        preds = [0] * len(comps)
+                    for ci, td, _ta in scan:
+                        if ah == 0:
+                            t = reader.decode_symbol(huff_dc[td])
+                            diff = (
+                                _extend(reader.read_bits(t), t) if t else 0
+                            )
+                            preds[ci] += diff
+                            coef[ci][u][0] = preds[ci] << al
+                        else:
+                            if reader.read_bit():
+                                coef[ci][u][0] |= 1 << al
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be 1-component")
+                ci, _td, ta = scan[0]
+                eobrun = 0
+                for u in range(n_units):
+                    if restart_interval and u and u % restart_interval == 0:
+                        reader.align_and_consume_rst()
+                        eobrun = 0
+                    if ah == 0:
+                        eobrun = _ac_first_block_decode(
+                            reader, coef[ci][u], huff_ac[ta], ss, se, al,
+                            eobrun,
+                        )
+                    else:
+                        eobrun = _ac_refine_block_decode(
+                            reader, coef[ci][u], huff_ac[ta], ss, se, al,
+                            eobrun,
+                        )
+            i = entropy_end(reader.pos)
+        else:
+            pass  # APPn/COM: skip
+
+    if frame is None or coef is None:
+        raise ValueError("missing SOF2/scan data")
+    h, w, comps = frame
+    bh, bw = -(-h // 8), -(-w // 8)
+    nc = len(comps)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    for ci, (cid, tq) in enumerate(comps):
+        table = qt[tq].ravel()[ZIGZAG]
+        for u in range(bh * bw):
+            by, bx = divmod(u, bw)
+            coeffs = np.zeros(64, dtype=np.float64)
+            coeffs[ZIGZAG] = coef[ci][u] * table
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _idct2(coeffs.reshape(8, 8)) + 128.0
+            )
+    planes = [p[:h, :w] for p in planes]
+    if nc == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _emit_ac_first_block(writer, zz, ac_codes, ss, se, al):
+    """AC first scan, one block's band at level ``al``: magnitude
+    point transform truncates toward ZERO (T.81 G.1.2.2), runs of 16
+    as ZRL, per-block EOB0 (no cross-block EOB-run aggregation — a
+    spec-legal encoder choice that keeps every emitted symbol inside
+    the Annex-K tables; the DECODER handles EOBn via its own
+    hand-built-stream unit tests)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = abs(v) >> al
+        vals.append(mag if v >= 0 else -mag)
+    last_nz = -1
+    for idx, v in enumerate(vals):
+        if v != 0:
+            last_nz = idx
+    run = 0
+    for idx in range(last_nz + 1):
+        v = vals[idx]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        t = _category(abs(v))
+        code, length = ac_codes[(run << 4) | t]
+        writer.write(code, length)
+        bits = v if v >= 0 else v + (1 << t) - 1
+        writer.write(bits, t)
+        run = 0
+    if last_nz < se - ss:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+
+
+def _emit_ac_refine_block(writer, zz, ac_codes, ss, se, al):
+    """AC refinement scan, one block (libjpeg encode_mcu_AC_refine
+    structure, EOB flushed per block): newly-nonzero coefficients emit
+    (run<<4|1) + sign, already-nonzero history coefficients buffer one
+    correction bit each, appended after the next symbol."""
+    absv = []
+    for k in range(ss, se + 1):
+        absv.append(abs(int(zz[k])) >> al)
+    eob_idx = -1
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob_idx = idx
+    run = 0
+    pending: list[int] = []
+
+    def flush_pending():
+        for bit in pending:
+            writer.write(bit, 1)
+        pending.clear()
+
+    for idx in range(len(absv)):
+        t = absv[idx]
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:
+            # history coefficient: buffer its correction bit
+            pending.append(t & 1)
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            flush_pending()
+            run -= 16
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[ss + idx]) >= 0 else 0, 1)
+        flush_pending()
+        run = 0
+    if run > 0 or pending:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+        flush_pending()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive 4:4:4 (grayscale for 2-D input) JPEG encoder: the
+    SAME quantized coefficients as ``encode_jpeg`` reorganized into a
+    six-kind scan script that exercises every progressive feature the
+    decoder implements — interleaved DC first (Al=1), split-band AC
+    first scans (1–5 then 6–63, Al=1) per component, a table-free DC
+    refinement bit pass, and the AC refinement pass (Ah=1→Al=0).
+    ``decode_jpeg(encode_jpeg_progressive(x)) ==
+    decode_jpeg(encode_jpeg(x))`` exactly."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2 or arr.shape[2] == 1
+    if gray:
+        comps = [arr.reshape(arr.shape[0], arr.shape[1]).astype(np.float64)]
+    else:
+        rgb = arr[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+    h, w = comps[0].shape
+    ncomp = len(comps)
+    qts = [
+        _quality_scale(QUANT_LUM, quality),
+        _quality_scale(QUANT_CHROM, quality),
+    ]
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz_coefs = []
+    for ci, comp in enumerate(comps):
+        p = np.empty((bh * 8, bw * 8))
+        p[:h, :w] = comp
+        p[h:, :w] = comp[-1:, :]
+        p[:, w:] = p[:, w - 1 : w]
+        p -= 128.0
+        table = qts[0] if ci == 0 else qts[1]
+        rows = np.empty((bh * bw, 64), dtype=np.int64)
+        for u in range(bh * bw):
+            by, bx = divmod(u, bw)
+            block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.round((_DCT_A @ block @ _DCT_A.T) / table).astype(
+                np.int64
+            )
+            rows[u] = q.ravel()[ZIGZAG]
+        zz_coefs.append(rows)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    for tid, table in enumerate(qts[: 1 if gray else 2]):
+        seg(0xDB, bytes([tid]) + bytes(int(x) for x in table.ravel()[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    seg(0xC2, sof)
+    huff = [
+        (0x00, DC_LUM_BITS, DC_LUM_VALS),
+        (0x10, AC_LUM_BITS, AC_LUM_VALS),
+    ]
+    if not gray:
+        huff += [
+            (0x01, DC_CHROM_BITS, DC_CHROM_VALS),
+            (0x11, AC_CHROM_BITS, AC_CHROM_VALS),
+        ]
+    for tc_th, bits, vals in huff:
+        seg(0xC4, bytes([tc_th] + bits) + bytes(vals))
+
+    dc_codes = [
+        _build_huffman_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _build_huffman_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_codes = [
+        _build_huffman_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _build_huffman_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+    n_units = bh * bw
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int):
+        p = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            cid = ci + 1
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            p += bytes([cid, (td << 4) | ta])
+        p += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, p)
+
+    # scan 1: interleaved DC first at Al=1
+    sos(list(range(ncomp)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for u in range(n_units):
+        for ci in range(ncomp):
+            v = int(zz_coefs[ci][u][0]) >> 1  # DC point transform: shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _category(abs(diff))
+            code, length = dc_codes[0 if ci == 0 else 1][t]
+            writer.write(code, length)
+            if t:
+                bits = diff if diff >= 0 else diff + (1 << t) - 1
+                writer.write(bits, t)
+    writer.pad_to_byte()
+    out.extend(writer.out)
+
+    # scans 2..: split-band AC first per component at Al=1
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci], ss, se, 0, 1)
+            writer = _BitWriter()
+            codes = ac_codes[0 if ci == 0 else 1]
+            for u in range(n_units):
+                _emit_ac_first_block(
+                    writer, zz_coefs[ci][u], codes, ss, se, 1
+                )
+            writer.pad_to_byte()
+            out.extend(writer.out)
+
+    # DC refinement: one raw bit per block per component (no tables)
+    sos(list(range(ncomp)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    for u in range(n_units):
+        for ci in range(ncomp):
+            writer.write(int(zz_coefs[ci][u][0]) & 1, 1)
+    writer.pad_to_byte()
+    out.extend(writer.out)
+
+    # AC refinement per component (Ah=1 -> Al=0)
+    for ci in range(ncomp):
+        sos([ci], 1, 63, 1, 0)
+        writer = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        for u in range(n_units):
+            _emit_ac_refine_block(writer, zz_coefs[ci][u], codes, 1, 63, 0)
+        writer.pad_to_byte()
+        out.extend(writer.out)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)

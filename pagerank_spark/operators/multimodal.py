@@ -464,6 +464,7 @@ def synthesize_ppm_media(
 def synthesize_jpeg_media(
     ids: DataFrame, id_col: str = "media_id",
     width: int = 64, height: int = 48, quality: int = 95,
+    progressive: bool = False,
 ) -> DataFrame:
     """Deterministic synthetic RGB JPEG per id — a SMOOTH per-channel
     gradient (``(7·id + 3·x + 5·y + 11·c) mod 256`` is full of modular
@@ -476,8 +477,12 @@ def synthesize_jpeg_media(
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from pagerank_spark.operators.jpeg import encode_jpeg
+        from pagerank_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
+        enc = encode_jpeg_progressive if progressive else encode_jpeg
         y, x, c = np.meshgrid(
             np.arange(height), np.arange(width), np.arange(3),
             indexing="ij",
@@ -489,7 +494,7 @@ def synthesize_jpeg_media(
             for mid in pdf[id_col]:
                 offset = (7 * int(mid)) % 100
                 arr = np.clip(offset + base, 0, 255).astype("uint8")
-                payloads.append(encode_jpeg(arr, quality=quality))
+                payloads.append(enc(arr, quality=quality))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )

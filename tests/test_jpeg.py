@@ -137,10 +137,17 @@ def test_roundtrip_odd_dims_and_restart_markers():
 def test_unsupported_features_rejected():
     smooth = np.full((8, 8, 3), 100, dtype=np.uint8)
     good = encode_jpeg(smooth, 90)
-    # progressive SOF2 must be rejected
+    # a BASELINE stream merely relabeled SOF2 is not valid progressive:
+    # its full-band interleaved SOS violates the progressive scan rules
+    # (DC scans carry Se=0), so it still rejects — with the
+    # progressive-specific error now that SOF2 itself is supported
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(prog)
+    # lossless (SOF3) and arithmetic (SOF9) remain rejected
+    for marker in (b"\xff\xc3", b"\xff\xc9"):
+        with pytest.raises(ValueError):
+            decode_jpeg(good.replace(b"\xff\xc0", marker, 1))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
 
@@ -163,3 +170,160 @@ def test_jpeg_through_spark_decode_image(spark):
         float(rgb[:, :, 0].mean()), abs=1.0
     )
     assert out[2]["format"] == "error"
+
+
+# ---- progressive JPEG (round 11) ------------------------------------
+
+
+def test_progressive_equals_baseline_exact():
+    # The validation scheme that unlocks progressive support: the
+    # progressive encoder reorganizes the SAME quantized coefficients
+    # into six scan kinds (interleaved DC first at Al=1, split-band AC
+    # first scans, table-free DC refinement, AC refinement), and the
+    # decoder must reproduce them bit-for-bit through that entirely
+    # different entropy structure — so decoded pixels must equal the
+    # independently-validated baseline path EXACTLY, not within PSNR.
+    import numpy as np
+
+    from pagerank_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    shapes = [(24, 32, 3), (17, 23, 3), (8, 8, 3), (16, 16)]
+    for shape in shapes:
+        if len(shape) == 2:
+            arr = rng.randint(0, 256, shape).astype(np.uint8)
+        else:
+            y, x = np.mgrid[0 : shape[0], 0 : shape[1]]
+            base = np.stack(
+                [(x + y) % 200, (2 * x) % 200, (3 * y) % 200], axis=2
+            )
+            arr = np.clip(
+                base + rng.randint(0, 20, shape), 0, 255
+            ).astype(np.uint8)
+        for q in (90, 75):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_progressive(arr, quality=q)),
+                decode_jpeg(encode_jpeg(arr, quality=q)),
+            ), (shape, q)
+    # pure noise (worst case for runs/ZRL/refinement bit density)
+    noise = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(noise, quality=85)),
+        decode_jpeg(encode_jpeg(noise, quality=85)),
+    )
+
+
+def _tiny_table():
+    from pagerank_spark.operators.jpeg import (
+        _build_huffman_codes,
+        _build_huffman_decoder,
+    )
+
+    # Kraft-exact toy table carrying the EOBn symbols the in-repo
+    # encoder never emits (it flushes EOB0 per block): 1 two-bit +
+    # 6 three-bit codes.
+    bits = [0, 1, 6] + [0] * 13
+    vals = [0x00, 0x10, 0x20, 0x01, 0x11, 0x21, 0xF0]
+    return (
+        _build_huffman_codes(bits, vals),
+        _build_huffman_decoder(bits, vals),
+    )
+
+
+def test_progressive_ac_first_eobn_hand_stream():
+    # EOB2 with two extra bits 00 => eobrun covers exactly 3 whole
+    # blocks; a late-change/off-by-one implementation either misparses
+    # the following ZRL or places the -1 in the wrong block.
+    import numpy as np
+
+    from pagerank_spark.operators.jpeg import (
+        _ac_first_block_decode,
+        _BitReader,
+        _BitWriter,
+    )
+
+    enc, dec = _tiny_table()
+    w = _BitWriter()
+    c, l = enc[0x21]
+    w.write(c, l)
+    w.write(1, 1)  # block0: +1 at k=3 (run 2 from ss=1)
+    c, l = enc[0x20]
+    w.write(c, l)
+    w.write(0b00, 2)  # EOB2 -> eobrun (1<<2)-1 + 0 = 3
+    c, l = enc[0xF0]
+    w.write(c, l)  # block4: ZRL
+    c, l = enc[0x11]
+    w.write(c, l)
+    w.write(0, 1)  # -1 at k=18
+    c, l = enc[0x00]
+    w.write(c, l)  # EOB0
+    w.pad_to_byte()
+    data = bytes(w.out) + b"\xff\xd9"
+
+    rows = [np.zeros(64, dtype=np.int64) for _ in range(5)]
+    r = _BitReader(data, 0)
+    eobrun = 0
+    for u in range(5):
+        eobrun = _ac_first_block_decode(r, rows[u], dec, 1, 63, 0, eobrun)
+    assert rows[0][3] == 1
+    assert all(rows[u].sum() == 0 for u in (1, 2, 3))
+    assert rows[4][18] == -1
+    assert eobrun == 0
+
+
+def test_progressive_ac_refine_eobrun_hand_stream():
+    # Refinement semantics inside an EOB run: history coefficients
+    # (always even at the previous approximation level) consume one
+    # correction bit each; a set bit adds ±1<<Al toward the sign, and
+    # the (coef & p1) guard makes re-corrections no-ops.
+    import numpy as np
+
+    from pagerank_spark.operators.jpeg import (
+        _ac_refine_block_decode,
+        _BitReader,
+        _BitWriter,
+    )
+
+    enc, dec = _tiny_table()
+    w = _BitWriter()
+    c, l = enc[0x10]
+    w.write(c, l)
+    w.write(0, 1)  # EOB1 + extra bit 0 -> eobrun = 2
+    w.write(1, 1)  # block0 k2 (+2 -> +3)
+    w.write(0, 1)  # block0 k5 (-4 stays)
+    w.write(1, 1)  # block1 k7 (-2 -> -3)
+    w.pad_to_byte()
+    data = bytes(w.out) + b"\xff\xd9"
+    b0 = np.zeros(64, dtype=np.int64)
+    b0[2], b0[5] = 2, -4
+    b1 = np.zeros(64, dtype=np.int64)
+    b1[7] = -2
+    r = _BitReader(data, 0)
+    eobrun = _ac_refine_block_decode(r, b0, dec, 1, 63, 0, 0)
+    eobrun = _ac_refine_block_decode(r, b1, dec, 1, 63, 0, eobrun)
+    assert (b0[2], b0[5], b1[7], eobrun) == (3, -4, -3, 0)
+
+
+def test_progressive_rejections():
+    import numpy as np
+    import pytest
+
+    from pagerank_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    buf = encode_jpeg_progressive(arr)
+    # truncated scans / garbage still raise ValueError, never crash
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(buf[:40])
+    # flip SOF2 to SOF9 (arithmetic): rejected
+    i = buf.index(b"\xff\xc2")
+    bad = buf[:i] + b"\xff\xc9" + buf[i + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
