@@ -5493,6 +5493,46 @@ def q251_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q252_interlaced_palette_png(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Adam7-interlaced PALETTE-PNG decoding under the oracle
+    (operators/multimodal.py _decode_png, round 11): every 10th doc
+    id becomes a genuine color-type-3 PNG written in the seven-pass
+    Adam7 sequence — indices from the q242 closed form
+    ``(7·id + 3x + 5y) mod 256``, palette
+    ``v → (v, (2v+11) mod 256, (3v+22) mod 256)`` — so the identical
+    byte-free twin proves PLTE mapping AND the per-pass filter-context
+    restart AND the pass-scatter reassembly in one hash (a wrong pass
+    geometry leaves pixels uncovered and shifts every channel mean)."""
+    from pagerank_spark.operators.multimodal import (
+        decode_image,
+        synthesize_png_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_png_media(
+        ids, "media_id", width=64, height=48, interlace=True, paletted=True
+    )
+    return decode_image(media, thumb_size=2).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.col("thumb")[0].alias("t00"),
+        F.col("thumb")[1].alias("t01"),
+        F.col("thumb")[2].alias("t10"),
+        F.col("thumb")[3].alias("t11"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5752,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q249_weighted_bottomk": q249_weighted_bottomk,
         "q250_retention_cohorts": q250_retention_cohorts,
         "q251_progressive_jpeg": q251_progressive_jpeg,
+        "q252_interlaced_palette_png": q252_interlaced_palette_png,
     }
 
 
@@ -12919,5 +12960,54 @@ SELECT doc_id AS media_id,
        TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok,
        TRUE AS same_as_baseline
 FROM documents WHERE doc_id % 20 = 0
+""",
+)
+
+
+# q252 twin: q242's paletted closed form with format='png' — the
+# payload side is a genuine Adam7 palette PNG, so the identical
+# integrals prove PLTE + per-pass filters + pass scatter, byte-free.
+_oracle(
+    "q252_interlaced_palette_png",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+xs AS (SELECT unnest(generate_series(0, 63)) AS x),
+ys AS (SELECT unnest(generate_series(0, 47)) AS y),
+px AS (
+  SELECT i.media_id,
+         AVG((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) AS mr,
+         AVG((2 * ((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) + 11)
+             % 256) AS mg,
+         AVG((3 * ((7 * i.media_id + 3 * x.x + 5 * y.y) % 256) + 22)
+             % 256) AS mb
+  FROM ids i CROSS JOIN xs x CROSS JOIN ys y
+  GROUP BY i.media_id
+)
+SELECT i.media_id,
+       'png' AS format,
+       CAST(64 AS INT) AS width,
+       CAST(48 AS INT) AS height,
+       ROUND(p.mr, 6) AS mean_r,
+       ROUND(p.mg, 6) AS mean_g,
+       ROUND(p.mb, 6) AS mean_b,
+       ROUND(((7 * i.media_id) % 256
+              + (2 * ((7 * i.media_id) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id) % 256) + 22) % 256) / 3.0, 6)
+         AS t00,
+       ROUND(((7 * i.media_id + 96) % 256
+              + (2 * ((7 * i.media_id + 96) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id + 96) % 256) + 22) % 256) / 3.0, 6)
+         AS t01,
+       ROUND(((7 * i.media_id + 120) % 256
+              + (2 * ((7 * i.media_id + 120) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id + 120) % 256) + 22) % 256) / 3.0, 6)
+         AS t10,
+       ROUND(((7 * i.media_id + 216) % 256
+              + (2 * ((7 * i.media_id + 216) % 256) + 11) % 256
+              + (3 * ((7 * i.media_id + 216) % 256) + 22) % 256) / 3.0, 6)
+         AS t11
+FROM ids i JOIN px p USING (media_id)
 """,
 )

@@ -290,6 +290,7 @@ def main() -> None:
         "q249_weighted_bottomk",
         "q250_retention_cohorts",
         "q251_progressive_jpeg",
+        "q252_interlaced_palette_png",
     ]
 
     timings: dict[str, float] = {}

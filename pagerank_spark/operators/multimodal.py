@@ -238,49 +238,20 @@ def _decode_bmp(buf: bytes):
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
-def _decode_png(buf: bytes):
-    """Real PNG decoder for the common cases — 8-bit grayscale (color
-    type 0), RGB (2), and RGBA (6), non-interlaced — using only stdlib
-    ``zlib`` and numpy: chunk walk, IDAT inflate, then per-row reverse
-    of the five scanline filters (None/Sub/Up/Average/Paeth). Alpha is
-    dropped and grayscale replicated so the output is always an
-    (H, W, 3) uint8 array like the PPM/BMP decoders. Palette,
-    16-bit, and Adam7-interlaced images are rejected (ValueError) and
-    surface as format="error" rows."""
-    import numpy as np
-    import struct
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if buf[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    i, w = 8, None
-    idat = bytearray()
-    while i + 8 <= len(buf):
-        (length,) = struct.unpack(">I", buf[i : i + 4])
-        ctype = buf[i + 4 : i + 8]
-        data = buf[i + 8 : i + 8 + length]
-        i += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise ValueError("only 8-bit PNG supported")
-            if color not in (0, 2, 6):
-                raise ValueError("palette/alpha-gray PNG not supported")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace not supported")
-            ch = {0: 1, 2: 3, 6: 4}[color]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG raster")
+
+def _png_unfilter(raw, h, stride, ch):
+    """Reverse the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes each (``raw`` = h*(stride+1) filter-prefixed
+    bytes). Shared by the sequential and per-Adam7-pass paths — a
+    pass restarts with a zero previous row exactly like an image."""
+    import numpy as np
+
     raw = raw[: h * (stride + 1)].reshape(h, stride + 1)
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
@@ -310,22 +281,113 @@ def _decode_png(buf: bytes):
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = line
         prev = out[y]
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8)
+
+
+def _decode_png(buf: bytes):
+    """Real PNG decoder — 8-bit grayscale (color type 0), RGB (2),
+    PALETTE (3, round 11), and RGBA (6), sequential OR Adam7
+    INTERLACED (round 11) — using only stdlib ``zlib`` and numpy:
+    chunk walk, IDAT inflate, per-row reverse of the five scanline
+    filters (per interlace pass, each pass restarting its filter
+    context), palette mapping from PLTE. Alpha is dropped and
+    grayscale replicated so the output is always an (H, W, 3) uint8
+    array like the PPM/BMP decoders. 16-bit and sub-byte depths are
+    rejected (ValueError) and surface as format="error" rows."""
+    import numpy as np
+    import struct
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, w = 8, None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[i : i + 4])
+        ctype = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if color not in (0, 2, 3, 6):
+                raise ValueError("alpha-gray PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError("unknown PNG interlace method")
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or len(data) > 768:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG raster")
+        px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered
+        # onto the final grid by the pass geometry
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * ch
+            need = ph * (stride + 1)
+            if len(raw) - pos < need:
+                raise ValueError("truncated PNG interlace pass")
+            sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch)
+            pos += need
+            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+    if color == 3:
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     if ch == 1:
         return np.repeat(px, 3, axis=2)
     return px[:, :, :3]  # RGBA -> RGB
 
 
-def encode_png(arr, compress_level: int = 6) -> bytes:
-    """Minimal RGB PNG encoder (filter 0 rows + one zlib stream) — the
+def encode_png(
+    arr,
+    compress_level: int = 6,
+    interlace: bool = False,
+    palette=None,
+) -> bytes:
+    """Minimal PNG encoder (filter-0 rows + one zlib stream) — the
     synthesis side for round-tripping the decoder on closed-form
-    pixels; stdlib-only like the decoder."""
+    pixels; stdlib-only like the decoder. ``interlace=True`` writes
+    the Adam7 pass sequence (each pass its own filter context);
+    ``palette`` (a (≤256, 3) array) switches to color type 3 with
+    ``arr`` holding (H, W) palette indices."""
     import numpy as np
     import struct
     import zlib
 
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
+    if palette is not None:
+        color = 3
+        planes = arr.reshape(h, w, 1)
+    else:
+        color = 2
+        planes = arr
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -335,11 +397,29 @@ def encode_png(arr, compress_level: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raster = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = planes[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(
+                b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+            )
+        raster = b"".join(parts)
+    else:
+        raster = b"".join(
+            b"\x00" + planes[y].tobytes() for y in range(h)
+        )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        out += chunk(b"PLTE", pal.tobytes())
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(raster, compress_level))
         + chunk(b"IEND", b"")
     )
@@ -507,11 +587,18 @@ def synthesize_jpeg_media(
 def synthesize_png_media(
     ids: DataFrame, id_col: str = "media_id",
     width: int = 64, height: int = 48,
+    interlace: bool = False, paletted: bool = False,
 ) -> DataFrame:
-    """Deterministic synthetic RGB PNG per id — the SAME pixel formula
-    as ``synthesize_ppm_media`` (``(7·id + 3·x + 5·y + 11·c) mod
-    256``), so the identical closed-form oracle verifies the PNG
-    decode path end-to-end through a real zlib stream (q137)."""
+    """Deterministic synthetic PNG per id. RGB form: the SAME pixel
+    formula as ``synthesize_ppm_media`` (``(7·id + 3·x + 5·y + 11·c)
+    mod 256``), so the identical closed-form oracle verifies the PNG
+    decode path end-to-end through a real zlib stream (q137).
+    ``paletted=True`` switches to color type 3 with the q242 GIF
+    formula (index ``(7·id + 3x + 5y) mod 256``, palette
+    ``v → (v, (2v+11) mod 256, (3v+22) mod 256)``) and
+    ``interlace=True`` writes the Adam7 pass sequence — together the
+    q252 fixture proving palette mapping + interlace reassembly under
+    the same byte-free oracle."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -521,11 +608,25 @@ def synthesize_png_media(
             indexing="ij",
         )
         base = 3 * x + 5 * y + 11 * c
+        y2, x2 = np.meshgrid(
+            np.arange(height), np.arange(width), indexing="ij"
+        )
+        base2 = 3 * x2 + 5 * y2
+        i = np.arange(256)
+        pal = np.stack(
+            [i, (2 * i + 11) % 256, (3 * i + 22) % 256], axis=1
+        ).astype(np.uint8)
         for pdf in batches:
             payloads = []
             for mid in pdf[id_col]:
-                arr = ((7 * int(mid) + base) % 256).astype("uint8")
-                payloads.append(encode_png(arr))
+                if paletted:
+                    idx = ((7 * int(mid) + base2) % 256).astype("uint8")
+                    payloads.append(
+                        encode_png(idx, interlace=interlace, palette=pal)
+                    )
+                else:
+                    arr = ((7 * int(mid) + base) % 256).astype("uint8")
+                    payloads.append(encode_png(arr, interlace=interlace))
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )

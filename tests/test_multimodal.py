@@ -799,3 +799,78 @@ def test_decode_image_dispatches_tiff(spark):
     for mid in (0, 3):
         want = float(((7 * mid + 3 * x + 5 * y + 0) % 256).mean())
         assert abs(rows[mid]["mean_r"] - want) < 1e-6
+
+
+# ---- PNG palette + Adam7 interlace (round 11) -----------------------
+
+
+def test_png_adam7_and_palette_round_trips():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for shape in [(48, 64, 3), (7, 5, 3), (1, 1, 3), (9, 16, 3)]:
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            multimodal._decode_png(multimodal.encode_png(arr)), arr
+        )
+        assert np.array_equal(
+            multimodal._decode_png(
+                multimodal.encode_png(arr, interlace=True)
+            ),
+            arr,
+        ), shape
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (23, 31)).astype(np.uint8)
+    for il in (False, True):
+        got = multimodal._decode_png(
+            multimodal.encode_png(idx, palette=pal, interlace=il)
+        )
+        assert np.array_equal(got, pal[idx])
+
+
+def test_png_adam7_geometry_is_exact_partition():
+    # every pixel covered by EXACTLY one pass for any image size — a
+    # wrong (x0, y0) leaves holes or double-writes (the bug class the
+    # spec geometry table prevents)
+    import numpy as np
+
+    for h, w in [(48, 64), (7, 5), (1, 1), (9, 16), (8, 8), (2, 3)]:
+        cnt = np.zeros((h, w), dtype=int)
+        for x0, y0, dx, dy in multimodal._ADAM7:
+            cnt[y0::dy, x0::dx] += 1
+        assert (cnt == 1).all(), (h, w)
+
+
+def test_png_palette_rejections():
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(5)
+    small = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (8, 8)).astype(np.uint8)
+    good = multimodal.encode_png(idx, palette=small)
+    # out-of-range index
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    with pytest.raises(ValueError, match="palette index"):
+        multimodal._decode_png(
+            multimodal.encode_png(bad_idx, palette=small)
+        )
+    # palette PNG with the PLTE chunk stripped
+    import struct
+
+    i = good.index(b"PLTE") - 4
+    (ln,) = struct.unpack(">I", good[i : i + 4])
+    no_plte = good[:i] + good[i + 12 + ln :]
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal._decode_png(no_plte)
+    # truncated interlaced stream: ValueError from the pass walk or
+    # zlib.error from the inflate — decode_image catches both as
+    # format=error rows
+    import zlib
+
+    il = multimodal.encode_png(
+        rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), interlace=True
+    )
+    with pytest.raises((ValueError, zlib.error)):
+        multimodal._decode_png(il[:50])
