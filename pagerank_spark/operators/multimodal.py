@@ -245,11 +245,14 @@ _ADAM7 = [
 ]
 
 
-def _png_unfilter(raw, h, stride, ch):
+def _png_unfilter(raw, h, stride, bpp):
     """Reverse the five PNG scanline filters over ``h`` rows of
     ``stride`` bytes each (``raw`` = h*(stride+1) filter-prefixed
-    bytes). Shared by the sequential and per-Adam7-pass paths — a
-    pass restarts with a zero previous row exactly like an image."""
+    bytes); ``bpp`` is the filter's left-pixel distance in BYTES
+    (bytes per complete pixel, rounded up to one — so 1 for all
+    sub-byte depths, ch·2 for 16-bit). Shared by the sequential and
+    per-Adam7-pass paths — a pass restarts with a zero previous row
+    exactly like an image."""
     import numpy as np
 
     raw = raw[: h * (stride + 1)].reshape(h, stride + 1)
@@ -265,14 +268,14 @@ def _png_unfilter(raw, h, stride, ch):
         elif f in (1, 3, 4):  # Sub / Average / Paeth need left pixel
             line = cur
             for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 if f == 1:
                     line[x] = (line[x] + a) & 0xFF
                 elif f == 3:
                     line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = prev[x - ch] if x >= ch else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -284,16 +287,47 @@ def _png_unfilter(raw, h, stride, ch):
     return out.astype(np.uint8)
 
 
+# Valid (color type -> bit depths) per the PNG spec, table 11.1.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_samples(rows, w, ch, depth):
+    """Expand ``(h, row_bytes)`` unfiltered scanline bytes into
+    ``(h, w, ch)`` uint8 samples: 16-bit takes the high byte (the
+    standard 16→8 reduction), sub-byte depths (single-channel only by
+    spec) unpack MSB-first bit groups; values are RAW (gray scaling /
+    palette lookup happen at the caller)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2][:, 0::2].reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth))[::-1]
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, 1)
+
+
 def _decode_png(buf: bytes):
-    """Real PNG decoder — 8-bit grayscale (color type 0), RGB (2),
-    PALETTE (3, round 11), and RGBA (6), sequential OR Adam7
-    INTERLACED (round 11) — using only stdlib ``zlib`` and numpy:
-    chunk walk, IDAT inflate, per-row reverse of the five scanline
-    filters (per interlace pass, each pass restarting its filter
-    context), palette mapping from PLTE. Alpha is dropped and
-    grayscale replicated so the output is always an (H, W, 3) uint8
-    array like the PPM/BMP decoders. 16-bit and sub-byte depths are
-    rejected (ValueError) and surface as format="error" rows."""
+    """Real PNG decoder — ALL five color types (grayscale 0,
+    RGB 2, palette 3, gray+alpha 4, RGBA 6) at EVERY spec-legal bit
+    depth (1/2/4/8/16 where the type permits, round 11), sequential
+    OR Adam7 interlaced — using only stdlib ``zlib`` and numpy: chunk
+    walk, IDAT inflate, per-row reverse of the five scanline filters
+    (byte-distance ``bpp`` per spec, per interlace pass with its own
+    filter context), MSB-first sub-byte unpacking, 16-bit high-byte
+    reduction, PLTE mapping, sub-byte gray scaled by 255/(2^d−1).
+    Alpha is dropped and grayscale replicated so the output is always
+    an (H, W, 3) uint8 array like the PPM/BMP decoders; malformed
+    streams raise ValueError and surface as format="error" rows."""
     import numpy as np
     import struct
     import zlib
@@ -312,13 +346,15 @@ def _decode_png(buf: bytes):
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise ValueError("only 8-bit PNG supported")
-            if color not in (0, 2, 3, 6):
-                raise ValueError("alpha-gray PNG not supported")
+            if color not in _PNG_DEPTHS:
+                raise ValueError(f"unknown PNG color type {color}")
+            if depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"invalid depth {depth} for PNG color type {color}"
+                )
             if interlace not in (0, 1):
                 raise ValueError("unknown PNG interlace method")
-            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
         elif ctype == b"PLTE":
             if len(data) % 3 or len(data) > 768:
                 raise ValueError("bad PLTE length")
@@ -332,14 +368,20 @@ def _decode_png(buf: bytes):
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    bpp = max(1, (ch * depth) // 8)  # filter distance, bytes
+
+    def row_bytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
     if interlace == 0:
-        stride = w * ch
+        stride = row_bytes(w)
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG raster")
-        px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+        px = _png_samples(_png_unfilter(raw, h, stride, bpp), w, ch, depth)
     else:
         # Adam7: seven independently-filtered sub-images scattered
-        # onto the final grid by the pass geometry
+        # onto the final grid by the pass geometry (each pass packs
+        # its own sub-byte scanlines)
         px = np.zeros((h, w, ch), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -347,20 +389,29 @@ def _decode_png(buf: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * ch
+            stride = row_bytes(pw)
             need = ph * (stride + 1)
             if len(raw) - pos < need:
                 raise ValueError("truncated PNG interlace pass")
-            sub = _png_unfilter(raw[pos : pos + need], ph, stride, ch)
+            sub = _png_samples(
+                _png_unfilter(raw[pos : pos + need], ph, stride, bpp),
+                pw, ch, depth,
+            )
             pos += need
-            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+            px[y0::dy, x0::dx, :] = sub
     if color == 3:
         idx = px.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]
-    if ch == 1:
-        return np.repeat(px, 3, axis=2)
+    if color in (0, 4):
+        g = px[:, :, 0]
+        if depth < 8:
+            # 255/(2^d - 1) is exactly 255, 85, 17 for d = 1, 2, 4
+            g = (g.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        return np.repeat(g[:, :, None], 3, axis=2)
     return px[:, :, :3]  # RGBA -> RGB
 
 

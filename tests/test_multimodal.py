@@ -874,3 +874,83 @@ def test_png_palette_rejections():
     )
     with pytest.raises((ValueError, zlib.error)):
         multimodal._decode_png(il[:50])
+
+
+def test_png_all_depths_and_color_types_hand_vectors():
+    """Round 11 completion: every spec-legal (color type, depth) cell,
+    each pinned by a HAND-BUILT spec-level stream (filter-prefixed
+    scanlines assembled byte-by-byte, no encoder in the loop): MSB-
+    first sub-byte unpacking, 255/(2^d-1) gray scaling, 16-bit
+    high-byte reduction, the byte-distance bpp in filters (an RGB16
+    Sub row would smear across channels with bpp=3), gray+alpha drop,
+    sub-byte palette indexing, and Adam7 at depth 1 (per-pass bit
+    packing). The validity matrix rejects illegal combos."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, depth, color, raster, plte=None, interlace=0):
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace),
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raster)) + chunk(
+            b"IEND", b""
+        )
+
+    dec = multimodal._decode_png
+    # gray depth 1: 10-wide checkerboard across a byte boundary
+    g1 = dec(build(10, 2, 1, 0,
+                   bytes([0, 0b10101010, 0b10000000,
+                          0, 0b01010101, 0b01000000])))
+    assert list(g1[0, :, 0]) == [255, 0] * 5
+    assert list(g1[1, :, 0]) == [0, 255] * 5
+    # gray depth 2: 0..3 -> 0, 85, 170, 255
+    assert list(dec(build(4, 1, 2, 0, bytes([0, 0b00011011])))[0, :, 0]) \
+        == [0, 85, 170, 255]
+    # gray depth 4: nibbles x17
+    assert list(dec(build(3, 1, 4, 0, bytes([0, 0xAB, 0xC0])))[0, :, 0]) \
+        == [0xA * 17, 0xB * 17, 0xC * 17]
+    # gray 16: high byte
+    assert list(dec(build(2, 1, 16, 0,
+                          bytes([0, 0xAB, 0xCD, 0x12, 0x34])))[0, :, 0]) \
+        == [0xAB, 0x12]
+    # RGB16 under a Sub filter: left distance is SIX bytes
+    px0 = [0x11, 0x00, 0x22, 0x00, 0x33, 0x00]
+    delta = [0x05, 0x00, 0x06, 0x00, 0x07, 0x00]
+    rgb16 = dec(build(2, 1, 16, 2, bytes([1] + px0 + delta)))
+    assert list(rgb16[0, 0]) == [0x11, 0x22, 0x33]
+    assert list(rgb16[0, 1]) == [0x16, 0x28, 0x3A]
+    # gray+alpha: alpha dropped
+    assert list(dec(build(2, 1, 8, 4,
+                          bytes([0, 200, 7, 50, 255])))[0, :, 0]) \
+        == [200, 50]
+    # palette depth 4: nibble indices
+    plte = bytes(range(48))
+    p4 = dec(build(3, 1, 4, 3, bytes([0, 0x21, 0xF0]), plte=plte))
+    assert [list(p4[0, i]) for i in range(3)] == [
+        [6, 7, 8], [3, 4, 5], [45, 46, 47]
+    ]
+    # Adam7 at depth 1 on a 3x3: five non-empty passes, each its own
+    # bit-packed scanline set
+    raster = bytes([0, 0b10000000, 0, 0b10000000, 0, 0b10000000,
+                    0, 0b00000000, 0, 0b10000000, 0, 0b01000000])
+    a7 = dec(build(3, 3, 1, 0, raster, interlace=1))
+    assert np.array_equal(
+        a7[:, :, 0], np.array([[1, 0, 1], [0, 1, 0], [1, 1, 0]]) * 255
+    )
+    # validity matrix
+    import pytest
+
+    for depth, color in [(16, 3), (2, 2), (4, 6), (1, 4), (3, 0)]:
+        with pytest.raises(ValueError):
+            dec(build(2, 1, depth, color, bytes([0, 0, 0])))
