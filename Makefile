@@ -22,9 +22,11 @@ parity:
 	$(PY) parity.py
 
 # The committed-evidence gate: newest PARITY_r*.json must cover every
-# declared query and be all hash-green.
+# declared query, be all hash-green, AND have been produced from the
+# current source tree (freshness — r11 verdict #2: a post-parity source
+# commit shipped uncovered by the committed artifact).
 gate:
-	$(PY) -m pytest tests/test_oracle_parity.py -q -k artifact
+	SPARK_GRAFT_ENFORCE_FRESHNESS=1 $(PY) -m pytest tests/test_oracle_parity.py -q -k artifact
 
 test:
 	$(PY) -m pytest tests/ -x -q

@@ -28,6 +28,34 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+
+def infer_round(repo: str = REPO) -> int:
+    """Round number for the BENCH_LOCAL artifact when SPARK_GRAFT_ROUND
+    is unset: the newest committed ``PARITY_r*.json`` round. Parity
+    artifacts are committed exactly once per round at close and are
+    monotonic, so ANY bench run between round-N close and round-N+1
+    close labels itself rN — in particular the driver's post-close run,
+    which the old ``max(CORRECTNESS_r*)+1`` inference mislabeled as
+    rN+1 twice (BENCH_LOCAL_r12.json in round 11, the r9 ADVICE item
+    before that). Falls back to the CORRECTNESS inference only when no
+    parity artifact exists (round 1)."""
+    import glob
+    import re
+
+    parity = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "PARITY_r*.json"))
+        if (m := re.search(r"PARITY_r(\d+)\.json$", p))
+    ]
+    if parity:
+        return max(parity)
+    corr = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(corr) + 1) if corr else 0
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WIKIDATA = "/root/reference/WikiData.txt"
 
@@ -457,19 +485,21 @@ def main() -> None:
         rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd_env is not None:
             rnd = int(rnd_env)
+            out_path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
         else:
-            import glob
-            import re
-
-            rounds = [
-                int(m.group(1))
-                for p in glob.glob(
-                    os.path.join(REPO, "CORRECTNESS_r*.json")
+            rnd = infer_round()
+            out_path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
+            # Inferred names never clobber an existing (typically
+            # committed) artifact — a second same-round run suffixes
+            # B, C, … so the builder's quiet-host close record and a
+            # later driver run both survive. Explicit SPARK_GRAFT_ROUND
+            # keeps overwrite semantics (close-round re-runs).
+            suffix = ord("B")
+            while os.path.exists(out_path):
+                out_path = os.path.join(
+                    REPO, f"BENCH_LOCAL_r{rnd:02d}{chr(suffix)}.json"
                 )
-                if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-            ]
-            rnd = (max(rounds) + 1) if rounds else 0
-        out_path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
+                suffix += 1
         with open(out_path, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
             f.write("\n")

@@ -90,8 +90,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         report["pii_rows_touched"] = red.where(
             (F.col("n_emails") > 0) | (F.col("n_phones") > 0)
         ).count()
+        # pii_redact emits f"{text_col}_redacted" — renaming the literal
+        # "text_redacted" silently no-ops for any non-default --text-col
+        # and breaks every downstream stage (r11 ADVICE).
         docs = red.drop(text_col, "n_emails", "n_phones").withColumnRenamed(
-            "text_redacted", text_col
+            f"{text_col}_redacted", text_col
         )
 
     if not args.no_gate:

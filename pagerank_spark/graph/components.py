@@ -1773,13 +1773,11 @@ def _betweenness_rounds(
     )
     cached.append(reached)
 
-    # one scalar between phases: deepest observed level + vertex count
-    # for the estimator factor (distinct over the reached state, NOT a
-    # second pass over the edge table)
-    row = reached.agg(
-        F.max("dist").alias("maxd"),
-        F.countDistinct("node").alias("n_reached"),
-    ).collect()[0]
+    # one scalar between phases: the deepest observed level (the
+    # Brandes–Pich factor below wants |V| over ALL graph vertices, not
+    # the reached count, so nothing else is needed here — r11 ADVICE
+    # dropped a dead countDistinct from this collect)
+    row = reached.agg(F.max("dist").alias("maxd")).collect()[0]
     max_dist = row["maxd"] if row["maxd"] is not None else 0
 
     if scaled:
@@ -1844,8 +1842,18 @@ def _betweenness_rounds(
     alldelta = acc[0]
     for piece in acc[1:]:
         alldelta = alldelta.unionByName(piece)
-    return (
+    result = (
         alldelta.where(F.col("node") != F.col("seed"))
         .groupBy("node")
         .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
     )
+    # Eagerly checkpoint the final (node-bounded) relation so it no
+    # longer reads through the per-level delta checkpoints, then destroy
+    # those blocks deterministically — previously all max_dist levels
+    # lingered until ContextCleaner GC (r11 ADVICE). Safe only in this
+    # order: the eager materialization completes before any block it
+    # read from is released.
+    result = result.localCheckpoint(eager=True)
+    for piece in acc:
+        piece.unpersist()
+    return result

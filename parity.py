@@ -52,12 +52,59 @@ def _load_entry():
 
 
 def _infer_round() -> int:
+    """Next parity round: newest committed PARITY_r*.json + 1 (the
+    CORRECTNESS-based inference mislabeled post-close runs twice — r11
+    verdict #6). Falls back to CORRECTNESS+1 before the first parity
+    artifact exists."""
+    parity = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "PARITY_r*.json"))
+        if (m := re.search(r"PARITY_r(\d+)\.json$", p))
+    ]
+    if parity:
+        return max(parity) + 1
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
     return (max(rounds) + 1) if rounds else 0
+
+
+def source_digest(repo: str = REPO) -> str:
+    """Content digest of the engine source the parity artifact proves:
+    every ``pagerank_spark/**/*.py`` plus ``__spark_entry__.py``,
+    hashed by (relative path, file sha) in sorted order. Recorded in
+    the artifact and recomputed by the freshness gate
+    (``tests/test_oracle_parity.py``) so a source edit AFTER the last
+    parity run is detectable regardless of commit/dirty-tree dances —
+    r11 verdict #2: commit 47d7d29 rewrote the PNG decoder after the
+    close-round parity run and shipped uncovered by the committed
+    artifact."""
+    h = hashlib.sha256()
+    files = sorted(
+        glob.glob(os.path.join(repo, "pagerank_spark", "**", "*.py"),
+                  recursive=True)
+    ) + [os.path.join(repo, "__spark_entry__.py")]
+    for path in files:
+        rel = os.path.relpath(path, repo)
+        with open(path, "rb") as f:
+            fh = hashlib.sha256(f.read()).hexdigest()
+        h.update(f"{rel}:{fh}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def _git_head(repo: str = REPO) -> str | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -176,6 +223,10 @@ def main(argv=None) -> int:
         "rows_only": no_oracle,
         "failed": fails,
         "elapsed_sec": round(time.time() - t0, 1),
+        # freshness provenance (r11 verdict #2): the exact source this
+        # artifact proves, checkable without git archaeology
+        "source_digest": source_digest(),
+        "engine_commit": _git_head(),
     }
     with open(out_path, "w") as f:
         json.dump({"summary": summary, "queries": results}, f, indent=1)

@@ -95,6 +95,45 @@ def test_curate_cli_end_to_end(tmp_path, spark, capsys):
     assert got.select("split").distinct().count() >= 1
 
 
+def test_curate_cli_custom_text_col(tmp_path, spark, capsys):
+    """Non-default --text-col (r11 ADVICE): pii_redact emits
+    f"{text_col}_redacted", and the pipeline used to rename the literal
+    "text_redacted" — a silent no-op that left BOTH columns in the frame
+    and broke every downstream stage for e.g. --text-col body."""
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    long_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "keeps going with more and more plain english words "
+                 "about the weather the market and the evening news ") * 3
+    rows = [
+        (1, long_good + " contact me at bob@example.com", "en"),
+        (2, long_good + " unique tail alpha", "en"),
+        (3, "tiny", "en"),
+    ]
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, body string, lang string"
+    ).write.parquet(str(src))
+
+    out = tmp_path / "curated"
+    rc = curate_main(
+        [str(src), "--out", str(out), "--text-col", "body"], spark=spark
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["input_rows"] == 3
+    assert report["pii_rows_touched"] == 1
+    assert report["after_gate"] == 2
+
+    got = spark.read.parquet(str(out))
+    assert "body" in got.columns and "body_redacted" not in got.columns
+    texts = [r["body"] for r in got.collect()]
+    assert all("bob@example.com" not in t for t in texts)
+    assert any("<EMAIL>" in t for t in texts)
+
+
 def test_curate_cli_audit_reconciles_report(tmp_path, spark, capsys):
     import json
 

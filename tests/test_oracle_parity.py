@@ -112,3 +112,46 @@ def test_parity_artifact_covers_all_declared():
         and not (v.get("hash_match") or v.get("err") == "no_oracle")
     )
     assert not not_green, f"parity artifact not hash-green for: {not_green}"
+
+
+def test_parity_artifact_fresh_vs_source():
+    """Freshness gate (round-11 verdict #2): the newest PARITY_r*.json
+    must have been produced from the CURRENT engine source — commit
+    47d7d29 rewrote the PNG decoder AFTER the round-11 close parity run
+    and shipped uncovered by the committed artifact, which the coverage
+    gate above cannot see (the query NAMES were unchanged).
+
+    The artifact records ``source_digest`` (content hash of every
+    ``pagerank_spark/**/*.py`` + ``__spark_entry__.py`` at parity time);
+    this test recomputes it against the working tree. Enforced only
+    under ``SPARK_GRAFT_ENFORCE_FRESHNESS=1`` (set by ``make gate`` /
+    ``make close-round``): mid-round the source is SUPPOSED to be ahead
+    of the last artifact, so an always-on check would redden every
+    in-progress pytest run by design."""
+    import glob
+    import json
+    import re
+
+    if os.environ.get("SPARK_GRAFT_ENFORCE_FRESHNESS") != "1":
+        pytest.skip("freshness enforced only at close (make gate)")
+
+    sys.path.insert(0, REPO)
+    from parity import source_digest
+
+    paths = glob.glob(os.path.join(REPO, "PARITY_r*.json"))
+    assert paths, "no parity artifact committed"
+    newest = max(
+        paths, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))
+    )
+    summary = json.load(open(newest))["summary"]
+    recorded = summary.get("source_digest")
+    assert recorded, (
+        f"{os.path.basename(newest)} predates freshness provenance — "
+        "rerun parity.py (it now records source_digest)"
+    )
+    current = source_digest()
+    assert current == recorded, (
+        f"engine source changed after {os.path.basename(newest)} was "
+        f"produced (digest {current} vs recorded {recorded}) — rerun "
+        "`make close-round` so the committed artifact covers HEAD"
+    )
