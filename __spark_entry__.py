@@ -5533,6 +5533,37 @@ def q252_interlaced_palette_png(
     )
 
 
+def q253_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (operators/classifier.py
+    logreg_train) — the missing learning stage of the curation story
+    (the engine could gate, score with fixed heuristics, and evaluate a
+    classifier, but not train one; CCNet / GPT-3 fastText-gate
+    pattern). Full-batch logistic-regression gradient descent over
+    signed hashed bag-of-words features (hashed_token_features — the
+    q223 portable-md5 arithmetic over exploded tokens): per round ONE
+    broadcast of the dim-sized weight vector + one co-partitioned
+    margin aggregation + one partial-combined gradient aggregation —
+    the PageRank per-round cost profile, with driver-held
+    feature-dimension-sized state so lineage never compounds. Fixed 2
+    rounds / lr 0.5 / zero init here so the DuckDB twin unrolls the
+    exact trajectory in SQL; the converged model's AUC evidence lives
+    in tests/test_classifier.py through the q155 machinery."""
+    from pagerank_spark.operators.classifier import (
+        hashed_token_features,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, n_features=64)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    model = logreg_train(feats, labels, rounds=2, lr=0.5)
+    return model.weights.select(
+        "feature_index", F.round("weight", 9).alias("weight")
+    ).orderBy("feature_index")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5793,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_retention_cohorts": q250_retention_cohorts,
         "q251_progressive_jpeg": q251_progressive_jpeg,
         "q252_interlaced_palette_png": q252_interlaced_palette_png,
+        "q253_logreg_train": q253_logreg_train,
     }
 
 
@@ -13009,5 +13041,68 @@ SELECT i.media_id,
               + (3 * ((7 * i.media_id + 216) % 256) + 22) % 256) / 3.0, 6)
          AS t11
 FROM ids i JOIN px p USING (media_id)
+""",
+)
+
+
+# q253 twin: the exact 2-round zero-init GD trajectory unrolled in
+# SQL. Features are the q223 portable-md5 signed-hash arithmetic over
+# lowercased whitespace tokens (multiplicity sums); the intercept is
+# feature -1 with constant 1.0. Round 1 collapses in closed form
+# (w=0 → p=0.5 → r=0.5-y); round 2 rebuilds margins from w1, applies
+# sigmoid, and takes one more mean-gradient step. lr=0.5, l2=0.
+_oracle(
+    "q253_logreg_train",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5('tok=' || tok), 1, 15) AS BIGINT) // 2)
+           % 64 AS fi,
+         CASE WHEN CAST('0x' || substr(md5('tok=' || tok), 1, 15)
+                       AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM tok WHERE tok IS NOT NULL AND tok <> ''
+),
+x AS (SELECT doc_id, fi, SUM(s) AS v FROM e GROUP BY doc_id, fi),
+xb AS (
+  SELECT doc_id, fi, v FROM x
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS fi, 1.0 AS v FROM documents
+),
+y AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+r1 AS (SELECT doc_id, 0.5 - y AS r FROM y),
+w1 AS (
+  SELECT xb.fi,
+         -0.5 * (SUM(xb.v * r1.r) / (SELECT n FROM n)) AS w
+  FROM xb JOIN r1 USING (doc_id) GROUP BY xb.fi
+),
+m2 AS (
+  SELECT xb.doc_id, SUM(xb.v * w1.w) AS m
+  FROM xb JOIN w1 USING (fi) GROUP BY xb.doc_id
+),
+r2 AS (
+  SELECT y.doc_id,
+         1.0 / (1.0 + exp(-COALESCE(m2.m, 0.0))) - y.y AS r
+  FROM y LEFT JOIN m2 USING (doc_id)
+),
+w2 AS (
+  SELECT xb.fi,
+         SUM(xb.v * r2.r) / (SELECT n FROM n) AS g
+  FROM xb JOIN r2 USING (doc_id) GROUP BY xb.fi
+)
+SELECT w1.fi AS feature_index,
+       ROUND(w1.w - 0.5 * w2.g, 9) AS weight
+FROM w1 JOIN w2 USING (fi)
+ORDER BY feature_index
 """,
 )

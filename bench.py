@@ -319,6 +319,8 @@ def main() -> None:
         "q250_retention_cohorts",
         "q251_progressive_jpeg",
         "q252_interlaced_palette_png",
+        # round-12 tier (no prior baseline — these SET it):
+        "q253_logreg_train",
     ]
 
     timings: dict[str, float] = {}

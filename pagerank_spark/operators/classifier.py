@@ -1,0 +1,265 @@
+"""Distributed training of a linear quality classifier.
+
+The curation pipeline could gate (Gopher rules), score with FIXED
+heuristics (quality_score), and EVALUATE a scorer (binary_auc /
+calibration_report) — but not *train* one. This module closes that
+loop with the CCNet / GPT-3-style pattern: a cheap linear classifier
+over hashed bag-of-words features, trained ON the cluster by
+full-batch gradient descent, then applied as a corpus-wide quality
+gate. (The reference engine has no learning stage at all — this is a
+beyond-reference LLM-pipeline operator; its iterative shape follows
+the reference's convergence-loop discipline, pageRank.py:159-194,
+re-expressed as the engine's per-round broadcast/aggregate cycle.)
+
+Why full-batch GD and not SGD: at 100 TB the expensive thing is the
+PASS over the data, not the arithmetic per pass. One full-batch round
+is exactly one co-partitioned join + two partial-combined aggregations
+— the margin sum per doc and the gradient sum per feature — i.e. the
+same per-round cost profile as one PageRank iteration, with
+map-side combine doing most of the reduction. The model state (the
+weight vector) is feature-dimension-sized, lives on the driver
+between rounds, and is BROADCAST into each round's plan as a literal
+relation — so lineage NEVER compounds across rounds: every round's
+plan reads only the cached feature relation plus a tiny broadcast.
+No checkpoints needed; the VertexLoop cadence machinery is unnecessary
+because the mutable state never lives in a DataFrame.
+
+Model: logistic regression, p = sigmoid(w·x + b), minimizing mean
+log-loss with optional L2. Update per round (eta = learning rate)::
+
+    r_i   = sigmoid(w·x_i + b) - y_i          (residual)
+    g_j   = (1/n) * sum_i r_i * x_ij + l2 * w_j
+    w_j  -= eta * g_j
+
+The intercept is feature index -1 with constant value 1.0, appended as
+real feature rows so margins and gradients are one uniform pipeline.
+Weights start at zero, so the whole trajectory is deterministic — a
+fixed-round run unrolls exactly into SQL (the q253 oracle twin).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions import word_tokens
+
+BIAS_INDEX = -1
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Signed hashing-trick bag-of-words: explode whitespace tokens and
+    feed them through the exact feature_hash arithmetic (portable-md5
+    index + sign bit, Weinberger 2009), so token multiplicity sums with
+    ±1 signs into a fixed ``n_features``-dim sparse vector. Memoryless:
+    no vocabulary relation to build or ship — the 100 TB-sane text
+    featurizer, and the standard input to a fastText-class quality
+    classifier.
+
+    Returns sparse long form ``(id_col, feature_index, feature_value)``.
+    Scale shape: one explode + one partial-combined (id, index)
+    aggregation; output rows are bounded by tokens-per-doc, never by
+    vocabulary.
+    """
+    from pagerank_spark.operators.text import feature_hash
+
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(text)).alias("tok"),
+    ).where(F.col("tok") != "")
+    return feature_hash(toks, ["tok"], n_features=n_features, id_col=id_col)
+
+
+@dataclass
+class LogRegResult:
+    """Trained model: ``weights`` is a small ``(feature_index, weight)``
+    relation (intercept at ``feature_index = -1``) built from the
+    driver-side vector — self-contained, no lineage into the training
+    data. ``losses`` is the mean log-loss measured at the START of each
+    round (only when ``track_loss``)."""
+
+    weights: DataFrame
+    iterations: int
+    losses: list = field(default_factory=list)
+
+
+def _sigmoid(col):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-col))
+
+
+def logreg_train(
+    features: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    rounds: int = 20,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    tol: float | None = None,
+    track_loss: bool = False,
+) -> LogRegResult:
+    """Full-batch logistic-regression GD over a sparse feature relation.
+
+    ``features``: ``(id_col, feature_index, feature_value)`` long form
+    (feature_hash / hashed_token_features output). ``labels``:
+    ``(id_col, label_col)`` with labels in {0, 1} (numeric or boolean).
+
+    Per round ONE action (the gradient collect) whose plan is: broadcast
+    the current weights into a margin sum per doc (co-partitioned
+    groupBy on ``id_col``), join residuals back to the cached feature
+    relation on the SAME partitioning, and reduce to one
+    ``n_features``-sized gradient via partial aggregation. The driver
+    holds only feature-dimension-sized vectors — the audited bounded-
+    collect class. Stops early when ``tol`` is set and the max absolute
+    weight update falls below it.
+    """
+    if rounds < 1:
+        raise ValueError(f"logreg_train: rounds >= 1, got {rounds}")
+    spark = features.sparkSession
+    y = F.col(label_col).cast("double")
+    lab = labels.select(F.col(id_col), y.alias("__y"))
+
+    # bias rows make the intercept an ordinary feature — margins and
+    # gradients stay one uniform pipeline, and every labeled doc has at
+    # least one feature row (so no left-join corner for empty docs)
+    xb = features.select(
+        F.col(id_col),
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("feature_value").cast("double").alias("feature_value"),
+    ).unionByName(
+        lab.select(
+            F.col(id_col),
+            F.lit(BIAS_INDEX).cast("long").alias("feature_index"),
+            F.lit(1.0).alias("feature_value"),
+        )
+    )
+    # co-partition the two per-round join inputs on id once, up front:
+    # every round's margin aggregation and residual join then reuse this
+    # partitioning with no further exchange of the (big) feature relation
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    xb = xb.repartition(shuffle_p, id_col).persist()
+    lab = lab.repartition(shuffle_p, id_col).persist()
+    try:
+        n = float(lab.count())
+        xb.count()  # materialize the pin before the rounds start
+
+        w: dict[int, float] = {}  # zero-init: absent index == 0.0
+        losses: list[float] = []
+        it = 0
+        for it in range(1, rounds + 1):
+            if w:
+                wdf = spark.createDataFrame(
+                    [(int(k), float(v)) for k, v in w.items()],
+                    "feature_index long, __w double",
+                )
+                margins = (
+                    xb.join(F.broadcast(wdf), on="feature_index")
+                    .groupBy(id_col)
+                    .agg(
+                        F.sum(
+                            F.col("feature_value") * F.col("__w")
+                        ).alias("__m")
+                    )
+                )
+                scored = lab.join(margins, on=id_col, how="left").select(
+                    F.col(id_col),
+                    F.col("__y"),
+                    _sigmoid(F.coalesce(F.col("__m"), F.lit(0.0))).alias(
+                        "__p"
+                    ),
+                )
+            else:
+                # round 1, w == 0 exactly: p = 0.5 with no join at all
+                scored = lab.select(
+                    F.col(id_col), F.col("__y"), F.lit(0.5).alias("__p")
+                )
+            if track_loss:
+                eps = F.lit(1e-12)
+                losses.append(
+                    scored.agg(
+                        F.avg(
+                            -F.col("__y") * F.log(F.col("__p") + eps)
+                            - (F.lit(1.0) - F.col("__y"))
+                            * F.log(F.lit(1.0) - F.col("__p") + eps)
+                        ).alias("loss")
+                    ).collect()[0]["loss"]
+                )
+            resid = scored.select(
+                F.col(id_col), (F.col("__p") - F.col("__y")).alias("__r")
+            )
+            grad_rows = (
+                xb.join(resid, on=id_col)
+                .groupBy("feature_index")
+                .agg(
+                    (F.sum(F.col("feature_value") * F.col("__r")) / n).alias(
+                        "__g"
+                    )
+                )
+                .collect()
+            )
+            max_step = 0.0
+            new_w = dict(w)
+            for row in grad_rows:
+                j = row["feature_index"]
+                step = lr * (row["__g"] + l2 * w.get(j, 0.0))
+                new_w[j] = w.get(j, 0.0) - step
+                max_step = max(max_step, abs(step))
+            w = new_w
+            if tol is not None and max_step < tol:
+                break
+
+        wdf = spark.createDataFrame(
+            sorted((int(k), float(v)) for k, v in w.items()),
+            "feature_index long, weight double",
+        )
+        return LogRegResult(weights=wdf, iterations=it, losses=losses)
+    finally:
+        xb.unpersist()
+        lab.unpersist()
+
+
+def logreg_predict(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs with a trained model: ``(id_col, score)`` with
+    ``score = sigmoid(w·x + b)``. ``weights`` is the
+    ``(feature_index, weight)`` relation from :func:`logreg_train`
+    (feature-dimension-sized → broadcast). Docs with no feature rows
+    produce no output row; keep empty docs by feeding features that
+    include at least one row per doc (hashed_token_features does for
+    any non-blank text).
+
+    Plan: one broadcast join + one partial-combined per-doc sum + a
+    one-row broadcast intercept fold — no shuffle of anything wider
+    than ``(id, margin)``.
+    """
+    wpos = weights.where(F.col("feature_index") != BIAS_INDEX)
+    # the weight relation is feature-dimension-sized (the audited
+    # bounded-collect class), so the intercept folds in as a literal
+    bias_rows = weights.where(
+        F.col("feature_index") == BIAS_INDEX
+    ).collect()
+    b = float(bias_rows[0]["weight"]) if bias_rows else 0.0
+    margins = (
+        features.join(F.broadcast(wpos), on="feature_index")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("feature_value") * F.col("weight")).alias("__m"))
+    )
+    return margins.select(
+        F.col(id_col),
+        _sigmoid(F.col("__m") + F.lit(b)).alias("score"),
+    )
