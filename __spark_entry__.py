@@ -5564,6 +5564,30 @@ def q253_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("feature_index")
 
 
+def q254_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training
+    (operators/tokenizer.py unigram_lm_train, Kudo 2018) — the
+    tokenizer family of Llama/T5-class models, complementing q150's
+    bottom-up BPE with top-down EM: seed all ≤4-char substrings
+    (60 heaviest + every char), 2 rounds of lattice forward–backward
+    expected counts (per round: one broadcast vocab join, one
+    exchange-free per-word regroup, JVM-codegen alpha/beta array folds,
+    one partial-combined per-piece aggregation), prune to the 40 most
+    probable + chars, renormalize. Fixed rounds + zero randomness →
+    the DuckDB twin unrolls the identical trajectory with list_reduce
+    folds. Fertility evidence vs q151's BPE: UNIGRAM_PROBE.json +
+    tests/test_tokenizer.py."""
+    from pagerank_spark.operators.tokenizer import unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_lm_train(
+        docs, rounds=2, max_piece_len=4, seed_size=60, vocab_size=40
+    )
+    return out.select(
+        "piece", F.round("prob", 9).alias("prob")
+    ).orderBy("piece")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5825,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_progressive_jpeg": q251_progressive_jpeg,
         "q252_interlaced_palette_png": q252_interlaced_palette_png,
         "q253_logreg_train": q253_logreg_train,
+        "q254_unigram_lm_train": q254_unigram_lm_train,
     }
 
 
@@ -13106,3 +13131,127 @@ FROM w1 JOIN w2 USING (fi)
 ORDER BY feature_index
 """,
 )
+
+
+def _unigram_sql(
+    rounds: int, L: int, seed_size: int, vocab_size: int
+) -> str:
+    """q254 twin generator: the unigram-LM EM trajectory unrolled.
+    Mirrors unigram_lm_train exactly — seed by weighted substring
+    frequency (top-K + chars), then per round one LEFT JOIN of the
+    candidate-edge relation on the previous vocabulary, per-word
+    probability lists per piece length, alpha/beta lattice folds as
+    list_reduce (the bpe-twin sentinel-prefix idiom: elements are
+    one-element lists so the accumulator can be a growing DOUBLE[]),
+    expected counts per edge, renormalize; finally prune + renormalize.
+    """
+    def sum_alpha_terms() -> str:
+        return " + ".join(
+            f"CASE WHEN CAST(x[1] AS INT) >= {l} THEN "
+            f"acc[CAST(x[1] AS INT) - {l} + 1] * "
+            f"pl{l}[CAST(x[1] AS INT) - {l} + 1] ELSE 0.0 END"
+            for l in range(1, L + 1)
+        )
+
+    def sum_beta_terms() -> str:
+        return " + ".join(
+            f"CASE WHEN CAST(x[1] AS INT) + {l} <= len(word) + 1 THEN "
+            f"pl{l}[CAST(x[1] AS INT)] * acc[{l}] ELSE 0.0 END"
+            for l in range(1, L + 1)
+        )
+
+    def count_lists() -> str:
+        return " || ".join(
+            f"[struct_pack(piece := substring(word, i, {l}), "
+            f"c := freq * alpha[i] * pl{l}[i] * beta[i + {l}] "
+            f"/ alpha[len(word) + 1]) "
+            f"for i in range(1, len(word) - {l} + 2)]"
+            for l in range(1, L + 1)
+        )
+
+    pl_aggs = ",\n         ".join(
+        f"list(COALESCE(v.prob, 0.0) ORDER BY c.i) "
+        f"FILTER (WHERE c.l = {l}) AS pl{l}"
+        for l in range(1, L + 1)
+    )
+    pl_cols = ", ".join(f"pl{l}" for l in range(1, L + 1))
+
+    parts = [
+        rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+words AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+cand AS (
+  SELECT word, freq, CAST(ui.i AS INT) AS i, CAST(ul.l AS INT) AS l,
+         substring(word, CAST(ui.i AS INT), CAST(ul.l AS INT)) AS piece
+  FROM words,
+       UNNEST(range(1, len(word) + 1)) AS ui(i),
+       UNNEST(range(1, {L} + 1)) AS ul(l)
+  WHERE ui.i + ul.l - 1 <= len(word)
+),
+pw AS (SELECT piece, SUM(freq) AS wf FROM cand GROUP BY piece),
+topk AS (SELECT piece FROM pw ORDER BY wf DESC, piece ASC
+         LIMIT {seed_size}),
+selp AS (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM topk
+    UNION ALL SELECT piece FROM pw WHERE len(piece) = 1
+  )
+),
+sel0 AS (SELECT p.piece, p.wf FROM pw p JOIN selp USING (piece)),
+v0 AS (SELECT piece, wf / (SELECT SUM(wf) FROM sel0) AS prob
+       FROM sel0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+grid{r} AS (
+  SELECT c.word, c.freq,
+         {pl_aggs}
+  FROM cand c LEFT JOIN v{r - 1} v USING (piece)
+  GROUP BY c.word, c.freq
+),
+ab{r} AS (
+  SELECT word, freq, {pl_cols},
+         list_reduce(
+           [[1.0]] ||
+             [[CAST(i AS DOUBLE)] for i in range(1, len(word) + 1)],
+           (acc, x) -> list_append(acc, {sum_alpha_terms()})
+         ) AS alpha,
+         list_reduce(
+           [[1.0]] ||
+             [[CAST(i AS DOUBLE)] for i in range(len(word), 0, -1)],
+           (acc, x) -> [{sum_beta_terms()}] || acc
+         ) AS beta
+  FROM grid{r}
+),
+cnts{r} AS (
+  SELECT u.pc['piece'] AS piece, SUM(u.pc['c']) AS cnt
+  FROM ab{r}, UNNEST({count_lists()}) AS u(pc)
+  GROUP BY u.pc['piece']
+  HAVING SUM(u.pc['c']) > 0
+),
+v{r} AS (SELECT piece, cnt / (SELECT SUM(cnt) FROM cnts{r}) AS prob
+         FROM cnts{r})"""
+        )
+    parts.append(
+        f""",
+topv AS (SELECT piece FROM v{rounds}
+         ORDER BY prob DESC, piece ASC LIMIT {vocab_size}),
+keep AS (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM topv
+    UNION ALL SELECT piece FROM v{rounds} WHERE len(piece) = 1
+  )
+),
+kv AS (SELECT v.piece, v.prob FROM v{rounds} v JOIN keep USING (piece))
+SELECT piece, ROUND(prob / (SELECT SUM(prob) FROM kv), 9) AS prob
+FROM kv ORDER BY piece"""
+    )
+    return "".join(parts)
+
+
+_oracle("q254_unigram_lm_train", _unigram_sql(2, 4, 60, 40))
