@@ -5588,6 +5588,22 @@ def q254_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("piece")
 
 
+def q256_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (graph/walks.py node2vec_walks, Grover &
+    Leskovec 2016): q159's uniform walker extended with the p/q
+    return/in-out bias — the knob that tunes a walk corpus between
+    homophily and structural equivalence. Step ≥ 2 weights each
+    out-edge 1/p (return) / 1 (triangle) / 1/q (explore), picked by the
+    RNG-free inverse-CDF hash rule; p=2, q=0.5 keeps every weight an
+    exact binary fraction so even the running sums are float-exact
+    against the twin's unrolled step CTEs. One extra (prev, dst)
+    membership equi-join per step over the same indexed adjacency —
+    exactly the cost node2vec's second-order bias demands."""
+    from pagerank_spark.graph.walks import node2vec_walks
+
+    return node2vec_walks(_edges(spark, sf_dir), steps=4, p=2.0, q=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -5850,6 +5866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_interlaced_palette_png": q252_interlaced_palette_png,
         "q253_logreg_train": q253_logreg_train,
         "q254_unigram_lm_train": q254_unigram_lm_train,
+        "q256_node2vec_walks": q256_node2vec_walks,
     }
 
 
@@ -13255,3 +13272,84 @@ FROM kv ORDER BY piece"""
 
 
 _oracle("q254_unigram_lm_train", _unigram_sql(2, 4, 60, 40))
+
+
+# q256 twin: the biased walk unrolled — uniform hash step 1 (the q159
+# rule), then per step one adjacency join + one (prev, dst) membership
+# join, the per-walk running-weight window, and the inverse-CDF pick
+# (lowest idx with cum > u·total). p=2 / q=0.5 make every weight an
+# exact binary fraction, so the cumulative sums carry NO float drift
+# between engines and the comparisons are exact.
+def _n2v_sql(steps: int, p: float, q: float) -> str:
+    inv_p, inv_q = repr(1.0 / p), repr(1.0 / q)
+    parts = [
+        SQL_EDGES.rstrip(),
+        """,
+adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM edges
+),
+eset AS (SELECT DISTINCT src AS p_src, dst AS p_dst FROM edges),
+s0 AS (
+  SELECT DISTINCT src AS start, src AS cur, CAST(src AS VARCHAR) AS path
+  FROM edges
+),
+s1 AS (
+  SELECT s.start, s.cur AS prev, a.dst AS cur,
+         s.path || '->' || CAST(a.dst AS VARCHAR) AS path,
+         2 AS walk_len
+  FROM s0 s
+  JOIN deg d ON s.cur = d.src
+  JOIN adj a ON a.src = s.cur
+   AND a.idx = CAST('0x' || substr(md5(CAST(s.cur AS VARCHAR) || '#1'),
+                    1, 15) AS BIGINT) % d.deg
+)""",
+    ]
+    for t in range(2, steps + 1):
+        parts.append(
+            f""",
+cand{t} AS (
+  SELECT s.start, s.prev, s.cur, s.path, s.walk_len, a.dst, a.idx,
+         CASE WHEN a.dst = s.prev THEN {inv_p}
+              WHEN e2.p_dst IS NOT NULL THEN 1.0
+              ELSE {inv_q} END AS w
+  FROM s{t - 1} s
+  JOIN adj a ON a.src = s.cur
+  LEFT JOIN eset e2 ON e2.p_src = s.prev AND e2.p_dst = a.dst
+),
+pick{t} AS (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY start ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         CAST(CAST('0x' || substr(md5(CAST(prev AS VARCHAR) || '>' ||
+                CAST(cur AS VARCHAR) || '#{t}'), 1, 15) AS BIGINT)
+              % 1000000 AS DOUBLE) / 1000000.0
+           * SUM(w) OVER (PARTITION BY start) AS target
+  FROM cand{t}
+),
+nxt{t} AS (
+  SELECT start, min_by(dst, idx) AS nxt
+  FROM pick{t} WHERE cum > target GROUP BY start
+),
+s{t} AS (
+  SELECT s.start,
+         CASE WHEN n.nxt IS NOT NULL THEN s.cur ELSE s.prev END AS prev,
+         COALESCE(n.nxt, s.cur) AS cur,
+         CASE WHEN n.nxt IS NOT NULL
+              THEN s.path || '->' || CAST(n.nxt AS VARCHAR)
+              ELSE s.path END AS path,
+         CASE WHEN n.nxt IS NOT NULL THEN s.walk_len + 1
+              ELSE s.walk_len END AS walk_len
+  FROM s{t - 1} s LEFT JOIN nxt{t} n USING (start)
+)"""
+        )
+    parts.append(
+        f"\nSELECT start, path, CAST(walk_len AS INT) AS walk_len"
+        f" FROM s{steps}"
+    )
+    return "".join(parts)
+
+
+_oracle("q256_node2vec_walks", _n2v_sql(4, 2.0, 0.5))

@@ -321,6 +321,8 @@ def main() -> None:
         "q252_interlaced_palette_png",
         # round-12 tier (no prior baseline — these SET it):
         "q253_logreg_train",
+        "q254_unigram_lm_train",
+        "q256_node2vec_walks",
     ]
 
     timings: dict[str, float] = {}

@@ -87,6 +87,165 @@ def random_walks(edges: DataFrame, steps: int = 4) -> DataFrame:
     return state.select("start", "path", F.col("walk_len").cast("int").alias("walk_len"))
 
 
+def node2vec_walks(
+    edges: DataFrame, steps: int = 4, p: float = 1.0, q: float = 1.0
+) -> DataFrame:
+    """node2vec biased walks (Grover & Leskovec 2016): like
+    :func:`random_walks` but the step from ``cur`` given the PREVIOUS
+    node ``prev`` weights each out-edge ``cur → x`` by the
+    return/in-out parameters::
+
+        1/p  if x == prev                      (return)
+        1    if edge prev → x exists           (stay local, distance 1)
+        1/q  otherwise                         (explore, distance 2)
+
+    ``p`` large → walks never return; ``q`` large → walks stay in
+    ``prev``'s neighborhood (homophily); ``q`` small → outward DFS-like
+    exploration (structural equivalence). Output matches random_walks:
+    ``(start, path, walk_len)``, one walk per distinct source.
+
+    RNG-free weighted selection: with weights in dst-sorted adjacency
+    order, draw ``u = hash60(prev || '>' || cur || '#' || t) % 10^6 /
+    10^6`` and take the lowest-index edge whose running cumulative
+    weight exceeds ``u · total_weight`` — the inverse-CDF rule any
+    engine reproduces exactly (step 1 has no ``prev`` and uses the
+    uniform ``hash % deg`` rule, identical to random_walks). With p, q
+    chosen as powers of two the weights are exact binary fractions, so
+    even the cumulative sums are float-exact across engines (the q256
+    twin relies on this). Multi-edges keep their multiplicity, exactly
+    as in the uniform walker.
+
+    Scale shape: per step one equi-join of the frontier against the
+    indexed adjacency, one (prev, dst) membership join against the
+    distinct edge set, and a per-WALK bounded window for the running
+    sum (partition = one walk's ≤ out-degree candidate rows — never a
+    global window). The second-order bias costs exactly the one extra
+    membership join node2vec's definition demands.
+    """
+    if steps < 1:
+        raise ValueError(f"node2vec_walks: steps must be >= 1, got {steps}")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec_walks: p and q must be > 0")
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = edges.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    eset = edges.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+    ).distinct()
+
+    # step 1: uniform, no prev — the random_walks rule verbatim
+    state = (
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.col("src").alias("cur"),
+            F.col("src").cast("string").alias("path"),
+        )
+    )
+    pick1 = F.pmod(
+        portable_hash60(
+            F.concat(F.col("cur").cast("string"), F.lit("#1"))
+        ),
+        F.col("deg"),
+    )
+    state = (
+        state.join(deg, state["cur"] == deg["src"], "inner")
+        .withColumn("__pick", pick1)
+        .drop("src", "deg")
+    )
+    state = (
+        state.join(
+            adj,
+            (state["cur"] == adj["src"]) & (state["__pick"] == adj["idx"]),
+        )
+        .select(
+            "start",
+            F.col("cur").alias("prev"),
+            F.col("dst").alias("cur"),
+            F.concat(
+                F.col("path"), F.lit("->"), F.col("dst").cast("string")
+            ).alias("path"),
+            F.lit(2).alias("walk_len"),
+        )
+    )
+
+    win_cum = (
+        Window.partitionBy("start")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_all = Window.partitionBy("start")
+    for t in range(2, steps + 1):
+        cand = state.join(
+            adj.select(
+                F.col("src").alias("__asrc"), "dst", "idx"
+            ),
+            state["cur"] == F.col("__asrc"),
+        ).join(
+            eset,
+            (F.col("p_src") == F.col("prev"))
+            & (F.col("p_dst") == F.col("dst")),
+            "left",
+        )
+        wcol = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("p_dst").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u = (
+            F.pmod(
+                portable_hash60(
+                    F.concat(
+                        F.col("prev").cast("string"),
+                        F.lit(">"),
+                        F.col("cur").cast("string"),
+                        F.lit(f"#{t}"),
+                    )
+                ),
+                F.lit(1000000),
+            ).cast("double")
+            / F.lit(1000000.0)
+        )
+        scored = cand.select(
+            "start",
+            "dst",
+            "idx",
+            F.sum(wcol).over(win_cum).alias("__cum"),
+            (u * F.sum(wcol).over(win_all)).alias("__target"),
+        )
+        chosen = (
+            scored.where(F.col("__cum") > F.col("__target"))
+            .groupBy("start")
+            .agg(F.min_by("dst", "idx").alias("__nxt"))
+        )
+        state = state.join(chosen, on="start", how="left").select(
+            "start",
+            F.when(F.col("__nxt").isNotNull(), F.col("cur"))
+            .otherwise(F.col("prev"))
+            .alias("prev"),
+            F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"),
+            F.when(
+                F.col("__nxt").isNotNull(),
+                F.concat(
+                    F.col("path"),
+                    F.lit("->"),
+                    F.col("__nxt").cast("string"),
+                ),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            F.when(F.col("__nxt").isNotNull(), F.col("walk_len") + 1)
+            .otherwise(F.col("walk_len"))
+            .alias("walk_len"),
+        )
+    return state.select(
+        "start", "path", F.col("walk_len").cast("int").alias("walk_len")
+    )
+
+
 def skipgram_pairs(
     walks: DataFrame, window: int = 2, path_col: str = "path"
 ) -> DataFrame:

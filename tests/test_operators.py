@@ -1887,6 +1887,133 @@ def test_random_walks_match_reference_walker(spark):
         random_walks(df, steps=0)
 
 
+def _n2v_reference(edges, steps, p, q):
+    """Pure-Python twin of node2vec_walks' documented rule (uniform
+    hash step 1; inverse-CDF weighted pick thereafter)."""
+    import hashlib
+    from collections import defaultdict
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    for s in adj:
+        adj[s].sort()
+    eset = set(edges)
+
+    out = {}
+    for start in sorted(adj):
+        cur = start
+        path = [start]
+        prev = None
+        for t in range(1, steps + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                continue  # stalled: later steps can't move either
+            if t == 1:
+                nxt = nbrs[h60(f"{cur}#1") % len(nbrs)]
+            else:
+                ws = [
+                    (1.0 / p) if x == prev
+                    else 1.0 if (prev, x) in eset
+                    else (1.0 / q)
+                    for x in nbrs
+                ]
+                u = (h60(f"{prev}>{cur}#{t}") % 1000000) / 1000000.0
+                target = u * sum(ws)
+                cum = 0.0
+                nxt = None
+                for x, wt in zip(nbrs, ws):
+                    cum += wt
+                    if cum > target:
+                        nxt = x
+                        break
+            prev, cur = cur, nxt
+            path.append(cur)
+        out[start] = ("->".join(map(str, path)), len(path))
+    return out
+
+
+def test_node2vec_matches_reference_walker(spark):
+    """Exact path equality vs the Python twin on a graph with a
+    doubled edge, a dangling sink, and both triangle (distance-1) and
+    open (distance-2) continuations, across several (p, q) settings."""
+    from pagerank_spark.graph.walks import node2vec_walks
+
+    edges = [
+        (1, 2), (1, 3), (2, 1), (2, 3), (2, 4),
+        (3, 1), (4, 3), (4, 3), (4, 5), (5, 1),
+    ]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    for p, q in [(1.0, 1.0), (2.0, 0.5), (0.25, 4.0)]:
+        got = {
+            r["start"]: (r["path"], r["walk_len"])
+            for r in node2vec_walks(df, steps=4, p=p, q=q).collect()
+        }
+        want = _n2v_reference(edges, 4, p, q)
+        assert got == want, (p, q, got, want)
+
+
+def test_node2vec_pq_extremes(spark):
+    """Grover & Leskovec limits: p → ∞ never returns when any
+    alternative exists; q → ∞ keeps the walk inside prev's
+    neighborhood (return or triangle edge only)."""
+    from pagerank_spark.graph.walks import node2vec_walks
+
+    # from 2 (prev=1): 1 is return, 3 closes the triangle (1->3), 4 is
+    # the open distance-2 hop
+    edges = [(1, 2), (1, 3), (2, 1), (2, 3), (2, 4), (3, 2), (4, 2)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+
+    big = 2.0**30
+    for r in node2vec_walks(df, steps=5, p=big, q=1.0).collect():
+        hops = [int(x) for x in r["path"].split("->")]
+        for a, mid, b in zip(hops, hops[1:], hops[2:]):
+            # returning is only allowed when it is FORCED (the middle
+            # node's sole out-edge points back)
+            if a == b:
+                assert adj[mid] == {a}, f"returned with p→∞: {r['path']}"
+
+    eset = {(s, d) for s, d in edges}
+    for r in node2vec_walks(df, steps=5, p=1.0, q=big).collect():
+        hops = [int(x) for x in r["path"].split("->")]
+        for prev, cur, nxt in zip(hops, hops[1:], hops[2:]):
+            assert nxt == prev or (prev, nxt) in eset, (
+                f"left the neighborhood with q→∞: {r['path']}"
+            )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, steps=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, p=0.0)
+
+
+def test_node2vec_uniform_limit_is_weighted_uniform(spark):
+    """p = q = 1 makes every candidate weight 1.0 — the pick reduces
+    to ceil-index selection over the uniform CDF, which on a
+    multi-edge adjacency still respects multiplicity."""
+    from pagerank_spark.graph.walks import node2vec_walks
+
+    edges = [(1, 2), (2, 3), (2, 3), (2, 4), (3, 2), (4, 2)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["start"]: r["path"]
+        for r in node2vec_walks(df, steps=3, p=1.0, q=1.0).collect()
+    }
+    want = _n2v_reference(edges, 3, 1.0, 1.0)
+    assert got == {s: pw[0] for s, pw in want.items()}
+
+
 def test_skipgram_pairs_window_counts(spark):
     from pagerank_spark.graph.walks import skipgram_pairs
 
