@@ -5588,6 +5588,49 @@ def q254_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("piece")
 
 
+def q255_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC audio SAMPLE decode under the oracle
+    (operators/flac.py, round 12): every 10th doc id becomes a genuine
+    RFC 9639 FLAC stream — the q115 closed-form waveform losslessly
+    compressed by the real fixed-predictor/rice encoder — and the full
+    decoder (CRC-8/16 + STREAMINFO-MD5 verified) reproduces the exact
+    PCM, so the byte-free twin integrates the same sample formula and
+    the stats hash-match bit-for-bit (lossless beats the q138
+    within-tolerance pattern a lossy codec would need). The md5_ok and
+    compressed booleans are pinned TRUE: decode integrity is proven by
+    the STREAMINFO digest, and the stream is genuinely smaller than
+    the PCM. MP3 Layer III sample decode is the documented reasoned
+    negative (multimodal.py module docstring): its Huffman/window spec
+    TABLES are absent from this environment and not derivable."""
+    from pagerank_spark.operators.multimodal import (
+        decode_flac_audio,
+        synthesize_flac_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_flac_media(
+        ids, "media_id", n_samples=2000, rate=8000, block_size=576
+    )
+    out = decode_flac_audio(media)
+    return out.select(
+        "media_id",
+        "format",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_s",
+        "rms",
+        "peak",
+        "n_frames",
+        "md5_ok",
+        (F.col("compress_ratio") < 1.0).alias("compressed"),
+    )
+
+
 def q256_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased walks (graph/walks.py node2vec_walks, Grover &
     Leskovec 2016): q159's uniform walker extended with the p/q
@@ -5866,6 +5909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_interlaced_palette_png": q252_interlaced_palette_png,
         "q253_logreg_train": q253_logreg_train,
         "q254_unigram_lm_train": q254_unigram_lm_train,
+        "q255_flac_decode": q255_flac_decode,
         "q256_node2vec_walks": q256_node2vec_walks,
     }
 
@@ -13353,3 +13397,42 @@ s{t} AS (
 
 
 _oracle("q256_node2vec_walks", _n2v_sql(4, 2.0, 0.5))
+
+
+# q255 twin: the q115 waveform integral with the FLAC evidence columns
+# — format 'flac', the known 4-frame layout (ceil(2000/576)), and the
+# md5_ok / compressed booleans pinned TRUE (the Spark side computes
+# them from the genuine STREAMINFO digest and stream size, so the
+# constant pins lossless-exact decode + real compression).
+_oracle(
+    "q255_flac_decode",
+    r"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+),
+i AS (SELECT unnest(generate_series(0, 1999)) AS i),
+s AS (
+  SELECT ids.media_id,
+         ((13 * ids.media_id + 37 * i.i) % 65536 - 32768) AS x
+  FROM ids CROSS JOIN i
+),
+agg AS (
+  SELECT media_id,
+         SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS ssq,
+         MAX(ABS(x)) AS peak
+  FROM s GROUP BY media_id
+)
+SELECT media_id,
+       'flac' AS format,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(2000 AS BIGINT) AS n_samples,
+       0.25 AS duration_s,
+       ROUND(SQRT(ssq / 2000.0), 6) AS rms,
+       CAST(peak AS INT) AS peak,
+       CAST(4 AS INT) AS n_frames,
+       TRUE AS md5_ok,
+       TRUE AS compressed
+FROM agg
+""",
+)

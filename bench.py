@@ -322,6 +322,7 @@ def main() -> None:
         # round-12 tier (no prior baseline — these SET it):
         "q253_logreg_train",
         "q254_unigram_lm_train",
+        "q255_flac_decode",
         "q256_node2vec_walks",
     ]
 

@@ -1,0 +1,625 @@
+"""Pure-stdlib FLAC encode/decode — real audio SAMPLE decode.
+
+Why FLAC and not the MP3 Layer III sample decode the round-11 verdict
+sketched: Layer III's decode path requires two sets of pure spec DATA —
+the ~34 ISO 11172-3 Huffman code tables and the 512-coefficient
+synthesis-window table — that are not derivable from any formula and
+are not present in this container (no codec library, no reference MP3
+to validate against). Re-typing them from memory would produce a
+decoder that merely round-trips with its own encoder while *claiming*
+spec compliance — a fabrication, not an implementation. FLAC (RFC
+9639) has the opposite property: every stage is algorithmic — UTF-8
+frame numbers, rice/rice2 residual coding, fixed polynomial predictors
+with binomial coefficients, stream-carried LPC coefficients, CRC-8
+(poly 0x07) / CRC-16 (poly 0x8005), and an MD5 of the raw PCM carried
+in STREAMINFO — zero magic tables. It is also LOSSLESS, so the q255
+oracle is hash-exact (stronger than the within-tolerance booleans the
+lossy MP3 path would have needed). MP3 *sample* decode therefore stays
+a disclosed stub (multimodal.decode_media docstring); container-level
+MP3 frame walking (q237) remains real.
+
+Decoder coverage (everything a fixed-blocksize real-world stream can
+contain): STREAMINFO + skipped metadata blocks, frame sync and header
+with all blocksize/sample-rate/sample-size code paths, UTF-8 coded
+frame numbers, CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes,
+wasted bits, rice + rice2 + escaped-partition residuals at any
+partition order, independent / left-side / right-side / mid-side
+channel decorrelation, CRC-8 and CRC-16 verification, and the final
+MD5 check of the decoded PCM against STREAMINFO. The encoder (used by
+``synthesize_flac_media``) emits fixed-predictor frames with per-frame
+best-order selection and exact-optimal rice parameters — a genuine
+subset encoder whose output any conforming decoder accepts.
+
+No third-party FLAC file exists in this container, so cross-decoder
+interop is validated structurally instead: both CRCs are checked by an
+independent bitwise formulation in the tests, MD5 comes from hashlib,
+and every bit-layout branch is exercised by hand-built streams in
+tests/test_flac.py (including paths the encoder never emits: LPC,
+stereo decorrelation, escapes, wasted bits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# ---------------------------------------------------------------------------
+# CRCs (MSB-first, init 0) — RFC 9639 §9.1.3 / §9.3
+# ---------------------------------------------------------------------------
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (MSB-first)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        """q zero bits followed by a one bit."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def bytes(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        while nbits > 0:
+            if self.byte >= len(self.buf):
+                raise ValueError("flac: truncated bitstream")
+            avail = 8 - self.bit
+            take = min(avail, nbits)
+            cur = self.buf[self.byte]
+            v = (v << take) | (
+                (cur >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            nbits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if v >= 1 << (nbits - 1):
+            v -= 1 << nbits
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+# fixed predictor coefficients (binomial rows): prediction of x[n] from
+# previous samples; residual = x[n] - prediction
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _utf8_encode_number(n: int) -> bytes:
+    """RFC 9639 'UTF-8-like' coded number: plain UTF-8 extended to 36
+    bits / up to 7 bytes (a 7-byte sequence's lead byte 0xFE carries no
+    payload bits). Lead byte = t one-bits, a zero bit, then the payload
+    head; each continuation = 0b10 + 6 payload bits."""
+    if n < 0x80:
+        return bytes([n])
+    for t in range(2, 8):
+        head_bits = 7 - t if t < 7 else 0
+        if n < (1 << (head_bits + 6 * (t - 1))):
+            lead = ((0xFF << (8 - t)) & 0xFF) | (
+                (n >> (6 * (t - 1))) & ((1 << head_bits) - 1)
+            )
+            cont = [
+                0x80 | ((n >> (6 * k)) & 0x3F)
+                for k in range(t - 2, -1, -1)
+            ]
+            return bytes([lead] + cont)
+    raise ValueError("flac: frame number too large")
+
+
+def _utf8_decode_number(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    ones = 0
+    while (b0 << ones) & 0x80:
+        ones += 1
+    if ones < 2 or ones > 7:
+        raise ValueError("flac: bad coded frame number")
+    n = b0 & (0x7F >> ones)
+    for _ in range(ones - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded-number continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixed predictors; the subset synthesize_flac_media needs)
+# ---------------------------------------------------------------------------
+
+
+def _best_fixed_order(block: list[int], max_order: int = 4) -> int:
+    best_o, best_cost = 0, None
+    for o in range(0, min(max_order, len(block) - 1) + 1):
+        coefs = _FIXED_COEFFS[o]
+        cost = 0
+        for n in range(o, len(block)):
+            pred = sum(c * block[n - 1 - j] for j, c in enumerate(coefs))
+            cost += abs(block[n] - pred)
+        if best_cost is None or cost < best_cost:
+            best_o, best_cost = o, cost
+    return best_o
+
+
+def _best_rice_param(resid: list[int], max_param: int = 14) -> int:
+    zz = [_zigzag(r) for r in resid]
+    best_k, best_bits = 0, None
+    for k in range(max_param + 1):
+        bits = sum((u >> k) + 1 + k for u in zz)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k
+
+
+def encode_flac(
+    samples: list[int],
+    sample_rate: int = 8000,
+    bits_per_sample: int = 16,
+    block_size: int = 576,
+) -> bytes:
+    """Mono fixed-blocksize FLAC stream: STREAMINFO (with PCM MD5) +
+    FIXED-subframe frames, per-frame best predictor order, optimal
+    partition-order-0 rice parameter, CRC-8/CRC-16 per spec."""
+    n_total = len(samples)
+    lim = 1 << (bits_per_sample - 1)
+    if any(not (-lim <= s < lim) for s in samples):
+        raise ValueError("encode_flac: sample out of range")
+
+    pcm = bytearray()
+    for s in samples:
+        pcm += int(s).to_bytes(
+            (bits_per_sample + 7) // 8, "little", signed=True
+        )
+    md5 = hashlib.md5(bytes(pcm)).digest()
+
+    si = _BitWriter()
+    si.write(block_size, 16)  # min blocksize
+    si.write(block_size, 16)  # max blocksize
+    si.write(0, 24)  # min framesize unknown
+    si.write(0, 24)  # max framesize unknown
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(bits_per_sample - 1, 5)
+    si.write(n_total, 36)
+    streaminfo = si.bytes() + md5
+    assert len(streaminfo) == 34
+
+    out = bytearray(b"fLaC")
+    out.append(0x80 | 0)  # last-metadata-block, type 0 = STREAMINFO
+    out += len(streaminfo).to_bytes(3, "big")
+    out += streaminfo
+
+    frame_no = 0
+    for start in range(0, n_total, block_size):
+        block = [int(s) for s in samples[start : start + block_size]]
+        out += _encode_frame(
+            block, frame_no, sample_rate, bits_per_sample
+        )
+        frame_no += 1
+    return bytes(out)
+
+
+def _encode_frame(
+    block: list[int], frame_no: int, sample_rate: int, bps: int
+) -> bytes:
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)  # sync
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed blocksize strategy
+    w.write(0b0111, 4)  # blocksize: 16-bit value - 1 follows
+    w.write(0b0000, 4)  # sample rate: from STREAMINFO
+    w.write(0b0000, 4)  # channels: 1 (independent)
+    w.write(0b100, 3)  # sample size: 16
+    w.write(0, 1)  # reserved
+    header = w.bytes() + _utf8_encode_number(frame_no)
+    header += (len(block) - 1).to_bytes(2, "big")
+    header += bytes([crc8(header)])
+
+    body = _BitWriter()
+    if len(set(block)) == 1:
+        body.write(0, 1)
+        body.write(0b000000, 6)  # CONSTANT
+        body.write(0, 1)  # no wasted bits
+        body.write(block[0] & ((1 << bps) - 1), bps)
+    else:
+        order = _best_fixed_order(block)
+        body.write(0, 1)
+        body.write(0b001000 | order, 6)  # FIXED
+        body.write(0, 1)  # no wasted bits
+        for s in block[:order]:
+            body.write(s & ((1 << bps) - 1), bps)
+        coefs = _FIXED_COEFFS[order]
+        resid = [
+            block[n]
+            - sum(c * block[n - 1 - j] for j, c in enumerate(coefs))
+            for n in range(order, len(block))
+        ]
+        body.write(0b00, 2)  # rice method, 4-bit params
+        body.write(0, 4)  # partition order 0
+        k = _best_rice_param(resid)
+        body.write(k, 4)
+        for r in resid:
+            u = _zigzag(r)
+            body.write_unary(u >> k)
+            body.write(u & ((1 << k) - 1), k)
+    body.align()
+    frame = header + body.bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+# ---------------------------------------------------------------------------
+# Decoder (full fixed-blocksize feature coverage)
+# ---------------------------------------------------------------------------
+
+_BLOCKSIZE_CODES = {
+    0b0001: 192,
+    0b0010: 576,
+    0b0011: 1152,
+    0b0100: 2304,
+    0b0101: 4608,
+    0b1000: 256,
+    0b1001: 512,
+    0b1010: 1024,
+    0b1011: 2048,
+    0b1100: 4096,
+    0b1101: 8192,
+    0b1110: 16384,
+    0b1111: 32768,
+}
+
+_SAMPLE_RATE_CODES = {
+    0b0001: 88200,
+    0b0010: 176400,
+    0b0011: 192000,
+    0b0100: 8000,
+    0b0101: 16000,
+    0b0110: 22050,
+    0b0111: 24000,
+    0b1000: 32000,
+    0b1001: 44100,
+    0b1010: 48000,
+    0b1011: 96000,
+}
+
+_SAMPLE_SIZE_CODES = {
+    0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32,
+}
+
+
+class FlacStream:
+    """Decoded stream: ``sample_rate``, ``channels``, ``bits_per_sample``,
+    ``samples`` (list of per-channel lists), ``md5_ok`` (PCM digest vs
+    STREAMINFO; None when STREAMINFO carries no digest), ``n_frames``."""
+
+    def __init__(self) -> None:
+        self.sample_rate = 0
+        self.channels = 0
+        self.bits_per_sample = 0
+        self.total_samples = 0
+        self.samples: list[list[int]] = []
+        self.md5_ok: bool | None = None
+        self.n_frames = 0
+
+
+def decode_flac(buf: bytes) -> FlacStream:
+    """Parse and fully decode a FLAC stream; raises ValueError on any
+    malformation (bad magic, truncation, CRC-8/CRC-16 mismatch, bad
+    coded numbers, reserved codes). Verifies the STREAMINFO MD5."""
+    if buf[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    st = FlacStream()
+    md5_expect = None
+    # ---- metadata blocks ------------------------------------------------
+    last = False
+    seen_streaminfo = False
+    while not last:
+        if pos + 4 > len(buf):
+            raise ValueError("flac: truncated metadata header")
+        hdr = buf[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        pos += 4
+        if pos + blen > len(buf):
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("flac: bad STREAMINFO length")
+            r = _BitReader(buf, pos)
+            r.read(16)  # min blocksize
+            r.read(16)  # max blocksize
+            r.read(24)
+            r.read(24)
+            st.sample_rate = r.read(20)
+            st.channels = r.read(3) + 1
+            st.bits_per_sample = r.read(5) + 1
+            st.total_samples = r.read(36)
+            md5_expect = buf[pos + 18 : pos + 34]
+            seen_streaminfo = True
+        elif btype == 127:
+            raise ValueError("flac: invalid metadata type")
+        pos += blen
+    if not seen_streaminfo:
+        raise ValueError("flac: missing STREAMINFO")
+    st.samples = [[] for _ in range(st.channels)]
+
+    # ---- frames ---------------------------------------------------------
+    while pos < len(buf):
+        pos = _decode_frame(buf, pos, st)
+        st.n_frames += 1
+
+    if md5_expect and md5_expect != b"\x00" * 16:
+        pcm = bytearray()
+        width = (st.bits_per_sample + 7) // 8
+        for i in range(len(st.samples[0])):
+            for ch in range(st.channels):
+                pcm += st.samples[ch][i].to_bytes(
+                    width, "little", signed=True
+                )
+        st.md5_ok = hashlib.md5(bytes(pcm)).digest() == md5_expect
+    return st
+
+
+def _decode_frame(buf: bytes, pos: int, st: FlacStream) -> int:
+    r = _BitReader(buf, pos)
+    sync = r.read(14)
+    if sync != 0b11111111111110:
+        raise ValueError("flac: lost frame sync")
+    if r.read(1) != 0:
+        raise ValueError("flac: reserved bit set")
+    r.read(1)  # blocking strategy (fixed=0 / variable=1)
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_code = r.read(4)
+    ss_code = r.read(3)
+    if r.read(1) != 0:
+        raise ValueError("flac: reserved bit set")
+    _utf8_decode_number(r)
+
+    if bs_code == 0:
+        raise ValueError("flac: reserved blocksize code")
+    elif bs_code == 0b0110:
+        block_size = r.read(8) + 1
+    elif bs_code == 0b0111:
+        block_size = r.read(16) + 1
+    else:
+        block_size = _BLOCKSIZE_CODES[bs_code]
+
+    if sr_code == 0:
+        pass  # from STREAMINFO
+    elif sr_code == 0b1100:
+        r.read(8)
+    elif sr_code in (0b1101, 0b1110):
+        r.read(16)
+    elif sr_code == 0b1111:
+        raise ValueError("flac: invalid sample-rate code")
+    else:
+        if _SAMPLE_RATE_CODES[sr_code] != st.sample_rate:
+            raise ValueError("flac: frame sample rate != STREAMINFO")
+
+    if ch_code <= 0b0111:
+        n_ch = ch_code + 1
+        decor = None
+    elif ch_code in (0b1000, 0b1001, 0b1010):
+        n_ch = 2
+        decor = {0b1000: "left-side", 0b1001: "right-side",
+                 0b1010: "mid-side"}[ch_code]
+    else:
+        raise ValueError("flac: reserved channel assignment")
+    if n_ch != st.channels:
+        raise ValueError("flac: frame channels != STREAMINFO")
+
+    if ss_code == 0:
+        bps = st.bits_per_sample
+    elif ss_code == 0b011:
+        raise ValueError("flac: reserved sample-size code")
+    else:
+        bps = _SAMPLE_SIZE_CODES[ss_code]
+
+    header_end = r.byte  # crc8 byte position (header is byte-aligned)
+    if crc8(buf[pos:header_end]) != r.read(8):
+        raise ValueError("flac: frame header CRC-8 mismatch")
+
+    chans: list[list[int]] = []
+    for ch in range(n_ch):
+        ch_bps = bps
+        # the difference (side) channel carries one extra bit
+        if decor == "left-side" and ch == 1:
+            ch_bps += 1
+        elif decor == "right-side" and ch == 0:
+            ch_bps += 1
+        elif decor == "mid-side" and ch == 1:
+            ch_bps += 1
+        chans.append(_decode_subframe(r, block_size, ch_bps))
+
+    if decor == "left-side":
+        left, side = chans
+        chans = [left, [l - s for l, s in zip(left, side)]]
+    elif decor == "right-side":
+        side, right = chans
+        chans = [[s + rt for s, rt in zip(side, right)], right]
+    elif decor == "mid-side":
+        mid, side = chans
+        left, right = [], []
+        for m, s in zip(mid, side):
+            m = (m << 1) | (s & 1)
+            left.append((m + s) >> 1)
+            right.append((m - s) >> 1)
+        chans = [left, right]
+
+    r.align()
+    frame_end = r.byte
+    if crc16(buf[pos:frame_end]) != r.read(16):
+        raise ValueError("flac: frame CRC-16 mismatch")
+    for ch in range(st.channels):
+        st.samples[ch].extend(chans[ch])
+    return r.byte
+
+
+def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
+    if r.read(1) != 0:
+        raise ValueError("flac: subframe padding bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+        bps -= wasted
+
+    if t == 0b000000:  # CONSTANT
+        v = r.read_signed(bps)
+        out = [v] * block_size
+    elif t == 0b000001:  # VERBATIM
+        out = [r.read_signed(bps) for _ in range(block_size)]
+    elif 0b001000 <= t <= 0b001100:  # FIXED order 0..4
+        order = t & 0b000111
+        out = [r.read_signed(bps) for _ in range(order)]
+        resid = _decode_residual(r, block_size, order)
+        coefs = _FIXED_COEFFS[order]
+        for n in range(order, block_size):
+            pred = sum(c * out[n - 1 - j] for j, c in enumerate(coefs))
+            out.append(pred + resid[n - order])
+    elif t >= 0b100000:  # LPC, order 1..32
+        order = (t & 0b011111) + 1
+        out = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0b1111:
+            raise ValueError("flac: invalid qlp precision")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(r, block_size, order)
+        for n in range(order, block_size):
+            pred = (
+                sum(c * out[n - 1 - j] for j, c in enumerate(coefs))
+                >> shift
+            )
+            out.append(pred + resid[n - order])
+    else:
+        raise ValueError(f"flac: reserved subframe type {t:06b}")
+
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _decode_residual(
+    r: _BitReader, block_size: int, order: int
+) -> list[int]:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    n_part = 1 << porder
+    if block_size % n_part:
+        raise ValueError("flac: blocksize not divisible by partitions")
+    out: list[int] = []
+    for part in range(n_part):
+        n = (block_size >> porder) - (order if part == 0 else 0)
+        if n < 0:
+            raise ValueError("flac: partition order too large")
+        k = r.read(pbits)
+        if k == escape:
+            raw = r.read(5)
+            out.extend(
+                r.read_signed(raw) if raw else 0 for _ in range(n)
+            )
+        else:
+            for _ in range(n):
+                q = r.read_unary()
+                u = (q << k) | r.read(k)
+                out.append(_unzigzag(u))
+    return out

@@ -27,12 +27,24 @@ walks ISO-BMFF boxes (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr → brand,
 duration, track counts, video resolution) and ``parse_mp3_meta`` walks
 MPEG-1 Layer III frame headers (bitrate/samplerate/frame count/
 duration, ID3v2+ID3v1 aware), verified end-to-end by q236/q237's
-closed-form oracles over synthesized containers. Only the SAMPLE
-decode of those two formats remains stubbed behind ``decode_media`` /
-``extract_features`` (deterministic payload statistics and
-pseudo-embeddings): the codec libraries are absent from this
-environment, and swapping ffmpeg in is a local change inside the
-batch loop. The Spark-side plumbing — binary schema, Arrow batch
+closed-form oracles over synthesized containers. Audio SAMPLE decode
+is REAL for two formats: 16-bit PCM WAV (``decode_audio``, q115) and —
+round 12 — FLAC (``operators/flac.py``: full RFC 9639 fixed-blocksize
+decode with rice/rice2/escape residuals, FIXED+LPC predictors, stereo
+decorrelation, wasted bits, CRC-8/16 and STREAMINFO-MD5 verification;
+lossless, so q255 is hash-exact). MP3/MP4 SAMPLE decode remains
+stubbed behind ``decode_media`` / ``extract_features`` — and for MP3
+Layer III that is a REASONED negative, not a backlog item: its decode
+path requires the ISO 11172-3 Huffman code tables and the
+512-coefficient synthesis window, pure spec DATA that no formula
+derives and this container does not carry (no codec library, no
+reference MP3 to validate against); re-typing those tables from memory
+would yield a decoder that only round-trips with its own encoder while
+claiming spec compliance — fabricated evidence. Any environment that
+provides the ISO tables (or one reference stream to validate against)
+unlocks it as a local change inside the same batch loop; the remaining
+closed-form math (requantization, IMDCT, alias reduction, matrixing)
+is the easy part. The Spark-side plumbing — binary schema, Arrow batch
 iteration, output schema, partition preservation — is real and tested
 throughout.
 """
@@ -1495,6 +1507,108 @@ def synthesize_wav_media(
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
+
+
+FLAC_DECODE_SCHEMA = (
+    "media_id BIGINT, format STRING, sample_rate INT, n_channels INT, "
+    "n_samples BIGINT, duration_s DOUBLE, rms DOUBLE, peak INT, "
+    "n_frames INT, md5_ok BOOLEAN, compress_ratio DOUBLE"
+)
+
+
+def synthesize_flac_media(
+    ids: DataFrame, id_col: str = "media_id",
+    n_samples: int = 2000, rate: int = 8000, block_size: int = 576,
+) -> DataFrame:
+    """Deterministic mono 16-bit FLAC per id over the SAME closed-form
+    waveform as the WAV tier (sample i = ((13·id + 37·i) mod 65536) −
+    32768), losslessly compressed by the real encoder in
+    ``operators/flac.py`` (fixed predictors + optimal rice) — so the
+    q255 oracle integrates the identical formula and the decode is
+    hash-exact, with STREAMINFO carrying the genuine PCM MD5."""
+    from pagerank_spark.operators.flac import encode_flac
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                samples = [
+                    ((13 * int(mid) + 37 * i) % 65536) - 32768
+                    for i in range(n_samples)
+                ]
+                payloads.append(
+                    encode_flac(samples, rate, 16, block_size)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
+def decode_flac_audio(media: DataFrame) -> DataFrame:
+    """REAL FLAC sample decode over ``mapInPandas``
+    (operators/flac.py decode_flac — full fixed-blocksize RFC 9639
+    coverage with CRC-8/16 + MD5 verification). Per clip the same
+    triage stats as the WAV tier plus the FLAC-specific evidence
+    columns: frame count, the STREAMINFO-MD5 verdict, and the
+    achieved compression ratio. Poison payloads (bad magic, CRC
+    mismatch, truncation, reserved codes) become format='error' rows.
+    rms/duration/ratio round half-up at 6dp for the closed-form oracle
+    (q255)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from pagerank_spark.operators.flac import decode_flac
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "sample_rate": [],
+                "n_channels": [], "n_samples": [], "duration_s": [],
+                "rms": [], "peak": [], "n_frames": [], "md5_ok": [],
+                "compress_ratio": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    st = decode_flac(bytes(b))
+                except (ValueError, OverflowError, KeyError, IndexError):
+                    out["media_id"].append(mid)
+                    out["format"].append("error")
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_s", "rms", "peak", "n_frames",
+                              "md5_ok", "compress_ratio"):
+                        out[k].append(None)
+                    continue
+                flat = [s for chan in st.samples for s in chan]
+                n = len(st.samples[0]) if st.samples else 0
+                mean_sq = (
+                    sum(s * s for s in flat) / max(len(flat), 1)
+                )
+                raw_bytes = len(flat) * ((st.bits_per_sample + 7) // 8)
+                out["media_id"].append(mid)
+                out["format"].append("flac")
+                out["sample_rate"].append(st.sample_rate)
+                out["n_channels"].append(st.channels)
+                out["n_samples"].append(n)
+                out["duration_s"].append(r6(n / st.sample_rate))
+                out["rms"].append(r6(math.sqrt(mean_sq)))
+                out["peak"].append(
+                    max(abs(s) for s in flat) if flat else 0
+                )
+                out["n_frames"].append(st.n_frames)
+                out["md5_ok"].append(st.md5_ok)
+                out["compress_ratio"].append(
+                    r6(len(b) / raw_bytes) if raw_bytes else None
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=FLAC_DECODE_SCHEMA)
 
 
 MP4_META_SCHEMA = (
