@@ -5588,6 +5588,63 @@ def q254_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("piece")
 
 
+def q257_unigram_segment_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-tokenizer APPLICATION (operators/tokenizer.py
+    unigram_segment_stats): Viterbi-segment every document with the
+    q254-trained vocabulary and report the per-doc fertility numbers,
+    the q151 shape for the second tokenizer family. Both engines run
+    the max-probability DP over the 9dp-ROUNDED vocabulary, so every
+    lattice product is bit-identical and the argmax (ties → fewer
+    tokens) is exactly reproducible — the DuckDB twin unrolls the same
+    DP with list_reduce on top of the q254 unroll. Per DISTINCT word,
+    not per occurrence: one broadcast vocab join + one corpus join."""
+    from pagerank_spark.operators.tokenizer import (
+        unigram_lm_train,
+        unigram_segment_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_lm_train(
+        docs, rounds=2, max_piece_len=4, seed_size=60, vocab_size=40
+    ).select("piece", F.round("prob", 9).alias("prob"))
+    out = unigram_segment_stats(docs, vocab, max_piece_len=4)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    )
+
+
+def q258_logreg_score_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained-classifier SCORING (operators/classifier.py
+    logreg_predict): apply the q253 2-round model to the whole corpus —
+    one broadcast join of the dim-sized weight relation + one
+    partial-combined per-doc margin sum + the literal intercept fold,
+    the shape a 100 TB quality-gate pass runs. The twin extends q253's
+    unrolled trajectory with the margin + sigmoid projection."""
+    from pagerank_spark.operators.classifier import (
+        hashed_token_features,
+        logreg_predict,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, n_features=64)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    model = logreg_train(feats, labels, rounds=2, lr=0.5)
+    return logreg_predict(feats, model.weights).select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
 def q255_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC audio SAMPLE decode under the oracle
     (operators/flac.py, round 12): every 10th doc id becomes a genuine
@@ -5911,6 +5968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_unigram_lm_train": q254_unigram_lm_train,
         "q255_flac_decode": q255_flac_decode,
         "q256_node2vec_walks": q256_node2vec_walks,
+        "q257_unigram_segment_stats": q257_unigram_segment_stats,
+        "q258_logreg_score_corpus": q258_logreg_score_corpus,
     }
 
 
@@ -13436,3 +13495,108 @@ SELECT media_id,
 FROM agg
 """,
 )
+
+
+# q258 twin: q253's unrolled trajectory continued — UNROUNDED final
+# weights, per-doc margin over the feature rows (no bias rows: predict
+# consumes features only), literal intercept fold, sigmoid, round 9.
+def _logreg_score_sql() -> str:
+    base = _ORACLES["q253_logreg_train"]
+    head = base[: base.rindex("SELECT w1.fi AS feature_index")]
+    return head.rstrip() + ",\n" + """wfin AS (
+  SELECT w1.fi, w1.w - 0.5 * w2.g AS w FROM w1 JOIN w2 USING (fi)
+),
+m AS (
+  SELECT x.doc_id, SUM(x.v * wf.w) AS m
+  FROM x JOIN wfin wf ON wf.fi = x.fi
+  GROUP BY x.doc_id
+),
+b AS (SELECT w FROM wfin WHERE fi = -1)
+SELECT m.doc_id,
+       ROUND(1.0 / (1.0 + exp(-(m.m + (SELECT w FROM b)))), 9) AS score
+FROM m
+"""
+
+
+_oracle("q258_logreg_score_corpus", _logreg_score_sql())
+
+
+# q257 twin: the q254 unroll continued with the Viterbi application —
+# both engines run the DP over the 9dp-ROUNDED vocabulary, so every
+# lattice product is bit-identical. Best-candidate selection is a
+# lexicographic max over [p, -tokens, -l] triples, which reproduces
+# the Spark fold's chain semantics exactly (greatest probability, then
+# fewest tokens, then lowest piece length wins).
+def _unigram_apply_sql(L: int = 4) -> str:
+    base = _unigram_sql(2, L, 60, 40)
+    head = base[: base.rindex("SELECT piece, ROUND")]
+
+    def cand(l: int) -> str:
+        i = "CAST(x[1][1] AS INT)"
+        cond = f"({i} >= {l} AND pl{l}[{i} - {l} + 1] > 0)"
+        cp = f"(acc[{i} - {l} + 1][1] * pl{l}[{i} - {l} + 1])"
+        ct = f"(acc[{i} - {l} + 1][2] + 1.0)"
+        return (
+            f"CASE WHEN {cond} THEN [{cp}, -{ct}, -{float(l)}] "
+            f"ELSE [-1.0, 0.0, 0.0] END"
+        )
+
+    cands = ", ".join(cand(l) for l in range(1, L + 1))
+    pl_aggs = ",\n         ".join(
+        f"list(COALESCE(v.prob, 0.0) ORDER BY c.i) "
+        f"FILTER (WHERE c.l = {l}) AS pl{l}"
+        for l in range(1, L + 1)
+    )
+    return head.rstrip() + ",\n" + f"""vf AS (
+  SELECT piece, ROUND(prob / (SELECT SUM(prob) FROM kv), 9) AS prob
+  FROM kv
+),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+dwords AS (SELECT DISTINCT word FROM docw),
+scand AS (
+  SELECT d.word, CAST(ui.i AS INT) AS i, CAST(ul.l AS INT) AS l,
+         substring(d.word, CAST(ui.i AS INT), CAST(ul.l AS INT)) AS piece
+  FROM dwords d,
+       UNNEST(range(1, len(word) + 1)) AS ui(i),
+       UNNEST(range(1, {L} + 1)) AS ul(l)
+  WHERE ui.i + ul.l - 1 <= len(d.word)
+),
+sgrid AS (
+  SELECT c.word,
+         {pl_aggs}
+  FROM scand c LEFT JOIN vf v USING (piece)
+  GROUP BY c.word
+),
+sdp AS (
+  SELECT word,
+         list_reduce(
+           [[[1.0, 0.0]]] ||
+             [[[CAST(i AS DOUBLE), 0.0]] for i in
+              range(1, len(word) + 1)],
+           (acc, x) -> list_append(acc,
+             [list_sort([{cands}])[{L}][1],
+              -list_sort([{cands}])[{L}][2]])
+         ) AS dp
+  FROM sgrid
+),
+sseg AS (
+  SELECT word, CAST(dp[len(word) + 1][2] AS BIGINT) AS toks_word
+  FROM sdp
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(s.toks_word) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(len(d.word)) AS DOUBLE) / SUM(s.toks_word), 6)
+         AS chars_per_token
+FROM docw d JOIN sseg s USING (word)
+GROUP BY d.doc_id
+"""
+
+
+_oracle("q257_unigram_segment_stats", _unigram_apply_sql(4))

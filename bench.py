@@ -324,6 +324,8 @@ def main() -> None:
         "q254_unigram_lm_train",
         "q255_flac_decode",
         "q256_node2vec_walks",
+        "q257_unigram_segment_stats",
+        "q258_logreg_score_corpus",
     ]
 
     timings: dict[str, float] = {}
