@@ -16,7 +16,14 @@ Usage::
     python -m pagerank_spark.curate CORPUS.parquet --out OUT_DIR
         [--id-col doc_id] [--text-col text]
         [--no-scrub] [--no-gate] [--no-dedup] [--neardup]
+        [--quality-labels LABELS.parquet --quality-threshold 0.5]
         [--split train=0.98,val=0.01,test=0.01]
+
+``--quality-labels`` inserts the LEARNED gate between the structural
+gate and dedup: a hashed-BoW logistic classifier (operators/
+classifier.py) trains on the labeled seed subset and every surviving
+doc is kept only if its score clears the threshold — the CCNet
+fastText-gate pattern, trained in-pipeline on the cluster.
 """
 
 from __future__ import annotations
@@ -52,6 +59,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="skip exact dedup")
     ap.add_argument("--neardup", action="store_true",
                     help="also drop MinHash near-duplicate clusters")
+    ap.add_argument(
+        "--quality-labels",
+        default=None,
+        help="parquet with (id_col, y in {0,1}) rows: train a hashed-"
+        "BoW logistic quality classifier on the labeled subset (the "
+        "CCNet seed-corpus pattern) and keep only docs scoring >= "
+        "--quality-threshold; runs after the structure gate",
+    )
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
+    ap.add_argument("--quality-rounds", type=int, default=20)
+    ap.add_argument("--quality-features", type=int, default=1024)
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument(
         "--audit",
@@ -62,10 +80,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "together with --neardup",
     )
     args = ap.parse_args(argv)
-    if args.audit and args.neardup:
+    if args.audit and (args.neardup or args.quality_labels):
         raise SystemExit(
             "--audit models the default pipeline stages "
-            "(scrub/gate/dedup/split); --neardup is not audited"
+            "(scrub/gate/dedup/split); --neardup and --quality-labels "
+            "are not audited"
         )
 
     from pyspark.sql import functions as F
@@ -101,6 +120,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         gated = gopher_quality(docs, text_col=text_col)
         docs = gated.where(F.col("passes_gopher")).select(docs.columns)
         report["after_gate"] = docs.count()
+
+    if args.quality_labels:
+        # CCNet/GPT-3-style learned gate: train on the labeled seed
+        # subset (post-scrub/post-gate text, so train and serve see the
+        # same distribution), score EVERYTHING, threshold. One corpus
+        # scan for features; the model is a dim-sized broadcast.
+        from pagerank_spark.operators.classifier import (
+            hashed_token_features,
+            logreg_predict,
+            logreg_train,
+        )
+
+        labels = spark.read.parquet(args.quality_labels).select(
+            F.col(id_col), F.col("y").cast("double").alias("y")
+        )
+        feats = hashed_token_features(
+            docs, text_col=text_col, id_col=id_col,
+            n_features=args.quality_features, normalize=True,
+        )
+        model = logreg_train(
+            feats.join(labels.select(id_col), on=id_col, how="left_semi"),
+            labels.join(docs.select(id_col), on=id_col, how="left_semi"),
+            id_col=id_col,
+            rounds=args.quality_rounds,
+            lr=0.5,
+        )
+        keep = logreg_predict(feats, model.weights, id_col=id_col).where(
+            F.col("score") >= args.quality_threshold
+        ).select(id_col)
+        docs = docs.join(keep, on=id_col, how="left_semi")
+        report["after_quality_gate"] = docs.count()
+        report["quality_train_iterations"] = model.iterations
 
     if not args.no_dedup:
         docs = exact_dedup(docs, [text_col], id_col)

@@ -55,6 +55,7 @@ def hashed_token_features(
     id_col: str = "doc_id",
     n_features: int = 1024,
     lowercase: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Signed hashing-trick bag-of-words: explode whitespace tokens and
     feed them through the exact feature_hash arithmetic (portable-md5
@@ -68,6 +69,14 @@ def hashed_token_features(
     Scale shape: one explode + one partial-combined (id, index)
     aggregation; output rows are bounded by tokens-per-doc, never by
     vocabulary.
+
+    ``normalize=True`` L2-normalizes each doc's vector (one extra
+    per-id aggregation joined back on the same key). Raw signed counts
+    reach magnitudes ~O(repeats), which blows up full-batch GD at
+    ordinary learning rates (the gradient-Lipschitz constant scales
+    with max Σx²); unit-norm rows bound it at 1/4, so the trained gate
+    is stable for any corpus — use it whenever the features feed
+    logreg_train.
     """
     from pagerank_spark.operators.text import feature_hash
 
@@ -78,7 +87,17 @@ def hashed_token_features(
         F.col(id_col),
         F.explode(word_tokens(text)).alias("tok"),
     ).where(F.col("tok") != "")
-    return feature_hash(toks, ["tok"], n_features=n_features, id_col=id_col)
+    out = feature_hash(toks, ["tok"], n_features=n_features, id_col=id_col)
+    if not normalize:
+        return out
+    norms = out.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("feature_value") ** 2)).alias("__n")
+    )
+    return out.join(norms, on=id_col).select(
+        id_col,
+        "feature_index",
+        (F.col("feature_value") / F.col("__n")).alias("feature_value"),
+    )
 
 
 @dataclass

@@ -169,6 +169,22 @@ def test_hashed_token_features_multiplicity(spark):
     assert beta1["feature_index"] == by_doc[2][0]["feature_index"]
 
 
+def test_hashed_token_features_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc")], "doc_id long, text string"
+    )
+    out = hashed_token_features(df, n_features=1 << 20, normalize=True)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["feature_value"])
+    for vals in by_doc.values():
+        assert sum(v * v for v in vals) == pytest.approx(1.0, abs=1e-12)
+    # relative magnitudes preserved: doc 1 has |2|/sqrt(5), |1|/sqrt(5)
+    assert sorted(abs(v) for v in by_doc[1]) == pytest.approx(
+        [1 / 5**0.5, 2 / 5**0.5]
+    )
+
+
 def test_trained_scorer_beats_heuristic_auc(spark):
     """End-to-end evidence on the fixture corpus, evaluated through the
     q155 binary_auc machinery. The synthetic documents share ONE

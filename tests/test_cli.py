@@ -134,6 +134,51 @@ def test_curate_cli_custom_text_col(tmp_path, spark, capsys):
     assert any("<EMAIL>" in t for t in texts)
 
 
+def test_curate_cli_trained_quality_gate(tmp_path, spark, capsys):
+    """--quality-labels trains the hashed-BoW logistic gate on a
+    labeled seed subset and thresholds the WHOLE corpus: docs carrying
+    the positive-label token survive, the rest drop — including
+    unlabeled docs, which only the learned model can judge."""
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    filler = ("plain english words about the weather the market and "
+              "the evening news rolling onward through the day ") * 3
+    rows = [
+        # labeled seeds: 1-4 positive (contain 'quantum'), 5-8 negative
+        *[(i, filler + " quantum flux", "en") for i in range(1, 5)],
+        *[(i, filler + " mundane noise", "en") for i in range(5, 9)],
+        # unlabeled: 9 looks positive, 10 looks negative
+        (9, filler + " quantum leap", "en"),
+        (10, filler + " mundane drivel", "en"),
+    ]
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+    labels = tmp_path / "labels"
+    spark.createDataFrame(
+        [(i, 1.0) for i in range(1, 5)] + [(i, 0.0) for i in range(5, 9)],
+        "doc_id long, y double",
+    ).write.parquet(str(labels))
+
+    out = tmp_path / "curated"
+    rc = curate_main(
+        [
+            str(src), "--out", str(out), "--no-scrub", "--no-dedup",
+            "--quality-labels", str(labels),
+            "--quality-rounds", "30",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["after_quality_gate"] == 5  # 1-4 and 9
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1, 2, 3, 4, 9}
+
+
 def test_curate_cli_audit_reconciles_report(tmp_path, spark, capsys):
     import json
 

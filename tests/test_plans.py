@@ -847,3 +847,87 @@ def test_q240_training_order_no_global_sort(spark):
     assert "rangepartitioning" not in p
     assert "BroadcastHashJoin" in p  # offsets relation broadcast back
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_logreg_training_round_plan(spark):
+    """The q253 trainer's per-round gradient plan (the plan the blanket
+    gate cannot see — the query's returned weights are a LocalRelation
+    built AFTER training): the weight join must be a BroadcastHashJoin,
+    the margin/residual joins must reuse the cached id partitioning
+    (SortMergeJoin or co-partitioned hash, never a new exchange of the
+    big feature relation beyond the one up-front repartition), and no
+    cartesian / row-Python anywhere."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.classifier import hashed_token_features
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    feats = hashed_token_features(docs, n_features=64)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    # replicate one mid-training round's plan exactly as logreg_train
+    # builds it (broadcast weights literal relation, cached xb/lab)
+    xb = feats.select(
+        "doc_id",
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("feature_value").cast("double").alias("feature_value"),
+    ).unionByName(
+        labels.select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("feature_index"),
+            F.lit(1.0).alias("feature_value"),
+        )
+    ).repartition(32, "doc_id").persist()
+    lab = labels.select(
+        "doc_id", F.col("y").alias("__y")
+    ).repartition(32, "doc_id").persist()
+    try:
+        xb.count()
+        lab.count()
+        wdf = spark.createDataFrame(
+            [(i, 0.01 * i) for i in range(-1, 64)],
+            "feature_index long, __w double",
+        )
+        margins = (
+            xb.join(F.broadcast(wdf), on="feature_index")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("feature_value") * F.col("__w")).alias("__m"))
+        )
+        scored = lab.join(margins, on="doc_id", how="left").select(
+            "doc_id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce(F.col("__m"), F.lit(0.0))))
+                - F.col("__y")
+            ).alias("__r"),
+        )
+        grad = (
+            xb.join(scored, on="doc_id")
+            .groupBy("feature_index")
+            .agg(
+                (F.sum(F.col("feature_value") * F.col("__r")) / 500.0).alias(
+                    "__g"
+                )
+            )
+        )
+        p = plan(grad)
+        assert "BroadcastHashJoin" in p  # the weight join
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # partial (map-side) aggregation before the feature_index shuffle
+        assert "partial_sum" in p or "HashAggregate" in p
+        # the only NEW exchanges allowed in a round: the broadcast
+        # exchange for the weights and the tiny feature_index-keyed
+        # aggregation exchange — the big relation's id partitioning
+        # comes from the cache, not a fresh shuffle per round
+        exchanges = re.findall(r"Exchange (\w+)", p)
+        hash_exchanges = [
+            e for e in exchanges if e.startswith("hashpartitioning")
+        ]
+        assert len(hash_exchanges) <= 1, exchanges
+    finally:
+        xb.unpersist()
+        lab.unpersist()
