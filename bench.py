@@ -177,6 +177,33 @@ HOST_BASELINE = {
     "q85_sketch_quantiles": 0.565,
     "q90_neardup_clusters": 3.701,
     "q95_curation_pipeline": 0.646,
+    # round-12 seeds (r11 verdict #5): min over the two r12 close-window
+    # runs (the `make close-round` run + an immediately-following quiet
+    # solo run) — covers the whole round-11 tier, the q234 build/serve
+    # split, and the round-12 tier, so the 1.5x guard finally has
+    # signal for all of them. The two runs' warning sets were disjoint
+    # and the medians moved together (0.95x) — host drift, no code
+    # regression; existing entries keep their earlier (faster-window)
+    # mins.
+    "q242_gif_decode": 1.562,
+    "q243_betweenness_centrality": 2.545,
+    "q244_curation_provenance": 1.177,
+    "q245_tiff_decode": 1.315,
+    "q246_hybrid_retrieval": 0.981,
+    "q247_hll_rollup": 0.803,
+    "q248_bottomk_sample": 0.235,
+    "q249_weighted_bottomk": 0.545,
+    "q250_retention_cohorts": 0.619,
+    "q251_progressive_jpeg": 4.692,
+    "q252_interlaced_palette_png": 0.551,
+    "q253_logreg_train": 3.151,
+    "q254_unigram_lm_train": 4.463,
+    "q255_flac_decode": 9.91,
+    "q256_node2vec_walks": 13.691,
+    "q257_unigram_segment_stats": 5.845,
+    "q258_logreg_score_corpus": 4.295,
+    "q234_ivf_build": 5.986,
+    "q234_ivf_serve": 0.91,
 }
 REGRESSION_FACTOR = 1.5
 
