@@ -19,7 +19,11 @@ PY ?= python
 close-round: parity gate bench
 
 parity:
+ifdef ROUND
+	$(PY) parity.py --round $(ROUND)
+else
 	$(PY) parity.py
+endif
 
 # The committed-evidence gate: newest PARITY_r*.json must cover every
 # declared query, be all hash-green, AND have been produced from the

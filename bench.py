@@ -199,7 +199,9 @@ HOST_BASELINE = {
     "q253_logreg_train": 3.151,
     "q254_unigram_lm_train": 4.463,
     "q255_flac_decode": 9.91,
-    "q256_node2vec_walks": 13.691,
+    # q256 re-seeded after the size-gated broadcast + small-loop-conf
+    # rework (N2V_AB_r12.json: 1.59x, value-identical)
+    "q256_node2vec_walks": 9.736,
     "q257_unigram_segment_stats": 5.845,
     "q258_logreg_score_corpus": 4.295,
     "q234_ivf_build": 5.986,

@@ -88,7 +88,11 @@ def random_walks(edges: DataFrame, steps: int = 4) -> DataFrame:
 
 
 def node2vec_walks(
-    edges: DataFrame, steps: int = 4, p: float = 1.0, q: float = 1.0
+    edges: DataFrame,
+    steps: int = 4,
+    p: float = 1.0,
+    q: float = 1.0,
+    tune: bool = True,
 ) -> DataFrame:
     """node2vec biased walks (Grover & Leskovec 2016): like
     :func:`random_walks` but the step from ``cur`` given the PREVIOUS
@@ -120,12 +124,38 @@ def node2vec_walks(
     distinct edge set, and a per-WALK bounded window for the running
     sum (partition = one walk's ≤ out-degree candidate rows — never a
     global window). The second-order bias costs exactly the one extra
-    membership join node2vec's definition demands.
+    membership join node2vec's definition demands. Below the engine's
+    broadcast-state cut the frontier-side relations (walk state, the
+    chosen-next relation, the distinct edge set) broadcast into the
+    joins and the loop runs under the shared small-loop shuffle conf —
+    the same size-gated treatment every VertexLoop-family loop gets;
+    ``N2V_AB_r12.json``: 1.59× at sf0.1, value-identical.
     """
     if steps < 1:
         raise ValueError(f"node2vec_walks: steps must be >= 1, got {steps}")
     if p <= 0 or q <= 0:
         raise ValueError("node2vec_walks: p and q must be > 0")
+    from contextlib import nullcontext
+
+    from pagerank_spark.graph.components import (
+        BROADCAST_STATE_ROW_LIMIT,
+        _bc,
+        _iterative_loop_conf,
+    )
+
+    spark = edges.sparkSession
+    ec = edges.count()
+    bcs = 2 * ec <= BROADCAST_STATE_ROW_LIMIT
+    ctx = _iterative_loop_conf(spark, ec) if tune else nullcontext()
+    with ctx:
+        return _node2vec_body(edges, steps, p, q, bcs)
+
+
+def _node2vec_body(
+    edges: DataFrame, steps: int, p: float, q: float, bcs: bool
+) -> DataFrame:
+    from pagerank_spark.graph.components import _bc
+
     w = Window.partitionBy("src").orderBy("dst")
     adj = edges.select(
         "src", "dst", (F.row_number().over(w) - 1).alias("idx")
@@ -152,12 +182,12 @@ def node2vec_walks(
         F.col("deg"),
     )
     state = (
-        state.join(deg, state["cur"] == deg["src"], "inner")
+        _bc(state, bcs).join(deg, state["cur"] == deg["src"], "inner")
         .withColumn("__pick", pick1)
         .drop("src", "deg")
     )
     state = (
-        state.join(
+        _bc(state, bcs).join(
             adj,
             (state["cur"] == adj["src"]) & (state["__pick"] == adj["idx"]),
         )
@@ -179,13 +209,13 @@ def node2vec_walks(
     )
     win_all = Window.partitionBy("start")
     for t in range(2, steps + 1):
-        cand = state.join(
+        cand = _bc(state, bcs).join(
             adj.select(
                 F.col("src").alias("__asrc"), "dst", "idx"
             ),
             state["cur"] == F.col("__asrc"),
         ).join(
-            eset,
+            _bc(eset, bcs),
             (F.col("p_src") == F.col("prev"))
             & (F.col("p_dst") == F.col("dst")),
             "left",
@@ -221,7 +251,7 @@ def node2vec_walks(
             .groupBy("start")
             .agg(F.min_by("dst", "idx").alias("__nxt"))
         )
-        state = state.join(chosen, on="start", how="left").select(
+        state = state.join(_bc(chosen, bcs), on="start", how="left").select(
             "start",
             F.when(F.col("__nxt").isNotNull(), F.col("cur"))
             .otherwise(F.col("prev"))

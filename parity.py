@@ -52,17 +52,14 @@ def _load_entry():
 
 
 def _infer_round() -> int:
-    """Next parity round: newest committed PARITY_r*.json + 1 (the
-    CORRECTNESS-based inference mislabeled post-close runs twice — r11
-    verdict #6). Falls back to CORRECTNESS+1 before the first parity
-    artifact exists."""
-    parity = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "PARITY_r*.json"))
-        if (m := re.search(r"PARITY_r(\d+)\.json$", p))
-    ]
-    if parity:
-        return max(parity) + 1
+    """Parity's own artifact round when --round is not passed: newest
+    CORRECTNESS + 1 (the driver writes CORRECTNESS at round START, so
+    this is the CURRENT round for the whole round's duration — and a
+    re-close within the same round OVERWRITES its own artifact instead
+    of minting a phantom next round, which a newest-parity+1 rule would
+    do). `make close-round ROUND=N` passes --round explicitly; bench.py
+    uses the different newest-PARITY rule because its artifact names a
+    round already CLOSED by a committed parity file."""
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))

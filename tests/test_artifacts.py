@@ -60,15 +60,19 @@ def test_bench_infer_round_real_repo():
     assert infer_round(REPO) == max(parity_rounds)
 
 
-def test_parity_own_round_is_next(tmp_path, monkeypatch):
-    """parity.py names its own NEW artifact newest+1 (it must never
-    overwrite the committed previous round)."""
+def test_parity_own_round_is_current(tmp_path, monkeypatch):
+    """parity.py labels its artifact with the CURRENT round (newest
+    CORRECTNESS + 1 — the driver writes CORRECTNESS at round start), so
+    a re-close within one round overwrites its own artifact instead of
+    minting a phantom next round. Contrast with bench's newest-PARITY
+    rule (a bench run always measures the newest CLOSED round)."""
     import parity as parity_mod
 
     d = str(tmp_path)
-    _touch(d, "PARITY_r7.json")
+    _touch(d, "CORRECTNESS_r11.json")
+    _touch(d, "PARITY_r12.json")  # mid-round-12 re-close scenario
     monkeypatch.setattr(parity_mod, "REPO", d)
-    assert parity_next_round() == 8
+    assert parity_next_round() == 12
 
 
 def test_source_digest_tracks_engine_source(tmp_path):
