@@ -146,9 +146,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rounds=args.quality_rounds,
             lr=0.5,
         )
-        keep = logreg_predict(feats, model.weights, id_col=id_col).where(
-            F.col("score") >= args.quality_threshold
-        ).select(id_col)
+        # Feature-less docs (blank / whitespace-only text — reachable
+        # with --no-gate) get no score row from logreg_predict; a bare
+        # semi-join on scores would drop them regardless of the
+        # threshold (r12 ADVICE). Left-join the scores back and default
+        # the missing ones to sigmoid(bias) — the model's prior for a
+        # doc with zero active features.
+        import math as _math
+
+        from pagerank_spark.operators.classifier import BIAS_INDEX
+
+        bias_rows = model.weights.where(
+            F.col("feature_index") == BIAS_INDEX
+        ).collect()
+        b = float(bias_rows[0]["weight"]) if bias_rows else 0.0
+        prior = 1.0 / (1.0 + _math.exp(-b))
+        scores = logreg_predict(feats, model.weights, id_col=id_col)
+        keep = (
+            docs.select(id_col)
+            .join(scores, on=id_col, how="left")
+            .select(
+                id_col,
+                F.coalesce(F.col("score"), F.lit(prior)).alias("score"),
+            )
+            .where(F.col("score") >= args.quality_threshold)
+            .select(id_col)
+        )
         docs = docs.join(keep, on=id_col, how="left_semi")
         report["after_quality_gate"] = docs.count()
         report["quality_train_iterations"] = model.iterations

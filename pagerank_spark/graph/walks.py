@@ -93,6 +93,7 @@ def node2vec_walks(
     p: float = 1.0,
     q: float = 1.0,
     tune: bool = True,
+    strict_parity: bool = False,
 ) -> DataFrame:
     """node2vec biased walks (Grover & Leskovec 2016): like
     :func:`random_walks` but the step from ``cur`` given the PREVIOUS
@@ -133,13 +134,32 @@ def node2vec_walks(
     """
     if steps < 1:
         raise ValueError(f"node2vec_walks: steps must be >= 1, got {steps}")
+    # Any p, q > 0 gives a correct biased walk on THIS engine; but the
+    # inverse-CDF pick (`cum > u·total`) is only guaranteed drift-free
+    # ACROSS engines when 1/p and 1/q are exact binary fractions, i.e.
+    # p and q are powers of two — otherwise the cumulative float sums
+    # can straddle the threshold differently per engine and silently
+    # shift a step (r12 ADVICE). `strict_parity=True` enforces that
+    # precondition when oracle/hash parity matters (the q256 twin runs
+    # with p=2, q=0.5).
     if p <= 0 or q <= 0:
         raise ValueError("node2vec_walks: p and q must be > 0")
+    if strict_parity:
+        import math
+
+        for name, val in (("p", p), ("q", q)):
+            frac, _ = math.frexp(val)
+            if frac != 0.5:  # powers of two have mantissa exactly 0.5
+                raise ValueError(
+                    f"node2vec_walks: strict_parity requires {name} to "
+                    f"be a power of two (got {val}); other values are "
+                    "valid but not guaranteed hash-reproducible across "
+                    "engines"
+                )
     from contextlib import nullcontext
 
     from pagerank_spark.graph.components import (
         BROADCAST_STATE_ROW_LIMIT,
-        _bc,
         _iterative_loop_conf,
     )
 

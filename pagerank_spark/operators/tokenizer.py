@@ -298,6 +298,14 @@ def unigram_segment_stats(
     toward FEWER tokens, then the fold's deterministic left-to-right
     order.
 
+    A word containing a character absent from ``vocab`` (possible when
+    applying a trained vocabulary to NEW text — training itself seeds
+    every char) has no lattice path: candidates are gated on the
+    predecessor being reachable (``prev.p > 0``), the word's token
+    count is NULL, and any doc containing such a word reports NULL
+    ``n_tokens`` / ``chars_per_token`` rather than a fabricated count
+    (r12 ADVICE: the ungated fold scored unreachable paths).
+
     Plan: distinct words join the broadcast vocabulary once, segment as
     array expressions, then one join back to the exploded corpus and a
     per-doc aggregation — corpus scanned once, DP done per DISTINCT
@@ -331,7 +339,11 @@ def unigram_segment_stats(
         best = None
         for l in range(1, L + 1):
             prev = F.element_at(acc, i - l + 1)
-            cond = (i >= l) & (F.element_at(pl[l - 1], i - l + 1) > 0)
+            cond = (
+                (i >= l)
+                & (F.element_at(pl[l - 1], i - l + 1) > 0)
+                & (prev["p"] > 0)
+            )
             cand_p = prev["p"] * F.element_at(pl[l - 1], i - l + 1)
             cand_t = prev["t"] + 1
             if best is None:
@@ -359,8 +371,12 @@ def unigram_segment_stats(
         F.array(F.struct(F.lit(1.0).alias("p"), F.lit(0).alias("t"))),
         step,
     )
+    final = F.element_at(dp, n + 1)
+    # p == 0 at the last cell ⇒ no path through the lattice: flag the
+    # word (NULL) instead of reporting the dead-end struct's count
     seg = grid.select(
-        "word", F.element_at(dp, n + 1)["t"].alias("n_tokens_word")
+        "word",
+        F.when(final["p"] > 0, final["t"]).alias("n_tokens_word"),
     )
     return (
         toks.join(seg, on="word")
@@ -368,7 +384,12 @@ def unigram_segment_stats(
         .agg(
             F.count("*").alias("n_words"),
             F.sum(F.length("word")).alias("n_chars"),
-            F.sum("n_tokens_word").alias("n_tokens"),
+            # NULL-poisoning: a doc with ANY unsegmentable word gets a
+            # NULL total (F.sum alone would silently skip the nulls)
+            F.when(
+                F.count("n_tokens_word") == F.count("*"),
+                F.sum("n_tokens_word"),
+            ).alias("n_tokens"),
         )
         .select(
             id_col,

@@ -179,6 +179,54 @@ def test_curate_cli_trained_quality_gate(tmp_path, spark, capsys):
     assert kept == {1, 2, 3, 4, 9}
 
 
+def test_curate_cli_trained_gate_keeps_featureless_docs(
+    tmp_path, spark, capsys
+):
+    """A doc whose text tokenizes to nothing (blank — reachable with
+    --no-gate) gets no score row from logreg_predict; the gate must
+    default it to sigmoid(bias), the model's zero-feature prior, not
+    silently drop it (r12 ADVICE). Measured on this corpus: positives
+    score 0.511, negatives 0.489, bias 0 → prior 0.5; threshold 0.495
+    separates all three classes and sits safely below the prior."""
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    filler = "steady prose about rivers and markets and weather " * 4
+    rows = [
+        *[(i, filler + " quantum flux", "en") for i in range(1, 5)],
+        *[(i, filler + " mundane noise", "en") for i in range(5, 9)],
+        (9, "   ", "en"),  # whitespace-only: zero feature rows
+    ]
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+    labels = tmp_path / "labels"
+    spark.createDataFrame(
+        [(i, 1.0) for i in range(1, 5)] + [(i, 0.0) for i in range(5, 9)],
+        "doc_id long, y double",
+    ).write.parquet(str(labels))
+
+    out = tmp_path / "curated"
+    rc = curate_main(
+        [
+            str(src), "--out", str(out), "--no-scrub", "--no-gate",
+            "--no-dedup",
+            "--quality-labels", str(labels),
+            "--quality-rounds", "30",
+            "--quality-threshold", "0.495",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert 9 in kept, "feature-less doc must ride the prior, not vanish"
+    assert kept == {1, 2, 3, 4, 9}
+    assert report["after_quality_gate"] == 5
+
+
 def test_curate_cli_audit_reconciles_report(tmp_path, spark, capsys):
     import json
 

@@ -1997,6 +1997,18 @@ def test_node2vec_pq_extremes(spark):
     with _pytest.raises(ValueError):
         node2vec_walks(df, p=0.0)
 
+    # strict_parity: cross-engine hash parity is only guaranteed for
+    # power-of-two p/q (exact binary-fraction weights); the flag turns
+    # the docstring constraint into a loud precondition (r12 ADVICE)
+    with _pytest.raises(ValueError, match="power of two"):
+        node2vec_walks(df, p=3.0, q=0.5, strict_parity=True)
+    with _pytest.raises(ValueError, match="power of two"):
+        node2vec_walks(df, p=2.0, q=0.3, strict_parity=True)
+    assert (
+        node2vec_walks(df, steps=2, p=0.25, q=4.0, strict_parity=True)
+        .count() > 0
+    )
+
 
 def test_node2vec_uniform_limit_is_weighted_uniform(spark):
     """p = q = 1 makes every candidate weight 1.0 — the pick reduces

@@ -158,6 +158,32 @@ def test_segment_stats_viterbi(spark):
     assert out[1]["chars_per_token"] == pytest.approx(7 / 4)
 
 
+def test_segment_stats_unreachable_word(spark):
+    """A word with a character absent from the vocabulary has no
+    lattice path: its doc must report NULL n_tokens/chars_per_token
+    (flagged) rather than a fabricated positive count from an
+    unreachable DP path (r12 ADVICE — candidates are gated on
+    prev.p > 0). Fully-segmentable docs in the same frame keep exact
+    counts."""
+    vocab = spark.createDataFrame(
+        [("ab", 0.5), ("a", 0.2), ("b", 0.3)], "piece string, prob double"
+    )
+    df = spark.createDataFrame(
+        [(1, "ab azb"), (2, "ab ba")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_segment_stats(df, vocab, max_piece_len=2).collect()
+    }
+    # doc 1: 'azb' contains 'z' (not in vocab) → poisoned totals
+    assert out[1]["n_words"] == 2
+    assert out[1]["n_chars"] == 5
+    assert out[1]["n_tokens"] is None
+    assert out[1]["chars_per_token"] is None
+    # doc 2 unaffected: 'ab' (1 token) + 'ba' (2 tokens)
+    assert out[2]["n_tokens"] == 3
+
+
 def test_fertility_beats_chars(spark):
     """End-to-end on the fixture corpus: a trained 40-piece vocabulary
     must compress below the 1.0 chars-per-token of a char-only
