@@ -1,0 +1,204 @@
+"""Interpolated Kneser–Ney n-gram language model — trained and applied
+as pure joins/aggregations (Chen & Goodman 1999, the CCNet scoring
+model's classic form; q119's unigram logprob is the degenerate case).
+
+The model is ENTIRELY count relations derived from one pass over the
+corpus: per-doc token arrays are padded (``<s> <s> … </s>``), trigram
+instances exploded from array expressions (no window over the corpus,
+no self-join — each position is an ``element_at`` triple), and every
+KN quantity is a grouped (distinct-)count over the trigram TYPE
+relation:
+
+    c3(w1,w2,w3)   trigram instance count
+    c2(w1,w2)      trigram-context marginal (Σ_w3 c3)
+    n3(w1,w2)      N1+(w1 w2 •)  — distinct continuations
+    cc(w2,w3)      N1+(• w2 w3)  — distinct left-extensions
+    ncc(w2)        N1+(• w2 •)
+    nfol(w2)       N1+(w2 •)
+    n1(w3)         N1+(• w3)
+    nbi            total distinct (w2,w3) types (scalar)
+
+with the fixed-discount interpolated estimate (D = 0.75, an exact
+binary fraction)::
+
+    P1(w3)        = n1 / nbi
+    P2(w3|w2)     = max(cc−D,0)/ncc + (D·nfol/ncc)·P1
+    P3(w3|w1,w2)  = max(c3−D,0)/c2  + (D·n3/c2)·P2
+
+Unseen contexts back off with full weight (the CASE chain); a token
+whose unigram continuation is unseen scores zero and NULL-poisons its
+doc's perplexity (the tokenizer tier's flagging discipline) instead of
+fabricating a floor.
+
+Determinism (the q260/q261 oracle twins): every input is an exact
+integer count and D is an exact binary fraction, so each probability
+is ONE fixed scalar expression tree over exact values — bit-identical
+across engines, no rounding tricks needed inside the model. Only the
+per-doc log-likelihood sum (reduction order) and ln/exp (libm ulps)
+drift, absorbed by the queries' 6-decimal output rounding.
+
+Scale shape: one corpus scan to explode trigrams; every count
+relation is TYPE-bounded (≤ distinct n-grams, the Heaps-law
+vocabulary curve — far sublinear in corpus size); training is ~6
+partial-combined aggregations; scoring is a chain of equi-joins of
+the instance relation against the type relations on token keys —
+co-partitionable, broadcastable when the model is small. No windows,
+no driver state beyond the one ``nbi`` scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kn_trigram_probs", "kn_perplexity"]
+
+BOS = "<s>"
+EOS = "</s>"
+
+
+def _trigram_instances(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2, w3) — one row per padded trigram position."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    padded = F.concat(
+        F.array(F.lit(BOS), F.lit(BOS)), words, F.array(F.lit(EOS))
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(padded) - 2),
+        lambda i: F.struct(
+            F.element_at(padded, i).alias("w1"),
+            F.element_at(padded, i + 1).alias("w2"),
+            F.element_at(padded, i + 2).alias("w3"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(tri).alias("t")
+    ).select(id_col, "t.w1", "t.w2", "t.w3")
+
+
+def _kn_relations(tg: DataFrame):
+    """The eight count relations listed in the module docstring."""
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"), F.count("*").alias("n3")
+    )
+    cc = c3.groupBy("w2", "w3").agg(F.countDistinct("w1").alias("cc"))
+    mid = c3.groupBy("w2").agg(
+        F.count("*").alias("ncc"), F.countDistinct("w3").alias("nfol")
+    )
+    n1 = cc.groupBy("w3").agg(F.count("*").alias("n1"))
+    nbi = cc.agg(F.count("*").alias("nbi"))
+    return c3, c2, cc, mid, n1, nbi
+
+
+def _p_expr(discount: float):
+    """The fixed interpolated-KN expression tree (identical shape to
+    the SQL twin — exact-integer inputs make it bit-reproducible).
+    NULL-count columns mean 'unseen': each order backs off with full
+    weight; an unseen unigram continuation yields p = 0."""
+    d = F.lit(discount)
+    p1 = F.coalesce(F.col("n1"), F.lit(0)).cast("double") / F.col("nbi")
+    p2 = F.when(
+        F.col("ncc").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("cc"), F.lit(0)) - d, F.lit(0.0)
+        ) / F.col("ncc")
+        + ((d * F.col("nfol")) / F.col("ncc")) * p1,
+    ).otherwise(p1)
+    return F.when(
+        F.col("c2").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)) - d, F.lit(0.0)
+        ) / F.col("c2")
+        + ((d * F.col("n3")) / F.col("c2")) * p2,
+    ).otherwise(p2)
+
+
+def _join_model(scored: DataFrame, rels) -> DataFrame:
+    """Left-join the count relations onto (w1, w2, w3) rows."""
+    c3, c2, cc, mid, n1, nbi = rels
+    return (
+        scored.join(c3, on=["w1", "w2", "w3"], how="left")
+        .join(c2, on=["w1", "w2"], how="left")
+        .join(cc, on=["w2", "w3"], how="left")
+        .join(mid, on="w2", how="left")
+        .join(n1, on="w3", how="left")
+        .crossJoin(F.broadcast(nbi))
+    )
+
+
+def kn_trigram_probs(
+    train_docs: DataFrame,
+    discount: float = 0.75,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train: emit ``(w1, w2, w3, p)`` for every OBSERVED trigram type
+    — the materialized model head (lower-order mass is inside ``p``
+    via interpolation). ``p`` is unrounded; callers round for
+    hash-stable output."""
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_trigram_probs: discount must be in (0,1), got {discount}"
+        )
+    tg = _trigram_instances(train_docs, text_col, id_col)
+    rels = _kn_relations(tg)
+    types = rels[0].select("w1", "w2", "w3")
+    # joined onto the TYPE relation every count is present — the CASE
+    # chain always takes its seen branch here
+    return _join_model(types, rels).select(
+        "w1", "w2", "w3", _p_expr(discount).alias("p")
+    )
+
+
+def kn_perplexity(
+    score_docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score: per-doc ``(id_col, n_tokens, ppl)`` where ``ppl =
+    exp(−Σ ln P / n_tokens)`` over the padded trigram positions
+    (``n_tokens`` = words + 1 EOS prediction). Trains on
+    ``train_docs`` (default: the scored corpus itself — the CCNet
+    in-domain shape). A doc containing a zero-probability token
+    (unigram continuation never seen in training) reports NULL ppl —
+    flagged, not floored."""
+    if not 0 < discount < 1:
+        raise ValueError(
+            f"kn_perplexity: discount must be in (0,1), got {discount}"
+        )
+    rels = _kn_relations(
+        _trigram_instances(
+            train_docs if train_docs is not None else score_docs,
+            text_col,
+            id_col,
+        )
+    )
+    inst = _trigram_instances(score_docs, text_col, id_col)
+    p = _join_model(inst, rels).select(
+        F.col(id_col), _p_expr(discount).alias("p")
+    )
+    return (
+        p.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("p") > 0, F.log("p"))).alias("__ll"),
+            F.count(F.when(F.col("p") > 0, F.lit(1))).alias("__npos"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("__npos") == F.col("n_tokens"),
+                F.exp(-F.col("__ll") / F.col("n_tokens")),
+            ).alias("ppl"),
+        )
+    )
