@@ -282,3 +282,261 @@ def logreg_predict(
         F.col(id_col),
         _sigmoid(F.col("__m") + F.lit(b)).alias("score"),
     )
+
+
+@dataclass
+class SoftmaxResult:
+    """Trained multiclass model: ``weights`` is a small ``(class_index,
+    feature_index, weight)`` relation (intercepts at ``feature_index =
+    -1``), ``classes`` the deterministic ``(label, class_index)``
+    mapping (labels sorted ascending), both built from driver-side
+    state — self-contained, no lineage into the training data."""
+
+    weights: DataFrame
+    classes: DataFrame
+    iterations: int
+    losses: list = field(default_factory=list)
+
+
+def softmax_train(
+    features: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    rounds: int = 20,
+    lr: float = 0.5,
+    track_loss: bool = False,
+) -> SoftmaxResult:
+    """Full-batch SOFTMAX (multinomial) regression over a sparse
+    feature relation — the multiclass extension of :func:`logreg_train`
+    (fastText-style language-ID / domain-ID training; gives the q22
+    char-class heuristic a trained competitor).
+
+    ``labels``: ``(id_col, label_col)`` with arbitrary (string) class
+    labels; the class index is their SORTED order — deterministic, so
+    a fixed-round run unrolls into SQL (the q262 oracle twin).
+
+    Per round ONE action: broadcast the (K·dim)-sized weight relation
+    into per-(doc, class) margin sums (co-partitioned groupBy), apply
+    a max-shifted softmax (two more id-keyed aggregations — exact
+    comparisons, deterministic), join residuals back to the cached
+    feature relation on the same id partitioning, and reduce to one
+    (K·dim)-sized gradient via partial aggregation. Driver state is
+    K·dim floats — the audited bounded-collect class. Update::
+
+        p_ik  = exp(z_ik − max_k z_ik) / Σ_k exp(…)
+        r_ik  = p_ik − 1[y_i = k]
+        g_jk  = (1/n) Σ_i x_ij · r_ik ;   w_jk −= lr · g_jk
+
+    Round 1 from zero init collapses to p = 1/K exactly (both engines
+    compute the same 1.0/K double), which the twin exploits in closed
+    form.
+    """
+    if rounds < 1:
+        raise ValueError(f"softmax_train: rounds >= 1, got {rounds}")
+    spark = features.sparkSession
+    lab = labels.select(
+        F.col(id_col), F.col(label_col).cast("string").alias("__lab")
+    )
+    class_rows = sorted(
+        r["__lab"] for r in lab.select("__lab").distinct().collect()
+    )
+    kk = len(class_rows)
+    if kk < 2:
+        raise ValueError(
+            f"softmax_train: need >= 2 classes, got {kk}"
+        )
+    classes = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(class_rows)],
+        "label string, class_index int",
+    )
+    lab = lab.join(
+        F.broadcast(
+            classes.select(
+                F.col("label").alias("__lab"),
+                F.col("class_index").alias("__y"),
+            )
+        ),
+        on="__lab",
+    ).select(id_col, "__y")
+
+    xb = features.select(
+        F.col(id_col),
+        F.col("feature_index").cast("long").alias("feature_index"),
+        F.col("feature_value").cast("double").alias("feature_value"),
+    ).unionByName(
+        lab.select(
+            F.col(id_col),
+            F.lit(BIAS_INDEX).cast("long").alias("feature_index"),
+            F.lit(1.0).alias("feature_value"),
+        )
+    )
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    xb = xb.repartition(shuffle_p, id_col).persist()
+    lab = lab.repartition(shuffle_p, id_col).persist()
+    try:
+        n = float(lab.count())
+        xb.count()
+
+        w: dict[tuple[int, int], float] = {}  # (class, feature) -> w
+        losses: list[float] = []
+        it = 0
+        for it in range(1, rounds + 1):
+            if w:
+                wdf = spark.createDataFrame(
+                    [
+                        (int(k), int(j), float(v))
+                        for (k, j), v in w.items()
+                    ],
+                    "__k int, feature_index long, __w double",
+                )
+                z = (
+                    xb.join(F.broadcast(wdf), on="feature_index")
+                    .groupBy(id_col, "__k")
+                    .agg(
+                        F.sum(
+                            F.col("feature_value") * F.col("__w")
+                        ).alias("__z")
+                    )
+                )
+                zmax = z.groupBy(id_col).agg(
+                    F.max("__z").alias("__zm")
+                )
+                e = z.join(zmax, on=id_col).select(
+                    F.col(id_col),
+                    F.col("__k"),
+                    F.exp(F.col("__z") - F.col("__zm")).alias("__e"),
+                )
+                esum = e.groupBy(id_col).agg(F.sum("__e").alias("__es"))
+                probs = e.join(esum, on=id_col).select(
+                    F.col(id_col),
+                    F.col("__k"),
+                    (F.col("__e") / F.col("__es")).alias("__p"),
+                )
+            else:
+                # round 1, w == 0 exactly: p = 1/K with no join at all
+                probs = lab.select(
+                    F.col(id_col),
+                    F.explode(
+                        F.array(*[F.lit(k) for k in range(kk)])
+                    ).alias("__k"),
+                    F.lit(1.0 / kk).alias("__p"),
+                ).select(id_col, "__k", "__p")
+            if track_loss:
+                eps = F.lit(1e-12)
+                losses.append(
+                    probs.join(lab, on=id_col)
+                    .where(F.col("__k") == F.col("__y"))
+                    .agg(F.avg(-F.log(F.col("__p") + eps)))
+                    .collect()[0][0]
+                )
+            resid = probs.join(lab, on=id_col).select(
+                F.col(id_col),
+                F.col("__k"),
+                (
+                    F.col("__p")
+                    - (F.col("__k") == F.col("__y")).cast("double")
+                ).alias("__r"),
+            )
+            grad_rows = (
+                xb.join(resid, on=id_col)
+                .groupBy("__k", "feature_index")
+                .agg(
+                    (
+                        F.sum(F.col("feature_value") * F.col("__r")) / n
+                    ).alias("__g")
+                )
+                .collect()
+            )
+            new_w = dict(w)
+            for row in grad_rows:
+                key = (row["__k"], row["feature_index"])
+                new_w[key] = new_w.get(key, 0.0) - lr * row["__g"]
+            w = new_w
+
+        wdf = spark.createDataFrame(
+            sorted(
+                (int(k), int(j), float(v)) for (k, j), v in w.items()
+            ),
+            "class_index int, feature_index long, weight double",
+        )
+        return SoftmaxResult(
+            weights=wdf, classes=classes, iterations=it, losses=losses
+        )
+    finally:
+        xb.unpersist()
+        lab.unpersist()
+
+
+def softmax_predict(
+    features: DataFrame,
+    model: SoftmaxResult,
+    id_col: str = "doc_id",
+    round_probs: int | None = None,
+) -> DataFrame:
+    """Score docs with a trained softmax model: ``(id_col, label,
+    prob)`` — the argmax class per doc and its probability. One
+    broadcast join + per-(doc, class) margin sums + the max-shifted
+    softmax; the argmax is a per-doc max_by over K rows (ties break to
+    the lower class index — deterministic).
+
+    ``round_probs`` rounds the probabilities BEFORE the argmax (and in
+    the output): with it, near-ties resolve identically on any engine
+    — cross-engine reduction-order drift (~1e-15) can no longer flip
+    the winner (the q257 round-the-input discipline); oracle-parity
+    callers pass 9."""
+    wdf = model.weights.select(
+        F.col("class_index").alias("__k"),
+        "feature_index",
+        F.col("weight").alias("__w"),
+    )
+    z = (
+        features.select(
+            F.col(id_col),
+            F.col("feature_index").cast("long").alias("feature_index"),
+            F.col("feature_value").cast("double").alias("feature_value"),
+        )
+        .unionByName(
+            features.select(id_col)
+            .distinct()
+            .select(
+                F.col(id_col),
+                F.lit(BIAS_INDEX).cast("long").alias("feature_index"),
+                F.lit(1.0).alias("feature_value"),
+            )
+        )
+        .join(F.broadcast(wdf), on="feature_index")
+        .groupBy(id_col, "__k")
+        .agg(F.sum(F.col("feature_value") * F.col("__w")).alias("__z"))
+    )
+    zmax = z.groupBy(id_col).agg(F.max("__z").alias("__zm"))
+    e = z.join(zmax, on=id_col).select(
+        F.col(id_col),
+        "__k",
+        F.exp(F.col("__z") - F.col("__zm")).alias("__e"),
+    )
+    esum = e.groupBy(id_col).agg(F.sum("__e").alias("__es"))
+    p = F.col("__e") / F.col("__es")
+    if round_probs is not None:
+        p = F.round(p, round_probs)
+    best = (
+        e.join(esum, on=id_col)
+        .select(F.col(id_col), "__k", p.alias("__p"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__p"), (-F.col("__k")).alias("__nk")
+                )
+            ).alias("__b")
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("__b.__nk")).cast("int").alias("class_index"),
+            F.col("__b.__p").alias("prob"),
+        )
+    )
+    return best.join(F.broadcast(model.classes), on="class_index").select(
+        id_col, "label", "prob"
+    )

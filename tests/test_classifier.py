@@ -214,3 +214,125 @@ def test_trained_scorer_beats_heuristic_auc(spark):
     ).collect()[0]["auc"]
     assert auc_trained > 0.95
     assert auc_heuristic < auc_trained
+
+
+# ---------------------------------------------------------------------------
+# softmax (multiclass) trainer
+
+
+def _numpy_softmax(X, y, n_classes, rounds, lr):
+    """Dense twin of softmax_train's update rule (zero init, bias as an
+    extra all-ones column, max-shifted softmax, mean gradient)."""
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    W = np.zeros((n_classes, d + 1))
+    Y = np.zeros((n, n_classes))
+    Y[np.arange(n), y] = 1.0
+    for _ in range(rounds):
+        Z = Xb @ W.T
+        Z -= Z.max(axis=1, keepdims=True)
+        E = np.exp(Z)
+        P = E / E.sum(axis=1, keepdims=True)
+        G = (P - Y).T @ Xb / n
+        W = W - lr * G
+    return W  # [k, (w_0..w_{d-1}, bias)]
+
+
+def test_softmax_matches_numpy_reference(spark):
+    from pagerank_spark.operators.classifier import softmax_train
+
+    rng = np.random.default_rng(7)
+    X = np.round(rng.normal(size=(30, 6)), 3)
+    y = rng.integers(0, 3, size=30)
+    labels = spark.createDataFrame(
+        [(i, f"c{v}") for i, v in enumerate(y)],
+        "doc_id long, label string",
+    )
+    model = softmax_train(
+        _sparse_df(spark, X), labels, rounds=7, lr=0.4
+    )
+    W = _numpy_softmax(X, y, 3, rounds=7, lr=0.4)
+    got = {
+        (r["class_index"], r["feature_index"]): r["weight"]
+        for r in model.weights.collect()
+    }
+    classes = {
+        r["label"]: r["class_index"] for r in model.classes.collect()
+    }
+    assert classes == {"c0": 0, "c1": 1, "c2": 2}
+    for k in range(3):
+        for j in range(6):
+            assert got[(k, j)] == pytest.approx(W[k, j], abs=1e-12)
+        assert got[(k, -1)] == pytest.approx(W[k, 6], abs=1e-12)
+
+
+def test_softmax_round1_loss_is_ln_k(spark):
+    """Zero init ⇒ round-1 probabilities are exactly 1/K, so the
+    tracked starting loss is ln(K) — and training must reduce it."""
+    from pagerank_spark.operators.classifier import softmax_train
+
+    rng = np.random.default_rng(3)
+    X = np.round(rng.normal(size=(24, 5)), 3)
+    y = rng.integers(0, 4, size=24)
+    labels = spark.createDataFrame(
+        [(i, f"c{v}") for i, v in enumerate(y)],
+        "doc_id long, label string",
+    )
+    model = softmax_train(
+        _sparse_df(spark, X), labels, rounds=6, lr=0.5, track_loss=True
+    )
+    assert model.losses[0] == pytest.approx(np.log(4), rel=1e-9)
+    assert model.losses[-1] < model.losses[0]
+
+
+def test_softmax_validation(spark):
+    from pagerank_spark.operators.classifier import softmax_train
+
+    X = np.ones((4, 2))
+    one_class = spark.createDataFrame(
+        [(i, "only") for i in range(4)], "doc_id long, label string"
+    )
+    with pytest.raises(ValueError, match="rounds"):
+        softmax_train(_sparse_df(spark, X), one_class, rounds=0)
+    with pytest.raises(ValueError, match="classes"):
+        softmax_train(_sparse_df(spark, X), one_class, rounds=1)
+
+
+def test_softmax_beats_charclass_heuristic(spark):
+    """Trained language-ID vs the q22 marker heuristic on a corpus of
+    two domain 'dialects' that contain NO marker stopwords: the
+    heuristic can only answer 'unknown' (accuracy 0), while the
+    trained softmax separates the vocabularies perfectly — the
+    fastText-vs-rules gap the LEARNING tier exists to close."""
+    from pagerank_spark.operators.classifier import (
+        softmax_predict,
+        softmax_train,
+    )
+    from pagerank_spark.operators.text import language_id
+
+    tech = "kernel scheduler mutex paging interrupt syscall buffer "
+    bio = "enzyme protein ribosome mitosis chromosome peptide cell "
+    rows = [(i, (tech if i % 2 == 0 else bio) * 3) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {i: ("tech" if i % 2 == 0 else "bio") for i in range(40)}
+    labels = spark.createDataFrame(
+        [(i, v) for i, v in truth.items()], "doc_id long, label string"
+    )
+
+    feats = hashed_token_features(docs, n_features=256, normalize=True)
+    model = softmax_train(feats, labels, rounds=25, lr=1.0)
+    pred = {
+        r["doc_id"]: r["label"]
+        for r in softmax_predict(feats, model).collect()
+    }
+    acc_trained = sum(pred[i] == truth[i] for i in truth) / len(truth)
+
+    heur = {
+        r["doc_id"]: r["pred_lang"]
+        for r in language_id(docs).collect()
+    }
+    acc_heur = sum(heur[i] == truth[i] for i in truth) / len(truth)
+
+    assert acc_trained == 1.0
+    assert acc_heur == 0.0  # marker-free corpus: all 'unknown'
+    assert acc_trained > acc_heur
