@@ -5701,7 +5701,147 @@ def q256_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the cost node2vec's second-order bias demands."""
     from pagerank_spark.graph.walks import node2vec_walks
 
-    return node2vec_walks(_edges(spark, sf_dir), steps=4, p=2.0, q=0.5)
+    return node2vec_walks(
+        _edges(spark, sf_dir), steps=4, p=2.0, q=0.5, strict_parity=True
+    )
+
+
+def q259_ppmi_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-embedding TRAINING (graph/embeddings.py
+    ppmi_svd_embeddings): distributed truncated SVD of the q161 PPMI
+    matrix — the step that makes the walks→pairs→PPMI pipeline
+    actually produce embeddings (Levy & Goldberg 2014: skip-gram
+    implicitly factorizes this matrix; here it is factorized
+    explicitly). Rank-3, fixed 2 power rounds per component on
+    G = MᵀM: each matvec is two sparse equi-joins + two
+    partial-combined aggs over the DISTINCT-pair-bounded PPMI
+    relation (never G itself); later components orthogonalize by
+    PROJECTION deflation, whose normalize-and-round step absorbs
+    cross-engine float drift each iteration — eigenvalue-scale
+    scalars never enter the loop. All vectors stay distributed; only
+    the 3 Rayleigh scalars reach the driver. Output is the
+    Levy–Goldberg U·Σ^½ long form (node, dim, value) that
+    embedding_vectors pivots into the ANN tier's array shape; the
+    twin unrolls the identical trajectory (9dp-rounded weights and
+    per-step vectors, 6dp output). Convergence-vs-NumPy and cluster
+    geometry: tests/test_embeddings.py; corpus-growth evidence:
+    SVD_PROBE.json."""
+    from pagerank_spark.graph.embeddings import ppmi_svd_embeddings
+    from pagerank_spark.graph.walks import (
+        ppmi_matrix,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    pairs = skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+    emb = ppmi_svd_embeddings(ppmi_matrix(pairs), rank=3, iterations=2)
+    return emb.select(
+        "node", "dim", F.round("value", 6).alias("value")
+    )
+
+
+def q260_kn_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney trigram LM TRAINING (operators/ngram_lm.py
+    kn_trigram_probs, Chen & Goodman 1999): the model CCNet-class
+    pipelines actually score with — q119's unigram logprob is its
+    degenerate case. One corpus scan explodes padded trigram positions
+    from array expressions (no window, no self-join), then every KN
+    quantity is a grouped (distinct-)count over the TYPE relation
+    (Heaps-bounded, far sublinear in corpus); the fixed-discount
+    (D=0.75, exact binary fraction) interpolated probability is one
+    scalar expression tree over exact integer counts — bit-identical
+    across engines, so the twin needs no intermediate rounding.
+    Output: (w1, w2, w3, p) per observed trigram type. Hand-computed
+    reference + sum-to-one property: tests/test_ngram_lm.py."""
+    from pagerank_spark.operators.ngram_lm import kn_trigram_probs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kn_trigram_probs(docs, discount=0.75)
+    return out.select("w1", "w2", "w3", F.round("p", 9).alias("p"))
+
+
+def q261_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney perplexity SCORING (operators/ngram_lm.py
+    kn_perplexity): per-doc ppl = exp(−Σ ln P / n) under the q260
+    model trained on the same corpus — the CCNet in-domain scoring
+    shape that ranks documents by fluency. The instance relation
+    left-joins the type-bounded count relations on token keys
+    (co-partitionable equi-joins; CASE-chain backoff for unseen
+    contexts, NULL-poisoned docs for unseen continuations); the only
+    cross-engine drift is the per-doc ln-sum reduction order,
+    absorbed at 6dp. Fluency-ranking evidence vs the q119 unigram
+    scorer: tests/test_ngram_lm.py."""
+    from pagerank_spark.operators.ngram_lm import kn_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kn_perplexity(docs, discount=0.75)
+    return out.select(
+        "doc_id", "n_tokens", F.round("ppl", 6).alias("ppl")
+    )
+
+
+def q262_softmax_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass SOFTMAX classifier TRAINING (operators/classifier.py
+    softmax_train): q253's logistic trainer extended to K classes —
+    the fastText-style trained language-ID that competes with q22's
+    fixed char-class heuristic. Labels are the 5 fixture languages
+    (class index = sorted order, deterministic); per round one
+    broadcast of the K·dim weight relation, per-(doc, class) margin
+    sums, a max-shifted softmax (two id-keyed aggs, exact
+    comparisons), and one partial-combined K·dim gradient. Fixed 2
+    rounds / lr 0.5 / zero init: round 1 collapses to p = 1/K exactly,
+    and the twin unrolls the whole trajectory (exp ulps absorbed at
+    the 9dp weight rounding — the q253 sigmoid precedent). Accuracy
+    vs the q22 heuristic: tests/test_classifier.py."""
+    from pagerank_spark.operators.classifier import (
+        hashed_token_features,
+        softmax_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, n_features=64, normalize=True)
+    model = softmax_train(
+        feats,
+        docs.select("doc_id", F.col("lang").alias("label")),
+        rounds=2,
+        lr=0.5,
+    )
+    return model.weights.select(
+        "class_index",
+        "feature_index",
+        F.round("weight", 9).alias("weight"),
+    ).orderBy("class_index", "feature_index")
+
+
+def q263_softmax_language_id(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Softmax model APPLICATION (operators/classifier.py
+    softmax_predict): score the whole corpus with the q262 2-round
+    model and emit each doc's argmax language — the corpus-wide
+    trained-gate pass (q258's shape for the multiclass head).
+    Probabilities are rounded to 9dp BEFORE the argmax on both
+    engines, so near-ties resolve identically (ties break to the
+    lower class index); the twin continues q262's unroll with the
+    same max-shifted softmax and a lexicographic [p, −k] argmax."""
+    from pagerank_spark.operators.classifier import (
+        hashed_token_features,
+        softmax_predict,
+        softmax_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, n_features=64, normalize=True)
+    model = softmax_train(
+        feats,
+        docs.select("doc_id", F.col("lang").alias("label")),
+        rounds=2,
+        lr=0.5,
+    )
+    out = softmax_predict(feats, model, round_probs=9)
+    return out.select("doc_id", "label", F.col("prob"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5970,6 +6110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_node2vec_walks": q256_node2vec_walks,
         "q257_unigram_segment_stats": q257_unigram_segment_stats,
         "q258_logreg_score_corpus": q258_logreg_score_corpus,
+        "q259_ppmi_svd_embeddings": q259_ppmi_svd_embeddings,
+        "q260_kn_lm_train": q260_kn_lm_train,
+        "q261_kn_perplexity": q261_kn_perplexity,
+        "q262_softmax_train": q262_softmax_train,
+        "q263_softmax_language_id": q263_softmax_language_id,
     }
 
 
@@ -13600,3 +13745,295 @@ GROUP BY d.doc_id
 
 
 _oracle("q257_unigram_segment_stats", _unigram_apply_sql(4))
+
+
+# q259 twin: the projection-deflated power iteration unrolled on the
+# q161 PPMI relation (9dp-rounded weights, positive entries only).
+# Per component per round: two sparse matvec CTEs, one chained
+# Gram-Schmidt subtraction per previous component (the dot recomputed
+# on the CURRENT residual — the exact Spark loop order), then the
+# normalize+ROUND(…,9) that absorbs reduction-order drift. Eigenvalues
+# stay unrounded scalars — they only enter as the λ^(−¼) embedding
+# scale, invisible at the 6dp output round.
+def _svd_sql(rank: int, iters: int) -> str:
+    parts = [
+        r""",
+mat AS MATERIALIZED (
+  SELECT center AS r, context AS c, w FROM (
+    SELECT p.center, p.context,
+           ROUND(greatest(0.0,
+             ln(CAST(p.cnt AS DOUBLE) * (SELECT SUM(cnt) FROM pairs)
+                / (pc.s * px.s))), 9) AS w
+    FROM pairs p
+    JOIN (SELECT center, SUM(cnt) AS s FROM pairs GROUP BY center) pc
+      ON p.center = pc.center
+    JOIN (SELECT context, SUM(cnt) AS s FROM pairs GROUP BY context) px
+      ON p.context = px.context
+  ) WHERE w > 0
+),
+svd_nodes AS MATERIALIZED (SELECT DISTINCT c AS node FROM mat),
+vinit AS MATERIALIZED (
+  SELECT node, 1.0 / sqrt((SELECT COUNT(*) FROM svd_nodes)) AS x
+  FROM svd_nodes
+)"""
+    ]
+    for k in range(rank):
+        prev = "vinit"
+        for i in range(1, iters + 1):
+            t, y, v = f"t{k}_{i}", f"y{k}_{i}", f"v{k}_{i}"
+            parts.append(
+                f""",
+{t} AS MATERIALIZED (
+  SELECT m.r, SUM(m.w * v.x) AS t
+  FROM mat m JOIN {prev} v ON m.c = v.node GROUP BY m.r
+),
+{y}r AS MATERIALIZED (
+  SELECT m.c AS node, SUM(m.w * t.t) AS y
+  FROM mat m JOIN {t} t ON m.r = t.r GROUP BY m.c
+)"""
+            )
+            yname = f"{y}r"
+            for j in range(k):
+                vj, nxt = f"v{j}_{iters}", f"{y}p{j}"
+                parts.append(
+                    f""",
+{nxt} AS MATERIALIZED (
+  SELECT y.node,
+         y.y - (SELECT SUM(a.y * b.x) FROM {yname} a
+                JOIN {vj} b ON a.node = b.node) * v.x AS y
+  FROM {yname} y JOIN {vj} v ON y.node = v.node
+)"""
+                )
+                yname = nxt
+            parts.append(
+                f""",
+{v} AS MATERIALIZED (
+  SELECT node,
+         ROUND(CASE WHEN (SELECT sqrt(SUM(y * y)) FROM {yname}) > 0
+               THEN y / (SELECT sqrt(SUM(y * y)) FROM {yname})
+               ELSE 0.0 END, 9) AS x
+  FROM {yname}
+)"""
+            )
+            prev = v
+        parts.append(
+            f""",
+tf{k} AS MATERIALIZED (
+  SELECT m.r, SUM(m.w * v.x) AS t
+  FROM mat m JOIN v{k}_{iters} v ON m.c = v.node GROUP BY m.r
+),
+lam{k} AS MATERIALIZED (SELECT SUM(t * t) AS l FROM tf{k})"""
+        )
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT r AS node, CAST({k} AS INT) AS dim,
+       ROUND(t * CASE WHEN (SELECT l FROM lam{k}) > 0
+                 THEN pow((SELECT l FROM lam{k}), -0.25)
+                 ELSE 0.0 END, 6) AS value
+FROM tf{k}"""
+        for k in range(rank)
+    )
+    return _skipgram_sql("".join(parts) + "\n" + branches)
+
+
+_oracle("q259_ppmi_svd_embeddings", _svd_sql(3, 2))
+
+
+# q260/q261 twins share the KN count CTEs: padded trigram instances
+# from list expressions, type-bounded (distinct-)count relations, and
+# the fixed-discount interpolated probability as ONE scalar expression
+# tree over exact integer counts — bit-identical across engines
+# (D = 0.75 is an exact binary fraction), so no intermediate rounding.
+_KN_CTES = r"""
+WITH kn_toks AS MATERIALIZED (
+  SELECT doc_id,
+         ['<s>', '<s>'] ||
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') || ['</s>'] AS a
+  FROM documents
+),
+kn_tg AS MATERIALIZED (
+  SELECT doc_id, a[u.i] AS w1, a[u.i + 1] AS w2, a[u.i + 2] AS w3
+  FROM kn_toks, UNNEST(range(1, len(a) - 1)) AS u(i)
+),
+kn_c3 AS MATERIALIZED (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM kn_tg GROUP BY w1, w2, w3
+),
+kn_c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2, COUNT(*) AS n3
+  FROM kn_c3 GROUP BY w1, w2
+),
+kn_cc AS MATERIALIZED (
+  SELECT w2, w3, COUNT(DISTINCT w1) AS cc FROM kn_c3 GROUP BY w2, w3
+),
+kn_mid AS MATERIALIZED (
+  SELECT w2, COUNT(*) AS ncc, COUNT(DISTINCT w3) AS nfol
+  FROM kn_c3 GROUP BY w2
+),
+kn_n1 AS MATERIALIZED (
+  SELECT w3, COUNT(*) AS n1 FROM kn_cc GROUP BY w3
+),
+kn_nbi AS MATERIALIZED (SELECT COUNT(*) AS nbi FROM kn_cc)
+"""
+
+# the probability tree, parenthesized exactly as the Spark operator's
+# _p_expr builds it (left-assoc products, coalesced counts)
+_KN_P = """(
+  greatest(COALESCE(t.c3, 0) - 0.75, 0.0) / c2.c2
+  + ((0.75 * c2.n3) / c2.c2) *
+    (greatest(COALESCE(cc.cc, 0) - 0.75, 0.0) / mid.ncc
+     + ((0.75 * mid.nfol) / mid.ncc) *
+       (CAST(COALESCE(n1.n1, 0) AS DOUBLE) / (SELECT nbi FROM kn_nbi)))
+)"""
+
+_oracle(
+    "q260_kn_lm_train",
+    _KN_CTES
+    + f"""
+SELECT t.w1, t.w2, t.w3, ROUND({_KN_P}, 9) AS p
+FROM kn_c3 t
+JOIN kn_c2 c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+JOIN kn_cc cc ON t.w2 = cc.w2 AND t.w3 = cc.w3
+JOIN kn_mid mid ON t.w2 = mid.w2
+JOIN kn_n1 n1 ON t.w3 = n1.w3
+""",
+)
+
+# q262/q263 twins: q253's feature CTEs (portable-md5 signed hashing)
+# + the 2-round softmax trajectory unrolled. Round 1 collapses in
+# closed form (w=0 → p = 1/K exactly — both engines compute the same
+# 1.0/K double); round 2 rebuilds per-(doc, class) margins from w1,
+# applies the max-shifted softmax (value-level max: exact comparisons,
+# and only the VALUE enters p, so a drift-flipped argmax is harmless),
+# and takes one more mean-gradient step. exp ulps are absorbed at the
+# 9dp weight/probability rounding (the q253 sigmoid precedent).
+_SOFTMAX_CTES = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         (CAST('0x' || substr(md5('tok=' || tok), 1, 15) AS BIGINT) // 2)
+           % 64 AS fi,
+         CASE WHEN CAST('0x' || substr(md5('tok=' || tok), 1, 15)
+                       AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM tok WHERE tok IS NOT NULL AND tok <> ''
+),
+xr AS (SELECT doc_id, fi, SUM(s) AS v FROM e GROUP BY doc_id, fi),
+xn AS (
+  SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM xr GROUP BY doc_id
+),
+x AS (
+  SELECT xr.doc_id, xr.fi, xr.v / xn.nrm AS v
+  FROM xr JOIN xn USING (doc_id)
+),
+xb AS MATERIALIZED (
+  SELECT doc_id, fi, v FROM x
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS fi, 1.0 AS v FROM documents
+),
+classes AS MATERIALIZED (
+  SELECT lang AS label,
+         CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INT) AS k
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+y AS MATERIALIZED (
+  SELECT d.doc_id, c.k AS y
+  FROM documents d JOIN classes c ON d.lang = c.label
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+r1 AS (
+  SELECT y.doc_id, c.k,
+         1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM classes)
+           - CASE WHEN c.k = y.y THEN 1.0 ELSE 0.0 END AS r
+  FROM y, classes c
+),
+w1 AS MATERIALIZED (
+  SELECT r1.k, xb.fi,
+         -0.5 * (SUM(xb.v * r1.r) / (SELECT n FROM n)) AS w
+  FROM xb JOIN r1 USING (doc_id) GROUP BY r1.k, xb.fi
+),
+z2 AS MATERIALIZED (
+  SELECT xb.doc_id, w1.k, SUM(xb.v * w1.w) AS z
+  FROM xb JOIN w1 USING (fi) GROUP BY xb.doc_id, w1.k
+),
+zm2 AS (SELECT doc_id, MAX(z) AS zm FROM z2 GROUP BY doc_id),
+e2 AS MATERIALIZED (
+  SELECT z2.doc_id, z2.k, exp(z2.z - zm2.zm) AS e
+  FROM z2 JOIN zm2 USING (doc_id)
+),
+es2 AS (SELECT doc_id, SUM(e) AS es FROM e2 GROUP BY doc_id),
+r2 AS (
+  SELECT e2.doc_id, e2.k,
+         e2.e / es2.es
+           - CASE WHEN e2.k = y.y THEN 1.0 ELSE 0.0 END AS r
+  FROM e2 JOIN es2 USING (doc_id) JOIN y USING (doc_id)
+),
+g2 AS MATERIALIZED (
+  SELECT r2.k, xb.fi, SUM(xb.v * r2.r) / (SELECT n FROM n) AS g
+  FROM xb JOIN r2 USING (doc_id) GROUP BY r2.k, xb.fi
+)
+"""
+
+_oracle(
+    "q262_softmax_train",
+    _SOFTMAX_CTES
+    + r"""
+SELECT w1.k AS class_index, w1.fi AS feature_index,
+       ROUND(w1.w - 0.5 * g2.g, 9) AS weight
+FROM w1 JOIN g2 ON w1.k = g2.k AND w1.fi = g2.fi
+ORDER BY class_index, feature_index
+""",
+)
+
+_oracle(
+    "q263_softmax_language_id",
+    _SOFTMAX_CTES
+    + r""",
+wf AS MATERIALIZED (
+  SELECT w1.k, w1.fi, w1.w - 0.5 * g2.g AS w
+  FROM w1 JOIN g2 ON w1.k = g2.k AND w1.fi = g2.fi
+),
+z3 AS MATERIALIZED (
+  SELECT xb.doc_id, wf.k, SUM(xb.v * wf.w) AS z
+  FROM xb JOIN wf USING (fi) GROUP BY xb.doc_id, wf.k
+),
+zm3 AS (SELECT doc_id, MAX(z) AS zm FROM z3 GROUP BY doc_id),
+e3 AS MATERIALIZED (
+  SELECT z3.doc_id, z3.k, exp(z3.z - zm3.zm) AS e
+  FROM z3 JOIN zm3 USING (doc_id)
+),
+es3 AS (SELECT doc_id, SUM(e) AS es FROM e3 GROUP BY doc_id),
+p3 AS (
+  SELECT e3.doc_id, e3.k, ROUND(e3.e / es3.es, 9) AS p
+  FROM e3 JOIN es3 USING (doc_id)
+),
+best AS (
+  SELECT doc_id, MAX([p, -CAST(k AS DOUBLE)]) AS b
+  FROM p3 GROUP BY doc_id
+)
+SELECT b.doc_id, c.label, b.b[1] AS prob
+FROM best b JOIN classes c ON CAST(-b.b[2] AS INT) = c.k
+""",
+)
+
+_oracle(
+    "q261_kn_perplexity",
+    _KN_CTES
+    + f""",
+kn_inst AS MATERIALIZED (
+  SELECT g.doc_id, {_KN_P} AS p
+  FROM kn_tg g
+  LEFT JOIN kn_c3 t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+  LEFT JOIN kn_c2 c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+  LEFT JOIN kn_cc cc ON g.w2 = cc.w2 AND g.w3 = cc.w3
+  LEFT JOIN kn_mid mid ON g.w2 = mid.w2
+  LEFT JOIN kn_n1 n1 ON g.w3 = n1.w3
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(exp(-SUM(ln(p)) / COUNT(*)), 6) AS ppl
+FROM kn_inst GROUP BY doc_id
+""",
+)
