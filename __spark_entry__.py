@@ -5844,6 +5844,43 @@ def q263_softmax_language_id(
     return out.select("doc_id", "label", F.col("prob"))
 
 
+def q264_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup dedup under the oracle
+    (operators/multimodal.py audio_blockprint +
+    hamming_near_dup_pairs): the q221 image-pHash pattern applied to
+    the real audio tier. Every 10th doc id becomes a synthetic clip
+    with PLANTED near-dup structure (group = id/40 shares a base
+    waveform, variant = (id/10) mod 4 re-amplifies the first r time
+    blocks) — EVEN ids as WAV, ODD ids as real-encoder FLAC, so the
+    hash also proves the fingerprint is container-blind on lossless
+    audio (a clip and its re-encode dedupe together). The REAL
+    pipeline decodes bytes (RIFF walk / verified FLAC), computes
+    64 block-energy bits by integer comparison, and pairs via the
+    banded Hamming equi-join (pigeonhole: distance ≤ 3 ⇒ one of 4
+    bands equal — never all-pairs). The DuckDB twin integrates the
+    closed-form waveform over generate_series and reproduces bits and
+    pairs without ever seeing a byte."""
+    from pagerank_spark.operators.multimodal import (
+        audio_blockprint,
+        hamming_near_dup_pairs,
+        synthesize_audio_variant_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") / 40).cast("long").alias("grp"),
+            ((F.col("doc_id") / 10) % 4).cast("long").alias("variant"),
+        )
+    )
+    media = synthesize_audio_variant_media(ids)
+    return hamming_near_dup_pairs(
+        audio_blockprint(media), max_dist=3
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -6115,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q261_kn_perplexity": q261_kn_perplexity,
         "q262_softmax_train": q262_softmax_train,
         "q263_softmax_language_id": q263_softmax_language_id,
+        "q264_audio_neardup": q264_audio_neardup,
     }
 
 
@@ -13897,6 +13935,63 @@ JOIN kn_mid mid ON t.w2 = mid.w2
 JOIN kn_n1 n1 ON t.w3 = n1.w3
 """,
 )
+
+# q264 twin: the q221 shape over time blocks — per-sample closed-form
+# amplitude-gated sawtooth integrated over generate_series, INTEGER
+# block-energy bits (energy·n > total·len), the same band packing and
+# banded Hamming pair join. n = 2048, 64 blocks ⇒ b = i // 32 exactly.
+_oracle(
+    "q264_audio_neardup",
+    """
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id // 40 AS g, (doc_id // 10) % 4 AS r
+  FROM documents WHERE doc_id % 10 = 0
+),
+smp AS (
+  SELECT i.media_id, s.i // 32 AS b,
+         (37 * s.i) % (2 * (256 * (1 +
+            CASE WHEN i.r > 0 AND s.i // 32 < i.r
+                 THEN (11 * (i.g + 1) * (s.i // 32 + 1) + 64) % 128
+                 ELSE (11 * (i.g + 1) * (s.i // 32 + 1)) % 128
+            END)))
+         - (256 * (1 +
+            CASE WHEN i.r > 0 AND s.i // 32 < i.r
+                 THEN (11 * (i.g + 1) * (s.i // 32 + 1) + 64) % 128
+                 ELSE (11 * (i.g + 1) * (s.i // 32 + 1)) % 128
+            END)) AS v
+  FROM ids i
+  CROSS JOIN (SELECT UNNEST(range(0, 2048)) AS i) s
+),
+blk AS (
+  SELECT media_id, b, SUM(v * v) AS be, COUNT(*) AS bl
+  FROM smp GROUP BY 1, 2
+),
+tot AS (SELECT media_id, SUM(be) AS te, SUM(bl) AS tn
+        FROM blk GROUP BY 1),
+bits AS (
+  SELECT blk.media_id, b,
+         CASE WHEN be * tn > te * bl THEN 1 ELSE 0 END AS bit
+  FROM blk JOIN tot USING (media_id)
+),
+h AS (
+  SELECT media_id,
+         SUM(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b0,
+         SUM(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b1,
+         SUM(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b2,
+         SUM(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS b3
+  FROM bits GROUP BY 1
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+
 
 # q262/q263 twins: q253's feature CTEs (portable-md5 signed hashing)
 # + the 2-round softmax trajectory unrolled. Round 1 collapses in

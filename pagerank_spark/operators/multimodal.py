@@ -2389,3 +2389,163 @@ def resize_image(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(resize, schema=IMAGE_RESIZE_SCHEMA)
+
+
+AUDIO_BLOCKPRINT_SCHEMA = (
+    "media_id long, format string, n_samples int, "
+    "b0 int, b1 int, b2 int, b3 int"
+)
+
+
+def synthesize_audio_variant_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    group_col: str = "grp",
+    variant_col: str = "variant",
+    n_samples: int = 2048,
+    rate: int = 8000,
+    n_blocks: int = 64,
+) -> DataFrame:
+    """Deterministic synthetic audio per id with PLANTED NEAR-DUP
+    structure — the fixture for perceptual audio dedup (q264), the
+    audio analogue of ``synthesize_ppm_variant_media``: clips sharing
+    ``group_col`` share a base waveform; ``variant_col`` ``r > 0``
+    re-amplifies only the first ``r`` time blocks, so same-group clips
+    fingerprint within ``r`` bits while groups differ wholesale.
+    Sample i of group g (block b = i·n_blocks // n_samples)::
+
+        A(g, b) = 256 · (1 + (11·(g+1)·(b+1)) mod 128)   # amplitude
+        if r > 0 and b < r:
+            A(g, b) = 256 · (1 + (11·(g+1)·(b+1) + 64) mod 128)
+        sample_i = (37·i) mod (2·A) − A                   # sawtooth
+
+    — all-integer, so a SQL oracle integrates block energies in
+    closed form without seeing a byte. EVEN ids ship as WAV, ODD ids
+    as FLAC (the real encoder): the fingerprint is container-blind on
+    lossless audio, so a clip and its re-encode dedupe together."""
+    from pagerank_spark.operators.flac import encode_flac
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(n_samples, dtype=np.int64)
+        b = i * n_blocks // n_samples
+        data_size = n_samples * 2
+        header = (
+            b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + data_size.to_bytes(4, "little")
+        )
+        for pdf in batches:
+            payloads = []
+            for mid, g, r in zip(
+                pdf[id_col], pdf[group_col], pdf[variant_col]
+            ):
+                base = 11 * (int(g) + 1) * (b + 1)
+                amp = 256 * (1 + base % 128)
+                if int(r) > 0:
+                    amp = np.where(
+                        b < int(r), 256 * (1 + (base + 64) % 128), amp
+                    )
+                wave = (37 * i) % (2 * amp) - amp
+                if int(mid) % 2 == 0:
+                    payloads.append(
+                        header + wave.astype("<i2").tobytes()
+                    )
+                else:
+                    payloads.append(
+                        encode_flac(
+                            [int(s) for s in wave], rate, 16, 576
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.mapInPandas(synth, schema="media_id long, payload binary")
+
+
+def audio_blockprint(media: DataFrame, n_blocks: int = 64) -> DataFrame:
+    """Energy-profile perceptual fingerprint over REAL audio decode —
+    the audio analogue of ``ahash_image``: decode the payload (RIFF
+    magic → the WAV chunk walk; ``fLaC`` magic → the full verified
+    FLAC decoder — LOSSLESS, so a clip fingerprints identically in
+    either container), channel-sum to mono, split into ``n_blocks``
+    time blocks, and set bit b iff the block's mean energy exceeds the
+    clip's. Every comparison is INTEGER
+    (``block_energy · n_samples > total_energy · block_len``) — no
+    float thresholds, so the 64 bits are bit-identical in any engine
+    that sees the same samples, which is what lets a SQL oracle verify
+    the fingerprint without decoding bytes.
+
+    The bits return as four 16-bit band integers ``b0..b3`` (bit k
+    lives at position ``k mod 16`` of band ``k div 16``) — already in
+    the banded layout ``hamming_near_dup_pairs`` buckets on. Poison
+    payloads yield format='error' with NULL bands, never a dead job.
+
+    Scale shape: ``mapInPandas``, Arrow-batched, zero-exchange —
+    per-clip linear; the downstream near-dup join is the banded
+    equi-join, never all-pairs.
+    """
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(
+            f"audio_blockprint: n_blocks in [1, 64] (four 16-bit "
+            f"bands), got {n_blocks}"
+        )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pagerank_spark.operators.flac import decode_flac
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "n_samples": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(buf)
+                try:
+                    if buf[:4] == b"fLaC":
+                        st = decode_flac(buf)
+                        flat = np.array(
+                            st.samples, dtype=np.int64
+                        ).sum(axis=0)
+                        fmt = "flac"
+                    else:
+                        _, _, samples = _decode_wav(buf)
+                        flat = samples.astype(np.int64).sum(axis=1)
+                        fmt = "wav"
+                    n = len(flat)
+                    if n < n_blocks:
+                        raise ValueError("clip shorter than block grid")
+                except ValueError:
+                    out["media_id"].append(mid)
+                    out["format"].append("error")
+                    out["n_samples"].append(None)
+                    for k in ("b0", "b1", "b2", "b3"):
+                        out[k].append(None)
+                    continue
+                sq = flat * flat
+                idx = np.arange(n, dtype=np.int64) * n_blocks // n
+                energy = np.zeros(n_blocks, dtype=np.int64)
+                np.add.at(energy, idx, sq)
+                lens = np.bincount(idx, minlength=n_blocks)
+                total = int(sq.sum())
+                bits = (energy * n) > (total * lens)
+                bands = [0, 0, 0, 0]
+                for k in range(n_blocks):
+                    if bits[k]:
+                        bands[k // 16] |= 1 << (k % 16)
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["n_samples"].append(n)
+                for j in range(4):
+                    out[f"b{j}"].append(bands[j])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fp, schema=AUDIO_BLOCKPRINT_SCHEMA)

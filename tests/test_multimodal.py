@@ -954,3 +954,87 @@ def test_png_all_depths_and_color_types_hand_vectors():
     for depth, color in [(16, 3), (2, 2), (4, 6), (1, 4), (3, 0)]:
         with pytest.raises(ValueError):
             dec(build(2, 1, depth, color, bytes([0, 0, 0])))
+
+
+def test_audio_blockprint_matches_numpy_and_poison(spark):
+    # Block-energy bits recomputed independently in numpy from the
+    # same samples must match the operator's bands exactly (integer
+    # energy comparisons); poison payloads yield NULL bands.
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    wave = rng.randint(-32768, 32768, 2048, dtype=np.int64)
+    data = wave.astype("<i2").tobytes()
+    header = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(header + data)), (2, bytearray(b"junk"))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_blockprint(media).collect()
+    }
+    sq = wave * wave
+    total = int(sq.sum())
+    bands = [0, 0, 0, 0]
+    for k in range(64):
+        e = int(sq[k * 32 : (k + 1) * 32].sum())
+        if e * 2048 > total * 32:
+            bands[k // 16] |= 1 << (k % 16)
+    for j in range(4):
+        assert rows[1][f"b{j}"] == bands[j]
+        assert rows[2][f"b{j}"] is None
+    assert rows[1]["format"] == "wav"
+    assert rows[2]["format"] == "error"
+
+
+def test_audio_blockprint_container_blind(spark):
+    # A clip and its lossless FLAC re-encode must produce IDENTICAL
+    # fingerprints: even ids ship WAV, odd ids FLAC, same (grp,
+    # variant) waveform either way.
+    ids = spark.createDataFrame(
+        [(0, 5, 0), (1, 5, 0), (2, 5, 2), (3, 5, 2)],
+        "media_id LONG, grp LONG, variant LONG",
+    )
+    media = multimodal.synthesize_audio_variant_media(ids)
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_blockprint(media).collect()
+    }
+    assert rows[0]["format"] == "wav" and rows[1]["format"] == "flac"
+    for j in range(4):
+        assert rows[0][f"b{j}"] == rows[1][f"b{j}"]
+        assert rows[2][f"b{j}"] == rows[3][f"b{j}"]
+    # different variants of the same group differ, but only slightly
+    d = sum(
+        bin(rows[0][f"b{j}"] ^ rows[2][f"b{j}"]).count("1")
+        for j in range(4)
+    )
+    assert 1 <= d <= 3
+
+
+def test_audio_variant_media_plants_near_dup_groups(spark):
+    # Same-group audio variants land within Hamming 3; cross-group
+    # pairs stay out (multiplicative amplitude patterns decorrelate
+    # groups at fixture scale).
+    ids = spark.createDataFrame(
+        [(i * 10, (i * 10) // 40, i % 4) for i in range(16)],
+        "media_id LONG, grp LONG, variant LONG",
+    )
+    media = multimodal.synthesize_audio_variant_media(ids)
+    pairs = multimodal.hamming_near_dup_pairs(
+        multimodal.audio_blockprint(media), max_dist=3
+    ).collect()
+    assert pairs, "planted variants must surface"
+    for r in pairs:
+        assert r["id_a"] // 40 == r["id_b"] // 40, r
+        assert r["hamming"] <= 3
+    found_groups = {r["id_a"] // 40 for r in pairs}
+    assert len(found_groups) >= 3  # of the 4 planted groups
