@@ -5881,6 +5881,41 @@ def q264_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q265_trained_embedding_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full learned-similarity loop DECLARED end to end: train
+    node embeddings with the q259 PPMI-SVD, pivot them to the ANN
+    array shape (graph/embeddings.py embedding_vectors — one
+    partial-combined per-node collect, no window), and run the exact
+    cosine top-k (operators/similarity.py ann_topk_bruteforce) for
+    every 512th node. This is the round-13 verdict's north star —
+    walk data → trained embeddings → similarity search — as ONE
+    hash-checked query rather than a pytest: the twin re-derives the
+    identical factorization and ranks long-form cosines with the same
+    6dp-round + id tie rule."""
+    from pagerank_spark.graph.embeddings import (
+        embedding_vectors,
+        ppmi_svd_embeddings,
+    )
+    from pagerank_spark.graph.walks import (
+        ppmi_matrix,
+        random_walks,
+        skipgram_pairs,
+    )
+    from pagerank_spark.operators.similarity import ann_topk_bruteforce
+
+    pairs = skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+    emb = ppmi_svd_embeddings(ppmi_matrix(pairs), rank=3, iterations=2)
+    vecs = embedding_vectors(emb).withColumnRenamed("node", "vec_id")
+    out = ann_topk_bruteforce(
+        vecs, vecs.where(F.col("vec_id") % 512 == 0), k=5
+    )
+    return out.select("query_id", "nb_id", "cos", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -6153,6 +6188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_softmax_train": q262_softmax_train,
         "q263_softmax_language_id": q263_softmax_language_id,
         "q264_audio_neardup": q264_audio_neardup,
+        "q265_trained_embedding_ann": q265_trained_embedding_ann,
     }
 
 
@@ -13793,7 +13829,10 @@ _oracle("q257_unigram_segment_stats", _unigram_apply_sql(4))
 # normalize+ROUND(…,9) that absorbs reduction-order drift. Eigenvalues
 # stay unrounded scalars — they only enter as the λ^(−¼) embedding
 # scale, invisible at the 6dp output round.
-def _svd_sql(rank: int, iters: int) -> str:
+def _svd_core_sql(rank: int, iters: int) -> str:
+    """CTE chain ending in the unrounded `emb` (node, dim, value)
+    relation — shared by the q259 train twin and the q265 ANN-consumer
+    twin."""
     parts = [
         r""",
 mat AS MATERIALIZED (
@@ -13831,18 +13870,31 @@ vinit AS MATERIALIZED (
 )"""
             )
             yname = f"{y}r"
-            for j in range(k):
-                vj, nxt = f"v{j}_{iters}", f"{y}p{j}"
+            if k > 0:
+                # classical GS: all dots against the RAW iterate, one
+                # summed per-node adjustment (mirrors _svd_loop's
+                # single collect + single adjustment join)
+                fu = " UNION ALL ".join(
+                    f"SELECT node, x, {j} AS c FROM v{j}_{iters}"
+                    for j in range(k)
+                )
                 parts.append(
                     f""",
-{nxt} AS MATERIALIZED (
-  SELECT y.node,
-         y.y - (SELECT SUM(a.y * b.x) FROM {yname} a
-                JOIN {vj} b ON a.node = b.node) * v.x AS y
-  FROM {yname} y JOIN {vj} v ON y.node = v.node
+fu{k}_{i} AS MATERIALIZED ({fu}),
+sk{k}_{i} AS MATERIALIZED (
+  SELECT f.c, SUM(y.y * f.x) AS s
+  FROM {yname} y JOIN fu{k}_{i} f ON y.node = f.node GROUP BY f.c
+),
+adj{k}_{i} AS MATERIALIZED (
+  SELECT f.node, SUM(sk.s * f.x) AS a
+  FROM fu{k}_{i} f JOIN sk{k}_{i} sk ON f.c = sk.c GROUP BY f.node
+),
+{y}d AS MATERIALIZED (
+  SELECT y.node, y.y - a.a AS y
+  FROM {yname} y JOIN adj{k}_{i} a ON y.node = a.node
 )"""
                 )
-                yname = nxt
+                yname = f"{y}d"
             parts.append(
                 f""",
 {v} AS MATERIALIZED (
@@ -13864,16 +13916,62 @@ lam{k} AS MATERIALIZED (SELECT SUM(t * t) AS l FROM tf{k})"""
         )
     branches = "\nUNION ALL\n".join(
         f"""SELECT r AS node, CAST({k} AS INT) AS dim,
-       ROUND(t * CASE WHEN (SELECT l FROM lam{k}) > 0
-                 THEN pow((SELECT l FROM lam{k}), -0.25)
-                 ELSE 0.0 END, 6) AS value
+       t * CASE WHEN (SELECT l FROM lam{k}) > 0
+            THEN pow((SELECT l FROM lam{k}), -0.25)
+            ELSE 0.0 END AS value
 FROM tf{k}"""
         for k in range(rank)
     )
-    return _skipgram_sql("".join(parts) + "\n" + branches)
+    parts.append(f""",
+emb AS MATERIALIZED (
+{branches}
+)""")
+    return _skipgram_sql("".join(parts))
+
+
+def _svd_sql(rank: int, iters: int) -> str:
+    return _svd_core_sql(rank, iters) + """
+SELECT node, dim, ROUND(value, 6) AS value FROM emb
+"""
 
 
 _oracle("q259_ppmi_svd_embeddings", _svd_sql(3, 2))
+
+# q265 twin: the q259 core continued — long-form cosine top-k over the
+# UNROUNDED emb relation, mirroring ann_topk_bruteforce exactly: dot /
+# (norm·norm) rounded at 6dp BEFORE ranking, self excluded, ties to
+# the lower neighbor id, rank ≤ k.
+_oracle(
+    "q265_trained_embedding_ann",
+    _svd_core_sql(3, 2)
+    + """,
+ann_q AS (SELECT node, dim, value FROM emb WHERE node % 512 = 0),
+ann_norm AS (
+  SELECT node, sqrt(SUM(value * value)) AS nrm FROM emb GROUP BY node
+),
+ann_dot AS (
+  SELECT q.node AS query_id, c.node AS nb_id,
+         SUM(q.value * c.value) AS dot
+  FROM ann_q q JOIN emb c ON q.dim = c.dim AND q.node <> c.node
+  GROUP BY q.node, c.node
+),
+ann_scored AS (
+  SELECT d.query_id, d.nb_id,
+         ROUND(d.dot / (qn.nrm * cn.nrm), 6) AS cos
+  FROM ann_dot d
+  JOIN ann_norm qn ON d.query_id = qn.node
+  JOIN ann_norm cn ON d.nb_id = cn.node
+),
+ann_ranked AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id
+         ) AS INT) AS rank
+  FROM ann_scored
+)
+SELECT query_id, nb_id, cos, rank FROM ann_ranked WHERE rank <= 5
+""",
+)
 
 
 # q260/q261 twins share the KN count CTEs: padded trigram instances

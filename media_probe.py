@@ -93,6 +93,119 @@ def synth_noise_media(ids):
     return ids.mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
 
 
+
+
+def synth_noise_audio(ids, n_samples=2048, n_blocks=64, flac=False):
+    """(media_id, grp, variant) → audio payloads: per-(group, block)
+    pseudo-random amplitudes via multiplicative hashing (high entropy —
+    distinct groups are wholesale-different in energy profile; the
+    library generator's (11·(g+1)·(b+1)) mod 128 amplitudes repeat
+    every 128 groups, which at probe scale would alias groups exactly
+    like the image ramp). Variant r > 0 re-amplifies blocks b < r."""
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pagerank_spark.operators.flac import encode_flac
+
+        i = np.arange(n_samples, dtype=np.int64)
+        b = i * n_blocks // n_samples
+        rate = 8000
+        data_size = n_samples * 2
+        header = (
+            b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + data_size.to_bytes(4, "little")
+        )
+        for pdf in batches:
+            payloads = []
+            for g, r in zip(pdf["grp"], pdf["variant"]):
+                h = (
+                    np.uint64((int(g) + 1) * 2654435761)
+                    ^ (b.astype(np.uint64) * np.uint64(3266489917))
+                ) * np.uint64(0x9E3779B97F4A7C15)
+                amp = 256 * (1 + ((h >> np.uint64(33)) % np.uint64(128)).astype(np.int64))
+                if int(r) > 0:
+                    amp = np.where(b < int(r), 256 * (1 + (amp // 256 - 1 + 64) % 128), amp)
+                wave = (37 * i) % (2 * amp) - amp
+                if flac:
+                    payloads.append(encode_flac([int(s) for s in wave], rate, 16, 576))
+                else:
+                    payloads.append(header + wave.astype("<i2").tobytes())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return ids.mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
+
+
+def audio_axis(spark, results, base_clips, flac=False, tag="audio_wav"):
+    """Same two claims as the image axis, over the audio fingerprint:
+    per-clip linear decode+fingerprint, candidate-bounded pair join;
+    planted same-group recall with high-entropy cross-group profiles."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.multimodal import (
+        audio_blockprint,
+        hamming_near_dup_pairs,
+    )
+
+    for scale, n in (("1x", base_clips), ("2x", 2 * base_clips)):
+        ids = spark.range(n).select(
+            F.col("id").alias("media_id"),
+            (F.col("id") / 4).cast("long").alias("grp"),
+            (F.col("id") % 4).alias("variant"),
+        )
+        media = synth_noise_audio(ids, flac=flac)
+
+        t0 = time.perf_counter()
+        hashes = audio_blockprint(media).persist()
+        n_hashed = hashes.where(F.col("b0").isNotNull()).count()
+        t_hash = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        pairs = hamming_near_dup_pairs(hashes, max_dist=3)
+        agg = pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("id_a") / 4).cast("long")
+                    == (F.col("id_b") / 4).cast("long"),
+                    1,
+                ).otherwise(0)
+            ).alias("same_group"),
+            F.countDistinct(
+                (F.col("id_a") / 4).cast("long")
+            ).alias("groups_with_pair"),
+        ).collect()[0]
+        t_pairs = round(time.perf_counter() - t0, 2)
+        hashes.unpersist()
+
+        n_groups = n // 4
+        results[f"{tag}_{scale}"] = {
+            "n_clips": n,
+            "decode_fp_sec": t_hash,
+            "pair_join_sec": t_pairs,
+            "n_pairs": agg["n_pairs"],
+            "same_group_pairs": agg["same_group"],
+            "groups_with_pair": agg["groups_with_pair"],
+            "n_groups": n_groups,
+        }
+        assert n_hashed == n, (n_hashed, n)
+        assert agg["same_group"] == agg["n_pairs"], results[f"{tag}_{scale}"]
+        assert agg["groups_with_pair"] >= 0.9 * n_groups, results[f"{tag}_{scale}"]
+    slope_fp = round(
+        results[f"{tag}_2x"]["decode_fp_sec"]
+        / max(0.01, results[f"{tag}_1x"]["decode_fp_sec"]), 2)
+    slope_pairs = round(
+        results[f"{tag}_2x"]["pair_join_sec"]
+        / max(0.01, results[f"{tag}_1x"]["pair_join_sec"]), 2)
+    return slope_fp, slope_pairs
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -161,10 +274,22 @@ def main() -> None:
         / max(0.01, results["1x"]["pair_join_sec"]),
         2,
     )
+    base_audio = int(os.environ.get("SPARK_GRAFT_MEDIA_PROBE_CLIPS", 50_000))
+    wav_fp_slope, wav_pair_slope = audio_axis(
+        spark, results, base_audio, flac=False, tag="audio_wav"
+    )
+    flac_fp_slope, flac_pair_slope = audio_axis(
+        spark, results, max(500, base_audio // 25), flac=True, tag="audio_flac"
+    )
+
     out = {
         "metric": "media_probe_2x_slopes",
         "decode_hash_slope": hash_slope,
         "pair_join_slope": pair_slope,
+        "audio_wav_fp_slope": wav_fp_slope,
+        "audio_wav_pair_slope": wav_pair_slope,
+        "audio_flac_fp_slope": flac_fp_slope,
+        "audio_flac_pair_slope": flac_pair_slope,
         "results": results,
     }
     line = json.dumps(out)
@@ -174,6 +299,11 @@ def main() -> None:
     spark.stop()
     assert hash_slope < 3.0, f"superlinear decode+hash: {hash_slope}"
     assert pair_slope < 3.0, f"superlinear banded pair join: {pair_slope}"
+    for name, s in (
+        ("audio wav fp", wav_fp_slope), ("audio wav pairs", wav_pair_slope),
+        ("audio flac fp", flac_fp_slope), ("audio flac pairs", flac_pair_slope),
+    ):
+        assert s < 3.0, f"superlinear {name}: {s}"
 
 
 if __name__ == "__main__":

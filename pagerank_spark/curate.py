@@ -99,10 +99,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark(app_name="pagerank-curate")
         spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
+    _mark = [t0]
+
+    def _stage_sec() -> float:
+        # per-stage wall: each stage ends at a materializing count, so
+        # the delta since the previous mark is that stage's real cost
+        # (CURATE_PROBE.json asserts these stay near-linear at 2x)
+        now = time.perf_counter()
+        d = now - _mark[0]
+        _mark[0] = now
+        return round(d, 3)
+
     id_col, text_col = args.id_col, args.text_col
 
     docs = spark.read.parquet(args.input)
     report: dict = {"input_rows": docs.count()}
+    stage_sec: dict = {}
+    report["stage_sec"] = stage_sec
+    _stage_sec()  # reset the mark after the input count
 
     if not args.no_scrub:
         red = pii_redact(docs, text_col=text_col)
@@ -115,11 +129,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         docs = red.drop(text_col, "n_emails", "n_phones").withColumnRenamed(
             f"{text_col}_redacted", text_col
         )
+        stage_sec["scrub"] = _stage_sec()
 
     if not args.no_gate:
         gated = gopher_quality(docs, text_col=text_col)
         docs = gated.where(F.col("passes_gopher")).select(docs.columns)
         report["after_gate"] = docs.count()
+        stage_sec["gate"] = _stage_sec()
 
     if args.quality_labels:
         # CCNet/GPT-3-style learned gate: train on the labeled seed
@@ -175,10 +191,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         docs = docs.join(keep, on=id_col, how="left_semi")
         report["after_quality_gate"] = docs.count()
         report["quality_train_iterations"] = model.iterations
+        stage_sec["quality"] = _stage_sec()
 
     if not args.no_dedup:
         docs = exact_dedup(docs, [text_col], id_col)
         report["after_exact_dedup"] = docs.count()
+        stage_sec["dedup"] = _stage_sec()
 
     if args.neardup:
         reps = neardup_clusters(docs, id_col=id_col, text_col=text_col)
@@ -187,6 +205,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ).select(id_col)
         docs = docs.join(keep, on=id_col, how="left_semi")
         report["after_neardup"] = docs.count()
+        stage_sec["neardup"] = _stage_sec()
 
     if args.audit:
         # One extra pass over the corpus TOTAL (not per stage): the
@@ -216,6 +235,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         .collect()
     }
     docs.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    stage_sec["split_write"] = _stage_sec()
     report["output"] = args.out
     report["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(report))

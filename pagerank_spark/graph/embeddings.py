@@ -18,16 +18,17 @@ centers, columns = contexts):
   aggregations; ``G`` itself is NEVER materialized (vocab² dense in
   the worst case),
 * component c > 0 orthogonalizes every iterate against the already-
-  found vectors (``y ← y − Σₖ (vₖ·y) vₖ`` — per previous component
-  one scalar dot and one vocabulary-sized join, never a dense outer
-  product), i.e. power iteration on ``(I − VVᵀ)G``, whose top
-  eigenvector is the (c+1)-th of ``G``. Projection deflation keeps
-  EIGENVALUE-SCALE floats out of the loop — every subtraction is in
-  units of the current iterate, and the subsequent normalize+round
-  step absorbs cross-engine reduction-order drift BEFORE it can
-  compound (Hotelling deflation would thread λₖ ≈ O(‖G‖) scalars
-  through the arithmetic, where a 9-decimal round can no longer
-  absorb a 1e-15 relative drift),
+  found vectors (``y ← y − Σₖ (vₖ·y) vₖ``, classical Gram–Schmidt:
+  ALL k dots in one pass over the raw iterate + one summed
+  vocabulary-sized adjustment join — a flat per-iteration job count,
+  see ``_svd_loop``), i.e. power iteration on ``(I − VVᵀ)G``, whose
+  top eigenvector is the (c+1)-th of ``G``. Projection deflation
+  keeps EIGENVALUE-SCALE floats out of the loop — every subtraction
+  is in units of the current iterate, and the subsequent
+  normalize+round step absorbs cross-engine reduction-order drift
+  BEFORE it can compound (Hotelling deflation would thread
+  λₖ ≈ O(‖G‖) scalars through the arithmetic, where a 9-decimal
+  round can no longer absorb a 1e-15 relative drift),
 * every singular vector lives as a DISTRIBUTED (node, x) relation;
   only r eigenvalue scalars ever reach the driver — node-count-sized
   state never leaves the cluster (unlike the logreg trainer's
@@ -71,6 +72,7 @@ def svd_topk(
     col_col: str = "context",
     value_col: str = "ppmi",
     round_dp: int = 9,
+    tune: bool = True,
 ) -> tuple[DataFrame, list[float]]:
     """Top-``rank`` right singular vectors of the sparse ``matrix``
     relation by projection-deflated power iteration on ``MᵀM``.
@@ -82,6 +84,14 @@ def svd_topk(
     the returned DataFrame's unpersist.
 
     Only ``rank`` scalars are collected; all vectors stay distributed.
+
+    ``tune`` runs the iteration under the engine's shared small-loop
+    conf (``_iterative_loop_conf``): below the 64M-row cut the
+    matvec/projection shuffles are sized to nnz(M) and AQE is
+    disabled — the per-round relations are nnz- and vocab-sized, so
+    default session partitioning pays pure scheduler overhead per
+    tiny job (the node2vec/VertexLoop rationale; a no-op above the
+    cut, where session settings are the right call).
     """
     if rank < 1:
         raise ValueError(f"svd_topk: rank must be >= 1, got {rank}")
@@ -113,75 +123,23 @@ def svd_topk(
             .select(F.col("c").alias("node"), "y")
         )
 
+    from contextlib import nullcontext
+
+    from pagerank_spark.graph.components import _iterative_loop_conf
+
+    spark = matrix.sparkSession
     comps: list[tuple[DataFrame, float]] = []
     try:
-        m.count()  # materialize the pin before the loop reuses it
+        nnz = m.count()  # materialize the pin before the loop reuses it
         nctx = m.select("c").distinct().count()
         if nctx == 0:
             raise ValueError("svd_topk: matrix has no positive entries")
         init = 1.0 / math.sqrt(float(nctx))
-        for comp in range(rank):
-            v = m.select(F.col("c").alias("node")).distinct().select(
-                "node", F.lit(init).alias("x")
+        ctx = _iterative_loop_conf(spark, nnz) if tune else nullcontext()
+        with ctx:
+            comps = _svd_loop(
+                m, rank, iterations, init, round_dp, big_matvec
             )
-            for _ in range(iterations):
-                y = big_matvec(v)
-                # project out the found subspace: y −= (vₖ·y) vₖ —
-                # one scalar relation + one node-sized join per k
-                for vk, _lam in comps:
-                    sk = y.join(
-                        vk.select("node", F.col("x").alias("xk")),
-                        on="node",
-                    ).agg(F.sum(F.col("y") * F.col("xk")).alias("s"))
-                    y = (
-                        y.join(
-                            vk.select("node", F.col("x").alias("xk")),
-                            on="node",
-                        )
-                        .crossJoin(F.broadcast(sk))
-                        .select(
-                            "node",
-                            (
-                                F.col("y") - F.col("s") * F.col("xk")
-                            ).alias("y"),
-                        )
-                    )
-                norm = y.agg(
-                    F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n")
-                )
-                # EAGER localCheckpoint, not persist: the iterate is
-                # re-referenced by every later step AND every later
-                # component's projection, so a growing logical plan
-                # would cost the analyzer exponentially (each step
-                # references y twice — norm + quotient). Checkpoint
-                # truncates the plan to a LogicalRDD; blocks are
-                # released by the context cleaner when the refs drop
-                # (the VertexLoop discipline, graph/loop.py).
-                v = (
-                    y.crossJoin(F.broadcast(norm))
-                    .select(
-                        "node",
-                        F.round(
-                            F.when(
-                                F.col("n") > 0, F.col("y") / F.col("n")
-                            ).otherwise(F.lit(0.0)),
-                            round_dp,
-                        ).alias("x"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-            # Rayleigh quotient with the FINAL v (already ⊥ previous
-            # components): λ = v·Gv = ‖Mv‖² — one scalar collect
-            t = (
-                m.join(v.select(F.col("node").alias("c"), "x"), on="c")
-                .groupBy("r")
-                .agg(F.sum(F.col("w") * F.col("x")).alias("t"))
-            )
-            lam = float(
-                t.agg(F.sum(F.col("t") * F.col("t"))).collect()[0][0]
-                or 0.0
-            )
-            comps.append((v, lam))
         out = None
         for ci, (vk, _lam) in enumerate(comps):
             part = vk.select(
@@ -195,6 +153,98 @@ def svd_topk(
         m.unpersist()
 
 
+def _svd_loop(m, rank, iterations, init, round_dp, big_matvec):
+    """The component loop proper — runs under svd_topk's loop conf.
+
+    Deflation is CLASSICAL Gram–Schmidt against the found factors
+    (all dots taken on the raw iterate, subtracted as one summed
+    adjustment). Mid-convergence iterates differ from the modified-GS
+    (sequential-residual) form at the ~1e-6 level — both are valid
+    projection deflations with the same fixed point, and the oracle
+    twin mirrors THIS arithmetic exactly — and it buys a FLAT
+    per-iteration job count: one scalar collect for all k dots + one
+    eager checkpoint, instead of one broadcast-exchange subtree per
+    previous component, each of which re-computed the matvec inside
+    the same job (3.0× interleaved at sf0.1, SVD_AB_r13.json). The
+    dot products and the norm are single floats (the audited
+    bounded-collect class, like the Rayleigh scalars); vectors never
+    reach the driver.
+    """
+    comps: list[tuple[DataFrame, float]] = []
+    spark = m.sparkSession
+    factors_u = None  # (node, x, comp) union of found factors
+    for _comp in range(rank):
+        v = m.select(F.col("c").alias("node")).distinct().select(
+            "node", F.lit(init).alias("x")
+        )
+        for _ in range(iterations):
+            y = big_matvec(v)
+            if factors_u is not None:
+                # all k dots in ONE pass over y (classical GS)
+                sks = (
+                    y.join(factors_u, on="node")
+                    .groupBy("comp")
+                    .agg(F.sum(F.col("y") * F.col("x")).alias("s"))
+                    .collect()
+                )
+                sdf = spark.createDataFrame(
+                    [(int(r["comp"]), float(r["s"])) for r in sks],
+                    "comp int, s double",
+                )
+                adj = (
+                    factors_u.join(F.broadcast(sdf), on="comp")
+                    .groupBy("node")
+                    .agg(F.sum(F.col("s") * F.col("x")).alias("a"))
+                )
+                y = y.join(adj, on="node").select(
+                    "node", (F.col("y") - F.col("a")).alias("y")
+                )
+            # ONE eager checkpoint per iteration: truncates the plan
+            # (the analyzer would otherwise pay exponentially for the
+            # doubly-referenced iterate) and is the only job that
+            # computes the full matvec+deflation chain
+            yc = y.localCheckpoint(eager=True)
+            norm = float(
+                yc.agg(
+                    F.sqrt(F.sum(F.col("y") * F.col("y")))
+                ).collect()[0][0]
+                or 0.0
+            )
+            if norm > 0:
+                vx = F.round(F.col("y") / F.lit(norm), round_dp)
+            else:
+                vx = F.lit(0.0)
+            # v is a constant-depth map over the checkpointed RDD —
+            # cheap to re-evaluate wherever it is referenced later
+            v = yc.select("node", vx.alias("x"))
+        comps.append(v)
+        part = v.select(
+            "node", F.lit(_comp).cast("int").alias("comp"), "x"
+        )
+        factors_u = (
+            part if factors_u is None else factors_u.unionByName(part)
+        )
+    # Rayleigh quotients for ALL components in ONE job (λₖ = ‖Mvₖ‖²
+    # with the final, mutually-orthogonal vₖ): per-(row, component)
+    # matvec then a rank-sized aggregation — rank scalars collected,
+    # rank-1 fewer jobs than a per-component collect
+    lam_rows = (
+        m.join(
+            factors_u.select(F.col("node").alias("c"), "x", "comp"),
+            on="c",
+        )
+        .groupBy("r", "comp")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("t"))
+        .groupBy("comp")
+        .agg(F.sum(F.col("t") * F.col("t")).alias("l"))
+        .collect()
+    )
+    lam_by_comp = {r["comp"]: float(r["l"] or 0.0) for r in lam_rows}
+    return [
+        (v, lam_by_comp.get(ci, 0.0)) for ci, v in enumerate(comps)
+    ]
+
+
 def ppmi_svd_embeddings(
     ppmi: DataFrame,
     rank: int = 3,
@@ -204,6 +254,7 @@ def ppmi_svd_embeddings(
     col_col: str = "context",
     value_col: str = "ppmi",
     round_dp: int = 9,
+    tune: bool = True,
 ) -> DataFrame:
     """Train node embeddings from a PPMI relation: factorize with
     :func:`svd_topk`, then emit the Levy–Goldberg ``U·Σ^½`` rows as a
@@ -220,15 +271,11 @@ def ppmi_svd_embeddings(
     ``array<double>`` form that ``ann_topk_bruteforce`` / ``ann_ivf``
     consume.
     """
-    v, lams = svd_topk(
-        ppmi,
-        rank=rank,
-        iterations=iterations,
-        row_col=row_col,
-        col_col=col_col,
-        value_col=value_col,
-        round_dp=round_dp,
-    )
+    # materialize the rounded sparse matrix ONCE: the factorization's
+    # internal scan and every per-component projection below read this
+    # cache instead of re-running the (possibly expensive) PPMI
+    # lineage a second time (pre-fix, the walk pipeline materialized
+    # twice — once per pin)
     m = (
         ppmi.select(
             F.col(row_col).alias("node"),
@@ -236,7 +283,18 @@ def ppmi_svd_embeddings(
             F.round(F.col(value_col).cast("double"), round_dp).alias("w"),
         )
         .where(F.col("w") > 0)
-        .persist()  # the union below scans m once per component
+        .persist()
+    )
+    m.count()
+    v, lams = svd_topk(
+        m,
+        rank=rank,
+        iterations=iterations,
+        row_col="node",
+        col_col="c",
+        value_col="w",
+        round_dp=round_dp,
+        tune=tune,
     )
     try:
         out = None

@@ -334,9 +334,22 @@ def unigram_segment_stats(
     n = F.length("word")
     pl = _lattice_arrays(F.col("edges"), n, L)
 
-    # dp over (prob, tokens) structs; dp[k] = best for prefix length k-1
+    # dp over (prob, tokens) structs; dp[k] = best for prefix length
+    # k-1. Candidate selection is a LEXICOGRAPHIC array_max over
+    # (p, −tokens, −l) structs — the same rule as the when-chain it
+    # replaced (greatest probability, then fewest tokens, then lowest
+    # piece length) and the exact shape of the q257 twin's list_sort.
+    # The chain form referenced the running `best` TWICE per candidate
+    # (comparison + otherwise), an expression tree exponential in L
+    # that cost Catalyst seconds of analysis per plan at L=6; this
+    # form is linear in L and value-identical (VITERBI_AB_r13.json).
     def step(acc, i):
-        best = None
+        sentinel = F.struct(
+            F.lit(-1.0).alias("cp"),
+            F.lit(0).alias("nt"),
+            F.lit(0).alias("nl"),
+        )
+        cands = []
         for l in range(1, L + 1):
             prev = F.element_at(acc, i - l + 1)
             cond = (
@@ -344,27 +357,29 @@ def unigram_segment_stats(
                 & (F.element_at(pl[l - 1], i - l + 1) > 0)
                 & (prev["p"] > 0)
             )
-            cand_p = prev["p"] * F.element_at(pl[l - 1], i - l + 1)
-            cand_t = prev["t"] + 1
-            if best is None:
-                best = F.when(
+            cands.append(
+                F.when(
                     cond,
-                    F.struct(cand_p.alias("p"), cand_t.alias("t")),
-                ).otherwise(
                     F.struct(
-                        F.lit(0.0).alias("p"), F.lit(0).alias("t")
-                    )
-                )
-            else:
-                better = cond & (
-                    (cand_p > best["p"])
-                    | ((cand_p == best["p"]) & (cand_t < best["t"]))
-                )
-                best = F.when(
-                    better,
-                    F.struct(cand_p.alias("p"), cand_t.alias("t")),
-                ).otherwise(best)
-        return F.concat(acc, F.array(best))
+                        (
+                            prev["p"]
+                            * F.element_at(pl[l - 1], i - l + 1)
+                        ).alias("cp"),
+                        (-(prev["t"] + 1)).alias("nt"),
+                        F.lit(-l).alias("nl"),
+                    ),
+                ).otherwise(sentinel)
+            )
+        best = F.array_max(F.array(*cands))
+        entry = F.when(
+            best["cp"] > 0,
+            F.struct(
+                best["cp"].alias("p"), (-best["nt"]).alias("t")
+            ),
+        ).otherwise(
+            F.struct(F.lit(0.0).alias("p"), F.lit(0).alias("t"))
+        )
+        return F.concat(acc, F.array(entry))
 
     dp = F.aggregate(
         F.sequence(F.lit(1), n),

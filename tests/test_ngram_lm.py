@@ -178,3 +178,41 @@ def test_kn_ranks_fluency(spark):
         or rows[i] < rows[i + 1_000_000]
     )
     assert better / len(fwd_ids) > 0.7, f"{better}/{len(fwd_ids)}"
+
+
+def test_kn_beats_unigram_on_order_auc(spark):
+    """Fluency separation through the q155 AUC machinery: label
+    fixture docs 1 (as-is) vs 0 (tokens reversed), score both with the
+    KN model and with q119's unigram mean logprob, both trained on the
+    forward corpus. The unigram scorer is ORDER-BLIND — a reversed doc
+    has the identical score, so its AUC is exactly 0.5 (all ties);
+    Kneser-Ney reads n-gram order and must separate cleanly."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.analytics import binary_auc
+    from pagerank_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    rev = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.trim("text"), r"\s+"))
+        ).alias("text"),
+    )
+    both = docs.unionByName(rev)
+    lab = F.when(F.col("doc_id") < 1_000_000, 1.0).otherwise(0.0)
+
+    kn = kn_perplexity(both, train_docs=docs).select(
+        "doc_id", (-F.col("ppl")).alias("score"), lab.alias("y")
+    )
+    auc_kn = binary_auc(kn, "y", "score").collect()[0]["auc"]
+
+    uni = unigram_logprob(both).select(
+        "doc_id", F.col("avg_logprob").alias("score"), lab.alias("y")
+    )
+    auc_uni = binary_auc(uni, "y", "score").collect()[0]["auc"]
+
+    assert auc_uni == pytest.approx(0.5, abs=0.02), auc_uni
+    assert auc_kn > 0.85, auc_kn
