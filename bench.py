@@ -355,6 +355,16 @@ def main() -> None:
         "q256_node2vec_walks",
         "q257_unigram_segment_stats",
         "q258_logreg_score_corpus",
+        # round-13 tier (no prior baseline — these SET it). q265 is
+        # deliberately NOT timed: it re-runs q259's entire SVD and
+        # adds only a cheap bounded cosine top-k, so benching it would
+        # double-count the round's heaviest entry for no new signal.
+        "q259_ppmi_svd_embeddings",
+        "q260_kn_lm_train",
+        "q261_kn_perplexity",
+        "q262_softmax_train",
+        "q263_softmax_language_id",
+        "q264_audio_neardup",
     ]
 
     timings: dict[str, float] = {}

@@ -96,21 +96,33 @@ def run_curate(spark, src: str, lab: str, out: str) -> dict:
     return report
 
 
-def main() -> None:
+def _run_scale(scale: str) -> None:
+    """One scale per process invocation: the full composed CLI run at
+    1M docs alone exceeds a 10-minute wall on this harness, so the
+    probe stages as `1x` → `2x` → `finalize` (partial reports in
+    /tmp), each within the cap."""
     from pagerank_spark.session import get_spark
 
-    spark = get_spark(app_name="curate-probe")
+    spark = get_spark(app_name=f"curate-probe-{scale}")
     spark.sparkContext.setLogLevel("ERROR")
-
     reps = max(1, BASE_DOCS // 500)
+    replication = reps if scale == "1x" else 2 * reps
+    src, lab = build_inputs(spark, replication, scale)
+    report = run_curate(spark, src, lab, f"/tmp/curate_probe_{scale}_out")
+    with open(f"/tmp/curate_probe_report_{scale}.json", "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report))
+    spark.stop()
+
+
+def main() -> None:
     out: dict = {}
     reports: dict[str, dict] = {}
-    for scale, replication in (("1x", reps), ("2x", 2 * reps)):
-        src, lab = build_inputs(spark, replication, scale)
-        report = run_curate(
-            spark, src, lab, f"/tmp/curate_probe_{scale}_out"
+    for scale in ("1x", "2x"):
+        reports[scale] = json.load(
+            open(f"/tmp/curate_probe_report_{scale}.json")
         )
-        reports[scale] = report
+        report = reports[scale]
         out[f"docs_{scale}"] = report["input_rows"]
         out[f"wall_{scale}_sec"] = report["wall_sec"]
         out[f"stage_sec_{scale}"] = report["stage_sec"]
@@ -156,8 +168,10 @@ def main() -> None:
                 f"/tmp/curate_probe_{scale}_{suffix}",
                 ignore_errors=True,
             )
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] in ("1x", "2x"):
+        _run_scale(sys.argv[1])
+    else:
+        main()

@@ -118,6 +118,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     report["stage_sec"] = stage_sec
     _stage_sec()  # reset the mark after the input count
 
+    # Pin each stage's output and release the previous pin: every
+    # stage ends in a materializing count anyway, so the persist is
+    # ~free — without it stage N re-computes stages 1..N-1's whole
+    # lineage (regex scrub, gate, classifier joins) and the pipeline
+    # cost goes O(stages × upstream) instead of O(corpus per stage)
+    # (measured 2.4x end-to-end at 100k docs, CURATE_PROBE.json).
+    _pin: list = []
+
+    def _swap_pin(df):
+        df = df.persist()
+        if _pin:
+            old = _pin.pop()
+            # materialize the new pin before releasing the old one so
+            # the swap never recomputes through a released cache
+            df.count()
+            old.unpersist()
+        _pin.append(df)
+        return df
+
     if not args.no_scrub:
         red = pii_redact(docs, text_col=text_col)
         report["pii_rows_touched"] = red.where(
@@ -126,14 +145,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # pii_redact emits f"{text_col}_redacted" — renaming the literal
         # "text_redacted" silently no-ops for any non-default --text-col
         # and breaks every downstream stage (r11 ADVICE).
-        docs = red.drop(text_col, "n_emails", "n_phones").withColumnRenamed(
-            f"{text_col}_redacted", text_col
+        docs = _swap_pin(
+            red.drop(text_col, "n_emails", "n_phones").withColumnRenamed(
+                f"{text_col}_redacted", text_col
+            )
         )
         stage_sec["scrub"] = _stage_sec()
 
     if not args.no_gate:
         gated = gopher_quality(docs, text_col=text_col)
-        docs = gated.where(F.col("passes_gopher")).select(docs.columns)
+        docs = _swap_pin(
+            gated.where(F.col("passes_gopher")).select(docs.columns)
+        )
         report["after_gate"] = docs.count()
         stage_sec["gate"] = _stage_sec()
 
@@ -154,7 +177,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         feats = hashed_token_features(
             docs, text_col=text_col, id_col=id_col,
             n_features=args.quality_features, normalize=True,
-        )
+        ).persist()  # scanned by training AND corpus-wide scoring
         model = logreg_train(
             feats.join(labels.select(id_col), on=id_col, how="left_semi"),
             labels.join(docs.select(id_col), on=id_col, how="left_semi"),
@@ -188,13 +211,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             .where(F.col("score") >= args.quality_threshold)
             .select(id_col)
         )
-        docs = docs.join(keep, on=id_col, how="left_semi")
+        docs = _swap_pin(docs.join(keep, on=id_col, how="left_semi"))
         report["after_quality_gate"] = docs.count()
+        feats.unpersist()
         report["quality_train_iterations"] = model.iterations
         stage_sec["quality"] = _stage_sec()
 
     if not args.no_dedup:
-        docs = exact_dedup(docs, [text_col], id_col)
+        docs = _swap_pin(exact_dedup(docs, [text_col], id_col))
         report["after_exact_dedup"] = docs.count()
         stage_sec["dedup"] = _stage_sec()
 
@@ -203,7 +227,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         keep = reps.where(
             F.col(id_col) == F.col("canonical_id")
         ).select(id_col)
-        docs = docs.join(keep, on=id_col, how="left_semi")
+        docs = _swap_pin(docs.join(keep, on=id_col, how="left_semi"))
         report["after_neardup"] = docs.count()
         stage_sec["neardup"] = _stage_sec()
 
@@ -236,6 +260,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     }
     docs.write.mode("overwrite").partitionBy("split").parquet(args.out)
     stage_sec["split_write"] = _stage_sec()
+    for df in _pin:
+        df.unpersist()
     report["output"] = args.out
     report["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(report))
