@@ -14047,7 +14047,7 @@ WITH ids AS (
 ),
 smp AS (
   SELECT i.media_id, s.i // 32 AS b,
-         (37 * s.i) % (2 * (256 * (1 +
+         (9973 * s.i) % (2 * (256 * (1 +
             CASE WHEN i.r > 0 AND s.i // 32 < i.r
                  THEN (11 * (i.g + 1) * (s.i // 32 + 1) + 64) % 128
                  ELSE (11 * (i.g + 1) * (s.i // 32 + 1)) % 128

@@ -48,6 +48,23 @@ W, H = 64, 48
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 
+
+def release_session_state(spark) -> None:
+    """Blocking release of every persistent RDD + caches + a GC kick
+    between measurements — the ORDER_PROBE/bench lesson: a finished
+    scale's resident blocks and old-gen garbage otherwise tax the NEXT
+    scale's synth/decode wall by multiples (phantom slope)."""
+    import gc
+
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist(True)
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
+
 def synth_noise_media(ids):
     """(media_id, grp, variant) → P6 payloads: per-group pseudo-random
     pixels via multiplicative hashing (high entropy — distinct groups
@@ -132,7 +149,7 @@ def synth_noise_audio(ids, n_samples=2048, n_blocks=64, flac=False):
                 amp = 256 * (1 + ((h >> np.uint64(33)) % np.uint64(128)).astype(np.int64))
                 if int(r) > 0:
                     amp = np.where(b < int(r), 256 * (1 + (amp // 256 - 1 + 64) % 128), amp)
-                wave = (37 * i) % (2 * amp) - amp
+                wave = (9973 * i) % (2 * amp) - amp
                 if flac:
                     payloads.append(encode_flac([int(s) for s in wave], rate, 16, 576))
                 else:
@@ -183,6 +200,7 @@ def audio_axis(spark, results, base_clips, flac=False, tag="audio_wav"):
         ).collect()[0]
         t_pairs = round(time.perf_counter() - t0, 2)
         hashes.unpersist()
+        release_session_state(spark)
 
         n_groups = n // 4
         results[f"{tag}_{scale}"] = {
@@ -206,19 +224,14 @@ def audio_axis(spark, results, base_clips, flac=False, tag="audio_wav"):
     return slope_fp, slope_pairs
 
 
-def main() -> None:
+def image_axis(spark, results):
     from pyspark.sql import functions as F
 
     from pagerank_spark.operators.multimodal import (
         ahash_image,
         hamming_near_dup_pairs,
     )
-    from pagerank_spark.session import get_spark
 
-    spark = get_spark(app_name="media-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    results: dict[str, dict] = {}
     for scale, n in (("1x", BASE_IMAGES), ("2x", 2 * BASE_IMAGES)):
         ids = spark.range(n).select(
             F.col("id").alias("media_id"),
@@ -249,6 +262,7 @@ def main() -> None:
         ).collect()[0]
         t_pairs = round(time.perf_counter() - t0, 2)
         hashes.unpersist()
+        release_session_state(spark)
 
         n_groups = n // 4
         results[scale] = {
@@ -264,23 +278,56 @@ def main() -> None:
         assert agg["same_group"] == agg["n_pairs"], results[scale]
         assert agg["groups_with_pair"] >= 0.9 * n_groups, results[scale]
 
-    hash_slope = round(
-        results["2x"]["decode_hash_sec"]
-        / max(0.01, results["1x"]["decode_hash_sec"]),
-        2,
+    return results
+
+
+def _run_axis(axis: str) -> None:
+    """One axis per process: measured back-to-back in one session, a
+    finished axis's residual JVM state (old-gen garbage from ~GB-scale
+    Arrow payload churn) taxed the NEXT axis's wall by up to 11x — the
+    ORDER_PROBE phantom-slope lesson at session scale. Stages:
+    `images` / `wav` / `flac`, then `finalize` merges /tmp partials."""
+    from pagerank_spark.session import get_spark
+
+    spark = get_spark(app_name=f"media-probe-{axis}")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    base_audio = int(
+        os.environ.get("SPARK_GRAFT_MEDIA_PROBE_CLIPS", 50_000)
     )
-    pair_slope = round(
-        results["2x"]["pair_join_sec"]
-        / max(0.01, results["1x"]["pair_join_sec"]),
-        2,
-    )
-    base_audio = int(os.environ.get("SPARK_GRAFT_MEDIA_PROBE_CLIPS", 50_000))
-    wav_fp_slope, wav_pair_slope = audio_axis(
-        spark, results, base_audio, flac=False, tag="audio_wav"
-    )
-    flac_fp_slope, flac_pair_slope = audio_axis(
-        spark, results, max(500, base_audio // 25), flac=True, tag="audio_flac"
-    )
+    if axis == "images":
+        image_axis(spark, results)
+    elif axis == "wav":
+        audio_axis(spark, results, base_audio, flac=False, tag="audio_wav")
+    elif axis == "flac":
+        audio_axis(
+            spark, results, max(500, base_audio // 25), flac=True,
+            tag="audio_flac",
+        )
+    with open(f"/tmp/media_probe_{axis}.json", "w") as f:
+        json.dump(results, f)
+    print(json.dumps(results))
+    spark.stop()
+
+
+def main() -> None:
+    results: dict[str, dict] = {}
+    for axis in ("images", "wav", "flac"):
+        results.update(json.load(open(f"/tmp/media_probe_{axis}.json")))
+
+    def slope(tag, field):
+        return round(
+            results[f"{tag}2x"][field]
+            / max(0.01, results[f"{tag}1x"][field]),
+            2,
+        )
+
+    hash_slope = slope("", "decode_hash_sec")
+    pair_slope = slope("", "pair_join_sec")
+    wav_fp_slope = slope("audio_wav_", "decode_fp_sec")
+    wav_pair_slope = slope("audio_wav_", "pair_join_sec")
+    flac_fp_slope = slope("audio_flac_", "decode_fp_sec")
+    flac_pair_slope = slope("audio_flac_", "pair_join_sec")
 
     out = {
         "metric": "media_probe_2x_slopes",
@@ -296,7 +343,6 @@ def main() -> None:
     print(line)
     with open(os.path.join(REPO, "MEDIA_PROBE.json"), "w") as f:
         f.write(line + "\n")
-    spark.stop()
     assert hash_slope < 3.0, f"superlinear decode+hash: {hash_slope}"
     assert pair_slope < 3.0, f"superlinear banded pair join: {pair_slope}"
     for name, s in (
@@ -307,4 +353,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] in ("images", "wav", "flac"):
+        _run_axis(sys.argv[1])
+    else:
+        main()

@@ -2417,7 +2417,15 @@ def synthesize_audio_variant_media(
         A(g, b) = 256 · (1 + (11·(g+1)·(b+1)) mod 128)   # amplitude
         if r > 0 and b < r:
             A(g, b) = 256 · (1 + (11·(g+1)·(b+1) + 64) mod 128)
-        sample_i = (37·i) mod (2·A) − A                   # sawtooth
+        sample_i = (9973·i) mod (2·A) − A                 # sawtooth
+
+    The 9973 step wraps the sawtooth ≥4× per 32-sample block at every
+    legal amplitude, so block energy tracks A²/3 — i.e. the AMPLITUDE
+    pattern, which is what makes groups differ wholesale. (A small
+    step leaves large-A blocks as near-constant segments whose energy
+    follows phase/position instead: band values then collapse onto a
+    few hot patterns and the banded join degenerates — measured as a
+    hot-key blowup in MEDIA_PROBE.json's first audio run.)
 
     — all-integer, so a SQL oracle integrates block energies in
     closed form without seeing a byte. EVEN ids ship as WAV, ODD ids
@@ -2451,7 +2459,7 @@ def synthesize_audio_variant_media(
                     amp = np.where(
                         b < int(r), 256 * (1 + (base + 64) % 128), amp
                     )
-                wave = (37 * i) % (2 * amp) - amp
+                wave = (9973 * i) % (2 * amp) - amp
                 if int(mid) % 2 == 0:
                     payloads.append(
                         header + wave.astype("<i2").tobytes()

@@ -999,8 +999,10 @@ def test_audio_blockprint_container_blind(spark):
     # A clip and its lossless FLAC re-encode must produce IDENTICAL
     # fingerprints: even ids ship WAV, odd ids FLAC, same (grp,
     # variant) waveform either way.
+    # group 4: variant 2 sits exactly 2 bits from the base (verified
+    # against the closed-form waveform in numpy)
     ids = spark.createDataFrame(
-        [(0, 5, 0), (1, 5, 0), (2, 5, 2), (3, 5, 2)],
+        [(0, 4, 0), (1, 4, 0), (2, 4, 2), (3, 4, 2)],
         "media_id LONG, grp LONG, variant LONG",
     )
     media = multimodal.synthesize_audio_variant_media(ids)
@@ -1017,7 +1019,7 @@ def test_audio_blockprint_container_blind(spark):
         bin(rows[0][f"b{j}"] ^ rows[2][f"b{j}"]).count("1")
         for j in range(4)
     )
-    assert 1 <= d <= 3
+    assert d == 2
 
 
 def test_audio_variant_media_plants_near_dup_groups(spark):
