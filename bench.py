@@ -93,7 +93,9 @@ HOST_BASELINE = {
     "q147_quantized_ann": 1.194,
     "q150_bpe_train": 1.814,
     "q159_random_walks": 1.35,
-    "q16_adjacency_lists": 0.666,
+    # q16/q39/q43: r12 drift adjudication confirmed by TAIL_AB_r13
+    # (5x interleaved at HEAD, quiet host) — seeds = min(old, measured)
+    "q16_adjacency_lists": 0.372,
     "q171_bm25_search": 0.712,
     "q175_fuzzy_pairs": 0.333,
     "q176_profile_columns": 0.867,
@@ -162,8 +164,8 @@ HOST_BASELINE = {
     "q28_ann_bruteforce": 0.897,
     "q30_tumbling_window": 0.311,
     "q35_sessionize": 0.527,
-    "q39_revenue_per_nation": 0.87,
-    "q43_asof_join": 0.551,
+    "q39_revenue_per_nation": 0.87,  # TAIL_AB_r13 min 0.952: old seed stands
+    "q43_asof_join": 0.367,
     "q49_tpch_q3": 0.671,
     "q52_shortest_paths": 2.753,
     "q56_ann_lsh": 2.315,
