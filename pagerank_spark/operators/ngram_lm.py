@@ -60,24 +60,34 @@ EOS = "</s>"
 def _trigram_instances(
     docs: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, w1, w2, w3) — one row per padded trigram position."""
+    """(id, w1, w2, w3) — one row per padded trigram position.
+
+    The padded token array is PROJECTED to a column before the
+    position transform: inlining it would re-evaluate the whole
+    split/filter/concat expression for every one of the 3·n
+    ``element_at`` accesses — O(len²) re-tokenization per doc, the
+    same expression-duplication class as the q257 Viterbi when-chain
+    (measured ~4× on q261 at sf0.1)."""
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
     padded = F.concat(
         F.array(F.lit(BOS), F.lit(BOS)), words, F.array(F.lit(EOS))
     )
+    arr = F.col("__arr")
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(padded) - 2),
+        F.sequence(F.lit(1), F.size(arr) - 2),
         lambda i: F.struct(
-            F.element_at(padded, i).alias("w1"),
-            F.element_at(padded, i + 1).alias("w2"),
-            F.element_at(padded, i + 2).alias("w3"),
+            F.element_at(arr, i).alias("w1"),
+            F.element_at(arr, i + 1).alias("w2"),
+            F.element_at(arr, i + 2).alias("w3"),
         ),
     )
-    return docs.select(
-        F.col(id_col), F.explode(tri).alias("t")
-    ).select(id_col, "t.w1", "t.w2", "t.w3")
+    return (
+        docs.select(F.col(id_col), padded.alias("__arr"))
+        .select(F.col(id_col), F.explode(tri).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
 
 
 def _kn_relations(tg: DataFrame):
