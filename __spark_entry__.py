@@ -13823,10 +13823,11 @@ _oracle("q257_unigram_segment_stats", _unigram_apply_sql(4))
 
 # q259 twin: the projection-deflated power iteration unrolled on the
 # q161 PPMI relation (9dp-rounded weights, positive entries only).
-# Per component per round: two sparse matvec CTEs, one chained
-# Gram-Schmidt subtraction per previous component (the dot recomputed
-# on the CURRENT residual — the exact Spark loop order), then the
-# normalize+ROUND(…,9) that absorbs reduction-order drift. Eigenvalues
+# Per component per round: two sparse matvec CTEs, then CLASSICAL
+# Gram-Schmidt deflation — every projection dot is computed on the
+# RAW iterate (not the running residual) and applied as one summed
+# adjustment, exactly matching `_svd_loop`'s one-pass scalar collect —
+# then the normalize+ROUND(…,9) that absorbs reduction-order drift. Eigenvalues
 # stay unrounded scalars — they only enter as the λ^(−¼) embedding
 # scale, invisible at the 6dp output round.
 def _svd_core_sql(rank: int, iters: int) -> str:
@@ -14189,9 +14190,18 @@ wf AS MATERIALIZED (
   SELECT w1.k, w1.fi, w1.w - 0.5 * g2.g AS w
   FROM w1 JOIN g2 ON w1.k = g2.k AND w1.fi = g2.fi
 ),
+-- predict-side design matrix: softmax_predict consumes FEATURES ONLY
+-- (classifier.py:501 builds bias rows from the feature relation's
+-- distinct doc ids, the q258 precedent), so the scoring universe here
+-- is x's docs, NOT documents — a zero-token doc must not appear.
+xp AS MATERIALIZED (
+  SELECT doc_id, fi, v FROM x
+  UNION ALL
+  SELECT DISTINCT doc_id, CAST(-1 AS BIGINT) AS fi, 1.0 AS v FROM x
+),
 z3 AS MATERIALIZED (
-  SELECT xb.doc_id, wf.k, SUM(xb.v * wf.w) AS z
-  FROM xb JOIN wf USING (fi) GROUP BY xb.doc_id, wf.k
+  SELECT xp.doc_id, wf.k, SUM(xp.v * wf.w) AS z
+  FROM xp JOIN wf USING (fi) GROUP BY xp.doc_id, wf.k
 ),
 zm3 AS (SELECT doc_id, MAX(z) AS zm FROM z3 GROUP BY doc_id),
 e3 AS MATERIALIZED (

@@ -128,12 +128,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     def _swap_pin(df):
         df = df.persist()
+        # Materialize unconditionally — ALSO on the first pin: a lazy
+        # first persist defers the scrub stage's real work into the
+        # next stage's count, so stage_sec['scrub'] would read ~0 and
+        # the gate slope in CURATE_PROBE would absorb scrub's cost
+        # (r13 ADVICE). Counting before unpersisting the old pin also
+        # keeps the swap from recomputing through a released cache.
+        df.count()
         if _pin:
-            old = _pin.pop()
-            # materialize the new pin before releasing the old one so
-            # the swap never recomputes through a released cache
-            df.count()
-            old.unpersist()
+            _pin.pop().unpersist()
         _pin.append(df)
         return df
 

@@ -1415,6 +1415,8 @@ def _decode_wav(buf: bytes):
         raise ValueError("missing fmt/data chunk")
     if bits != 16:
         raise ValueError("only 16-bit PCM supported")
+    if channels is None or channels < 1:
+        raise ValueError("WAV fmt chunk declares zero channels")
     samples = np.frombuffer(
         data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2"
     ).reshape(-1, channels)
@@ -2543,11 +2545,17 @@ def audio_blockprint(media: DataFrame, n_blocks: int = 64) -> DataFrame:
                 energy = np.zeros(n_blocks, dtype=np.int64)
                 np.add.at(energy, idx, sq)
                 lens = np.bincount(idx, minlength=n_blocks)
+                # The bit test energy[k]*n > total*lens[k] overflows
+                # int64 on realistic clips (full-scale stereo sums to
+                # |flat| <= 65536 -> sq ~ 4.3e9/sample; at ~480k
+                # samples energy*n ~ 1.5e19 > 2**63-1), so both sides
+                # are computed in arbitrary-precision Python ints —
+                # exact at any clip length, matching DuckDB's
+                # overflow-free HUGEINT twin arithmetic.
                 total = int(sq.sum())
-                bits = (energy * n) > (total * lens)
                 bands = [0, 0, 0, 0]
                 for k in range(n_blocks):
-                    if bits[k]:
+                    if int(energy[k]) * n > total * int(lens[k]):
                         bands[k // 16] |= 1 << (k % 16)
                 out["media_id"].append(mid)
                 out["format"].append(fmt)

@@ -336,3 +336,32 @@ def test_softmax_beats_charclass_heuristic(spark):
     assert acc_trained == 1.0
     assert acc_heur == 0.0  # marker-free corpus: all 'unknown'
     assert acc_trained > acc_heur
+
+
+def test_softmax_predict_scores_feature_docs_only(spark):
+    """softmax_predict's scoring universe is the FEATURE relation's
+    doc ids (bias rows built from features.distinct — the q258
+    'predict consumes features only' precedent): a doc with zero
+    feature rows (blank text upstream) must be ABSENT from the
+    output, not intercept-scored. Pins the contract the q263 oracle
+    twin's xp CTE mirrors (r13 ADVICE)."""
+    from pagerank_spark.operators.classifier import (
+        softmax_predict,
+        softmax_train,
+    )
+
+    rng = np.random.default_rng(5)
+    X = np.round(rng.normal(size=(12, 4)), 3)
+    y = rng.integers(0, 2, size=12)
+    labels = spark.createDataFrame(
+        [(i, f"c{v}") for i, v in enumerate(y)]
+        + [(99, "c0")],  # labeled but feature-less (blank doc)
+        "doc_id long, label string",
+    )
+    feats = _sparse_df(spark, X)  # doc_ids 0..11 only — no 99
+    model = softmax_train(feats, labels, rounds=3, lr=0.5)
+    got_ids = {
+        r["doc_id"] for r in softmax_predict(feats, model).collect()
+    }
+    assert got_ids == set(range(12))
+    assert 99 not in got_ids
