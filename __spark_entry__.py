@@ -5916,6 +5916,33 @@ def q265_trained_embedding_ann(
     return out.select("query_id", "nb_id", "cos", "rank")
 
 
+def q266_sgns_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram-with-negative-sampling training
+    (graph/embeddings.py sgns_train) — the LEARNED counterpart to the
+    q259 count-based factorization, run on the exact q160 pair and
+    q170 negative relations the engine already emits: 2 full-batch
+    rounds, dim=4, lr=0.5, k=2 negatives per pair occurrence
+    (collision draws dropped). All state stays distributed — U and V
+    are vocab×dim long-form relations updated by sparse joins over
+    the aggregated (center, word, label, mass) example relation,
+    which like the SVD trainer's nnz is bounded by DISTINCT pairs,
+    not walk-corpus volume. Output: both factor sides, tagged. The
+    twin unrolls the identical trajectory (hash init, simultaneous
+    update, 9dp per-round rounding) as a CTE chain."""
+    from pagerank_spark.graph.embeddings import sgns_train
+    from pagerank_spark.graph.walks import random_walks, skipgram_pairs
+
+    pairs = skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+    res = sgns_train(pairs, dim=4, rounds=2, lr=0.5, neg_k=2)
+    return res.u.select(
+        F.lit("u").alias("side"), "node", "dim", "value"
+    ).unionByName(
+        res.v.select(F.lit("v").alias("side"), "node", "dim", "value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -6189,6 +6216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q263_softmax_language_id": q263_softmax_language_id,
         "q264_audio_neardup": q264_audio_neardup,
         "q265_trained_embedding_ann": q265_trained_embedding_ann,
+        "q266_sgns_train": q266_sgns_train,
     }
 
 
@@ -13973,6 +14001,120 @@ ann_ranked AS (
 SELECT query_id, nb_id, cos, rank FROM ann_ranked WHERE rank <= 5
 """,
 )
+
+
+# q266 twin: the SGNS trajectory unrolled — the q170 negative-draw
+# CTEs feed an aggregated (c, w, label, mass) example relation, both
+# factor sides hash-init exactly like `_sgns_init` (all-integer mod
+# arithmetic over the same md5-60bit), then per round: one score CTE
+# (two sparse joins + per-example dot), the sigmoid residual, the two
+# mass-normalized gradient aggs reading the SAME residual and the OLD
+# opposite factor (simultaneous update), and the ROUND(…,9) step that
+# absorbs cross-engine reduction-order drift exactly as sgns_train's
+# per-round round does.
+def _sgns_sql(dim: int, rounds: int, lr: float) -> str:
+    parts = [
+        f""",
+marg AS (
+  SELECT context, SUM(cnt) AS c FROM pairs GROUP BY context
+),
+cdf AS (
+  SELECT context AS neg,
+         COALESCE(SUM(c) OVER (
+           ORDER BY context
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS lo,
+         COALESCE(SUM(c) OVER (
+           ORDER BY context
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + c AS hi
+  FROM marg
+),
+tot AS (SELECT SUM(c) AS t FROM marg),
+draws AS (
+  SELECT p.center, p.context, p.cnt, s.slot,
+         CAST('0x' || substr(md5(CAST(p.center AS VARCHAR) || '#'
+              || CAST(p.context AS VARCHAR) || '#n'
+              || CAST(s.slot AS VARCHAR)), 1, 15) AS BIGINT)
+           % (SELECT t FROM tot) AS u
+  FROM pairs p, UNNEST([0, 1]) AS s(slot)
+),
+ex AS MATERIALIZED (
+  SELECT c, w, label, SUM(m) AS m FROM (
+    SELECT center AS c, context AS w, 1.0 AS label,
+           CAST(cnt AS DOUBLE) AS m
+    FROM pairs
+    UNION ALL
+    SELECT d.center AS c, cd.neg AS w, 0.0 AS label,
+           CAST(d.cnt AS DOUBLE) AS m
+    FROM draws d JOIN cdf cd ON d.u >= cd.lo AND d.u < cd.hi
+    WHERE cd.neg <> d.context
+  ) GROUP BY c, w, label
+),
+exm AS (SELECT SUM(m) AS mm FROM ex),
+sdims AS (SELECT CAST(u.d AS INT) AS dim FROM UNNEST(range(0, {dim})) AS u(d)),
+u0 AS MATERIALIZED (
+  SELECT n.node, d.dim,
+         ((CAST('0x' || substr(md5('sgnsU=' || CAST(n.node AS VARCHAR)
+             || '/' || CAST(d.dim AS VARCHAR)), 1, 15) AS BIGINT)
+           % 2001) - 1000) / 10000.0 AS value
+  FROM (SELECT DISTINCT c AS node FROM ex) n, sdims d
+),
+v0 AS MATERIALIZED (
+  SELECT n.node, d.dim,
+         ((CAST('0x' || substr(md5('sgnsV=' || CAST(n.node AS VARCHAR)
+             || '/' || CAST(d.dim AS VARCHAR)), 1, 15) AS BIGINT)
+           % 2001) - 1000) / 10000.0 AS value
+  FROM (SELECT DISTINCT w AS node FROM ex) n, sdims d
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+sc{r} AS MATERIALIZED (
+  SELECT e.c, e.w, e.label, e.m, SUM(u.value * v.value) AS s
+  FROM ex e
+  JOIN u{r} u ON e.c = u.node
+  JOIN v{r} v ON e.w = v.node AND v.dim = u.dim
+  GROUP BY e.c, e.w, e.label, e.m
+),
+g{r} AS MATERIALIZED (
+  SELECT c, w, (1.0 / (1.0 + exp(-s)) - label) * m AS g FROM sc{r}
+),
+gu{r} AS MATERIALIZED (
+  SELECT g.c AS node, v.dim,
+         SUM(g.g * v.value) / (SELECT mm FROM exm) AS gr
+  FROM g{r} g JOIN v{r} v ON g.w = v.node GROUP BY g.c, v.dim
+),
+gv{r} AS MATERIALIZED (
+  SELECT g.w AS node, u.dim,
+         SUM(g.g * u.value) / (SELECT mm FROM exm) AS gr
+  FROM g{r} g JOIN u{r} u ON g.c = u.node GROUP BY g.w, u.dim
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.node, u.dim,
+         ROUND(u.value - {lr} * COALESCE(g.gr, 0.0), 9) AS value
+  FROM u{r} u LEFT JOIN gu{r} g
+    ON u.node = g.node AND u.dim = g.dim
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT v.node, v.dim,
+         ROUND(v.value - {lr} * COALESCE(g.gr, 0.0), 9) AS value
+  FROM v{r} v LEFT JOIN gv{r} g
+    ON v.node = g.node AND v.dim = g.dim
+)"""
+        )
+    parts.append(
+        f"""
+SELECT 'u' AS side, node, dim, value FROM u{rounds}
+UNION ALL
+SELECT 'v' AS side, node, dim, value FROM v{rounds}
+"""
+    )
+    return _skipgram_sql("".join(parts))
+
+
+_oracle("q266_sgns_train", _sgns_sql(4, 2, 0.5))
 
 
 # q260/q261 twins share the KN count CTEs: padded trigram instances

@@ -56,11 +56,18 @@ so neither lineage nor analyzer cost ever compounds.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["svd_topk", "ppmi_svd_embeddings", "embedding_vectors"]
+__all__ = [
+    "svd_topk",
+    "ppmi_svd_embeddings",
+    "embedding_vectors",
+    "sgns_train",
+    "SgnsResult",
+]
 
 
 def svd_topk(
@@ -351,3 +358,285 @@ def embedding_vectors(
             ),
         )
     )
+
+
+@dataclass
+class SgnsResult:
+    """Trained skip-gram-negative-sampling factors: ``u`` the input
+    (center) embeddings — the vectors word2vec ships — and ``v`` the
+    output (context) embeddings, both long-form ``(node, dim, value)``
+    relations persisted and DISTRIBUTED (vocabulary-scale state never
+    reaches the driver; only the example-mass scalar does). Caller
+    owns both unpersists."""
+
+    u: DataFrame
+    v: DataFrame
+    rounds: int
+    example_mass: float
+
+
+def _sgns_init(nodes: DataFrame, tag: str, dim: int) -> DataFrame:
+    """Deterministic hash init in [-0.1, 0.1]: value = ((hash60(tag ||
+    node || '/' || dim) mod 2001) - 1000) / 10000 — exact integer
+    arithmetic through the division of identical doubles, so any
+    engine reproduces every start value bit-for-bit (the q170
+    all-integer-sampling rationale applied to initialization)."""
+    from pagerank_spark.functions import portable_hash60
+
+    return nodes.select(
+        "node",
+        F.explode(
+            F.array(*[F.lit(j).cast("int") for j in range(dim)])
+        ).alias("dim"),
+    ).select(
+        "node",
+        "dim",
+        (
+            (
+                F.pmod(
+                    portable_hash60(
+                        F.concat(
+                            F.lit(tag),
+                            F.col("node").cast("string"),
+                            F.lit("/"),
+                            F.col("dim").cast("string"),
+                        )
+                    ),
+                    F.lit(2001),
+                ).cast("double")
+                - F.lit(1000.0)
+            )
+            / F.lit(10000.0)
+        ).alias("value"),
+    )
+
+
+def sgns_train(
+    pairs: DataFrame,
+    negatives: DataFrame | None = None,
+    *,
+    dim: int = 4,
+    rounds: int = 2,
+    lr: float = 0.5,
+    neg_k: int = 2,
+    round_dp: int = 9,
+    tune: bool = True,
+) -> SgnsResult:
+    """Skip-gram with negative sampling — the LEARNED counterpart to
+    the count-based :func:`ppmi_svd_embeddings` factorization (Levy &
+    Goldberg 2014 showed SGNS implicitly factorizes shifted PPMI;
+    this trains the explicit objective those q170 negatives exist
+    for). Full-batch gradient descent on::
+
+        L = Σ_(c,w,ℓ,m) m · [ ℓ·(−ln σ(u_c·v_w)) + (1−ℓ)·(−ln σ(−u_c·v_w)) ]
+        g(c,w)      = (σ(u_c·v_w) − ℓ) · m
+        ∂L/∂u_c[j]  = (1/M) Σ_w g(c,w) · v_w[j]      (M = Σ m)
+        ∂L/∂v_w[j]  = (1/M) Σ_c g(c,w) · u_c[j]      (simultaneous)
+
+    ``pairs``: the q160 ``(center, context, cnt)`` relation;
+    ``negatives``: the q170 draw relation (built here with ``neg_k``
+    when omitted). Collision draws (negative == true context) are
+    DROPPED — they would put the same (c, w) cell on both sides of
+    the objective. Examples aggregate to one ``(c, w, label, m)``
+    relation bounded by distinct (center, word) pairs — like the SVD
+    trainer's nnz, INDEPENDENT of how many raw walk windows produced
+    a pair, so the per-round join inputs don't grow with the walk
+    corpus.
+
+    Plan shape (the q259 discipline, adapted to two factor sides):
+    all state is distributed — U and V are vocab×dim long-form
+    relations, only the example-mass scalar M is collected. Per round
+    THREE jobs: (1) scores+residuals — two sparse equi-joins of the
+    cached example relation against U and V and one partial-combined
+    agg, eagerly checkpointed because BOTH gradients read it; (2)/(3)
+    each gradient — one sparse join + one partial-combined agg +
+    a left-join update, ROUND(round_dp)-ed and checkpointed so
+    neither lineage nor cross-engine reduction-order drift (~1e-15)
+    ever compounds across rounds. Every checkpoint here is
+    :func:`~pagerank_spark.graph.loop.checkpoint_reset_stats`, NOT a
+    plain localCheckpoint: because U and V are two EVOLVING relations
+    that join each other (unlike the PageRank/SVD loops, whose state
+    joins a static edge relation), the size-only join estimator's
+    product rule compounds the preserved ``sizeInBytes`` so its digit
+    count doubles per round — measured ×3–4 planner wall PER ROUND
+    from ~round 11 (BigInteger Karatsuba on the driver) before the
+    reset was added. With it, round cost is flat in round count. An
+    unrolled DuckDB CTE chain reproduces the exact trajectory (the
+    q266 twin).
+
+    Reference tie: SURVEY §7.4's similarity north star; the reference
+    corpus emits walk training data but never trains on it.
+    """
+    if dim < 1:
+        raise ValueError(f"sgns_train: dim must be >= 1, got {dim}")
+    if rounds < 1:
+        raise ValueError(
+            f"sgns_train: rounds must be >= 1, got {rounds}"
+        )
+    if negatives is None:
+        from pagerank_spark.graph.walks import negative_samples
+
+        negatives = negative_samples(pairs, k=neg_k)
+
+    p = pairs.select(
+        F.col("center").alias("c"),
+        F.col("context").alias("w"),
+        F.col("cnt").cast("double").alias("m"),
+    )
+    # negatives carry the pair's multiplicity: k draws per OCCURRENCE
+    # (word2vec semantics), so each draw row weighs the pair's cnt
+    neg = (
+        negatives.where(~F.col("is_collision"))
+        .select("center", "context", "negative")
+        .join(
+            pairs.select("center", "context", "cnt"),
+            on=["center", "context"],
+        )
+        .select(
+            F.col("center").alias("c"),
+            F.col("negative").alias("w"),
+            F.col("cnt").cast("double").alias("m"),
+        )
+    )
+    ex = (
+        p.withColumn("label", F.lit(1.0))
+        .unionByName(neg.withColumn("label", F.lit(0.0)))
+        .groupBy("c", "w", "label")
+        .agg(F.sum("m").alias("m"))
+        .persist()
+    )
+
+    from contextlib import nullcontext
+
+    from pagerank_spark.graph.components import _iterative_loop_conf
+    from pagerank_spark.graph.loop import checkpoint_reset_stats
+
+    spark = pairs.sparkSession
+    try:
+        n_ex = ex.count()  # materialize the pin
+        if n_ex == 0:
+            raise ValueError("sgns_train: no training examples")
+        mass = float(ex.agg(F.sum("m")).collect()[0][0])
+        ctx = (
+            _iterative_loop_conf(spark, n_ex * dim)
+            if tune
+            else nullcontext()
+        )
+        with ctx:
+            u = _sgns_init(
+                ex.select(F.col("c").alias("node")).distinct(),
+                "sgnsU=",
+                dim,
+            ).transform(checkpoint_reset_stats)
+            v = _sgns_init(
+                ex.select(F.col("w").alias("node")).distinct(),
+                "sgnsV=",
+                dim,
+            ).transform(checkpoint_reset_stats)
+            for _ in range(rounds):
+                s = (
+                    ex.join(
+                        u.select(
+                            F.col("node").alias("c"),
+                            "dim",
+                            F.col("value").alias("__u"),
+                        ),
+                        on="c",
+                    )
+                    .join(
+                        v.select(
+                            F.col("node").alias("w"),
+                            "dim",
+                            F.col("value").alias("__v"),
+                        ),
+                        on=["w", "dim"],
+                    )
+                    .groupBy("c", "w", "label", "m")
+                    .agg(F.sum(F.col("__u") * F.col("__v")).alias("s"))
+                )
+                # residuals feed BOTH gradients — one eager checkpoint
+                # so the score chain is computed once and the plan
+                # truncates (the _svd_loop yc discipline)
+                g = s.select(
+                    "c",
+                    "w",
+                    (
+                        (
+                            F.lit(1.0)
+                            / (F.lit(1.0) + F.exp(-F.col("s")))
+                            - F.col("label")
+                        )
+                        * F.col("m")
+                    ).alias("g"),
+                ).transform(checkpoint_reset_stats)
+                grad_u = (
+                    g.join(
+                        v.select(
+                            F.col("node").alias("w"),
+                            "dim",
+                            F.col("value").alias("__v"),
+                        ),
+                        on="w",
+                    )
+                    .groupBy("c", "dim")
+                    .agg(
+                        (
+                            F.sum(F.col("g") * F.col("__v"))
+                            / F.lit(mass)
+                        ).alias("__gr")
+                    )
+                    .select(F.col("c").alias("node"), "dim", "__gr")
+                )
+                grad_v = (
+                    g.join(
+                        u.select(
+                            F.col("node").alias("c"),
+                            "dim",
+                            F.col("value").alias("__u"),
+                        ),
+                        on="c",
+                    )
+                    .groupBy("w", "dim")
+                    .agg(
+                        (
+                            F.sum(F.col("g") * F.col("__u"))
+                            / F.lit(mass)
+                        ).alias("__gr")
+                    )
+                    .select(F.col("w").alias("node"), "dim", "__gr")
+                )
+                # simultaneous update: grad_v reads the OLD u (both
+                # gradients hang off the same checkpointed residuals)
+                u = (
+                    u.join(grad_u, on=["node", "dim"], how="left")
+                    .select(
+                        "node",
+                        "dim",
+                        F.round(
+                            F.col("value")
+                            - F.lit(lr)
+                            * F.coalesce(F.col("__gr"), F.lit(0.0)),
+                            round_dp,
+                        ).alias("value"),
+                    )
+                    .transform(checkpoint_reset_stats)
+                )
+                v = (
+                    v.join(grad_v, on=["node", "dim"], how="left")
+                    .select(
+                        "node",
+                        "dim",
+                        F.round(
+                            F.col("value")
+                            - F.lit(lr)
+                            * F.coalesce(F.col("__gr"), F.lit(0.0)),
+                            round_dp,
+                        ).alias("value"),
+                    )
+                    .transform(checkpoint_reset_stats)
+                )
+        return SgnsResult(
+            u=u, v=v, rounds=rounds, example_mass=mass
+        )
+    finally:
+        ex.unpersist()

@@ -42,6 +42,42 @@ from pyspark.sql import Column, DataFrame, Row
 from pyspark.storagelevel import StorageLevel
 
 
+def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also RESETS Catalyst size statistics.
+
+    ``Dataset.checkpoint`` preserves the pre-checkpoint plan's
+    ``sizeInBytes`` on the resulting ``LogicalRDD`` (``originStats``),
+    and the size-only estimator models every inner join as the
+    PRODUCT of its children's BigInt sizes. In a loop where two
+    EVOLVING relations join each other (the SGNS trainer's U and V —
+    unlike PageRank/HITS/SVD, whose state only ever joins a static
+    edge relation), the preserved estimate therefore compounds
+    multiplicatively: its DIGIT count doubles-or-worse per round, and
+    from ~round 11 the planner spends its time in BigInteger
+    Karatsuba multiplications — measured ×3–4 wall growth PER ROUND
+    on a 30-row fixture, 215 s for round 14 (driver-side, so a real
+    cluster hits it identically). Re-wrapping the checkpointed
+    InternalRow RDD in a fresh ``LogicalRDD`` WITHOUT origin stats
+    caps every subsequent estimate at the constant
+    ``defaultSizeInBytes``, making planner cost flat in round count;
+    the data, schema, and truncated lineage are untouched.
+
+    Falls back to the plain eager checkpoint if the private
+    ``internalCreateDataFrame`` bridge is unavailable (cost: the
+    compounding above — correctness is unaffected).
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        qe = jdf.queryExecution()
+        fresh = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            qe.toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, ck.sparkSession)
+    except Exception:  # pragma: no cover - version-drift fallback
+        return ck
+
+
 class VertexLoop:
     """Lifecycle manager for one iterative vertex-state loop.
 

@@ -152,3 +152,206 @@ def test_embedding_vectors_feed_ann(spark):
         assert out.count() == 3
     finally:
         emb.unpersist()
+
+
+def _hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _sgns_init_np(nodes, tag, dim):
+    return {
+        (n, j): ((_hash60(f"{tag}{n}/{j}") % 2001) - 1000) / 10000.0
+        for n in nodes
+        for j in range(dim)
+    }
+
+
+def _numpy_sgns(examples, dim, rounds, lr):
+    """Trusted full-batch SGNS reference: same hash init, same
+    simultaneous update, same per-round 9dp rounding discipline."""
+    cs = sorted({c for c, _, _, _ in examples})
+    ws = sorted({w for _, w, _, _ in examples})
+    u = _sgns_init_np(cs, "sgnsU=", dim)
+    v = _sgns_init_np(ws, "sgnsV=", dim)
+    mass = sum(m for *_, m in examples)
+    for _ in range(rounds):
+        gu = {k: 0.0 for k in u}
+        gv = {k: 0.0 for k in v}
+        for c, w, label, m in examples:
+            s = sum(u[(c, j)] * v[(w, j)] for j in range(dim))
+            g = (1.0 / (1.0 + math.exp(-s)) - label) * m
+            for j in range(dim):
+                gu[(c, j)] += g * v[(w, j)]
+                gv[(w, j)] += g * u[(c, j)]
+        u = {
+            k: round(u[k] - lr * gu[k] / mass, 9) for k in u
+        }
+        v = {
+            k: round(v[k] - lr * gv[k] / mass, 9) for k in v
+        }
+    return u, v
+
+
+def test_sgns_train_matches_numpy(spark):
+    """3 full-batch rounds on a hand-built pair+negative relation must
+    reproduce the pure-Python reference trajectory exactly at the 9dp
+    per-round rounding (collision draws dropped, negatives weighted by
+    the pair's cnt, simultaneous update)."""
+    from pagerank_spark.graph.embeddings import sgns_train
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 4), (2, 1, 1)],
+        "center long, context long, cnt long",
+    )
+    negs = spark.createDataFrame(
+        [
+            (1, 2, 0, 3, False),
+            (1, 2, 1, 2, True),   # collision: dropped
+            (1, 3, 0, 1, False),
+            (2, 3, 0, 1, False),
+            (3, 1, 0, 2, False),
+            (3, 1, 1, 3, False),
+            (2, 1, 0, 1, True),   # collision: dropped
+        ],
+        "center long, context long, slot int, negative long,"
+        " is_collision boolean",
+    )
+    res = sgns_train(pairs, negs, dim=3, rounds=3, lr=0.5)
+    try:
+        got_u = {
+            (r["node"], r["dim"]): r["value"] for r in res.u.collect()
+        }
+        got_v = {
+            (r["node"], r["dim"]): r["value"] for r in res.v.collect()
+        }
+    finally:
+        pass  # localCheckpoint state, nothing to unpersist
+
+    # the aggregated example relation the operator trains on
+    raw = [
+        (1, 2, 1.0, 3.0), (1, 3, 1.0, 1.0), (2, 3, 1.0, 2.0),
+        (3, 1, 1.0, 4.0), (2, 1, 1.0, 1.0),
+        # non-collision negatives, weighted by the pair's cnt
+        (1, 3, 0.0, 3.0),   # from pair (1,2) cnt=3
+        (1, 1, 0.0, 1.0),   # from pair (1,3) cnt=1
+        (2, 1, 0.0, 2.0),   # from pair (2,3) cnt=2
+        (3, 2, 0.0, 4.0),   # from pair (3,1) slot0 cnt=4
+        (3, 3, 0.0, 4.0),   # from pair (3,1) slot1 cnt=4
+    ]
+    agg = {}
+    for c, w, label, m in raw:
+        agg[(c, w, label)] = agg.get((c, w, label), 0.0) + m
+    examples = [(c, w, lab, m) for (c, w, lab), m in agg.items()]
+    ref_u, ref_v = _numpy_sgns(examples, dim=3, rounds=3, lr=0.5)
+    assert set(got_u) == set(ref_u) and set(got_v) == set(ref_v)
+    for k in ref_u:
+        assert got_u[k] == pytest.approx(ref_u[k], abs=2e-9), k
+    for k in ref_v:
+        assert got_v[k] == pytest.approx(ref_v[k], abs=2e-9), k
+    assert res.example_mass == pytest.approx(sum(m for *_, m in examples))
+
+
+def test_sgns_pulls_positives_above_negatives(spark):
+    """Training signal sanity on a bipartite-ish corpus: after enough
+    rounds, mean sigmoid(u·v) over positive cells must exceed the mean
+    over sampled negative cells — the objective is actually descending."""
+    from pagerank_spark.graph.embeddings import sgns_train
+    from pagerank_spark.graph.walks import negative_samples
+
+    rows = []
+    for a in range(8):
+        for b in range(8, 12):
+            if (a + b) % 3 != 0:
+                rows.append((a, b, 1 + (a * b) % 4))
+    pairs = spark.createDataFrame(
+        rows, "center long, context long, cnt long"
+    )
+    negs = negative_samples(pairs, k=2)
+    # lr/rounds sized offline against the pure-Python reference:
+    # (10, 20) reaches pos≈0.63 vs neg≈0.38; lr=50 diverges
+    res = sgns_train(pairs, negs, dim=4, rounds=20, lr=10.0)
+    u = {
+        (r["node"], r["dim"]): r["value"] for r in res.u.collect()
+    }
+    v = {
+        (r["node"], r["dim"]): r["value"] for r in res.v.collect()
+    }
+
+    def sig(c, w):
+        s = sum(u[(c, j)] * v[(w, j)] for j in range(4))
+        return 1.0 / (1.0 + math.exp(-s))
+
+    pos = [sig(c, w) for c, w, _ in rows]
+    neg_rows = [
+        (r["center"], r["negative"])
+        for r in negs.where(~F.col("is_collision")).collect()
+    ]
+    neg = [sig(c, w) for c, w in neg_rows]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.1
+
+
+def test_sgns_validation(spark):
+    from pagerank_spark.graph.embeddings import sgns_train
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1)], "center long, context long, cnt long"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        sgns_train(pairs, dim=0)
+    with pytest.raises(ValueError, match="rounds"):
+        sgns_train(pairs, rounds=0)
+
+
+def test_checkpoint_reset_stats_caps_join_size_estimate(spark):
+    """Regression pin for the SGNS round-cost blowup: a plain eager
+    localCheckpoint preserves the pre-checkpoint plan's sizeInBytes
+    (originStats), and the size-only estimator multiplies child sizes
+    through every join — so in a loop where two evolving relations
+    join each other the estimate's DIGIT count doubles per round and
+    the planner drowns in BigInteger arithmetic (~round 11, x3-4 wall
+    per round measured). checkpoint_reset_stats must return the same
+    rows/schema but with the estimate RESET to a round-independent
+    constant."""
+    from pagerank_spark.graph.loop import checkpoint_reset_stats
+
+    a = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "node long, value double"
+    )
+    b = spark.createDataFrame(
+        [(1, 3.0), (2, 4.0)], "node long, value double"
+    )
+
+    def size_of(df):
+        return int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        )
+
+    # two join rounds through plain checkpoints: estimate compounds
+    plain = a.localCheckpoint(eager=True)
+    reset = checkpoint_reset_stats(a)
+    for _ in range(2):
+        nxt = plain.join(
+            b.withColumnRenamed("value", "v2"), on="node"
+        ).select("node", (F.col("value") * F.col("v2")).alias("value"))
+        plain = nxt.localCheckpoint(eager=True)
+        nxt_r = reset.join(
+            b.withColumnRenamed("value", "v2"), on="node"
+        ).select("node", (F.col("value") * F.col("v2")).alias("value"))
+        reset = checkpoint_reset_stats(nxt_r)
+
+    cap = size_of(reset)
+    assert size_of(plain) > cap  # plain compounds past the reset cap
+    # reset stays at the round-independent default for one more round
+    more = checkpoint_reset_stats(
+        reset.join(
+            b.withColumnRenamed("value", "v2"), on="node"
+        ).select("node", (F.col("value") * F.col("v2")).alias("value"))
+    )
+    assert size_of(more) == cap
+    # and the data itself is untouched
+    assert sorted(r["value"] for r in reset.collect()) == [9.0, 32.0]
