@@ -5943,6 +5943,61 @@ def q266_sgns_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q267_trained_ivf_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-CORRECT serving path for trained embeddings: q265
+    proves walks → PPMI-SVD → similarity by brute force; this runs the
+    same trained vectors through the PERSISTED IVF lifecycle
+    (operators/similarity.py build_ivf_index / ann_ivf_persisted —
+    the q234 build-once/query-many path): 9dp-rounded trained vectors
+    → seeded refine-free codebook + cid-partitioned inverted lists on
+    disk → top-5 probes that directory-prune to n_probe=3 of 16
+    lists. The 9dp round on the embedding VALUES (both engines)
+    makes every array element bit-identical before the IVF algebra,
+    so centroid assignment — an UNROUNDED affinity argmax — cannot
+    flip on cross-engine reduction-order drift (the q257 round-the-
+    input rule). Twin: the q259 SVD core pivoted to arrays feeding
+    the q36/q73/q234 seeded-IVF SQL algebra."""
+    from pagerank_spark.graph.embeddings import (
+        embedding_vectors,
+        ppmi_svd_embeddings,
+    )
+    from pagerank_spark.graph.walks import (
+        ppmi_matrix,
+        random_walks,
+        skipgram_pairs,
+    )
+    from pagerank_spark.operators.similarity import (
+        ann_ivf_persisted,
+        build_ivf_index,
+        index_scratch_root,
+        remove_index,
+    )
+
+    pairs = skipgram_pairs(
+        random_walks(_edges(spark, sf_dir), steps=4), window=2
+    )
+    emb = ppmi_svd_embeddings(ppmi_matrix(pairs), rank=3, iterations=2)
+    vecs = embedding_vectors(
+        emb.select("node", "dim", F.round("value", 9).alias("value"))
+    ).withColumnRenamed("node", "vec_id")
+    root = index_scratch_root(spark, prefix="psq267_")
+    try:
+        build_ivf_index(vecs, root, n_centroids=16, refine=0)
+        return ann_ivf_persisted(
+            spark, root, vecs.where(F.col("vec_id") % 512 == 0),
+            k=5, n_probe=3,
+        ).select(
+            "query_id",
+            "nb_id",
+            "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    finally:
+        remove_index(spark, root)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -6217,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_audio_neardup": q264_audio_neardup,
         "q265_trained_embedding_ann": q265_trained_embedding_ann,
         "q266_sgns_train": q266_sgns_train,
+        "q267_trained_ivf_serving": q267_trained_ivf_serving,
     }
 
 
@@ -14115,6 +14171,63 @@ SELECT 'v' AS side, node, dim, value FROM v{rounds}
 
 
 _oracle("q266_sgns_train", _sgns_sql(4, 2, 0.5))
+
+
+# q267 twin: the q259 SVD core pivoted to 9dp-rounded arrays, feeding
+# the q36/q73/q234 seeded-IVF algebra (first-16-by-id codebook,
+# unrounded-affinity assignment — safe because the 9dp input round
+# makes both engines' arrays bit-identical — probed top-3 lists,
+# 6dp-rounded cosine ranking, id-asc ties).
+_oracle(
+    "q267_trained_ivf_serving",
+    _svd_core_sql(3, 2)
+    + """,
+tvecs AS MATERIALIZED (
+  SELECT node AS id, list(ROUND(value, 9) ORDER BY dim) AS v
+  FROM emb GROUP BY node
+),
+tcb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid,
+         v AS cvec
+  FROM tvecs ORDER BY id LIMIT 16
+),
+taff AS (
+  SELECT e.id, c.cid,
+         list_dot_product(e.v, c.cvec)
+           / sqrt(list_dot_product(c.cvec, c.cvec)) AS affinity
+  FROM tvecs e CROSS JOIN tcb c
+),
+tranked AS (
+  SELECT id, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY id ORDER BY affinity DESC, cid ASC
+         ) AS r
+  FROM taff
+),
+tc_assign AS (SELECT id AS nb_id, cid FROM tranked WHERE r = 1),
+tq_assign AS (
+  SELECT id AS query_id, cid
+  FROM tranked WHERE r <= 3 AND id % 512 = 0
+),
+tscored AS (
+  SELECT q.query_id, c.nb_id,
+         ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+  FROM tq_assign q
+  JOIN tc_assign c ON q.cid = c.cid
+  JOIN tvecs eq ON q.query_id = eq.id
+  JOIN tvecs ec ON c.nb_id = ec.id
+  WHERE q.query_id <> c.nb_id
+),
+ttopk AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS BIGINT) AS rank
+  FROM tscored
+)
+SELECT query_id, nb_id, cos, rank FROM ttopk WHERE rank <= 5
+""",
+)
 
 
 # q260/q261 twins share the KN count CTEs: padded trigram instances

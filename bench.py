@@ -367,6 +367,11 @@ def main() -> None:
         "q262_softmax_train",
         "q263_softmax_language_id",
         "q264_audio_neardup",
+        # round-14 tier (no prior baseline — this SETS it). q267 is
+        # deliberately NOT timed for the q265 reason: it re-runs
+        # q259's entire SVD and adds only the q234-shaped index
+        # build/serve on the trained vectors.
+        "q266_sgns_train",
     ]
 
     timings: dict[str, float] = {}

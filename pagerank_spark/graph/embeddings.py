@@ -373,6 +373,7 @@ class SgnsResult:
     v: DataFrame
     rounds: int
     example_mass: float
+    lr: float = 0.0  # effective step size (resolved from lr=None)
 
 
 def _sgns_init(nodes: DataFrame, tag: str, dim: int) -> DataFrame:
@@ -417,7 +418,7 @@ def sgns_train(
     *,
     dim: int = 4,
     rounds: int = 2,
-    lr: float = 0.5,
+    lr: float | None = None,
     neg_k: int = 2,
     round_dp: int = 9,
     tune: bool = True,
@@ -442,6 +443,17 @@ def sgns_train(
     trainer's nnz, INDEPENDENT of how many raw walk windows produced
     a pair, so the per-round join inputs don't grow with the walk
     corpus.
+
+    ``lr`` is the step size against the MEAN loss, so a fixed value
+    must scale with the example mass M to produce O(1) parameter
+    steps — a constant lr that trains a 60-example toy is inert on a
+    60k-mass corpus (every update is lr·Σg·v/M). ``lr=None``
+    (default) uses the measured-stable ``0.1 · M`` heuristic
+    (calibration sweep at sf0.01: 0.09·M separates at 10 rounds,
+    0.35·M diverges; ``trained_ann_probe.py`` re-measures auto-lr
+    separation vs the inert fixed toy lr every run and asserts it),
+    so library callers train by default at any corpus size; oracle
+    twins pass an explicit lr to pin the trajectory.
 
     Plan shape (the q259 discipline, adapted to two factor sides):
     all state is distributed — U and V are vocab×dim long-form
@@ -517,6 +529,8 @@ def sgns_train(
         if n_ex == 0:
             raise ValueError("sgns_train: no training examples")
         mass = float(ex.agg(F.sum("m")).collect()[0][0])
+        if lr is None:
+            lr = 0.1 * mass  # O(1) steps against the mean loss
         ctx = (
             _iterative_loop_conf(spark, n_ex * dim)
             if tune
@@ -636,7 +650,7 @@ def sgns_train(
                     .transform(checkpoint_reset_stats)
                 )
         return SgnsResult(
-            u=u, v=v, rounds=rounds, example_mass=mass
+            u=u, v=v, rounds=rounds, example_mass=mass, lr=lr
         )
     finally:
         ex.unpersist()
