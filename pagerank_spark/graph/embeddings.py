@@ -75,6 +75,8 @@ def svd_topk(
     rank: int = 3,
     iterations: int = 2,
     *,
+    delta: float | None = None,
+    iterations_out: list[int] | None = None,
     row_col: str = "center",
     col_col: str = "context",
     value_col: str = "ppmi",
@@ -89,6 +91,22 @@ def svd_topk(
     ``round_dp``), ``lams`` the eigenvalue estimates of ``MᵀM``
     (= squared singular values, unrounded driver floats). Caller owns
     the returned DataFrame's unpersist.
+
+    ``delta`` switches fixed-round iteration to δ-stopping — the
+    PageRank/HITS convergence discipline: after each normalize+round
+    step, ONE extra scalar job takes the L1 distance between
+    successive iterates (a key-aligned join + sum — the audited
+    bounded-collect class) and the component stops when it is
+    ≤ ``delta``; ``iterations`` then acts as the per-component CAP. A
+    stopped trajectory is bit-identical to the fixed-round trajectory
+    of the same length (the check reads the already-checkpointed
+    iterate; pytest-pinned), so the oracle twins — which unroll fixed
+    rounds — remain exact for ``delta=None`` and library users get
+    convergence control. Because iterates are rounded to ``round_dp``
+    each step, ``delta=0.0`` is a natural fixed-point stop: two
+    consecutive 9dp-identical iterates end the component.
+    ``iterations_out``, if given a list, receives the rounds actually
+    run per component.
 
     Only ``rank`` scalars are collected; all vectors stay distributed.
 
@@ -145,7 +163,8 @@ def svd_topk(
         ctx = _iterative_loop_conf(spark, nnz) if tune else nullcontext()
         with ctx:
             comps = _svd_loop(
-                m, rank, iterations, init, round_dp, big_matvec
+                m, rank, iterations, init, round_dp, big_matvec,
+                delta=delta, iterations_out=iterations_out,
             )
         out = None
         for ci, (vk, _lam) in enumerate(comps):
@@ -160,7 +179,10 @@ def svd_topk(
         m.unpersist()
 
 
-def _svd_loop(m, rank, iterations, init, round_dp, big_matvec):
+def _svd_loop(
+    m, rank, iterations, init, round_dp, big_matvec,
+    delta=None, iterations_out=None,
+):
     """The component loop proper — runs under svd_topk's loop conf.
 
     Deflation is CLASSICAL Gram–Schmidt against the found factors
@@ -184,6 +206,7 @@ def _svd_loop(m, rank, iterations, init, round_dp, big_matvec):
         v = m.select(F.col("c").alias("node")).distinct().select(
             "node", F.lit(init).alias("x")
         )
+        rounds_run = 0
         for _ in range(iterations):
             y = big_matvec(v)
             if factors_u is not None:
@@ -223,7 +246,37 @@ def _svd_loop(m, rank, iterations, init, round_dp, big_matvec):
                 vx = F.lit(0.0)
             # v is a constant-depth map over the checkpointed RDD —
             # cheap to re-evaluate wherever it is referenced later
+            v_prev = v
             v = yc.select("node", vx.alias("x"))
+            rounds_run += 1
+            if delta is not None and rounds_run < iterations:
+                # one scalar L1 between successive iterates, reading
+                # the checkpointed yc (the PageRank δ discipline);
+                # stopping here leaves the trajectory bit-identical
+                # to a fixed-round run of length rounds_run
+                l1 = float(
+                    v.join(
+                        v_prev.select(
+                            "node", F.col("x").alias("__px")
+                        ),
+                        on="node",
+                        how="outer",
+                    )
+                    .agg(
+                        F.sum(
+                            F.abs(
+                                F.coalesce(F.col("x"), F.lit(0.0))
+                                - F.coalesce(F.col("__px"), F.lit(0.0))
+                            )
+                        )
+                    )
+                    .collect()[0][0]
+                    or 0.0
+                )
+                if l1 <= delta:
+                    break
+        if iterations_out is not None:
+            iterations_out.append(rounds_run)
         comps.append(v)
         part = v.select(
             "node", F.lit(_comp).cast("int").alias("comp"), "x"
@@ -257,6 +310,7 @@ def ppmi_svd_embeddings(
     rank: int = 3,
     iterations: int = 2,
     *,
+    delta: float | None = None,
     row_col: str = "center",
     col_col: str = "context",
     value_col: str = "ppmi",
@@ -297,6 +351,7 @@ def ppmi_svd_embeddings(
         m,
         rank=rank,
         iterations=iterations,
+        delta=delta,
         row_col="node",
         col_col="c",
         value_col="w",

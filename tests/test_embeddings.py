@@ -355,3 +355,36 @@ def test_checkpoint_reset_stats_caps_join_size_estimate(spark):
     assert size_of(more) == cap
     # and the data itself is untouched
     assert sorted(r["value"] for r in reset.collect()) == [9.0, 32.0]
+
+
+def test_svd_delta_stopping_matches_fixed_rounds(spark):
+    """delta=0.0 stops a component when two consecutive 9dp-rounded
+    iterates are identical — an exact fixed point, so any LONGER
+    fixed-round run returns bit-identical vectors. Pins: early stop
+    actually triggers, per-component counts are reported, and the
+    delta result equals the full fixed-round result exactly."""
+    from pagerank_spark.graph.embeddings import svd_topk
+
+    m = _relation(spark)  # gapped spectrum: 9dp fixed point < 40 rounds
+
+    out: list = []
+    v_delta, lams_delta = svd_topk(
+        m, rank=2, iterations=40, delta=0.0, iterations_out=out
+    )
+    v_fixed, lams_fixed = svd_topk(m, rank=2, iterations=40)
+    try:
+        assert len(out) == 2
+        assert all(1 <= k <= 40 for k in out)
+        assert any(k < 40 for k in out), out  # the stop fired
+        got = {
+            (r["node"], r["component"]): r["x"] for r in v_delta.collect()
+        }
+        ref = {
+            (r["node"], r["component"]): r["x"] for r in v_fixed.collect()
+        }
+        assert got == ref  # bit-identical trajectories
+        for a, b in zip(lams_delta, lams_fixed):
+            assert a == pytest.approx(b, rel=1e-12)
+    finally:
+        v_delta.unpersist()
+        v_fixed.unpersist()
