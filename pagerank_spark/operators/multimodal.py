@@ -2500,6 +2500,17 @@ def audio_blockprint(media: DataFrame, n_blocks: int = 64) -> DataFrame:
     Scale shape: ``mapInPandas``, Arrow-batched, zero-exchange —
     per-clip linear; the downstream near-dup join is the banded
     equi-join, never all-pairs.
+
+    Robustness envelope (measured, ``audio_shift_probe.py`` →
+    MEDIA_PROBE.json ``audio_shift_robustness``): GAIN-invariant by
+    construction — both sides of every energy comparison scale by c²
+    (pytest-pinned) — but the time-block grid is anchored at sample
+    0, so time SHIFTS slide content across block boundaries: recall
+    at the Hamming ≤ 3 bound is 1.0 at a 1-sample shift, ~0.99 at 8,
+    ~0.25 at a quarter block, and 0 at half a block. Read it as an
+    exact-ish near-dup signal (same master re-containered /
+    re-gained / losslessly re-encoded), NOT a Shazam-style
+    alignment-robust fingerprint.
     """
     if not 1 <= n_blocks <= 64:
         raise ValueError(
