@@ -5998,6 +5998,57 @@ def q267_trained_ivf_serving(
         remove_index(spark, root)
 
 
+def q268_word_sgns_semantic_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TEXT-side learned-similarity loop, end to end in one
+    hash-checked query: documents → directed word skipgram pairs
+    (operators/text.py word_skipgram_pairs, window=2, min_count=2) →
+    word-SGNS training (graph/embeddings.py sgns_train — string word
+    nodes flow through the hash init and the q170 negative sampler
+    unchanged; 2 rounds, dim=4, the twin-pinned lr) → per-doc mean
+    pooling of the trained center vectors over the doc's token
+    occurrences (9dp-rounded per dim, absorbing distributed-sum
+    order) → exact cosine top-5 over the pooled doc vectors for every
+    64th doc. This is the word2vec analogue of q265's graph loop:
+    training data emitted from TEXT, trained on, and served — doc
+    semantic near-dup over embeddings the engine itself trained. The
+    twin rebuilds the identical pair relation positionally, unrolls
+    the same SGNS trajectory, and pools/ranks with the same rounding
+    rules."""
+    from pagerank_spark.functions import word_tokens
+    from pagerank_spark.graph.embeddings import (
+        embedding_vectors,
+        sgns_train,
+    )
+    from pagerank_spark.operators.similarity import ann_topk_bruteforce
+    from pagerank_spark.operators.text import word_skipgram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = word_skipgram_pairs(docs, window=2, min_count=2)
+    res = sgns_train(pairs, dim=4, rounds=2, lr=0.5, neg_k=2)
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    dv = (
+        toks.join(
+            res.u.withColumnRenamed("node", "term"), on="term"
+        )
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.round(
+                F.sum("value") / F.count(F.lit(1)), 9
+            ).alias("value")
+        )
+    )
+    vecs = embedding_vectors(dv, node_col="doc_id").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return ann_topk_bruteforce(
+        vecs, vecs.where(F.col("vec_id") % 64 == 0), k=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -6273,6 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_trained_embedding_ann": q265_trained_embedding_ann,
         "q266_sgns_train": q266_sgns_train,
         "q267_trained_ivf_serving": q267_trained_ivf_serving,
+        "q268_word_sgns_semantic_ann": q268_word_sgns_semantic_ann,
     }
 
 
@@ -14068,7 +14120,12 @@ SELECT query_id, nb_id, cos, rank FROM ann_ranked WHERE rank <= 5
 # opposite factor (simultaneous update), and the ROUND(…,9) step that
 # absorbs cross-engine reduction-order drift exactly as sgns_train's
 # per-round round does.
-def _sgns_sql(dim: int, rounds: int, lr: float) -> str:
+def _sgns_body(dim: int, rounds: int, lr: float) -> str:
+    """CTE chain from a ``pairs (center, context, cnt)`` relation to
+    the trained ``u{rounds}`` / ``v{rounds}`` factor CTEs — shared by
+    the q266 walk-node twin and the q268 word-node twin (node type is
+    whatever ``pairs`` carries; the hash init concatenates its string
+    form either way, exactly like ``_sgns_init``)."""
     parts = [
         f""",
 marg AS (
@@ -14160,17 +14217,80 @@ v{r + 1} AS MATERIALIZED (
     ON v.node = g.node AND v.dim = g.dim
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _sgns_sql(dim: int, rounds: int, lr: float) -> str:
+    return _skipgram_sql(
+        _sgns_body(dim, rounds, lr)
+        + f"""
 SELECT 'u' AS side, node, dim, value FROM u{rounds}
 UNION ALL
 SELECT 'v' AS side, node, dim, value FROM v{rounds}
 """
     )
-    return _skipgram_sql("".join(parts))
 
 
 _oracle("q266_sgns_train", _sgns_sql(4, 2, 0.5))
+
+
+# q268 twin: the word-pair relation rebuilt positionally (forward
+# occurrences within the 2-token window, both directions counted,
+# HAVING >= 2), the q266 SGNS body verbatim on string word nodes,
+# then per-doc mean pooling over token OCCURRENCES (ROUND 9 absorbs
+# distributed-sum order) and the q265 cosine-rank rules.
+_oracle(
+    "q268_word_sgns_semantic_ann",
+    r"""
+WITH wdocs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+wtoks AS MATERIALIZED (
+  SELECT doc_id, u.i AS i, a[u.i] AS term
+  FROM wdocs, UNNEST(range(1, len(a) + 1)) AS u(i)
+),
+wfwd AS (
+  SELECT c.term AS center, t.term AS context
+  FROM wtoks c JOIN wtoks t
+    ON c.doc_id = t.doc_id AND t.i - c.i BETWEEN 1 AND 2
+),
+pairs AS MATERIALIZED (
+  SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT center, context FROM wfwd
+    UNION ALL
+    SELECT context AS center, center AS context FROM wfwd
+  ) GROUP BY center, context HAVING COUNT(*) >= 2
+)"""
+    + _sgns_body(4, 2, 0.5)
+    + """,
+wdv AS MATERIALIZED (
+  SELECT t.doc_id AS id, u.dim,
+         ROUND(SUM(u.value) / COUNT(*), 9) AS value
+  FROM wtoks t JOIN u2 u ON t.term = u.node
+  GROUP BY t.doc_id, u.dim
+),
+wvecs AS MATERIALIZED (
+  SELECT id, list(value ORDER BY dim) AS v FROM wdv GROUP BY id
+),
+wdot AS (
+  SELECT q.id AS query_id, c.id AS nb_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM (SELECT id, v FROM wvecs WHERE id % 64 = 0) q
+  JOIN wvecs c ON q.id <> c.id
+),
+wrank AS (
+  SELECT query_id, nb_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nb_id ASC
+         ) AS INT) AS rank
+  FROM wdot
+)
+SELECT query_id, nb_id, cos, rank FROM wrank WHERE rank <= 5
+""",
+)
 
 
 # q267 twin: the q259 SVD core pivoted to 9dp-rounded arrays, feeding

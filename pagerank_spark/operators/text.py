@@ -1034,3 +1034,70 @@ def feature_hash(
         .agg(F.sum("__sign").alias("feature_value"))
     )
 
+
+
+def word_skipgram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Directed word co-occurrence pairs ``(center, context, cnt)``
+    within a token window — the TEXT-side counterpart of the walk
+    corpus' ``skipgram_pairs`` (graph/walks.py), emitting exactly the
+    relation :func:`~pagerank_spark.graph.embeddings.sgns_train`
+    consumes, with WORDS as nodes (string node ids flow through the
+    trainer's hash init and the q170 negative sampler unchanged). A
+    pair is one occurrence of ``context`` 1..window positions after
+    OR before ``center`` in the same document — i.e. every forward
+    occurrence contributes both directions, so ``cnt`` is symmetric.
+    ``min_count`` drops rare pairs (vocabulary hygiene at corpus
+    scale: the distinct-pair relation is what bounds every SGNS
+    round's join inputs).
+
+    Plan: the q160 offset-fan-out equi-join, partitioned by document
+    — positions from ONE tokenization scan, a constant ``window``-way
+    fan-out on the center side, one hash join on (doc, position), one
+    partial-combined count. No window functions, no Python, no
+    per-doc cross join.
+    """
+    if window < 1:
+        raise ValueError(
+            f"word_skipgram_pairs: window >= 1, got {window}"
+        )
+    if min_count < 1:
+        raise ValueError(
+            f"word_skipgram_pairs: min_count >= 1, got {min_count}"
+        )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    centers = toks.select(
+        "__id",
+        F.col("term").alias("center"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, window + 1)])
+        ).alias("__k"),
+        F.col("pos"),
+    ).select(
+        "__id", "center", (F.col("pos") + F.col("__k")).alias("__j")
+    )
+    fwd = centers.join(
+        toks.select(
+            "__id", F.col("pos").alias("__j"), F.col("term").alias("context")
+        ),
+        on=["__id", "__j"],
+    ).select("center", "context")
+    directed = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    out = directed.groupBy("center", "context").agg(
+        F.count("*").alias("cnt")
+    )
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= min_count)
+    return out

@@ -2912,3 +2912,62 @@ def test_rrf_fuse_top_k_and_tie_break(spark):
         rrf_fuse([], k=60)
     with pytest.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+def test_word_skipgram_pairs_hand_example(spark):
+    """'a b c a' with window=2: forward occurrences within 2 positions
+    are (a,b),(a,c),(b,c),(b,a),(c,a) — each also counted reversed, so
+    cnt(a,b) = fwd(a,b) + fwd(b,a). Checks exact directed counts,
+    symmetry, min_count filtering, and validation."""
+    import pytest as _pytest
+
+    from pagerank_spark.operators.text import word_skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a")], "doc_id long, text string"
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in word_skipgram_pairs(docs, window=2).collect()
+    }
+    # fwd: (a,b),(a,c) from pos0; (b,c),(b,a) from pos1; (c,a) from pos2
+    want_fwd = {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
+                ("b", "a"): 1, ("c", "a"): 1}
+    want = {}
+    for (x, y), n in want_fwd.items():
+        want[(x, y)] = want.get((x, y), 0) + n
+        want[(y, x)] = want.get((y, x), 0) + n
+    assert got == want
+    # symmetric by construction
+    for (x, y), n in got.items():
+        assert got[(y, x)] == n
+    # min_count drops the cnt=1 pairs: only (a,b)/(b,a) (=2) and
+    # (a,c)/(c,a) (=2) survive
+    got2 = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in word_skipgram_pairs(docs, window=2, min_count=2).collect()
+    }
+    assert got2 == {k: v for k, v in want.items() if v >= 2}
+    with _pytest.raises(ValueError):
+        word_skipgram_pairs(docs, window=0)
+    with _pytest.raises(ValueError):
+        word_skipgram_pairs(docs, min_count=0)
+
+
+def test_word_skipgram_pairs_feed_sgns_strings(spark):
+    """String word nodes flow through the SGNS trainer unchanged: the
+    hash init and the negative sampler key on the node's string form,
+    so a tiny text corpus trains end to end and returns one vector
+    per vocabulary word on each side."""
+    from pagerank_spark.graph.embeddings import sgns_train
+    from pagerank_spark.operators.text import word_skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "y z y z x")],
+        "doc_id long, text string",
+    )
+    pairs = word_skipgram_pairs(docs, window=2)
+    res = sgns_train(pairs, dim=2, rounds=1, lr=0.5)
+    u_nodes = {r["node"] for r in res.u.select("node").distinct().collect()}
+    assert u_nodes == {"x", "y", "z"}
+    assert res.u.count() == 3 * 2  # vocab x dim
