@@ -60,133 +60,108 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WIKIDATA = "/root/reference/WikiData.txt"
 
 # Best observed per-query seconds on the CURRENT host window — the
-# regression baseline, refreshed round 8 with the min of the r7 values
-# and a full quiet-host r8 run (which also seeded the round-7/8 tail
-# entries and folded in the loop-rework wins: hits_loop_k10 13.1→7.1,
-# pagerank_wikidata 4.3→3.7, q184 equidepth 5.3→1.9). Round 7 had
-# re-baselined away from the round-2 minima: AB_BENCH_r6.json proved
-# those unreachable on today's host for ANY commit. Any query >1.5x its
-# current-window baseline gets a stderr warning so a real plan
-# regression can't land silently. Only meaningful at sf0.1.
+# regression baseline. Round 14 regenerated the whole table under the
+# protocol below (the r12 2-pass in-process protocol no longer fits
+# the wall cap, so minima come from the five solo r13 close-window
+# runs + the driver's run, folded into the historical minima — the
+# per-seed adjudication history lives in git blame of this block).
+# Any query >1.5x its current-window baseline gets a stderr warning
+# so a real plan regression can't land silently. Only meaningful at
+# sf0.1. HOST_BASELINE_PROTOCOL is recorded in every BENCH_LOCAL
+# artifact so a future round can tell which protocol seeded the
+# guard it is comparing against.
+HOST_BASELINE_PROTOCOL = (
+    "min over r13 close-window runs BENCH_LOCAL_r13{,B,C,D,E} + the "
+    "driver's BENCH_r13, folded into the historical per-query minima "
+    "(each solo single-pass on this host; the r12 2-pass in-process "
+    "protocol no longer fits the wall cap)"
+)
 HOST_BASELINE = {
     "hits_loop_k10": 7.136,
     "pagerank_full": 2.68,
     "pagerank_wikidata": 3.718,
-    "q03_out_degree_top20": 0.425,
-    "q08_induced_subgraph": 0.58,
+    "q03_out_degree_top20": 0.257,
+    "q08_induced_subgraph": 0.567,
     "q107_gopher_quality": 0.433,
     "q109_sample_to_mix": 0.598,
-    "q110_decontamination": 1.224,
-    "q112_tfidf_top_terms": 1.026,
-    "q117_bloom_decontaminate": 1.787,
+    "q110_decontamination": 1.134,
+    "q112_tfidf_top_terms": 0.962,
+    "q117_bloom_decontaminate": 1.681,
     "q118_pack_sequences": 0.558,
     "q119_unigram_logprob": 0.59,
     "q11_lineitem_agg": 0.373,
     "q121_cms_heavy_hitters": 1.402,
-    "q122_adamic_adar": 0.924,
-    "q124_hits": 2.65,
-    "q125_katz_centrality": 1.169,
+    "q122_adamic_adar": 0.903,
+    "q124_hits": 2.326,
+    "q125_katz_centrality": 1.162,
     "q12_customer_nation_region": 0.387,
-    "q140_repetition_filters": 0.865,
+    "q140_repetition_filters": 0.862,
     "q145_dup_span_coverage": 2.537,
     "q146_quantize_embeddings": 0.544,
-    "q147_quantized_ann": 1.194,
+    "q147_quantized_ann": 1.177,
     "q150_bpe_train": 1.814,
     "q159_random_walks": 1.35,
-    # q16/q39/q43: r12 drift adjudication confirmed by TAIL_AB_r13
-    # (5x interleaved at HEAD, quiet host) — seeds = min(old, measured)
     "q16_adjacency_lists": 0.372,
     "q171_bm25_search": 0.712,
     "q175_fuzzy_pairs": 0.333,
     "q176_profile_columns": 0.867,
     "q184_equidepth_hist": 1.882,
-    "q186_groupwise_ols": 1.505,
+    "q186_groupwise_ols": 0.489,
     "q187_containment_pairs": 2.194,
     "q18_top_customers": 0.476,
     "q191_pq_ann": 2.099,
     "q192_sorted_neighborhood": 0.68,
-    "q193_event_type_cooccurrence": 0.454,
+    "q193_event_type_cooccurrence": 0.428,
     "q194_corr_matrix": 0.389,
     "q195_readability": 0.282,
-    "q196_lang_source_mi": 0.365,
+    "q196_lang_source_mi": 0.328,
     "q197_markov_transitions": 0.567,
-    "q198_welch_ttest": 0.298,
-    "q199_mad_outliers": 1.242,
+    "q198_welch_ttest": 0.277,
+    "q199_mad_outliers": 1.225,
     "q200_ab_assign_srm": 0.378,
-    "q201_jackknife_ci": 0.646,
+    "q201_jackknife_ci": 0.601,
     "q202_spearman_corr": 3.186,
-    "q203_chi2_independence": 0.653,
-    "q204_benford_audit": 0.387,
+    "q203_chi2_independence": 0.649,
+    "q204_benford_audit": 0.372,
     "q205_source_concentration": 0.287,
     "q206_k_anonymity": 0.267,
     "q207_cusum_changepoint": 0.426,
     "q208_rfm_segments": 0.689,
-    "q209_tpch_q6": 0.248,
+    "q209_tpch_q6": 0.246,
     "q210_tpch_q14": 0.355,
     "q211_tpch_q17": 0.432,
     "q212_tpch_q19": 0.482,
     "q213_tpch_q8": 0.962,
-    "q214_tpch_q4": 0.693,
+    "q214_tpch_q4": 0.666,
     "q215_kaplan_meier": 0.711,
-    "q216_tpch_q7": 1.043,
-    "q217_tpch_q9": 1.091,
+    "q216_tpch_q7": 0.891,
+    "q217_tpch_q9": 0.894,
     "q218_tpch_q13": 0.561,
-    "q219_stratified_sample": 0.401,
+    "q219_stratified_sample": 0.352,
     "q21_fingerprint": 0.617,
     "q220_event_acf": 0.733,
     "q221_image_ahash_neardup": 1.411,
-    "q222_word_pmi": 1.447,
+    "q222_word_pmi": 1.248,
     "q223_feature_hash": 0.375,
-    "q224_percentile_rank": 2.544,
+    "q224_percentile_rank": 2.367,
     "q225_funnel_times": 0.661,
-    "q226_cuped": 0.358,
+    "q226_cuped": 0.338,
     "q227_ab_ztest": 0.342,
     "q228_weighted_sample": 0.289,
-    "q229_seasonal_decompose": 0.687,
+    "q229_seasonal_decompose": 0.577,
     "q22_language_id": 0.394,
     "q230_groupwise_gini": 0.668,
-    "q232_seasonal_naive_backtest": 0.751,
-    "q233_calibration_report": 1.594,
-    # round-10 tier baselines: min over the two r10 close-round runs
-    # (BENCH_LOCAL_r10). NOTE: recorded on a host measured 1.2-1.7x
-    # above the r8/9 quiet floor (AB_BENCH_r10/REFACTOR_AB_r10), so
-    # these are generous; tighten on a quieter round.
-    # q234 lifecycle entry split into build/serve phases (r10 verdict
-    # #4); these seed from the round-11 close run.
-    "q235_image_resize": 0.712,
+    "q232_seasonal_naive_backtest": 0.326,
+    "q233_calibration_report": 1.075,
+    "q234_ivf_build": 5.986,
+    "q234_ivf_serve": 0.91,
+    "q235_image_resize": 0.648,
     "q236_mp4_container_meta": 0.315,
-    "q237_mp3_frame_walk": 0.394,
-    "q238_session_window_native": 0.757,
+    "q237_mp3_frame_walk": 0.329,
+    "q238_session_window_native": 0.657,
     "q239_merge_schema_evolution": 1.356,
-    "q240_training_order": 0.534,
-    "q241_mixture_order": 1.331,
-    "q27_minhash_lsh": 1.3,
-    "q28_ann_bruteforce": 0.897,
-    "q30_tumbling_window": 0.311,
-    "q35_sessionize": 0.527,
-    "q39_revenue_per_nation": 0.87,  # TAIL_AB_r13 min 0.952: old seed stands
-    "q43_asof_join": 0.367,
-    "q49_tpch_q3": 0.671,
-    "q52_shortest_paths": 2.753,
-    "q56_ann_lsh": 2.315,
-    "q57_label_propagation": 3.474,
-    "q59_interval_join": 0.578,
-    "q63_weighted_sssp": 1.498,
-    "q74_tpch_q18": 0.662,
-    "q75_tpch_q21": 1.688,
-    "q77_stats_agg": 0.372,
-    "q84_groupwise_zscore": 0.246,
-    "q85_sketch_quantiles": 0.565,
-    "q90_neardup_clusters": 3.701,
-    "q95_curation_pipeline": 0.646,
-    # round-12 seeds (r11 verdict #5): min over the two r12 close-window
-    # runs (the `make close-round` run + an immediately-following quiet
-    # solo run) — covers the whole round-11 tier, the q234 build/serve
-    # split, and the round-12 tier, so the 1.5x guard finally has
-    # signal for all of them. The two runs' warning sets were disjoint
-    # and the medians moved together (0.95x) — host drift, no code
-    # regression; existing entries keep their earlier (faster-window)
-    # mins.
+    "q240_training_order": 0.417,
+    "q241_mixture_order": 1.173,
     "q242_gif_decode": 1.562,
     "q243_betweenness_centrality": 2.545,
     "q244_curation_provenance": 1.177,
@@ -194,20 +169,41 @@ HOST_BASELINE = {
     "q246_hybrid_retrieval": 0.981,
     "q247_hll_rollup": 0.803,
     "q248_bottomk_sample": 0.235,
-    "q249_weighted_bottomk": 0.545,
+    "q249_weighted_bottomk": 0.5,
     "q250_retention_cohorts": 0.619,
     "q251_progressive_jpeg": 4.692,
     "q252_interlaced_palette_png": 0.551,
     "q253_logreg_train": 3.151,
-    "q254_unigram_lm_train": 4.463,
+    "q254_unigram_lm_train": 3.642,
     "q255_flac_decode": 9.91,
-    # q256 re-seeded after the size-gated broadcast + small-loop-conf
-    # rework (N2V_AB_r12.json: 1.59x, value-identical)
-    "q256_node2vec_walks": 9.736,
-    "q257_unigram_segment_stats": 5.845,
+    "q256_node2vec_walks": 7.59,
+    "q257_unigram_segment_stats": 5.446,
     "q258_logreg_score_corpus": 4.295,
-    "q234_ivf_build": 5.986,
-    "q234_ivf_serve": 0.91,
+    "q259_ppmi_svd_embeddings": 20.705,
+    "q260_kn_lm_train": 1.669,
+    "q261_kn_perplexity": 2.811,
+    "q262_softmax_train": 5.836,
+    "q263_softmax_language_id": 7.595,
+    "q264_audio_neardup": 0.945,
+    "q27_minhash_lsh": 1.3,
+    "q28_ann_bruteforce": 0.897,
+    "q30_tumbling_window": 0.311,
+    "q35_sessionize": 0.527,
+    "q39_revenue_per_nation": 0.87,
+    "q43_asof_join": 0.367,
+    "q49_tpch_q3": 0.671,
+    "q52_shortest_paths": 2.543,
+    "q56_ann_lsh": 2.315,
+    "q57_label_propagation": 3.474,
+    "q59_interval_join": 0.577,
+    "q63_weighted_sssp": 1.448,
+    "q74_tpch_q18": 0.662,
+    "q75_tpch_q21": 1.688,
+    "q77_stats_agg": 0.345,
+    "q84_groupwise_zscore": 0.23,
+    "q85_sketch_quantiles": 0.565,
+    "q90_neardup_clusters": 3.701,
+    "q95_curation_pipeline": 0.646,
 }
 REGRESSION_FACTOR = 1.5
 
@@ -367,11 +363,14 @@ def main() -> None:
         "q262_softmax_train",
         "q263_softmax_language_id",
         "q264_audio_neardup",
-        # round-14 tier (no prior baseline — this SETS it). q267 is
+        # round-14 tier (no prior baseline — these SET it). q267 is
         # deliberately NOT timed for the q265 reason: it re-runs
         # q259's entire SVD and adds only the q234-shaped index
-        # build/serve on the trained vectors.
+        # build/serve on the trained vectors. q268 IS timed despite
+        # containing SGNS training: its word-pair corpus is a
+        # different (document-text) workload from q266's walk pairs.
         "q266_sgns_train",
+        "q268_word_sgns_semantic_ann",
     ]
 
     timings: dict[str, float] = {}
@@ -521,6 +520,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "host_baseline_protocol": HOST_BASELINE_PROTOCOL,
     }
     # Committed artifact (round-8 verdict process defect: the driver
     # captures only a bounded stdout TAIL, and BENCH_r08.json lost the
