@@ -477,6 +477,7 @@ def sgns_train(
     neg_k: int = 2,
     round_dp: int = 9,
     tune: bool = True,
+    init: tuple[DataFrame, DataFrame] | None = None,
 ) -> SgnsResult:
     """Skip-gram with negative sampling — the LEARNED counterpart to
     the count-based :func:`ppmi_svd_embeddings` factorization (Levy &
@@ -530,6 +531,17 @@ def sgns_train(
     reset was added. With it, round cost is flat in round count. An
     unrolled DuckDB CTE chain reproduces the exact trajectory (the
     q266 twin).
+
+    ``init`` warm-starts from prior factors — the incremental-ingest
+    path: pass a previous result's ``(u, v)`` and training CONTINUES
+    from those vectors; vocabulary new to this batch is hash-init as
+    usual, and prior vocabulary absent from this batch's examples
+    receives no gradient (its vectors persist unchanged). Full-batch
+    determinism makes continuation exact: with the same example
+    relation, ``rounds=a`` then warm-start ``rounds=b`` is
+    bit-identical to ``rounds=a+b`` (pytest-pinned) — note a
+    mass-derived auto lr must then be pinned explicitly across calls,
+    or each call re-derives it from its own batch.
 
     Reference tie: SURVEY §7.4's similarity north star; the reference
     corpus emits walk training data but never trains on it.
@@ -592,16 +604,33 @@ def sgns_train(
             else nullcontext()
         )
         with ctx:
-            u = _sgns_init(
+
+            def _start(nodes: DataFrame, tag: str, prior) -> DataFrame:
+                fresh_nodes = nodes
+                if prior is not None:
+                    fresh_nodes = nodes.join(
+                        prior.select("node").distinct(),
+                        on="node",
+                        how="left_anti",
+                    )
+                start = _sgns_init(fresh_nodes, tag, dim)
+                if prior is not None:
+                    start = prior.select(
+                        "node", "dim", "value"
+                    ).unionByName(start)
+                return start.transform(checkpoint_reset_stats)
+
+            iu, iv = init if init is not None else (None, None)
+            u = _start(
                 ex.select(F.col("c").alias("node")).distinct(),
                 "sgnsU=",
-                dim,
-            ).transform(checkpoint_reset_stats)
-            v = _sgns_init(
+                iu,
+            )
+            v = _start(
                 ex.select(F.col("w").alias("node")).distinct(),
                 "sgnsV=",
-                dim,
-            ).transform(checkpoint_reset_stats)
+                iv,
+            )
             for _ in range(rounds):
                 s = (
                     ex.join(

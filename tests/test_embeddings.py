@@ -388,3 +388,84 @@ def test_svd_delta_stopping_matches_fixed_rounds(spark):
     finally:
         v_delta.unpersist()
         v_fixed.unpersist()
+
+
+def test_sgns_warm_start_continuation_exact(spark):
+    """Full-batch determinism makes warm-start continuation exact:
+    rounds=1 then init-continued rounds=1 must be bit-identical to
+    rounds=2 on the same example relation."""
+    from pagerank_spark.graph.embeddings import sgns_train
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 4), (2, 1, 1)],
+        "center long, context long, cnt long",
+    )
+    negs = spark.createDataFrame(
+        [(1, 2, 0, 3, False), (1, 3, 0, 1, False),
+         (2, 3, 0, 1, False), (3, 1, 0, 2, False)],
+        "center long, context long, slot int, negative long,"
+        " is_collision boolean",
+    )
+    full = sgns_train(pairs, negs, dim=3, rounds=2, lr=0.5)
+    step1 = sgns_train(pairs, negs, dim=3, rounds=1, lr=0.5)
+    cont = sgns_train(
+        pairs, negs, dim=3, rounds=1, lr=0.5,
+        init=(step1.u, step1.v),
+    )
+
+    def as_map(df):
+        return {(r["node"], r["dim"]): r["value"] for r in df.collect()}
+
+    assert as_map(cont.u) == as_map(full.u)
+    assert as_map(cont.v) == as_map(full.v)
+
+
+def test_sgns_warm_start_grows_vocab_preserves_prior(spark):
+    """Incremental ingest: a second batch with NEW vocabulary
+    hash-inits the new nodes, keeps training the shared ones, and
+    leaves prior nodes ABSENT from the batch untouched."""
+    from pagerank_spark.graph.embeddings import _sgns_init, sgns_train
+
+    negs0 = spark.createDataFrame(
+        [(1, 2, 0, 3, False)],
+        "center long, context long, slot int, negative long,"
+        " is_collision boolean",
+    )
+    first = sgns_train(
+        spark.createDataFrame(
+            [(1, 2, 2), (9, 2, 1)], "center long, context long, cnt long"
+        ),
+        negs0, dim=2, rounds=1, lr=0.5,
+    )
+    prior_u = {
+        (r["node"], r["dim"]): r["value"] for r in first.u.collect()
+    }
+    # second batch: center 1 continues, center 5 is new, center 9 absent
+    second = sgns_train(
+        spark.createDataFrame(
+            [(1, 2, 1), (5, 2, 4)], "center long, context long, cnt long"
+        ),
+        spark.createDataFrame(
+            [(5, 2, 0, 1, False)],
+            "center long, context long, slot int, negative long,"
+            " is_collision boolean",
+        ),
+        dim=2, rounds=1, lr=0.5, init=(first.u, first.v),
+    )
+    got_u = {
+        (r["node"], r["dim"]): r["value"] for r in second.u.collect()
+    }
+    assert {n for n, _ in got_u} == {1, 5, 9}
+    # absent node 9: no gradient, vectors persist exactly
+    for d in range(2):
+        assert got_u[(9, d)] == prior_u[(9, d)]
+    # shared node 1: trained on (started from prior, moved)
+    assert any(got_u[(1, d)] != prior_u[(1, d)] for d in range(2))
+    # new node 5: started from the hash init, moved by its gradient
+    fresh5 = {
+        (r["node"], r["dim"]): r["value"]
+        for r in _sgns_init(
+            spark.createDataFrame([(5,)], "node long"), "sgnsU=", 2
+        ).collect()
+    }
+    assert any(got_u[(5, d)] != fresh5[(5, d)] for d in range(2))
