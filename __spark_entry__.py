@@ -6049,6 +6049,25 @@ def q268_word_sgns_semantic_ann(
     )
 
 
+def q269_ppl_quality_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity quality banding (operators/ngram_lm.py
+    ppl_quality_bands): the trained q260 KN model USED for curation —
+    every doc scored in-domain (q261) and split into 3
+    equal-population bands by VALUE (ties share a band; band 1 =
+    most fluent head, 3 = tail — the keep-head+middle curation move,
+    Wenzek et al. 2020). The cumulative count rides the DISTINCT-ppl
+    relation (the q155 value-bounded-window idiom), never a
+    corpus-sized global window; 6dp rounding BEFORE banding pins the
+    band keys cross-engine. The twin reuses the q260/q261 KN count
+    CTEs and the identical floor(n_bands·lo/n) value-banding."""
+    from pagerank_spark.operators.ngram_lm import ppl_quality_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppl_quality_bands(docs, discount=0.75, n_bands=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full PageRank (β=0.85, δ=1e-5) on the sf0.001 derived
     edge graph, top-100 (page, score)."""
@@ -6325,6 +6344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_sgns_train": q266_sgns_train,
         "q267_trained_ivf_serving": q267_trained_ivf_serving,
         "q268_word_sgns_semantic_ann": q268_word_sgns_semantic_ann,
+        "q269_ppl_quality_bands": q269_ppl_quality_bands,
     }
 
 
@@ -14613,5 +14633,47 @@ kn_inst AS MATERIALIZED (
 SELECT doc_id, COUNT(*) AS n_tokens,
        ROUND(exp(-SUM(ln(p)) / COUNT(*)), 6) AS ppl
 FROM kn_inst GROUP BY doc_id
+""",
+)
+
+# q269 twin: the q261 per-doc ppl CTE continued with value-banding —
+# cumulative count over the DISTINCT rounded-ppl relation, band =
+# 1 + floor(3·lo/n) capped at 3 (ties share a band; in-domain
+# training keeps every p > 0, so no NULL-ppl branch is exercised —
+# the engine flags such docs with band NULL).
+_oracle(
+    "q269_ppl_quality_bands",
+    _KN_CTES
+    + f""",
+kn_inst AS MATERIALIZED (
+  SELECT g.doc_id, {_KN_P} AS p
+  FROM kn_tg g
+  LEFT JOIN kn_c3 t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+  LEFT JOIN kn_c2 c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+  LEFT JOIN kn_cc cc ON g.w2 = cc.w2 AND g.w3 = cc.w3
+  LEFT JOIN kn_mid mid ON g.w2 = mid.w2
+  LEFT JOIN kn_n1 n1 ON g.w3 = n1.w3
+),
+kn_ppl AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(exp(-SUM(ln(p)) / COUNT(*)), 6) AS ppl
+  FROM kn_inst GROUP BY doc_id
+),
+kn_dist AS (
+  SELECT ppl, COUNT(*) AS c FROM kn_ppl GROUP BY ppl
+),
+kn_cum AS (
+  SELECT ppl,
+         COALESCE(SUM(c) OVER (
+           ORDER BY ppl
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS lo
+  FROM kn_dist
+),
+kn_tot AS (SELECT COUNT(*) AS n FROM kn_ppl)
+SELECT p.doc_id, p.n_tokens, p.ppl,
+       CAST(LEAST(3, 1 + FLOOR(3 * c.lo / (SELECT n FROM kn_tot)))
+            AS INT) AS band
+FROM kn_ppl p JOIN kn_cum c ON p.ppl = c.ppl
 """,
 )

@@ -369,6 +369,9 @@ def main() -> None:
         # build/serve on the trained vectors. q268 IS timed despite
         # containing SGNS training: its word-pair corpus is a
         # different (document-text) workload from q266's walk pairs.
+        # q269 is NOT timed for the q265/q267 reason: it re-runs
+        # q260/q261's KN training+scoring and adds only the
+        # distinct-value banding.
         "q266_sgns_train",
         "q268_word_sgns_semantic_ann",
     ]

@@ -212,3 +212,75 @@ def kn_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def ppl_quality_bands(
+    score_docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    *,
+    n_bands: int = 3,
+    round_dp: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity quality banding (Wenzek et al. 2020):
+    score every document under the Kneser–Ney model
+    (:func:`kn_perplexity`) and split the corpus into ``n_bands``
+    equal-population perplexity bands — band 1 = most fluent (head),
+    band ``n_bands`` = least (tail); the classic curation move keeps
+    head+middle. Returns ``(id_col, n_tokens, ppl, band)``; docs with
+    NULL ppl (a zero-probability token — impossible when training
+    in-domain on the scored corpus itself, the default) keep band
+    NULL: flagged, not silently binned.
+
+    Banding is BY VALUE, not by row rank: band(v) = 1 +
+    floor(n_bands · |{ppl < v}| / n), so ties share a band and the
+    result is independent of any row order. The cumulative count
+    rides the DISTINCT-ppl relation (the q155 AUC idiom — its window
+    is value-cardinality-bounded), never a corpus-sized global
+    window, and the per-doc band attaches back with one equi-join on
+    the rounded ppl. ``round_dp`` pins the band keys cross-engine
+    (the per-doc ln-sum reduction order drifts ~1e-15; rounding
+    BEFORE banding makes the band a pure function of the rounded
+    score on any engine).
+    """
+    if n_bands < 2:
+        raise ValueError(
+            f"ppl_quality_bands: n_bands must be >= 2, got {n_bands}"
+        )
+    from pyspark.sql import Window
+
+    scored = kn_perplexity(
+        score_docs, train_docs, discount,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        F.round("ppl", round_dp).alias("ppl"),
+    )
+    ok = scored.where(F.col("ppl").isNotNull())
+    dist = ok.groupBy("ppl").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("ppl").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dist.select(
+        "ppl",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__lo"),
+    )
+    tot = ok.agg(F.count(F.lit(1)).alias("__n"))
+    bands = cum.crossJoin(F.broadcast(tot)).select(
+        "ppl",
+        F.least(
+            F.lit(n_bands).cast("long"),
+            F.lit(1)
+            + F.floor(
+                F.lit(n_bands) * F.col("__lo") / F.col("__n")
+            ),
+        )
+        .cast("int")
+        .alias("band"),
+    )
+    return scored.join(bands, on="ppl", how="left").select(
+        id_col, "n_tokens", "ppl", "band"
+    )

@@ -216,3 +216,60 @@ def test_kn_beats_unigram_on_order_auc(spark):
 
     assert auc_uni == pytest.approx(0.5, abs=0.02), auc_uni
     assert auc_kn > 0.85, auc_kn
+
+
+def test_ppl_quality_bands_population_and_ties(spark):
+    """Value-banding semantics: bands are ~equal-population in value
+    order, ties share a band, fluent repeated docs land in band 1 and
+    the disfluent outlier in the last band."""
+    from pagerank_spark.operators.ngram_lm import ppl_quality_bands
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(6)]           # 6 identical docs
+    rows += [(10, "the cat sat on the hat"),
+             (11, "mat the on sat cat the"),         # scrambled
+             (12, "hat mat cat sat on the on")]      # disfluent
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ppl_quality_bands(docs, n_bands=3)
+    got = {r["doc_id"]: (r["ppl"], r["band"]) for r in out.collect()}
+    assert len(got) == 9
+    # identical texts => identical ppl => identical band (ties share)
+    fluent_bands = {got[i][1] for i in range(6)}
+    assert len(fluent_bands) == 1
+    # the 6 fluent docs are the ppl minimum => band 1
+    assert got[0][1] == 1
+    min_ppl = min(p for p, _ in got.values())
+    assert got[0][0] == min_ppl
+    # the max-ppl doc is in band 3
+    worst = max(got, key=lambda d: got[d][0])
+    assert got[worst][1] == 3
+    # bands are monotone in ppl
+    by_ppl = sorted(got.values())
+    bands_in_order = [b for _, b in by_ppl]
+    assert bands_in_order == sorted(bands_in_order)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bands"):
+        ppl_quality_bands(docs, n_bands=1)
+
+
+def test_ppl_quality_bands_flags_oov_docs(spark):
+    """Out-of-domain scoring: a doc whose unigram continuation was
+    never seen in training gets NULL ppl and NULL band — flagged, not
+    silently binned — while in-vocab docs still band normally."""
+    from pagerank_spark.operators.ngram_lm import ppl_quality_bands
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "b c a")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "a b c"), (2, "c a b"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = ppl_quality_bands(score, train_docs=train, n_bands=2)
+    got = {r["doc_id"]: (r["ppl"], r["band"]) for r in out.collect()}
+    assert got[3] == (None, None)
+    assert got[1][0] is not None and got[1][1] in (1, 2)
+    assert got[2][0] is not None and got[2][1] in (1, 2)
