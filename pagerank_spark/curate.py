@@ -17,6 +17,7 @@ Usage::
         [--id-col doc_id] [--text-col text]
         [--no-scrub] [--no-gate] [--no-dedup] [--neardup]
         [--quality-labels LABELS.parquet --quality-threshold 0.5]
+        [--ppl-bands 1,2]
         [--split train=0.98,val=0.01,test=0.01]
 
 ``--quality-labels`` inserts the LEARNED gate between the structural
@@ -24,6 +25,12 @@ gate and dedup: a hashed-BoW logistic classifier (operators/
 classifier.py) trains on the labeled seed subset and every surviving
 doc is kept only if its score clears the threshold — the CCNet
 fastText-gate pattern, trained in-pipeline on the cluster.
+
+``--ppl-bands`` adds the OTHER CCNet gate after it: an in-domain
+Kneser–Ney trigram LM trains on the surviving corpus, docs split
+into 3 equal-population perplexity bands by value (operators/
+ngram_lm.py ppl_quality_bands), and only the listed bands survive
+(``1,2`` = keep head+middle, drop the disfluent tail).
 """
 
 from __future__ import annotations
@@ -70,6 +77,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--quality-threshold", type=float, default=0.5)
     ap.add_argument("--quality-rounds", type=int, default=20)
     ap.add_argument("--quality-features", type=int, default=1024)
+    ap.add_argument(
+        "--ppl-bands",
+        default=None,
+        help="comma-listed perplexity bands to KEEP (e.g. '1,2' = "
+        "head+middle, the CCNet move): train an in-domain KN trigram "
+        "LM on the surviving corpus, split it into 3 equal-population "
+        "perplexity bands by value (operators/ngram_lm.py "
+        "ppl_quality_bands), and drop every doc outside the listed "
+        "bands; docs the model cannot score (NULL band) are dropped "
+        "and counted separately. Runs after the learned quality gate",
+    )
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument(
         "--audit",
@@ -80,11 +98,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "together with --neardup",
     )
     args = ap.parse_args(argv)
-    if args.audit and (args.neardup or args.quality_labels):
+    if args.audit and (
+        args.neardup or args.quality_labels or args.ppl_bands
+    ):
         raise SystemExit(
             "--audit models the default pipeline stages "
-            "(scrub/gate/dedup/split); --neardup and --quality-labels "
-            "are not audited"
+            "(scrub/gate/dedup/split); --neardup, --quality-labels "
+            "and --ppl-bands are not audited"
         )
 
     from pyspark.sql import functions as F
@@ -219,6 +239,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         feats.unpersist()
         report["quality_train_iterations"] = model.iterations
         stage_sec["quality"] = _stage_sec()
+
+    if args.ppl_bands:
+        # CCNet-style fluency gate: train the KN trigram LM in-domain
+        # on the SURVIVING corpus (so the model reflects what earlier
+        # stages kept) and keep only the listed perplexity bands.
+        keep_bands = sorted({int(x) for x in args.ppl_bands.split(",")})
+        if not keep_bands or any(b < 1 or b > 3 for b in keep_bands):
+            raise SystemExit("--ppl-bands: bands must be in 1..3")
+        from pagerank_spark.operators.ngram_lm import ppl_quality_bands
+
+        bands = ppl_quality_bands(
+            docs, n_bands=3, text_col=text_col, id_col=id_col
+        )
+        keep = bands.where(F.col("band").isin(keep_bands)).select(id_col)
+        n_unscored = bands.where(F.col("band").isNull()).count()
+        docs = _swap_pin(docs.join(keep, on=id_col, how="left_semi"))
+        report["after_ppl_band"] = docs.count()
+        report["ppl_band_unscored_dropped"] = n_unscored
+        report["ppl_bands_kept"] = keep_bands
+        stage_sec["ppl_band"] = _stage_sec()
 
     if not args.no_dedup:
         docs = _swap_pin(exact_dedup(docs, [text_col], id_col))

@@ -327,3 +327,42 @@ def test_curate_cli_audit_respects_stage_toggles(tmp_path, spark, capsys):
     # scrub and gate disabled: no rows for them; everyone reaches dedup
     assert stages == {"exact_dedup", "split"}
     assert audit.where(audit.stage == "exact_dedup").count() == 2
+
+
+def test_curate_cli_ppl_band_gate(tmp_path, spark, capsys):
+    """--ppl-bands trains the in-domain KN LM and keeps only the
+    listed perplexity bands: three 3-doc groups with strictly ordered
+    fluency land in bands 1/2/3, and '1,2' drops the scrambled tail."""
+    import json
+
+    from pagerank_spark.curate import main as curate_main
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    middle = "the cat sat on the rug and the dog sat on the mat"
+    tail = "rug the on sat dog mat and the the cat on sat the"
+    rows = (
+        [(i, fluent, "en") for i in range(1, 4)]
+        + [(i, middle, "en") for i in range(4, 7)]
+        + [(i, tail, "en") for i in range(7, 10)]
+    )
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(str(src))
+
+    out = tmp_path / "curated"
+    rc = curate_main(
+        [
+            str(src), "--out", str(out), "--no-scrub", "--no-gate",
+            "--no-dedup", "--ppl-bands", "1,2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["after_ppl_band"] == 6
+    assert report["ppl_band_unscored_dropped"] == 0
+    assert report["ppl_bands_kept"] == [1, 2]
+    assert "ppl_band" in report["stage_sec"]
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == set(range(1, 7))  # fluent + middle; tail dropped
