@@ -2756,6 +2756,54 @@ def q137_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ramp_want_means(spark: SparkSession, ids: DataFrame) -> DataFrame:
+    """Closed-form per-channel target means for the 64x48 JPEG ramp
+    ``least(255, 7*id%100 + x + y + 40c)`` (q138/q251).
+
+    r14 optimization: the old form enumerated the full
+    |ids|x64x48x3 grid (9216 rows per id) through three crossJoins.
+    The ramp depends on (x, y) only through s = x + y, so enumerate
+    the 111 diagonals with their cell counts instead (~27x fewer
+    generated rows). Every term is a small integer, so both sums are
+    exact in double and ``sum(w*v)/3072`` is the bit-identical double
+    the full-grid ``avg`` produced."""
+    ss = spark.range(64 + 48 - 1).select(F.col("id").alias("s"))
+    cs = spark.range(3).select(F.col("id").alias("c"))
+    diag_w = (
+        F.least(F.lit(63), F.col("s"))
+        - F.greatest(F.lit(0), F.col("s") - 47)
+        + 1
+    ).cast("double")
+    return (
+        ids.crossJoin(ss)
+        .crossJoin(cs)
+        .groupBy("media_id", "c")
+        .agg(
+            (
+                F.sum(
+                    diag_w
+                    * F.least(
+                        F.lit(255),
+                        (F.col("media_id") * 7) % 100
+                        + F.col("s")
+                        + F.lit(40) * F.col("c"),
+                    )
+                )
+                / F.lit(float(64 * 48))
+            ).alias("want_mean")
+        )
+        .groupBy("media_id")
+        .pivot("c", [0, 1, 2])
+        .agg(F.first("want_mean"))
+        .select(
+            "media_id",
+            F.col("0").alias("want_r"),
+            F.col("1").alias("want_g"),
+            F.col("2").alias("want_b"),
+        )
+    )
+
+
 def q138_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decoding under the oracle
     (operators/jpeg.py): every 20th doc id becomes a genuine
@@ -2778,35 +2826,7 @@ def q138_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
     dec = decode_image(synthesize_jpeg_media(ids, "media_id"), thumb_size=2)
-    xs = spark.range(64).select(F.col("id").alias("x"))
-    ys = spark.range(48).select(F.col("id").alias("y"))
-    cs = spark.range(3).select(F.col("id").alias("c"))
-    want = (
-        ids.crossJoin(xs)
-        .crossJoin(ys)
-        .crossJoin(cs)
-        .groupBy("media_id", "c")
-        .agg(
-            F.avg(
-                F.least(
-                    F.lit(255),
-                    (F.col("media_id") * 7) % 100
-                    + F.col("x")
-                    + F.col("y")
-                    + F.lit(40) * F.col("c"),
-                )
-            ).alias("want_mean")
-        )
-        .groupBy("media_id")
-        .pivot("c", [0, 1, 2])
-        .agg(F.first("want_mean"))
-        .select(
-            "media_id",
-            F.col("0").alias("want_r"),
-            F.col("1").alias("want_g"),
-            F.col("2").alias("want_b"),
-        )
-    )
+    want = _ramp_want_means(spark, ids)
     return dec.join(want, on="media_id").select(
         "media_id",
         "format",
@@ -5443,35 +5463,7 @@ def q251_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_b").alias("b_mean_b"),
         F.col("thumb").alias("b_thumb"),
     )
-    xs = spark.range(64).select(F.col("id").alias("x"))
-    ys = spark.range(48).select(F.col("id").alias("y"))
-    cs = spark.range(3).select(F.col("id").alias("c"))
-    want = (
-        ids.crossJoin(xs)
-        .crossJoin(ys)
-        .crossJoin(cs)
-        .groupBy("media_id", "c")
-        .agg(
-            F.avg(
-                F.least(
-                    F.lit(255),
-                    (F.col("media_id") * 7) % 100
-                    + F.col("x")
-                    + F.col("y")
-                    + F.lit(40) * F.col("c"),
-                )
-            ).alias("want_mean")
-        )
-        .groupBy("media_id")
-        .pivot("c", [0, 1, 2])
-        .agg(F.first("want_mean"))
-        .select(
-            "media_id",
-            F.col("0").alias("want_r"),
-            F.col("1").alias("want_g"),
-            F.col("2").alias("want_b"),
-        )
-    )
+    want = _ramp_want_means(spark, ids)
     return (
         prog.join(base, on="media_id")
         .join(want, on="media_id")
@@ -5635,7 +5627,9 @@ def q258_logreg_score_corpus(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_token_features(docs, n_features=64)
+    # r14 optimization: feats feed both train and the scoring pass —
+    # persist so the explode+md5 pipeline runs once (the q263 note)
+    feats = hashed_token_features(docs, n_features=64).persist()
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("double").alias("y")
     )
@@ -5833,7 +5827,15 @@ def q263_softmax_language_id(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_token_features(docs, n_features=64, normalize=True)
+    # r14 optimization: the hashed-feature relation feeds BOTH the
+    # trainer and the corpus-scoring pass (which references it twice
+    # more: margin rows + the bias-row doc universe) — persist it so
+    # the explode+md5+normalize pipeline runs once, not 3x. Values
+    # are identical (deterministic pipeline, same plan); the bench and
+    # parity harnesses release leftover cache between queries.
+    feats = hashed_token_features(
+        docs, n_features=64, normalize=True
+    ).persist()
     model = softmax_train(
         feats,
         docs.select("doc_id", F.col("lang").alias("label")),

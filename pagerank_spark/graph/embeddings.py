@@ -200,7 +200,6 @@ def _svd_loop(
     reach the driver.
     """
     comps: list[tuple[DataFrame, float]] = []
-    spark = m.sparkSession
     factors_u = None  # (node, x, comp) union of found factors
     for _comp in range(rank):
         v = m.select(F.col("c").alias("node")).distinct().select(
@@ -208,34 +207,48 @@ def _svd_loop(
         )
         rounds_run = 0
         for _ in range(iterations):
-            y = big_matvec(v)
+            # ONE eager checkpoint per iteration, taken on the RAW
+            # matvec: the GS dots, the adjustment join and the norm
+            # all read this cache. (r14 optimization: the previous
+            # shape checkpointed the ADJUSTED y, so each deflated
+            # iteration executed the full matvec twice — once under
+            # the dots collect, again under the checkpoint — and paid
+            # a createDataFrame+broadcast round trip for the k dot
+            # scalars; the dots now fold back as a literal CASE
+            # expression. Values are identical: same rows, same
+            # per-group reduction inputs, and the per-node adjustment
+            # sums at most rank−1 ≤ 2 terms, where float addition is
+            # order-exact.)
+            yc = big_matvec(v).localCheckpoint(eager=True)
             if factors_u is not None:
-                # all k dots in ONE pass over y (classical GS)
+                # all k dots in ONE pass over the cached y
+                # (classical GS)
                 sks = (
-                    y.join(factors_u, on="node")
+                    yc.join(factors_u, on="node")
                     .groupBy("comp")
                     .agg(F.sum(F.col("y") * F.col("x")).alias("s"))
                     .collect()
                 )
-                sdf = spark.createDataFrame(
-                    [(int(r["comp"]), float(r["s"])) for r in sks],
-                    "comp int, s double",
-                )
+                s_expr = F.lit(0.0)
+                for r in sks:
+                    s_expr = F.when(
+                        F.col("comp") == int(r["comp"]),
+                        F.lit(float(r["s"])),
+                    ).otherwise(s_expr)
                 adj = (
-                    factors_u.join(F.broadcast(sdf), on="comp")
+                    factors_u.select(
+                        "node", (s_expr * F.col("x")).alias("sx")
+                    )
                     .groupBy("node")
-                    .agg(F.sum(F.col("s") * F.col("x")).alias("a"))
+                    .agg(F.sum("sx").alias("a"))
                 )
-                y = y.join(adj, on="node").select(
+                y = yc.join(adj, on="node").select(
                     "node", (F.col("y") - F.col("a")).alias("y")
                 )
-            # ONE eager checkpoint per iteration: truncates the plan
-            # (the analyzer would otherwise pay exponentially for the
-            # doubly-referenced iterate) and is the only job that
-            # computes the full matvec+deflation chain
-            yc = y.localCheckpoint(eager=True)
+            else:
+                y = yc
             norm = float(
-                yc.agg(
+                y.agg(
                     F.sqrt(F.sum(F.col("y") * F.col("y")))
                 ).collect()[0][0]
                 or 0.0
@@ -247,7 +260,7 @@ def _svd_loop(
             # v is a constant-depth map over the checkpointed RDD —
             # cheap to re-evaluate wherever it is referenced later
             v_prev = v
-            v = yc.select("node", vx.alias("x"))
+            v = y.select("node", vx.alias("x"))
             rounds_run += 1
             if delta is not None and rounds_run < iterations:
                 # one scalar L1 between successive iterates, reading

@@ -172,20 +172,58 @@ def _assign_nearest(
     """(id, vec) × broadcast codebook → top-``n_probe`` centroids per
     point by cosine-free dot ranking (centroids are near-unit after
     averaging normalized-ish data; ranking by dot/|c| is equivalent for
-    a fixed point)."""
-    scored = points.join(F.broadcast(centroids)).select(
-        "id",
-        "vec",
-        "cid",
-        (dot(F.col("vec"), F.col("cvec")) / l2_norm(F.col("cvec"))).alias(
-            "affinity"
-        ),
+    a fixed point).
+
+    Round 14 (optimization, guide §2.4/§8): the old shape exploded
+    every point |codebook|× — each copy carrying the FULL vector
+    payload — and ranked with a window, i.e. one Exchange + sort of
+    n_centroids·|corpus| heavy rows just to pick 1-4 small cids per
+    point. Now the codebook rides as ONE broadcast array row and each
+    point ranks it locally (transform + array_sort over ≤ n_centroids
+    elements), so the operator is shuffle-free and emits n_probe rows
+    per point directly. The comparator replicates the window's exact
+    ordering (affinity DESC with NaN first / NULL last, cid ASC
+    tie-break), so output rows are identical."""
+    cb = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("cb")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("affinity"), F.asc("cid"))
+
+    def _aff(c):
+        return dot(F.col("vec"), c["cvec"]) / l2_norm(c["cvec"])
+
+    def _cmp(x, y):
+        xa, ya = x["a"], y["a"]
+        return (
+            F.when(xa.isNull() & ya.isNull(), F.lit(0))
+            .when(xa.isNull(), F.lit(1))       # NULL last (desc default)
+            .when(ya.isNull(), F.lit(-1))
+            .when(F.isnan(xa) & F.isnan(ya), F.lit(0))
+            .when(F.isnan(xa), F.lit(-1))      # NaN sorts greatest
+            .when(F.isnan(ya), F.lit(1))
+            .when(xa > ya, F.lit(-1))
+            .when(xa < ya, F.lit(1))
+            .when(x["cid"] < y["cid"], F.lit(-1))
+            .when(x["cid"] > y["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    _aff(c).alias("a"), c["cid"].alias("cid")
+                ),
+            ),
+            _cmp,
+        ),
+        1,
+        n_probe,
+    )
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= n_probe)
-        .select("id", "vec", "cid")
+        points.crossJoin(F.broadcast(cb))
+        .select("id", "vec", F.explode(ranked).alias("pick"))
+        .select("id", "vec", F.col("pick")["cid"].alias("cid"))
     )
 
 
