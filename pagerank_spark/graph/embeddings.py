@@ -618,7 +618,9 @@ def sgns_train(
         )
         with ctx:
 
-            def _start(nodes: DataFrame, tag: str, prior) -> DataFrame:
+            def _start_plan(
+                nodes: DataFrame, tag: str, prior
+            ) -> DataFrame:
                 fresh_nodes = nodes
                 if prior is not None:
                     fresh_nodes = nodes.join(
@@ -631,18 +633,36 @@ def sgns_train(
                     start = prior.select(
                         "node", "dim", "value"
                     ).unionByName(start)
-                return start.transform(checkpoint_reset_stats)
+                return start
 
             iu, iv = init if init is not None else (None, None)
-            u = _start(
-                ex.select(F.col("c").alias("node")).distinct(),
-                "sgnsU=",
-                iu,
+            # r14 optimization: U and V ride ONE side-tagged state
+            # relation, so each round pays a single update-checkpoint
+            # job (and init a single one) instead of two — the joins
+            # read side-filtered views of the cached checkpoint. Cell
+            # arithmetic (init hash, gradient sums, update, rounding)
+            # is untouched, so the trajectory is bit-identical.
+            state = (
+                _start_plan(
+                    ex.select(F.col("c").alias("node")).distinct(),
+                    "sgnsU=",
+                    iu,
+                )
+                .withColumn("side", F.lit("u"))
+                .unionByName(
+                    _start_plan(
+                        ex.select(F.col("w").alias("node")).distinct(),
+                        "sgnsV=",
+                        iv,
+                    ).withColumn("side", F.lit("v"))
+                )
+                .transform(checkpoint_reset_stats)
             )
-            v = _start(
-                ex.select(F.col("w").alias("node")).distinct(),
-                "sgnsV=",
-                iv,
+            u = state.where(F.col("side") == "u").select(
+                "node", "dim", "value"
+            )
+            v = state.where(F.col("side") == "v").select(
+                "node", "dim", "value"
             )
             for _ in range(rounds):
                 s = (
@@ -717,10 +737,19 @@ def sgns_train(
                     .select(F.col("w").alias("node"), "dim", "__gr")
                 )
                 # simultaneous update: grad_v reads the OLD u (both
-                # gradients hang off the same checkpointed residuals)
-                u = (
-                    u.join(grad_u, on=["node", "dim"], how="left")
+                # gradients hang off the same checkpointed residuals).
+                # One fused update job over the side-tagged state; the
+                # per-cell expression is identical to the separate
+                # u/v updates it replaces.
+                grads = grad_u.withColumn(
+                    "side", F.lit("u")
+                ).unionByName(grad_v.withColumn("side", F.lit("v")))
+                state = (
+                    state.join(
+                        grads, on=["side", "node", "dim"], how="left"
+                    )
                     .select(
+                        "side",
                         "node",
                         "dim",
                         F.round(
@@ -732,19 +761,11 @@ def sgns_train(
                     )
                     .transform(checkpoint_reset_stats)
                 )
-                v = (
-                    v.join(grad_v, on=["node", "dim"], how="left")
-                    .select(
-                        "node",
-                        "dim",
-                        F.round(
-                            F.col("value")
-                            - F.lit(lr)
-                            * F.coalesce(F.col("__gr"), F.lit(0.0)),
-                            round_dp,
-                        ).alias("value"),
-                    )
-                    .transform(checkpoint_reset_stats)
+                u = state.where(F.col("side") == "u").select(
+                    "node", "dim", "value"
+                )
+                v = state.where(F.col("side") == "v").select(
+                    "node", "dim", "value"
                 )
         return SgnsResult(
             u=u, v=v, rounds=rounds, example_mass=mass, lr=lr
