@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pagerank_spark.graph.pagerank import degrees, pagerank, top_k, vertices
 from pagerank_spark.io import load_table
+from pagerank_spark.session import local_relation
 from pagerank_spark.operators import dedup, relational, similarity, text
 
 # ---------------------------------------------------------------------------
@@ -1671,7 +1672,7 @@ def q94_band_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe row tests 5 bands) — the one place the no-NLJ rule inverts;
     contrast q59, which buckets a real interval join into an equi
     join because BOTH sides are large."""
-    bands = spark.createDataFrame(
+    bands = local_relation(spark, 
         [
             ("B0_under_1k", 0.0, 1_000.0),
             ("B1_1k_5k", 1_000.0, 5_000.0),
@@ -2502,7 +2503,7 @@ def q126_zorder_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snap.crossJoin(
         F.broadcast(
-            spark.createDataFrame([(clustered,)], "clustered boolean")
+            local_relation(spark, [(clustered,)], "clustered boolean")
         )
     ).select(
         "c_custkey",

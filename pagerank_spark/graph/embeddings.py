@@ -124,15 +124,30 @@ def svd_topk(
         raise ValueError(
             f"svd_topk: iterations must be >= 1, got {iterations}"
         )
-    m = (
-        matrix.select(
-            F.col(row_col).alias("r"),
-            F.col(col_col).alias("c"),
-            F.round(F.col(value_col).cast("double"), round_dp).alias("w"),
-        )
-        .where(F.col("w") > 0)
-        .persist()
+    # r14 optimization: a caller that already holds the rounded,
+    # positive-filtered relation persisted under the canonical
+    # (r, c, w) names (ppmi_svd_embeddings) sets _prepared to skip a
+    # second round/filter/persist/materialize pass over the same data
+    # — round() and the w>0 filter are idempotent, so the relation is
+    # identical either way.
+    _prepared = (
+        (row_col, col_col, value_col) == ("r", "c", "w")
+        and getattr(matrix, "_pagerank_spark_svd_prepared", False)
     )
+    if _prepared:
+        m = matrix
+    else:
+        m = (
+            matrix.select(
+                F.col(row_col).alias("r"),
+                F.col(col_col).alias("c"),
+                F.round(
+                    F.col(value_col).cast("double"), round_dp
+                ).alias("w"),
+            )
+            .where(F.col("w") > 0)
+            .persist()
+        )
 
     def big_matvec(v: DataFrame) -> DataFrame:
         """y = Mᵀ(M v): two sparse joins, two partial-combined aggs."""
@@ -172,11 +187,14 @@ def svd_topk(
                 "node", F.lit(ci).cast("int").alias("component"), "x"
             )
             out = part if out is None else out.unionByName(part)
+        # lazy persist: every component is checkpoint-rooted (no
+        # lineage into the m pin), so materialization can ride the
+        # caller's first action instead of a dedicated count job
         out = out.persist()
-        out.count()
         return out, [lam for _, lam in comps]
     finally:
-        m.unpersist()
+        if not _prepared:
+            m.unpersist()
 
 
 def _svd_loop(
@@ -352,20 +370,26 @@ def ppmi_svd_embeddings(
     # twice — once per pin)
     m = (
         ppmi.select(
-            F.col(row_col).alias("node"),
+            F.col(row_col).alias("r"),
             F.col(col_col).alias("c"),
             F.round(F.col(value_col).cast("double"), round_dp).alias("w"),
         )
         .where(F.col("w") > 0)
         .persist()
     )
-    m.count()
+    # r14 optimization: hand the pinned relation to svd_topk under its
+    # canonical (r, c, w) names with the prepared mark, so the
+    # factorization skips its own (identical) round/filter/persist/
+    # materialize pass — one cache and one materialization instead of
+    # two for the same rows. svd_topk's own count() materializes the
+    # pin, so no separate count here.
+    m._pagerank_spark_svd_prepared = True
     v, lams = svd_topk(
         m,
         rank=rank,
         iterations=iterations,
         delta=delta,
-        row_col="node",
+        row_col="r",
         col_col="c",
         value_col="w",
         round_dp=round_dp,
@@ -382,13 +406,17 @@ def ppmi_svd_embeddings(
                     ),
                     on="c",
                 )
-                .groupBy("node")
+                .groupBy("r")
                 .agg(
                     (F.sum(F.col("w") * F.col("x")) * F.lit(scale)).alias(
                         "value"
                     )
                 )
-                .select("node", F.lit(k).cast("int").alias("dim"), "value")
+                .select(
+                    F.col("r").alias("node"),
+                    F.lit(k).cast("int").alias("dim"),
+                    "value",
+                )
             )
             out = part if out is None else out.unionByName(part)
         # materialize before releasing the factor pin

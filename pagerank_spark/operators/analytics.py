@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 
@@ -198,7 +200,7 @@ def pr_at_thresholds(
     g = s.groupBy("s").agg(
         F.count("*").alias("cnt"), F.sum("y").alias("pos")
     )
-    th = spark.createDataFrame(
+    th = local_relation(spark, 
         [(float(t),) for t in thresholds], "threshold DOUBLE"
     )
     pred = F.col("s") >= F.col("threshold")

@@ -42,6 +42,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import word_tokens
@@ -179,7 +181,7 @@ def logreg_train(
         it = 0
         for it in range(1, rounds + 1):
             if w:
-                wdf = spark.createDataFrame(
+                wdf = local_relation(spark, 
                     [(int(k), float(v)) for k, v in w.items()],
                     "feature_index long, __w double",
                 )
@@ -239,7 +241,7 @@ def logreg_train(
             if tol is not None and max_step < tol:
                 break
 
-        wdf = spark.createDataFrame(
+        wdf = local_relation(spark, 
             sorted((int(k), float(v)) for k, v in w.items()),
             "feature_index long, weight double",
         )
@@ -347,7 +349,7 @@ def softmax_train(
         raise ValueError(
             f"softmax_train: need >= 2 classes, got {kk}"
         )
-    classes = spark.createDataFrame(
+    classes = local_relation(spark, 
         [(c, i) for i, c in enumerate(class_rows)],
         "label string, class_index int",
     )
@@ -384,7 +386,7 @@ def softmax_train(
         it = 0
         for it in range(1, rounds + 1):
             if w:
-                wdf = spark.createDataFrame(
+                wdf = local_relation(spark, 
                     [
                         (int(k), int(j), float(v))
                         for (k, j), v in w.items()
@@ -455,7 +457,7 @@ def softmax_train(
                 new_w[key] = new_w.get(key, 0.0) - lr * row["__g"]
             w = new_w
 
-        wdf = spark.createDataFrame(
+        wdf = local_relation(spark, 
             sorted(
                 (int(k), int(j), float(v)) for (k, j), v in w.items()
             ),

@@ -14,6 +14,8 @@ beyond its seeded head-sample; this is the large-corpus analogue.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import portable_hash60
@@ -40,7 +42,7 @@ def mix_plan(
     absent from the data simply contribute no rows.
     """
     spark = df.sparkSession
-    w_df = spark.createDataFrame(
+    w_df = local_relation(spark, 
         [(k, float(v)) for k, v in weights.items()],
         f"{group_col} string, weight double",
     )
@@ -531,7 +533,7 @@ def mixture_order(
     if blocks is None:
         blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
     lcm = math.lcm(*parts.values())
-    wdf = spark.createDataFrame(
+    wdf = local_relation(spark, 
         [(s, lcm // p) for s, p in parts.items()],
         f"{source_col} STRING, __stride LONG",
     )

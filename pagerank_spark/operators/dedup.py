@@ -23,6 +23,8 @@ codegen and each operator has a line-for-line DuckDB oracle twin.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import HASH_PRIME, portable_hash60, word_tokens
@@ -570,7 +572,7 @@ def _components_adaptive(
         nodes.add(child)
         nodes.add(root)
     id_type = edges.schema["src"].dataType.simpleString()
-    return edges.sparkSession.createDataFrame(
+    return local_relation(edges.sparkSession, 
         [(n, find(n)) for n in sorted(nodes)],
         f"node {id_type}, component {id_type}",
     )

@@ -16,6 +16,8 @@ aggregate), JVM-side; no Python in the hot path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import dot, l2_norm
@@ -147,7 +149,7 @@ def _centroids(
     )
     if refine == 0:
         return [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)]
-    seed_df = corpus.sparkSession.createDataFrame(
+    seed_df = local_relation(corpus.sparkSession, 
         [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(seeds)],
         "cid INT, cvec ARRAY<DOUBLE>",
     )
@@ -249,7 +251,7 @@ def ann_ivf(
     schema as the exact baseline so recall is directly measurable.
     """
     spark = corpus.sparkSession
-    codebook = spark.createDataFrame(
+    codebook = local_relation(spark, 
         _centroids(corpus, id_col, vec_col, n_centroids, refine=refine),
         "cid INT, cvec ARRAY<DOUBLE>",
     )
@@ -411,7 +413,7 @@ def kmeans(
     )
     codebook = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
     for _ in range(iterations):
-        cb_df = spark.createDataFrame(codebook, "cid INT, cvec ARRAY<DOUBLE>")
+        cb_df = local_relation(spark, codebook, "cid INT, cvec ARRAY<DOUBLE>")
         assigned = _assign_euclidean(pts, cb_df)
         means = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
@@ -428,7 +430,7 @@ def kmeans(
         codebook = [
             (cid, new_cb.get(cid, old)) for cid, old in codebook
         ]
-    cb_df = spark.createDataFrame(codebook, "cid INT, cvec ARRAY<DOUBLE>")
+    cb_df = local_relation(spark, codebook, "cid INT, cvec ARRAY<DOUBLE>")
     return _assign_euclidean(pts, cb_df).select(
         F.col("id").alias(id_col), F.col("cid").alias("cluster")
     )
@@ -551,7 +553,7 @@ def pca_top_component(
         x = [1.0 / math.sqrt(dim)] * dim
         spark = df.sparkSession
         for _ in range(iterations):
-            xdf = spark.createDataFrame(
+            xdf = local_relation(spark, 
                 list(enumerate(x)), "j INT, xj DOUBLE"
             )
             y = (
@@ -567,12 +569,12 @@ def pca_top_component(
             norm = math.sqrt(sum(c * c for c in vec))
             x = [c / norm for c in vec] if norm > 0 else vec
         # Rayleigh quotient: xᵀCx with the final normalized x
-        xdf = spark.createDataFrame(list(enumerate(x)), "j INT, xj DOUBLE")
+        xdf = local_relation(spark, list(enumerate(x)), "j INT, xj DOUBLE")
         lam = (
             cov.join(F.broadcast(xdf), on="j")
             .join(
                 F.broadcast(
-                    spark.createDataFrame(
+                    local_relation(spark, 
                         list(enumerate(x)), "i INT, xi DOUBLE"
                     )
                 ),
@@ -583,7 +585,7 @@ def pca_top_component(
         )
     finally:
         cov.unpersist()
-    out = spark.createDataFrame(
+    out = local_relation(spark, 
         [(i, float(c), float(lam)) for i, c in enumerate(x)],
         "pos INT, component DOUBLE, eigenvalue DOUBLE",
     )
@@ -808,7 +810,7 @@ def ann_ivf_adc(
     if not 1 <= bits <= 16:
         raise ValueError(f"ann_ivf_adc: bits must be in [1,16], got {bits}")
     spark = corpus.sparkSession
-    codebook = spark.createDataFrame(
+    codebook = local_relation(spark, 
         _centroids(corpus, id_col, vec_col, n_centroids, refine=0),
         "cid INT, cvec ARRAY<DOUBLE>",
     )
@@ -890,7 +892,7 @@ def pq_codebooks(
         for cid, r in enumerate(rows)
     ]
     spark = corpus.sparkSession
-    cb = spark.createDataFrame(data, "sub INT, cid INT, cvec ARRAY<DOUBLE>")
+    cb = local_relation(spark, data, "sub INT, cid INT, cvec ARRAY<DOUBLE>")
     for _ in range(refine):
         sl = _pq_slices(corpus, id_col, "id", vec_col, n_subspaces)
         d2 = F.aggregate(
@@ -932,7 +934,7 @@ def pq_codebooks(
             (s, cid, new_cb.get((s, cid), old_vec))
             for s, cid, old_vec in data
         ]
-        cb = spark.createDataFrame(
+        cb = local_relation(spark, 
             data, "sub INT, cid INT, cvec ARRAY<DOUBLE>"
         )
     return cb
@@ -1140,7 +1142,7 @@ def build_ivf_index(
     inverted-list seek; asserted by plan test).
     """
     spark = corpus.sparkSession
-    codebook = spark.createDataFrame(
+    codebook = local_relation(spark, 
         _centroids(corpus, id_col, vec_col, n_centroids, refine=refine),
         "cid INT, cvec ARRAY<DOUBLE>",
     )

@@ -19,6 +19,8 @@ exact DuckDB oracle twin:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 from pagerank_spark.functions import portable_hash60, word_tokens
@@ -543,7 +545,7 @@ def bpe_train(
     lineage stays O(1) across merges like the PageRank loop.
     """
     rows, _ = _bpe_loop(df, merges, text_col)
-    return df.sparkSession.createDataFrame(
+    return local_relation(df.sparkSession, 
         rows,
         "round INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
     )

@@ -20,6 +20,42 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def local_relation(spark: SparkSession, rows, schema: str):
+    """Driver-rows → DataFrame through the ARROW path (r14
+    optimization, guide §4/§6.4): ``spark.createDataFrame(list)``
+    builds a PICKLED-Python-RDD-backed relation whose EVERY evaluation
+    (each broadcast build, each write task, each re-reference in a
+    later job) round-trips a Python worker — measured 5–11 s for a
+    16-row write on this host vs 0.3 s when the same rows enter via a
+    pandas/Arrow conversion, which lands JVM-side rows that later jobs
+    evaluate without Python. Used for every small driver-built
+    relation on a hot path (codebooks, per-round weight relations,
+    threshold grids, union-find output). Bit-identical values:
+    int/float/str/bool/None and float lists cross Arrow losslessly;
+    the rows-as-tuples contract matches createDataFrame. Falls back to
+    the plain path for empty input or if pandas/Arrow is unavailable.
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromDDL(schema)
+        pdf = pd.DataFrame(
+            {
+                f.name: pd.Series(
+                    [r[i] for r in rows], dtype=object
+                )
+                for i, f in enumerate(st.fields)
+            }
+        )
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def get_spark(
     app_name: str = "pagerank_spark",
     master: str | None = None,

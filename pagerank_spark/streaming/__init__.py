@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pagerank_spark.session import local_relation
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -576,8 +578,8 @@ def cms_stream_to_table(
             )
         else:
             merged = delta
-        meta = spark.createDataFrame(
-            [(-1, -1, batch_id)], "d int, pos long, cnt long"
+        meta = local_relation(
+            spark, [(-1, -1, batch_id)], "d int, pos long, cnt long"
         )
         _table.write_table(
             merged.select("d", "pos", "cnt").unionAll(meta), table_root

@@ -41,6 +41,8 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pagerank_spark.session import local_relation
 from pyspark.sql import functions as F
 
 _POINTER = "_latest"
@@ -298,7 +300,7 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     for v in list_versions(root):
         n = spark.read.parquet(_snap_dir(root, v)).count()
         rows.append((v, n, v == latest))
-    return spark.createDataFrame(
+    return local_relation(spark, 
         rows, "version long, n_rows long, is_current boolean"
     )
 
