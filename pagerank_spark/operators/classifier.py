@@ -170,8 +170,24 @@ def logreg_train(
     # every round's margin aggregation and residual join then reuse this
     # partitioning with no further exchange of the (big) feature relation
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    xb = xb.repartition(shuffle_p, id_col).persist()
-    lab = lab.repartition(shuffle_p, id_col).persist()
+    # checkpoint-below-repartition, then persist (see
+    # graph/embeddings.py): every round's margin/gradient action
+    # re-analyzes the pinned relations' full lineage (the feature
+    # pipeline) before the cache lookup replaces it; rooting the pin
+    # in an eager localCheckpoint makes each of the ~2·rounds
+    # downstream plans leaf-based while the persist keeps exact
+    # stats. The checkpoint must sit BELOW the repartition: a
+    # checkpointed scan reports unknown partitioning
+    # (tests/test_checkpoint_pin.py pins this), so checkpointing the
+    # repartitioned rows would silently re-add a per-round exchange
+    # of the big feature relation — the co-partitioning this pin
+    # exists to establish.
+    xb = xb.localCheckpoint(eager=True).repartition(
+        shuffle_p, id_col
+    ).persist()
+    lab = lab.localCheckpoint(eager=True).repartition(
+        shuffle_p, id_col
+    ).persist()
     try:
         n = float(lab.count())
         xb.count()  # materialize the pin before the rounds start
@@ -375,8 +391,13 @@ def softmax_train(
         )
     )
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    xb = xb.repartition(shuffle_p, id_col).persist()
-    lab = lab.repartition(shuffle_p, id_col).persist()
+    # checkpoint-below-repartition — the logreg_train rationale verbatim
+    xb = xb.localCheckpoint(eager=True).repartition(
+        shuffle_p, id_col
+    ).persist()
+    lab = lab.localCheckpoint(eager=True).repartition(
+        shuffle_p, id_col
+    ).persist()
     try:
         n = float(lab.count())
         xb.count()

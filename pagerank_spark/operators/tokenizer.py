@@ -109,7 +109,21 @@ def unigram_lm_train(
             F.filter(word_tokens(text_col), lambda x: x != "")
         ).alias("word")
     )
-    words = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    # the distinct-word relation is the checkpoint point (the
+    # graph/embeddings.py re-analysis rationale): it is
+    # vocabulary-sized (Heaps-bounded — CHEAP to materialize, unlike
+    # the exploded candidate relation, whose eager checkpoint was
+    # measured to cost as much as the analysis it saves), and it
+    # truncates the corpus tokenize+explode lineage, so the seed pass
+    # and every EM round analyze a leaf + bounded-fanout projection
+    # instead of the whole corpus plan. The checkpoint sits BELOW the
+    # repartition+persist pin, which keeps the per-round per-word
+    # regroups exchange-free (tests/test_checkpoint_pin.py).
+    words = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
     cand = _candidate_edges(words, L)
     # cached for the seed pass + every EM round; partitioned on word so
     # each round's per-word regroup is exchange-free
