@@ -220,6 +220,16 @@ def _node2vec_body(
             ).alias("path"),
             F.lit(2).alias("walk_len"),
         )
+        # eager per-step checkpoint (r14: the pin-re-analysis fix
+        # applied to the walk frontier): composing all steps into one
+        # lazy plan makes the final action's ANALYSIS cost grow with
+        # the product of the per-step subtrees (each step embeds two
+        # joins, two windows and the previous step's whole plan) —
+        # measured as multi-second driver gaps with only ~1s of
+        # executor work. Materializing the walk-count-sized frontier
+        # per step keeps every plan step-shallow; rows are identical,
+        # so the declared trajectory is unchanged.
+        .localCheckpoint(eager=True)
     )
 
     win_cum = (
@@ -271,25 +281,30 @@ def _node2vec_body(
             .groupBy("start")
             .agg(F.min_by("dst", "idx").alias("__nxt"))
         )
-        state = state.join(_bc(chosen, bcs), on="start", how="left").select(
-            "start",
-            F.when(F.col("__nxt").isNotNull(), F.col("cur"))
-            .otherwise(F.col("prev"))
-            .alias("prev"),
-            F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"),
-            F.when(
-                F.col("__nxt").isNotNull(),
-                F.concat(
-                    F.col("path"),
-                    F.lit("->"),
-                    F.col("__nxt").cast("string"),
-                ),
+        state = (
+            state.join(_bc(chosen, bcs), on="start", how="left")
+            .select(
+                "start",
+                F.when(F.col("__nxt").isNotNull(), F.col("cur"))
+                .otherwise(F.col("prev"))
+                .alias("prev"),
+                F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("__nxt").isNotNull(),
+                    F.concat(
+                        F.col("path"),
+                        F.lit("->"),
+                        F.col("__nxt").cast("string"),
+                    ),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.when(F.col("__nxt").isNotNull(), F.col("walk_len") + 1)
+                .otherwise(F.col("walk_len"))
+                .alias("walk_len"),
             )
-            .otherwise(F.col("path"))
-            .alias("path"),
-            F.when(F.col("__nxt").isNotNull(), F.col("walk_len") + 1)
-            .otherwise(F.col("walk_len"))
-            .alias("walk_len"),
+            # per-step eager checkpoint — see the step-1 comment
+            .localCheckpoint(eager=True)
         )
     return state.select(
         "start", "path", F.col("walk_len").cast("int").alias("walk_len")
