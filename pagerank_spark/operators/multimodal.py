@@ -571,6 +571,57 @@ def decode_image(media: DataFrame, thumb_size: int = 2) -> DataFrame:
     return media.mapInPandas(decode, schema=IMAGE_DECODE_SCHEMA)
 
 
+def _ids_spread(
+    ids: DataFrame, id_col: str, spread: bool = True
+) -> DataFrame:
+    """Cast the id column long and SPREAD the relation across the
+    cluster's cores before an expensive per-row codec ``mapInPandas``
+    (r14 optimization, guide §2.6/§8.3): the fixture id relations
+    arrive as ONE parquet-scan partition (one small file after a
+    selective filter), so every downstream encode+decode ran serially
+    on a single core — q251's whole cost was two single-task jobs of
+    2.9 s and 4.5 s while 31 cores idled. A round-robin repartition of
+    the few-bytes-per-row id relation is the cheapest possible
+    exchange and applies only when the input's size ESTIMATE is small
+    (a wide corpus-scale input keeps its own layout — never collapse a
+    big scan to the core count).
+
+    ``spread`` is set PER OPERATOR from an interleaved same-session
+    A/B (3 passes, min, fresh caches): ON where the per-row codec
+    work dwarfs the exchange + task fan-out — JPEG 0.29×/0.48×
+    (q251/q138), GIF 0.43×, FLAC 0.43×, TIFF 0.65×, PPM 0.74×
+    (q235, the resize consumer) — and OFF where the payload builder
+    or decoder is a cheap byte walk and the fan-out only adds fixed
+    cost: PNG 1.62×/1.26×, WAV 2.25×, MP4 1.80×, MP3 1.51×, and the
+    planted-near-dup variant fixtures (q221 1.16×, q264 1.70×)."""
+    out = ids.select(F.col(id_col).cast("long").alias(id_col))
+    return _spread_df(out) if spread else out
+
+
+# Spread inputs whose Catalyst size estimate is below this bound. The
+# id relations are ~16 bytes/row, so the cut admits millions of ids —
+# relations whose codec cost dwarfs the tiny exchange — while a
+# corpus-scale input (estimate above the cut) keeps its own scan
+# layout. Deliberately NOT based on df.rdd.getNumPartitions(): under
+# AQE that materializes the plan's shuffle stages eagerly, silently
+# double-executing the input pipeline (measured: q264 1.6 -> 3.1 s).
+_SPREAD_SIZE_LIMIT = 64 << 20
+
+
+def _spread_df(df: DataFrame) -> DataFrame:
+    """The spread itself, for synth inputs that carry extra columns."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est <= _SPREAD_SIZE_LIMIT:
+            target = df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartition(target)
+    except Exception:  # pragma: no cover - connect-mode fallback
+        pass
+    return df
+
+
 def synthesize_ppm_media(
     ids: DataFrame, id_col: str = "media_id",
     width: int = 64, height: int = 48,
@@ -599,7 +650,7 @@ def synthesize_ppm_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -642,7 +693,7 @@ def synthesize_jpeg_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -694,7 +745,7 @@ def synthesize_png_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col, spread=False).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -965,7 +1016,7 @@ def synthesize_gif_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -1377,7 +1428,7 @@ def synthesize_tiff_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -1506,7 +1557,7 @@ def synthesize_wav_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col, spread=False).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -1545,7 +1596,7 @@ def synthesize_flac_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+    return _ids_spread(ids, id_col).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
@@ -1996,9 +2047,9 @@ def synthesize_mp4_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(
-        F.col(id_col).cast("long").alias(id_col)
-    ).mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
+    return _ids_spread(ids, id_col, spread=False).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
 
 
 def synthesize_mp3_media(
@@ -2048,9 +2099,9 @@ def synthesize_mp3_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return ids.select(
-        F.col(id_col).cast("long").alias(id_col)
-    ).mapInPandas(synth, schema="media_id BIGINT, payload BINARY")
+    return _ids_spread(ids, id_col, spread=False).mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
 
 
 def frame_sample_plan(
@@ -2135,6 +2186,9 @@ def synthesize_ppm_variant_media(
                 {id_col: pdf[id_col], "payload": payloads}
             )
 
+    # no spread: the planted-variant builders are cheap byte walks —
+    # the A/B in _ids_spread's docstring measured the fan-out as a
+    # net loss here (q221 1.16×)
     return df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(group_col).cast("long").alias(group_col),
@@ -2476,6 +2530,9 @@ def synthesize_audio_variant_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
+    # no spread: net loss for the audio variant fixture (q264 1.70×,
+    # the _ids_spread A/B) — the FLAC leg is per-row expensive but the
+    # downstream fingerprint join dominates and the fan-out hurts it
     return df.mapInPandas(synth, schema="media_id long, payload binary")
 
 
