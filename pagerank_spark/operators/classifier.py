@@ -166,10 +166,6 @@ def logreg_train(
             F.lit(1.0).alias("feature_value"),
         )
     )
-    # co-partition the two per-round join inputs on id once, up front:
-    # every round's margin aggregation and residual join then reuse this
-    # partitioning with no further exchange of the (big) feature relation
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # checkpoint-below-repartition, then persist (see
     # graph/embeddings.py): every round's margin/gradient action
     # re-analyzes the pinned relations' full lineage (the feature
@@ -182,89 +178,115 @@ def logreg_train(
     # repartitioned rows would silently re-add a per-round exchange
     # of the big feature relation — the co-partitioning this pin
     # exists to establish.
-    xb = xb.localCheckpoint(eager=True).repartition(
-        shuffle_p, id_col
-    ).persist()
-    lab = lab.localCheckpoint(eager=True).repartition(
-        shuffle_p, id_col
-    ).persist()
+    xb_ck = xb.localCheckpoint(eager=True)
+    lab_ck = lab.localCheckpoint(eager=True)
+    # run the rounds under the engine's shared small-loop conf (the
+    # SVD/SGNS/node2vec discipline, a no-op above the 64M-row cut):
+    # with AQE on, every tiny per-round job re-plans its stages and
+    # shuffles into session-count micro-partitions — measured as
+    # multi-second per-action driver gaps on the fixture trainers.
+    # The co-partitioning repartition happens INSIDE the conf so the
+    # pins and every per-round exchange share the loop sizing.
+    from pagerank_spark.graph.components import _iterative_loop_conf
+
+    n_rows = xb_ck.count()
+    xb = lab = None
     try:
-        n = float(lab.count())
-        xb.count()  # materialize the pin before the rounds start
-
-        w: dict[int, float] = {}  # zero-init: absent index == 0.0
-        losses: list[float] = []
-        it = 0
-        for it in range(1, rounds + 1):
-            if w:
-                wdf = local_relation(spark, 
-                    [(int(k), float(v)) for k, v in w.items()],
-                    "feature_index long, __w double",
-                )
-                margins = (
-                    xb.join(F.broadcast(wdf), on="feature_index")
-                    .groupBy(id_col)
-                    .agg(
-                        F.sum(
-                            F.col("feature_value") * F.col("__w")
-                        ).alias("__m")
-                    )
-                )
-                scored = lab.join(margins, on=id_col, how="left").select(
-                    F.col(id_col),
-                    F.col("__y"),
-                    _sigmoid(F.coalesce(F.col("__m"), F.lit(0.0))).alias(
-                        "__p"
-                    ),
-                )
-            else:
-                # round 1, w == 0 exactly: p = 0.5 with no join at all
-                scored = lab.select(
-                    F.col(id_col), F.col("__y"), F.lit(0.5).alias("__p")
-                )
-            if track_loss:
-                eps = F.lit(1e-12)
-                losses.append(
-                    scored.agg(
-                        F.avg(
-                            -F.col("__y") * F.log(F.col("__p") + eps)
-                            - (F.lit(1.0) - F.col("__y"))
-                            * F.log(F.lit(1.0) - F.col("__p") + eps)
-                        ).alias("loss")
-                    ).collect()[0]["loss"]
-                )
-            resid = scored.select(
-                F.col(id_col), (F.col("__p") - F.col("__y")).alias("__r")
+        with _iterative_loop_conf(spark, n_rows):
+            shuffle_p = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
-            grad_rows = (
-                xb.join(resid, on=id_col)
-                .groupBy("feature_index")
-                .agg(
-                    (F.sum(F.col("feature_value") * F.col("__r")) / n).alias(
-                        "__g"
-                    )
-                )
-                .collect()
+            xb = xb_ck.repartition(shuffle_p, id_col).persist()
+            lab = lab_ck.repartition(shuffle_p, id_col).persist()
+            n = float(lab.count())
+            xb.count()  # materialize the pin before the rounds start
+            return _logreg_rounds(
+                spark, xb, lab, n,
+                id_col=id_col, rounds=rounds, lr=lr, l2=l2, tol=tol,
+                track_loss=track_loss,
             )
-            max_step = 0.0
-            new_w = dict(w)
-            for row in grad_rows:
-                j = row["feature_index"]
-                step = lr * (row["__g"] + l2 * w.get(j, 0.0))
-                new_w[j] = w.get(j, 0.0) - step
-                max_step = max(max_step, abs(step))
-            w = new_w
-            if tol is not None and max_step < tol:
-                break
-
-        wdf = local_relation(spark, 
-            sorted((int(k), float(v)) for k, v in w.items()),
-            "feature_index long, weight double",
-        )
-        return LogRegResult(weights=wdf, iterations=it, losses=losses)
     finally:
-        xb.unpersist()
-        lab.unpersist()
+        if xb is not None:
+            xb.unpersist()
+        if lab is not None:
+            lab.unpersist()
+
+
+def _logreg_rounds(
+    spark, xb, lab, n, *, id_col, rounds, lr, l2, tol, track_loss
+) -> LogRegResult:
+    """The GD rounds proper — runs under logreg_train's loop conf;
+    pins are caller-owned."""
+    w: dict[int, float] = {}  # zero-init: absent index == 0.0
+    losses: list[float] = []
+    it = 0
+    for it in range(1, rounds + 1):
+        if w:
+            wdf = local_relation(spark, 
+                [(int(k), float(v)) for k, v in w.items()],
+                "feature_index long, __w double",
+            )
+            margins = (
+                xb.join(F.broadcast(wdf), on="feature_index")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(
+                        F.col("feature_value") * F.col("__w")
+                    ).alias("__m")
+                )
+            )
+            scored = lab.join(margins, on=id_col, how="left").select(
+                F.col(id_col),
+                F.col("__y"),
+                _sigmoid(F.coalesce(F.col("__m"), F.lit(0.0))).alias(
+                    "__p"
+                ),
+            )
+        else:
+            # round 1, w == 0 exactly: p = 0.5 with no join at all
+            scored = lab.select(
+                F.col(id_col), F.col("__y"), F.lit(0.5).alias("__p")
+            )
+        if track_loss:
+            eps = F.lit(1e-12)
+            losses.append(
+                scored.agg(
+                    F.avg(
+                        -F.col("__y") * F.log(F.col("__p") + eps)
+                        - (F.lit(1.0) - F.col("__y"))
+                        * F.log(F.lit(1.0) - F.col("__p") + eps)
+                    ).alias("loss")
+                ).collect()[0]["loss"]
+            )
+        resid = scored.select(
+            F.col(id_col), (F.col("__p") - F.col("__y")).alias("__r")
+        )
+        grad_rows = (
+            xb.join(resid, on=id_col)
+            .groupBy("feature_index")
+            .agg(
+                (F.sum(F.col("feature_value") * F.col("__r")) / n).alias(
+                    "__g"
+                )
+            )
+            .collect()
+        )
+        max_step = 0.0
+        new_w = dict(w)
+        for row in grad_rows:
+            j = row["feature_index"]
+            step = lr * (row["__g"] + l2 * w.get(j, 0.0))
+            new_w[j] = w.get(j, 0.0) - step
+            max_step = max(max_step, abs(step))
+        w = new_w
+        if tol is not None and max_step < tol:
+            break
+
+    wdf = local_relation(spark,
+        sorted((int(k), float(v)) for k, v in w.items()),
+        "feature_index long, weight double",
+    )
+    return LogRegResult(weights=wdf, iterations=it, losses=losses)
 
 
 def logreg_predict(
@@ -390,106 +412,125 @@ def softmax_train(
             F.lit(1.0).alias("feature_value"),
         )
     )
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # checkpoint-below-repartition — the logreg_train rationale verbatim
-    xb = xb.localCheckpoint(eager=True).repartition(
-        shuffle_p, id_col
-    ).persist()
-    lab = lab.localCheckpoint(eager=True).repartition(
-        shuffle_p, id_col
-    ).persist()
-    try:
-        n = float(lab.count())
-        xb.count()
+    # checkpoint-below-repartition + small-loop conf — the
+    # logreg_train rationale verbatim
+    from pagerank_spark.graph.components import _iterative_loop_conf
 
-        w: dict[tuple[int, int], float] = {}  # (class, feature) -> w
-        losses: list[float] = []
-        it = 0
-        for it in range(1, rounds + 1):
-            if w:
-                wdf = local_relation(spark, 
-                    [
-                        (int(k), int(j), float(v))
-                        for (k, j), v in w.items()
-                    ],
-                    "__k int, feature_index long, __w double",
+    xb_ck = xb.localCheckpoint(eager=True)
+    lab_ck = lab.localCheckpoint(eager=True)
+    n_rows = xb_ck.count()
+    xb = lab = None
+    try:
+        with _iterative_loop_conf(spark, n_rows):
+            shuffle_p = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            xb = xb_ck.repartition(shuffle_p, id_col).persist()
+            lab = lab_ck.repartition(shuffle_p, id_col).persist()
+            n = float(lab.count())
+            xb.count()
+            return _softmax_rounds(
+                spark, xb, lab, n,
+                id_col=id_col, rounds=rounds, lr=lr, kk=kk,
+                classes=classes, track_loss=track_loss,
+            )
+    finally:
+        if xb is not None:
+            xb.unpersist()
+        if lab is not None:
+            lab.unpersist()
+
+
+def _softmax_rounds(
+    spark, xb, lab, n, *, id_col, rounds, lr, kk, classes, track_loss
+) -> "SoftmaxResult":
+    """The GD rounds proper — runs under softmax_train's loop conf;
+    pins are caller-owned."""
+    w: dict[tuple[int, int], float] = {}  # (class, feature) -> w
+    losses: list[float] = []
+    it = 0
+    for it in range(1, rounds + 1):
+        if w:
+            wdf = local_relation(spark, 
+                [
+                    (int(k), int(j), float(v))
+                    for (k, j), v in w.items()
+                ],
+                "__k int, feature_index long, __w double",
+            )
+            z = (
+                xb.join(F.broadcast(wdf), on="feature_index")
+                .groupBy(id_col, "__k")
+                .agg(
+                    F.sum(
+                        F.col("feature_value") * F.col("__w")
+                    ).alias("__z")
                 )
-                z = (
-                    xb.join(F.broadcast(wdf), on="feature_index")
-                    .groupBy(id_col, "__k")
-                    .agg(
-                        F.sum(
-                            F.col("feature_value") * F.col("__w")
-                        ).alias("__z")
-                    )
-                )
-                zmax = z.groupBy(id_col).agg(
-                    F.max("__z").alias("__zm")
-                )
-                e = z.join(zmax, on=id_col).select(
-                    F.col(id_col),
-                    F.col("__k"),
-                    F.exp(F.col("__z") - F.col("__zm")).alias("__e"),
-                )
-                esum = e.groupBy(id_col).agg(F.sum("__e").alias("__es"))
-                probs = e.join(esum, on=id_col).select(
-                    F.col(id_col),
-                    F.col("__k"),
-                    (F.col("__e") / F.col("__es")).alias("__p"),
-                )
-            else:
-                # round 1, w == 0 exactly: p = 1/K with no join at all
-                probs = lab.select(
-                    F.col(id_col),
-                    F.explode(
-                        F.array(*[F.lit(k) for k in range(kk)])
-                    ).alias("__k"),
-                    F.lit(1.0 / kk).alias("__p"),
-                ).select(id_col, "__k", "__p")
-            if track_loss:
-                eps = F.lit(1e-12)
-                losses.append(
-                    probs.join(lab, on=id_col)
-                    .where(F.col("__k") == F.col("__y"))
-                    .agg(F.avg(-F.log(F.col("__p") + eps)))
-                    .collect()[0][0]
-                )
-            resid = probs.join(lab, on=id_col).select(
+            )
+            zmax = z.groupBy(id_col).agg(
+                F.max("__z").alias("__zm")
+            )
+            e = z.join(zmax, on=id_col).select(
                 F.col(id_col),
                 F.col("__k"),
+                F.exp(F.col("__z") - F.col("__zm")).alias("__e"),
+            )
+            esum = e.groupBy(id_col).agg(F.sum("__e").alias("__es"))
+            probs = e.join(esum, on=id_col).select(
+                F.col(id_col),
+                F.col("__k"),
+                (F.col("__e") / F.col("__es")).alias("__p"),
+            )
+        else:
+            # round 1, w == 0 exactly: p = 1/K with no join at all
+            probs = lab.select(
+                F.col(id_col),
+                F.explode(
+                    F.array(*[F.lit(k) for k in range(kk)])
+                ).alias("__k"),
+                F.lit(1.0 / kk).alias("__p"),
+            ).select(id_col, "__k", "__p")
+        if track_loss:
+            eps = F.lit(1e-12)
+            losses.append(
+                probs.join(lab, on=id_col)
+                .where(F.col("__k") == F.col("__y"))
+                .agg(F.avg(-F.log(F.col("__p") + eps)))
+                .collect()[0][0]
+            )
+        resid = probs.join(lab, on=id_col).select(
+            F.col(id_col),
+            F.col("__k"),
+            (
+                F.col("__p")
+                - (F.col("__k") == F.col("__y")).cast("double")
+            ).alias("__r"),
+        )
+        grad_rows = (
+            xb.join(resid, on=id_col)
+            .groupBy("__k", "feature_index")
+            .agg(
                 (
-                    F.col("__p")
-                    - (F.col("__k") == F.col("__y")).cast("double")
-                ).alias("__r"),
+                    F.sum(F.col("feature_value") * F.col("__r")) / n
+                ).alias("__g")
             )
-            grad_rows = (
-                xb.join(resid, on=id_col)
-                .groupBy("__k", "feature_index")
-                .agg(
-                    (
-                        F.sum(F.col("feature_value") * F.col("__r")) / n
-                    ).alias("__g")
-                )
-                .collect()
-            )
-            new_w = dict(w)
-            for row in grad_rows:
-                key = (row["__k"], row["feature_index"])
-                new_w[key] = new_w.get(key, 0.0) - lr * row["__g"]
-            w = new_w
+            .collect()
+        )
+        new_w = dict(w)
+        for row in grad_rows:
+            key = (row["__k"], row["feature_index"])
+            new_w[key] = new_w.get(key, 0.0) - lr * row["__g"]
+        w = new_w
 
-        wdf = local_relation(spark, 
-            sorted(
-                (int(k), int(j), float(v)) for (k, j), v in w.items()
-            ),
-            "class_index int, feature_index long, weight double",
-        )
-        return SoftmaxResult(
-            weights=wdf, classes=classes, iterations=it, losses=losses
-        )
-    finally:
-        xb.unpersist()
-        lab.unpersist()
+    wdf = local_relation(spark, 
+        sorted(
+            (int(k), int(j), float(v)) for (k, j), v in w.items()
+        ),
+        "class_index int, feature_index long, weight double",
+    )
+    return SoftmaxResult(
+        weights=wdf, classes=classes, iterations=it, losses=losses
+    )
 
 
 def softmax_predict(
