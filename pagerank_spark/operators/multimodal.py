@@ -586,14 +586,16 @@ def _ids_spread(
     (a wide corpus-scale input keeps its own layout — never collapse a
     big scan to the core count).
 
-    ``spread`` is set PER OPERATOR from an interleaved same-session
-    A/B (3 passes, min, fresh caches): ON where the per-row codec
-    work dwarfs the exchange + task fan-out — JPEG 0.29×/0.48×
-    (q251/q138), GIF 0.43×, FLAC 0.43×, TIFF 0.65×, PPM 0.74×
-    (q235, the resize consumer) — and OFF where the payload builder
-    or decoder is a cheap byte walk and the fan-out only adds fixed
-    cost: PNG 1.62×/1.26×, WAV 2.25×, MP4 1.80×, MP3 1.51×, and the
-    planted-near-dup variant fixtures (q221 1.16×, q264 1.70×)."""
+    ``spread`` is set PER OPERATOR from interleaved same-session
+    A/Bs (min-of-2 per query per pass, fresh caches): ON where the
+    per-row codec work dwarfs the exchange + task fan-out — JPEG
+    0.29×/0.48× (q251/q138), GIF 0.43×, FLAC 0.43×, TIFF 0.65× —
+    and OFF where the payload builder or decoder is a cheap byte
+    walk and the fan-out only adds fixed cost: PNG 1.62×/1.26×,
+    WAV 2.25×, MP4 1.80×, MP3 1.51×, PPM (q114 1.7×, q235 1.13× in
+    the deciding 4-pass A/B — the first 0.74× reading was window
+    noise), and the planted-near-dup variant fixtures (q221 1.16×,
+    q264 1.70×)."""
     out = ids.select(F.col(id_col).cast("long").alias(id_col))
     return _spread_df(out) if spread else out
 
@@ -650,7 +652,7 @@ def synthesize_ppm_media(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
 
-    return _ids_spread(ids, id_col).mapInPandas(
+    return _ids_spread(ids, id_col, spread=False).mapInPandas(
         synth, schema="media_id BIGINT, payload BINARY"
     )
 
