@@ -607,6 +607,21 @@ def sgns_train(
         raise ValueError(
             f"sgns_train: rounds must be >= 1, got {rounds}"
         )
+    # r15 optimization (§5 caching / §2.4): the example build below
+    # references ``pairs`` from FOUR subtrees — the positive side, the
+    # negative sampler's context-marginal CDF, its draw fan-out, and
+    # the multiplicity re-join — and every reference re-executes the
+    # final pair aggregation and everything above the reused exchange
+    # (for q266 that is the whole walk→explode→join pipeline's tail,
+    # four times over). Pin the pair relation once: eager checkpoint →
+    # the four consumers analyze and read a leaf, persist on top →
+    # exact row stats keep driving the sampler's join planning.
+    # Measured (sf0.1, q266 shape, interleaved min-of-2): example
+    # build 6.54 → 3.94 s, identical 110627 example rows. The pin is
+    # released as soon as the example relation is materialized — the
+    # last read of ``pairs``.
+    pairs = pairs.localCheckpoint(eager=True).persist()
+    pairs_pin = pairs
     if negatives is None:
         from pagerank_spark.graph.walks import negative_samples
 
@@ -650,11 +665,20 @@ def sgns_train(
     from contextlib import nullcontext
 
     from pagerank_spark.graph.components import _iterative_loop_conf
-    from pagerank_spark.graph.loop import checkpoint_reset_stats
+    from pagerank_spark.graph.loop import (
+        checkpoint_reset_stats,
+        release_checkpoint,
+    )
 
     spark = pairs.sparkSession
     try:
         n_ex = ex.count()  # materialize the pin
+        # the example relation is a leaf now — the pair pin's last
+        # reader has run, so release its cache AND checkpoint blocks
+        # (r14 ADVICE: checkpoint blocks otherwise stay pinned until
+        # Python+JVM GC)
+        pairs_pin.unpersist()
+        release_checkpoint(pairs_pin)
         if n_ex == 0:
             raise ValueError("sgns_train: no training examples")
         mass = float(ex.agg(F.sum("m")).collect()[0][0])
@@ -793,6 +817,7 @@ def sgns_train(
                 grads = grad_u.withColumn(
                     "side", F.lit("u")
                 ).unionByName(grad_v.withColumn("side", F.lit("v")))
+                prev_state = state
                 state = (
                     state.join(
                         grads, on=["side", "node", "dim"], how="left"
@@ -810,6 +835,13 @@ def sgns_train(
                     )
                     .transform(checkpoint_reset_stats)
                 )
+                # the new state materialized eagerly above — the
+                # previous round's state checkpoint and this round's
+                # residual checkpoint have no readers left (r14 ADVICE:
+                # localCheckpoint blocks otherwise pin one generation
+                # per round until GC)
+                release_checkpoint(prev_state)
+                release_checkpoint(g)
                 u = state.where(F.col("side") == "u").select(
                     "node", "dim", "value"
                 )
@@ -820,4 +852,12 @@ def sgns_train(
             u=u, v=v, rounds=rounds, example_mass=mass, lr=lr
         )
     finally:
+        # the trainer's last read of ex ran when the final round's
+        # residuals materialized; the returned u/v hang off the final
+        # state checkpoint, not ex. The pair-pin release is a no-op on
+        # the success path (released right after ex materialized) and
+        # the safety net on error paths.
+        pairs_pin.unpersist()
+        release_checkpoint(pairs_pin)
         ex.unpersist()
+        release_checkpoint(ex)

@@ -73,9 +73,44 @@ def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
         fresh = ck.sparkSession._jsparkSession.internalCreateDataFrame(
             qe.toRdd(), jdf.schema(), False
         )
-        return DataFrame(fresh, ck.sparkSession)
+        out = DataFrame(fresh, ck.sparkSession)
+        # stash the PERSISTED checkpoint rdd (the fresh LogicalRDD only
+        # wraps a map over it) so release_checkpoint() can drop the
+        # blocks explicitly once the frame's last reader has run
+        try:
+            out._pagerank_spark_ckpt_jrdd = (
+                jdf.queryExecution().analyzed().rdd()
+            )
+        except Exception:  # pragma: no cover - version drift
+            pass
+        return out
     except Exception:  # pragma: no cover - version-drift fallback
         return ck
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Best-effort EXPLICIT release of a localCheckpoint-rooted frame's
+    storage blocks. ``localCheckpoint`` persists the materialized RDD
+    (MEMORY_AND_DISK) and nothing ever unpersists it — the blocks stay
+    pinned until both the Python wrapper and the JVM Dataset are
+    garbage-collected, the long-lived-service leak the round-14 ADVICE
+    flagged (a ``DataFrame.unpersist()`` on top releases only the SQL
+    cache layer, not the checkpoint blocks underneath). The analyzed
+    plan of a checkpointed frame is a ``LogicalRDD`` holding that RDD
+    directly, so its blocks can be dropped the moment the frame's last
+    reader has run. Call ONLY after the last read: the frame is
+    unreadable afterwards (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). No-op
+    on frames that are not checkpoint-rooted or on API drift."""
+    try:
+        jrdd = getattr(df, "_pagerank_spark_ckpt_jrdd", None)
+        if jrdd is not None:  # checkpoint_reset_stats-wrapped frame
+            jrdd.unpersist(False)
+            return
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - version-drift fallback
+        pass
 
 
 class VertexLoop:
