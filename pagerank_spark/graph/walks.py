@@ -31,19 +31,31 @@ def random_walks(edges: DataFrame, steps: int = 4) -> DataFrame:
     if steps < 1:
         raise ValueError(f"random_walks: steps must be >= 1, got {steps}")
     w = Window.partitionBy("src").orderBy("dst")
-    adj = edges.select(
-        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    state = (
-        edges.select("src")
-        .distinct()
-        .select(
-            F.col("src").alias("start"),
-            F.col("src").alias("cur"),
-            F.col("src").cast("string").alias("path"),
-            F.lit(1).alias("walk_len"),
+    # r15 optimization (§5): each step references the indexed
+    # adjacency and the degree relation once, so one materialization
+    # of the walk corpus executes the row_number window `steps` times
+    # and the degree agg `steps` times (exchange reuse dedupes only
+    # the shuffle BELOW the window — the sort+window above it re-runs
+    # per reference). An eager checkpoint makes every step read the
+    # one materialization; the blocks are GC-released (same lifetime
+    # discipline as node2vec's per-step frontier checkpoints).
+    adj = (
+        edges.select(
+            "src", "dst", (F.row_number().over(w) - 1).alias("idx")
         )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    # the distinct sources are exactly deg's keys — no extra pass
+    state = deg.select(
+        F.col("src").alias("start"),
+        F.col("src").alias("cur"),
+        F.col("src").cast("string").alias("path"),
+        F.lit(1).alias("walk_len"),
     )
     for t in range(1, steps + 1):
         pick = F.pmod(
@@ -175,25 +187,66 @@ def _node2vec_body(
     edges: DataFrame, steps: int, p: float, q: float, bcs: bool
 ) -> DataFrame:
     from pagerank_spark.graph.components import _bc
+    from pagerank_spark.graph.loop import release_checkpoint
 
+    # r15 optimization (§5: reused AND expensive to recompute): the
+    # per-step eager checkpoints split the walk into one job per step,
+    # so the static relations below — the indexed adjacency (a window
+    # over the full edge table), the degree agg, and the distinct edge
+    # set — were RE-COMPUTED by every step's job (steps × a 600k-row
+    # sort/window + steps × a 600k-row distinct at sf0.1; exchange
+    # reuse never applies across jobs). Pin each once: eager
+    # checkpoint → every step reads a leaf, persist on top → exact
+    # stats keep the joins' broadcast decisions. Released after the
+    # final step's checkpoint — the last reader — materializes.
     w = Window.partitionBy("src").orderBy("dst")
-    adj = edges.select(
-        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    eset = edges.select(
-        F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
-    ).distinct()
-
-    # step 1: uniform, no prev — the random_walks rule verbatim
-    state = (
-        edges.select("src")
-        .distinct()
-        .select(
-            F.col("src").alias("start"),
-            F.col("src").alias("cur"),
-            F.col("src").cast("string").alias("path"),
+    adj = (
+        edges.select(
+            "src", "dst", (F.row_number().over(w) - 1).alias("idx")
         )
+        .localCheckpoint(eager=True)
+        .persist()
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+        .persist()
+    )
+    eset = (
+        edges.select(
+            F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+        .persist()
+    )
+    try:
+        return _node2vec_steps(adj, deg, eset, steps, p, q, bcs)
+    finally:
+        for pin in (adj, deg, eset):
+            pin.unpersist()
+            release_checkpoint(pin)
+
+
+def _node2vec_steps(
+    adj: DataFrame,
+    deg: DataFrame,
+    eset: DataFrame,
+    steps: int,
+    p: float,
+    q: float,
+    bcs: bool,
+) -> DataFrame:
+    from pagerank_spark.graph.components import _bc
+
+    # step 1: uniform, no prev — the random_walks rule verbatim. The
+    # distinct sources are exactly the pinned degree relation's keys
+    # (one row per src), so no extra distinct pass over the edges.
+    state = deg.select(
+        F.col("src").alias("start"),
+        F.col("src").alias("cur"),
+        F.col("src").cast("string").alias("path"),
     )
     pick1 = F.pmod(
         portable_hash60(
@@ -237,7 +290,26 @@ def _node2vec_body(
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    win_all = Window.partitionBy("start")
+    # r15 optimization (§2.4): the partition total used to ride an
+    # UNORDERED spec (partitionBy(start) alone) — a different window
+    # spec than the running sum, so Catalyst stacked TWO Window
+    # operators per step. The same total expressed over the SAME
+    # (partition, order) spec with an unbounded frame folds both
+    # functions into ONE Window operator (one pass over the sorted
+    # candidates; the unbounded frame is computed once per partition).
+    # Float-identical: the total is summed over the identical rows —
+    # and for the strict-parity power-of-two p/q the weights are exact
+    # binary fractions anyway. A HOF-fold rewrite (collect_list +
+    # aggregate) was measured SLOWER (9.5-12.0 s vs 6.9-7.8 s at
+    # sf0.1) and rejected — the object agg + interpreted fold loses to
+    # the codegen'd window even with the extra sort.
+    win_all = (
+        Window.partitionBy("start")
+        .orderBy("idx")
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     for t in range(2, steps + 1):
         cand = _bc(state, bcs).join(
             adj.select(
