@@ -1050,6 +1050,31 @@ def _hits_iterate(
         s = F.col(col)
         return F.when(F.coalesce(s, F.lit(0.0)) == 0.0, 1.0).otherwise(s)
 
+    # r15 optimization (§3.1): below the engine's broadcast-state cut
+    # the planner broadcasts the vertex-sized state side of each
+    # half-step join ANYWAY (the checkpointed state keeps small origin
+    # stats), so the explicit co-partitioning repartition executed as
+    # a dead Exchange UNDER the BroadcastExchange — two wasted
+    # state shuffles per round. Hint the broadcast explicitly and skip
+    # the repartition when state is small; above the cut keep the
+    # repartition that aligns the state to the cached edge layouts
+    # (the zero-edge-movement property the loop exists for). The
+    # no-broadcast alternative (autoBroadcastJoinThreshold=-1 +
+    # shuffled-hash, PageRank's tiny tier) was A/B-measured SLOWER
+    # here (9.0/10.4 s vs 6.9/8.1 s at sf0.1 k=10): HITS joins the
+    # 600k-row edge relation on BOTH ends, so the forced-shuffle form
+    # re-exchanges contributions every half-step while the 4096-row
+    # broadcast build is nearly free.
+    from pagerank_spark.graph.components import (
+        BROADCAST_STATE_ROW_LIMIT,
+        _bc,
+    )
+
+    bcs = n <= BROADCAST_STATE_ROW_LIMIT
+
+    def _align(df: DataFrame, key: str) -> DataFrame:
+        return _bc(df, True) if bcs else df.repartition(parts, key)
+
     state = verts.select(
         "node",
         F.lit(1.0 / n).alias("hub"),
@@ -1067,8 +1092,9 @@ def _hits_iterate(
         iteration += 1
         contrib_a = (
             e_src.join(
-                state.select(F.col("node").alias("src"), "hub").repartition(
-                    parts, "src"
+                _align(
+                    state.select(F.col("node").alias("src"), "hub"),
+                    "src",
                 ),
                 on="src",
             )
@@ -1093,8 +1119,8 @@ def _hits_iterate(
         s_a = F.broadcast(mid.agg(F.sum("va").alias("__sa")))
         contrib_h = (
             e_dst.join(
-                mid.select(F.col("node").alias("dst"), "va").repartition(
-                    parts, "dst"
+                _align(
+                    mid.select(F.col("node").alias("dst"), "va"), "dst"
                 ),
                 on="dst",
             )
