@@ -517,12 +517,21 @@ def main() -> None:
                 )
 
     total = round(sum(timings.values()), 3)
+    # r15 (round-14 verdict #2): record the honored core-count contract
+    # IN the bench output — the env value AND the session's effective
+    # parallelism — so a scaling run (SPARK_GRAFT_CPUS=8 vs 32) is
+    # distinguishable from an ignored env var when totals land close
+    # (at sf0.1 the per-job scheduler floor legitimately dominates).
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     record = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": int(cpus_env) if cpus_env else None,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "spark_master": spark.sparkContext.master,
         "host_baseline_protocol": HOST_BASELINE_PROTOCOL,
     }
     # Committed artifact (round-8 verdict process defect: the driver
@@ -583,6 +592,8 @@ def main() -> None:
         "unit": "sec",
         "queries": compact_q,
         "sf": record["sf"],
+        "cpus": record["cpus"],
+        "default_parallelism": record["default_parallelism"],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: keep the slowest entries
