@@ -130,12 +130,16 @@ def logreg_train(
     l2: float = 0.0,
     tol: float | None = None,
     track_loss: bool = False,
+    tune: bool = True,
 ) -> LogRegResult:
     """Full-batch logistic-regression GD over a sparse feature relation.
 
     ``features``: ``(id_col, feature_index, feature_value)`` long form
     (feature_hash / hashed_token_features output). ``labels``:
     ``(id_col, label_col)`` with labels in {0, 1} (numeric or boolean).
+    ``tune`` runs the rounds under the engine's shared small-loop conf
+    (a session-global AQE/partition flip, restored on exit) — pass
+    ``tune=False`` in sessions shared with concurrent queries.
 
     Per round ONE action (the gradient collect) whose plan is: broadcast
     the current weights into a margin sum per doc (co-partitioned
@@ -187,12 +191,19 @@ def logreg_train(
     # multi-second per-action driver gaps on the fixture trainers.
     # The co-partitioning repartition happens INSIDE the conf so the
     # pins and every per-round exchange share the loop sizing.
+    from contextlib import nullcontext
+
     from pagerank_spark.graph.components import _iterative_loop_conf
+    from pagerank_spark.graph.loop import release_checkpoint
 
     n_rows = xb_ck.count()
     xb = lab = None
     try:
-        with _iterative_loop_conf(spark, n_rows):
+        # ``tune=False`` opts shared-session callers out of the
+        # session-global AQE/partition flip (r14 ADVICE — mirrors
+        # node2vec_walks(tune=) / pagerank(tune_aqe=))
+        ctx = _iterative_loop_conf(spark, n_rows) if tune else nullcontext()
+        with ctx:
             shuffle_p = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
@@ -206,10 +217,17 @@ def logreg_train(
                 track_loss=track_loss,
             )
     finally:
+        # release the cache layer AND the eager-checkpoint blocks
+        # underneath (r14 ADVICE: the checkpoints otherwise stay
+        # pinned until Python+JVM GC — a ~2x footprint while only the
+        # repartitioned cache is live; nothing reads the trainer's
+        # relations after the rounds return their driver-side weights)
         if xb is not None:
             xb.unpersist()
         if lab is not None:
             lab.unpersist()
+        release_checkpoint(xb_ck)
+        release_checkpoint(lab_ck)
 
 
 def _logreg_rounds(
@@ -347,6 +365,7 @@ def softmax_train(
     rounds: int = 20,
     lr: float = 0.5,
     track_loss: bool = False,
+    tune: bool = True,
 ) -> SoftmaxResult:
     """Full-batch SOFTMAX (multinomial) regression over a sparse
     feature relation — the multiclass extension of :func:`logreg_train`
@@ -356,6 +375,8 @@ def softmax_train(
     ``labels``: ``(id_col, label_col)`` with arbitrary (string) class
     labels; the class index is their SORTED order — deterministic, so
     a fixed-round run unrolls into SQL (the q262 oracle twin).
+    ``tune`` as in :func:`logreg_train` (``False`` for shared
+    sessions).
 
     Per round ONE action: broadcast the (K·dim)-sized weight relation
     into per-(doc, class) margin sums (co-partitioned groupBy), apply
@@ -414,14 +435,18 @@ def softmax_train(
     )
     # checkpoint-below-repartition + small-loop conf — the
     # logreg_train rationale verbatim
+    from contextlib import nullcontext
+
     from pagerank_spark.graph.components import _iterative_loop_conf
+    from pagerank_spark.graph.loop import release_checkpoint
 
     xb_ck = xb.localCheckpoint(eager=True)
     lab_ck = lab.localCheckpoint(eager=True)
     n_rows = xb_ck.count()
     xb = lab = None
     try:
-        with _iterative_loop_conf(spark, n_rows):
+        ctx = _iterative_loop_conf(spark, n_rows) if tune else nullcontext()
+        with ctx:
             shuffle_p = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
@@ -435,10 +460,13 @@ def softmax_train(
                 classes=classes, track_loss=track_loss,
             )
     finally:
+        # cache layer + checkpoint blocks, as in logreg_train
         if xb is not None:
             xb.unpersist()
         if lab is not None:
             lab.unpersist()
+        release_checkpoint(xb_ck)
+        release_checkpoint(lab_ck)
 
 
 def _softmax_rounds(

@@ -302,3 +302,80 @@ def test_vertex_loop_track_defer_flush(spark):
     assert not a.storageLevel.useMemory
     assert b.storageLevel.useMemory  # the kept frontier survives
     b.unpersist()
+
+
+def test_release_checkpoint_drops_blocks(spark):
+    """r15: release_checkpoint() explicitly frees a localCheckpoint's
+    storage blocks — both for a plain checkpointed frame and for a
+    checkpoint_reset_stats-wrapped one (whose fresh LogicalRDD hides
+    the persisted RDD) — instead of waiting for Python+JVM GC."""
+    from pagerank_spark.graph.loop import (
+        checkpoint_reset_stats,
+        release_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids():
+        return set(jsc.getPersistentRDDs().keys())
+
+    base = persistent_ids()
+    plain = spark.range(100).selectExpr("id", "id * 2 AS v")
+    ck = plain.localCheckpoint(eager=True)
+    assert persistent_ids() - base  # the checkpoint pinned blocks
+    release_checkpoint(ck)
+    assert persistent_ids() == base
+
+    wrapped = checkpoint_reset_stats(
+        spark.range(50).selectExpr("id", "id + 1 AS v")
+    )
+    assert wrapped.count() == 50
+    assert persistent_ids() - base
+    release_checkpoint(wrapped)
+    assert persistent_ids() == base
+
+    # non-checkpointed frames are a safe no-op
+    release_checkpoint(spark.range(3))
+
+
+def test_trainers_tune_false_matches_and_releases(spark):
+    """r15 (r14 ADVICE): tune=False skips the session-global conf flip
+    but trains identical weights; both trainers release their eager
+    feature/label checkpoints in the finally path."""
+    from pagerank_spark.operators.classifier import (
+        logreg_train,
+        softmax_train,
+    )
+
+    jsc = spark.sparkContext._jsc
+    feats = spark.createDataFrame(
+        [(i, int(i % 3), float((i % 5) - 2)) for i in range(30)],
+        "doc_id long, feature_index long, feature_value double",
+    )
+    labels = spark.createDataFrame(
+        [(i, int(i % 2)) for i in range(30)], "doc_id long, y int"
+    )
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    base = set(jsc.getPersistentRDDs().keys())
+    w_tuned = {
+        (r["feature_index"],): r["weight"]
+        for r in logreg_train(feats, labels, rounds=3).weights.collect()
+    }
+    # the trainer released its own eager checkpoints (delta vs the
+    # snapshot just before the call — suite-shared session state from
+    # other tests is not this test's business)
+    assert set(jsc.getPersistentRDDs().keys()) <= base
+    base = set(jsc.getPersistentRDDs().keys())
+    w_plain = {
+        (r["feature_index"],): r["weight"]
+        for r in logreg_train(
+            feats, labels, rounds=3, tune=False
+        ).weights.collect()
+    }
+    assert w_tuned == w_plain
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert set(jsc.getPersistentRDDs().keys()) <= base
+    base = set(jsc.getPersistentRDDs().keys())
+    slabels = labels.selectExpr("doc_id", "CAST(y AS STRING) AS label")
+    softmax_train(feats, slabels, rounds=2, tune=False)
+    assert set(jsc.getPersistentRDDs().keys()) <= base
