@@ -149,7 +149,8 @@ def svd_topk(
                 ).alias("w"),
             )
             .where(F.col("w") > 0)
-            .localCheckpoint(eager=True)
+            # lazy: the nnz count below is the strictly-next reader
+            .localCheckpoint(eager=False)
             .persist()
         )
 
@@ -241,7 +242,14 @@ def _svd_loop(
             # per-group reduction inputs, and the per-node adjustment
             # sums at most rank−1 ≤ 2 terms, where float addition is
             # order-exact.)
-            yc = big_matvec(v).localCheckpoint(eager=True)
+            # LAZY checkpoint (r15): the plan is a leaf either way —
+            # laziness only moves the materialization INSIDE the next
+            # reader (the dots collect for deflated components, the
+            # norm otherwise), deleting the dedicated checkpoint job
+            # each iteration paid (~0.2 s/job driver floor × rank ×
+            # iterations). Readers are strictly sequential driver
+            # actions, so no branch ever races the materialization.
+            yc = big_matvec(v).localCheckpoint(eager=False)
             if factors_u is not None:
                 # all k dots in ONE pass over the cached y
                 # (classical GS)
@@ -388,7 +396,10 @@ def ppmi_svd_embeddings(
             F.round(F.col(value_col).cast("double"), round_dp).alias("w"),
         )
         .where(F.col("w") > 0)
-        .localCheckpoint(eager=True)
+        # lazy (r15): the plan is a leaf either way; svd_topk's nnz
+        # count is the strictly-next reader and materializes it, so
+        # the dedicated eager-checkpoint job is deleted
+        .localCheckpoint(eager=False)
         .persist()
     )
     # r14 optimization: hand the pinned relation to svd_topk under its
@@ -658,7 +669,11 @@ def sgns_train(
         .unionByName(neg.withColumn("label", F.lit(0.0)))
         .groupBy("c", "w", "label")
         .agg(F.sum("m").alias("m"))
-        .localCheckpoint(eager=True)
+        # lazy (r15): ex.count() below is the strictly-next reader —
+        # one less dedicated materialization job; the pair pin above
+        # stays EAGER because the example build reads it from four
+        # plan branches whose stages can race a lazy materialization
+        .localCheckpoint(eager=False)
         .persist()
     )
 
