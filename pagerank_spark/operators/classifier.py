@@ -182,8 +182,14 @@ def logreg_train(
     # repartitioned rows would silently re-add a per-round exchange
     # of the big feature relation — the co-partitioning this pin
     # exists to establish.
-    xb_ck = xb.localCheckpoint(eager=True)
-    lab_ck = lab.localCheckpoint(eager=True)
+    # lazy (r15): the plan is a leaf either way, and the readers are
+    # strictly sequential driver actions (the n_rows count, then the
+    # repartition-pin materializations) — laziness deletes the two
+    # dedicated checkpoint jobs. The physical plan of a lazy
+    # checkpoint is compiled at creation, so the loop-conf flip below
+    # cannot re-shape it.
+    xb_ck = xb.localCheckpoint(eager=False)
+    lab_ck = lab.localCheckpoint(eager=False)
     # run the rounds under the engine's shared small-loop conf (the
     # SVD/SGNS/node2vec discipline, a no-op above the 64M-row cut):
     # with AQE on, every tiny per-round job re-plans its stages and
@@ -440,8 +446,9 @@ def softmax_train(
     from pagerank_spark.graph.components import _iterative_loop_conf
     from pagerank_spark.graph.loop import release_checkpoint
 
-    xb_ck = xb.localCheckpoint(eager=True)
-    lab_ck = lab.localCheckpoint(eager=True)
+    # lazy — the logreg_train rationale verbatim
+    xb_ck = xb.localCheckpoint(eager=False)
+    lab_ck = lab.localCheckpoint(eager=False)
     n_rows = xb_ck.count()
     xb = lab = None
     try:
