@@ -149,16 +149,23 @@ def unigram_lm_train(
         vocab = _scalar_fold(selected, total0).select(
             "piece", (F.col("wf") / F.col("__t")).alias("prob")
         )
-        vocab = vocab.localCheckpoint(eager=True)
+        # Lazy checkpoints (r15) for the seed and every NON-final
+        # round: each is read next by exactly one sequential consumer
+        # (the following round's broadcast build), so laziness deletes
+        # one dedicated materialization job per round. The FINAL
+        # vocabulary stays EAGER: the prune below references it from
+        # three plan branches, and parallel stages racing a lazy
+        # checkpoint would re-run the (cand-sized) EM aggregation.
+        vocab = vocab.localCheckpoint(eager=False)
 
         # ---- EM rounds --------------------------------------------------
-        for _ in range(rounds):
+        for rnd in range(rounds):
             counts = _em_expected_counts(cand, vocab, L)
             total = counts.agg(F.sum("cnt").alias("__t"))
             vocab = (
                 _scalar_fold(counts, total)
                 .select("piece", (F.col("cnt") / F.col("__t")).alias("prob"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=(rnd == rounds - 1))
             )
 
         # ---- prune ------------------------------------------------------
