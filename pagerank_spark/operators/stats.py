@@ -359,7 +359,20 @@ def spearman_corr(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    b = base.agg(
+    # r15 optimization (§5): the joint relation feeds FOUR consumers
+    # (both marginal rank passes, the n scalar, and the moment cells),
+    # and the min/max pass scanned the corpus a second time. The joint
+    # relation is now lazily checkpointed — the min/max collect below
+    # reads it FROM the joint cells (identical values: every base row
+    # lands in a joint cell) and materializes the pin in the same job,
+    # so the corpus is scanned exactly once and every downstream plan
+    # analyzes a leaf instead of re-deriving the corpus subtree.
+    joint = (
+        base.groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    b = joint.agg(
         F.min("x").alias("xlo"),
         F.max("x").alias("xhi"),
         F.min("y").alias("ylo"),
@@ -370,7 +383,6 @@ def spearman_corr(
             "SELECT CAST(NULL AS DOUBLE) AS rho_spearman, "
             "CAST(NULL AS BIGINT) AS n_rows"
         )
-    joint = base.groupBy("x", "y").agg(F.count("*").alias("c"))
 
     def value_ranks(col: str, lo: float, hi: float) -> DataFrame:
         span = (hi - lo) / blocks
@@ -709,10 +721,15 @@ def percentile_rank(
     if blocks is None:
         blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
     v = F.col(value_col).cast("double")
+    # lazy checkpoint (r15, the spearman_corr rationale): the min/max
+    # collect below materializes the distinct-value relation, so the
+    # rank pipeline's three references read a leaf instead of
+    # re-deriving the corpus aggregation in the output job
     marg = (
         df.where(v.isNotNull())
         .groupBy(v.alias("__v"))
         .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
     b = marg.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).collect()[0]
     if b["lo"] is None:
