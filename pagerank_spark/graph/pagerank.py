@@ -525,8 +525,12 @@ def _iterate(
         rank_side = state.where(F.col("deg").isNotNull()).select(
             F.col("node").alias("src"), "rank"
         )
-        if strategy == "broadcast":
+        import os as _os
+        _ab = _os.environ.get("SPARK_PR_AB", "")
+        if strategy == "broadcast" or _ab == "bcast":
             rank_side = F.broadcast(rank_side)
+        elif _ab == "free":
+            pass
         else:
             rank_side = rank_side.repartition(shuffle_parts, "src")
 
